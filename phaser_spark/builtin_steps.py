@@ -1,0 +1,245 @@
+"""Built-in steps (reference ``phaser/builtin_steps.py``, SURVEY.md §2.6).
+
+Each factory returns a decorated batch step operating on the live Spark
+DataFrame.  Exact-parity notes:
+
+* ``drop_duplicate_rows`` keeps the **last** duplicate (dict-overwrite
+  semantics, ``phaser/builtin_steps.py:15-54``) — not Spark's
+  ``dropDuplicates`` (arbitrary winner).  Implemented as a window over the
+  dup key ordered by descending row number; original order restored by the
+  lineage column.  Scale: one hash-shuffle on the dup key, no global sort.
+* ``sort_by`` reproduces Python stable sort via the row-number tiebreak
+  (``phaser/builtin_steps.py:89-107``); nulls sort first (the reference
+  crashes on None — SURVEY §4.3 — we define nulls-first instead).
+* ``check_unique`` raises ``DataErrorException`` on duplicates
+  (``phaser/builtin_steps.py:57-86``); ``ignore_case`` guards nulls with
+  ``lower(coalesce(...))`` rather than crashing (SURVEY §4.3).
+* ``filter_rows`` records one summarized DROPPED_ROW event with the count
+  (``phaser/builtin_steps.py:110-138``).
+* ``flatten_column``/``flatten_all`` expand struct columns to
+  ``parent__child`` names (``phaser/builtin_steps.py:141-234``); the
+  reference's ``NameError`` on non-dict values (SURVEY §4.3) is fixed per
+  its documented semantics (non-structs pass through).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column as SparkCol
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .column import Column
+from .constants import INTERNAL_COLS, PHASER_ROW_NUM
+from .exceptions import DataErrorException, PhaserError
+from .steps import batch_step
+
+
+def _colname(column) -> str:
+    return column.name if isinstance(column, Column) else str(column)
+
+
+def _data_columns(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c not in INTERNAL_COLS and c != PHASER_ROW_NUM]
+
+
+def filter_rows(func: Callable | SparkCol, name: str = "filter_rows"):
+    """Keep rows where the predicate holds (phaser/builtin_steps.py:110-138).
+
+    ``func`` may be a Spark Column predicate (fast path, stays in codegen)
+    or a Python ``f(row_dict) -> bool`` (Arrow-batched fallback).  Emits a
+    single summarized DROPPED_ROW event with the dropped count — computed
+    lazily from a count aggregate, not per-row driver traffic.
+    """
+
+    @batch_step
+    def _filter_rows(df: DataFrame, context=None) -> DataFrame:
+        if isinstance(func, SparkCol):
+            pred = func
+        else:
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf(T.BooleanType())
+            def _pred_udf(s):  # pragma: no cover - executor side
+                import pandas as pd
+
+                return pd.Series([bool(func(r)) for r in s])
+
+            # struct-pack the visible columns so the python predicate sees a dict
+            cols = _data_columns(df) + [PHASER_ROW_NUM]
+            import pandas as pd
+
+            def gen(batches):
+                for pdf in batches:
+                    pdf = pdf.astype(object).where(pdf.notna(), None)
+                    keep = pdf.apply(lambda r: bool(func(r.to_dict())), axis=1)
+                    yield pdf.assign(__phaser_keep__=keep.astype(bool))
+
+            schema = T.StructType(
+                list(df.schema.fields) + [T.StructField("__phaser_keep__", T.BooleanType())]
+            )
+            marked = df.mapInPandas(gen, schema=schema)
+            kept = marked.filter(F.col("__phaser_keep__")).drop("__phaser_keep__")
+            if context is not None:
+                dropped = marked.filter(~F.col("__phaser_keep__")).count()
+                if dropped:
+                    context.add_dropped_row(
+                        name, None, f"{dropped} rows dropped by filter_rows"
+                    )
+            return kept
+
+        kept = df.filter(pred)
+        if context is not None:
+            dropped = df.filter(~F.coalesce(pred, F.lit(False))).count()
+            if dropped:
+                context.add_dropped_row(name, None, f"{dropped} rows dropped by filter_rows")
+        return kept
+
+    _filter_rows.__name__ = name
+    return _filter_rows
+
+
+def sort_by(column):
+    """Stable sort by one column (phaser/builtin_steps.py:89-107): nulls
+    first, row-number tiebreak reproduces Python's stable sort."""
+    col = _colname(column)
+
+    @batch_step
+    def _sort_by(df: DataFrame, context=None) -> DataFrame:
+        return df.orderBy(F.col(col).asc_nulls_first(), F.col(PHASER_ROW_NUM).asc())
+
+    _sort_by.__name__ = f"sort_by_{col}"
+    return _sort_by
+
+
+def drop_duplicate_rows(columns=None):
+    """Dedup on all data columns or a subset; **last duplicate wins**
+    (phaser/builtin_steps.py:15-54).  Key parity: the reference keys on
+    ``'|'.join(str(v))``; we key on the column tuple directly (same
+    equivalence for scalar values, no separator-collision bug)."""
+    cols = [_colname(c) for c in columns] if columns else None
+
+    @batch_step
+    def _drop_duplicate_rows(df: DataFrame, context=None) -> DataFrame:
+        key = cols or _data_columns(df)
+        w = Window.partitionBy(*key).orderBy(F.col(PHASER_ROW_NUM).desc())
+        out = (
+            df.withColumn("__phaser_dd_rn__", F.row_number().over(w))
+            .filter(F.col("__phaser_dd_rn__") == 1)
+            .drop("__phaser_dd_rn__")
+        )
+        if context is not None:
+            dropped = df.count() - out.count()
+            if dropped:
+                context.add_dropped_row(
+                    "drop_duplicate_rows", None, f"{dropped} duplicate rows dropped"
+                )
+        return out
+
+    return _drop_duplicate_rows
+
+
+def check_unique(column, strip: bool = True, ignore_case: bool = False):
+    """Assert all values of a column are unique
+    (phaser/builtin_steps.py:57-86); raises ``DataErrorException`` as a
+    whole-batch error.  One aggregate job; short-circuits via ``limit(1)``."""
+    col = _colname(column)
+
+    @batch_step
+    def _check_unique(df: DataFrame, context=None) -> DataFrame:
+        if col not in df.columns:
+            raise DataErrorException(
+                f"check_unique: column '{col}' not found; columns: {_data_columns(df)}"
+            )
+        expr = F.col(f"`{col}`").cast("string")
+        if strip:
+            expr = F.trim(expr)
+        if ignore_case:
+            expr = F.lower(F.coalesce(expr, F.lit("")))
+        dup = (
+            df.groupBy(expr.alias("k"))
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise DataErrorException(
+                f"Duplicate value '{dup[0]['k']}' in column '{col}' (check_unique)"
+            )
+        return df
+
+    _check_unique.__name__ = f"check_unique_{col}"
+    return _check_unique
+
+
+def _flatten_fields(df: DataFrame, col: str, deep: bool) -> list:
+    """Expand one struct column into ``col__field`` aliases."""
+    field = df.schema[col]
+    if not isinstance(field.dataType, T.StructType):
+        return []  # non-struct passes through (documented reference semantics)
+    out = []
+    for sub in field.dataType.fields:
+        new_name = f"{col}__{sub.name}"
+        if new_name in df.columns:
+            raise DataErrorException(
+                f"flatten_column: name collision on '{new_name}'"
+            )
+        out.append((new_name, F.col(f"`{col}`.`{sub.name}`")))
+    return out
+
+
+def flatten_column(column, deep: bool = True):
+    """Flatten one struct-valued column to ``name__key`` columns
+    (phaser/builtin_steps.py:189-234); ``deep=True`` recurses until no
+    struct remains under this prefix.  Pure projection — no shuffle."""
+    col = _colname(column)
+
+    @batch_step
+    def _flatten_column(df: DataFrame, context=None) -> DataFrame:
+        if col not in df.columns:
+            return df
+        current = df
+        targets = [col]
+        while targets:
+            t = targets.pop(0)
+            expanded = _flatten_fields(current, t, deep)
+            if not expanded:
+                continue
+            keep = [F.col(f"`{c}`") for c in current.columns if c != t]
+            current = current.select(*keep, *[e.alias(n) for n, e in expanded])
+            if deep:
+                for n, _ in expanded:
+                    if isinstance(current.schema[n].dataType, T.StructType):
+                        targets.append(n)
+        return current
+
+    _flatten_column.__name__ = f"flatten_{col}"
+    return _flatten_column
+
+
+def flatten_all(deep: bool = True):
+    """Iteratively flatten every struct column until none remain
+    (phaser/builtin_steps.py:141-186)."""
+
+    @batch_step
+    def _flatten_all(df: DataFrame, context=None) -> DataFrame:
+        current = df
+        while True:
+            structs = [
+                f.name
+                for f in current.schema.fields
+                if isinstance(f.dataType, T.StructType) and f.name not in INTERNAL_COLS
+            ]
+            if not structs:
+                return current
+            for s in structs:
+                expanded = _flatten_fields(current, s, deep)
+                keep = [F.col(f"`{c}`") for c in current.columns if c != s]
+                current = current.select(*keep, *[e.alias(n) for n, e in expanded])
+            if not deep:
+                return current
+
+    return _flatten_all

@@ -1,0 +1,52 @@
+"""Engine-wide constants.
+
+Parity target: the reference's ``phaser/constants.py`` (see SURVEY.md §1,
+§2.7).  Same public names so reference pipelines port verbatim:
+
+* ``PHASER_ROW_NUM`` — reference ``phaser/constants.py:2``
+* ``ON_ERROR_*`` policies — reference ``phaser/constants.py:4-7``
+* format tags — reference ``phaser/constants.py:9-11``
+
+Internal column names (``ERROR_COL`` …) are engine-private: the row-level
+error/warning state that the reference keeps in a driver dict
+(``phaser/context.py:26``) lives *in the DataFrame* here so it scales.
+"""
+
+# Lineage column: 1-based stable row number assigned at ingest
+# (reference: phaser/records.py:8, phaser/constants.py:2).
+PHASER_ROW_NUM = "__phaser_row_num__"
+
+# Error policies (reference: phaser/constants.py:4-7, phaser/context.py:127-173).
+ON_ERROR_COLLECT = "collect"       # record error, keep going, fail phase at end
+ON_ERROR_WARN = "warn"             # record warning, continue, phase succeeds
+ON_ERROR_DROP_ROW = "drop_row"     # drop the offending row, record event
+ON_ERROR_STOP_NOW = "stop_now"     # abort immediately
+
+ERROR_POLICIES = (
+    ON_ERROR_COLLECT,
+    ON_ERROR_WARN,
+    ON_ERROR_DROP_ROW,
+    ON_ERROR_STOP_NOW,
+)
+
+# I/O format tags (reference: phaser/constants.py:9-11).
+CSV_FORMAT = "csv"
+JSON_RECORD_FORMAT = "json"
+PARQUET_FORMAT = "parquet"  # engine addition: native columnar checkpoint format
+
+# --- engine-internal DataFrame columns -----------------------------------
+# First error attributed to the row (null when the row is clean):
+# struct<type string, column string, step string, message string>
+ERROR_COL = "__phaser_error__"
+# Accumulated warnings: array<struct<type, column, step, message>>
+WARNING_COL = "__phaser_warnings__"
+# Drop marker set by DropRowException / drop_row policy resolution.
+DROP_COL = "__phaser_drop__"
+
+INTERNAL_COLS = (ERROR_COL, WARNING_COL, DROP_COL)
+
+# Event types recorded in the events table
+# (reference: phaser/context.py:40-76 — ERROR / WARNING / DROPPED_ROW).
+EVENT_ERROR = "ERROR"
+EVENT_WARNING = "WARNING"
+EVENT_DROPPED_ROW = "DROPPED_ROW"

@@ -1,0 +1,375 @@
+"""Sources and sinks with reference-parity semantics.
+
+Parity targets (SURVEY.md §2.1):
+
+* ``read_csv`` — reference ``phaser/io.py:34-60``: skips ``#``-comment and
+  all-empty rows, errors on duplicate headers, errors on rows with missing
+  fields, warns-and-drops empty extra fields, values stay *strings* until a
+  Column casts them (``tests/test_csv.py:109-113``).
+* ``read_json`` — reference ``phaser/io.py:14-26``: file must be a
+  top-level list of record dicts.
+* ``save_csv`` — reference ``phaser/io.py:164-190``: None/NaN → empty,
+  list values stringified Python-style (``tests/test_csv.py:151-157``).
+* ``save_json`` — reference ``phaser/io.py:29-31``: a single JSON array.
+* ``ExtraRecords`` / ``ExtraMapping`` — reference ``phaser/io.py:193-241``.
+
+Scale notes: reads go through Spark's native distributed CSV/JSON readers
+(splittable, pushdown-capable); ragged-row detection rides the reader's
+``_corrupt_record`` channel instead of a second parse; row numbering uses
+the zero-shuffle lineage utility.  Single-file sinks exist for CLI parity
+(they stream part-files together driver-side without materializing rows in
+memory); production output should use ``save_parquet``.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import io as _pyio
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .constants import CSV_FORMAT, JSON_RECORD_FORMAT, PHASER_ROW_NUM
+from .exceptions import DataException, PhaserError
+from .lineage import with_row_numbers
+
+# Sentinel that never appears in real data: lets quoted "" survive as an
+# empty string (phaser keeps blanks distinct from nulls — phaser/io.py:115-162).
+_NULL_SENTINEL = "\x01"
+_CORRUPT = "_corrupt_record"
+
+#: Literal strings treated as null by the reference (phaser/io.py:115-162).
+NULL_LITERALS = ("NULL", "None", "null", "none")
+
+
+def _sniff_headers(source: str, delimiter: str, encoding: str) -> list[str]:
+    """Read the header row driver-side (first non-comment, non-empty line).
+
+    Duplicate headers are an error (reference ``phaser/io.py:43-47``).
+    """
+    with open(source, encoding=encoding, newline="") as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            headers = next(csv.reader(_pyio.StringIO(line), delimiter=delimiter))
+            break
+        else:
+            raise DataException(f"{source}: no header row found")
+    stripped = [h.strip().strip("'\"").strip() for h in headers]
+    dupes = {h for h in stripped if stripped.count(h) > 1}
+    if dupes:
+        raise DataException(f"Duplicate headers in {source}: {sorted(dupes)}")
+    return headers
+
+
+def read_csv(
+    spark: SparkSession,
+    source: str,
+    delimiter: str = ",",
+    encoding: str = "utf-8",
+    row_numbers: bool = True,
+    on_warning=None,
+) -> DataFrame:
+    """Distributed CSV scan with reference semantics (phaser/io.py:34-60).
+
+    Returned values are all strings (cast later by Columns).  Rows whose
+    fields are all empty are dropped before numbering, matching the
+    reference's skip-then-number order.
+    """
+    headers = _sniff_headers(source, delimiter, encoding)
+    schema = T.StructType(
+        [T.StructField(h, T.StringType()) for h in headers]
+        + [T.StructField(_CORRUPT, T.StringType())]
+    )
+    df = (
+        spark.read.schema(schema)
+        .options(
+            header=True,
+            comment="#",
+            sep=delimiter,
+            encoding=encoding,
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord=_CORRUPT,
+            nullValue=_NULL_SENTINEL,
+        )
+        .csv(source)
+    )
+
+    # Ragged rows: the reader stashes the raw line. Missing fields are an
+    # error (reference errors via DictReader restval check); extra fields
+    # are warned about and dropped (phaser/phase.py:289-295). One tiny
+    # sample job classifies them; the data itself never leaves executors.
+    # (selecting the corrupt column alone is disallowed — include a data col)
+    bad = (
+        df.select(F.col(f"`{headers[0]}`"), F.col(_CORRUPT))
+        .filter(F.col(_CORRUPT).isNotNull())
+        .limit(50)
+        .collect()
+    )
+    if bad:
+        n_fields = len(headers)
+        missing, extra = [], []
+        for r in bad:
+            try:
+                toks = next(csv.reader(_pyio.StringIO(r[_CORRUPT]), delimiter=delimiter))
+            except StopIteration:
+                continue
+            (missing if len(toks) < n_fields else extra).append(r[_CORRUPT])
+        if missing:
+            raise DataException(
+                f"{source}: row(s) with missing fields (expected {n_fields}): "
+                f"{missing[:3]}"
+            )
+        if extra and on_warning:
+            on_warning(f"{source}: {len(extra)}+ row(s) had extra fields; extras dropped")
+    df = df.drop(_CORRUPT)
+
+    # All-strings model: nulls from unquoted-empty become '' (phaser reads
+    # every CSV value as a string; '' is "blank", not null).
+    df = df.select(*[F.coalesce(F.col(f"`{h}`"), F.lit("")).alias(h) for h in headers])
+
+    # Drop rows where every value is empty/whitespace (phaser/io.py:52-56).
+    non_empty = None
+    for h in headers:
+        c = F.trim(F.col(f"`{h}`")) != ""
+        non_empty = c if non_empty is None else (non_empty | c)
+    if non_empty is not None:
+        df = df.filter(non_empty)
+
+    if row_numbers:
+        df = with_row_numbers(df)
+    return df
+
+
+def read_json(
+    spark: SparkSession, source: str, row_numbers: bool = True
+) -> DataFrame:
+    """JSON-records scan: top-level array of dicts (phaser/io.py:14-26).
+
+    Nested objects become ``StructType`` columns (flattened on demand by
+    ``flatten_column``/``flatten_all``).
+    """
+    df = spark.read.option("multiLine", True).json(source)
+    if df.columns == [_CORRUPT] or not df.columns:
+        raise DataException(f"{source}: not a JSON list of records")
+    if row_numbers:
+        df = with_row_numbers(df)
+    return df
+
+
+def normalize_null_literals(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Map literal "NULL"/"None" strings to real nulls (phaser/io.py:115-162)."""
+    cols = columns or [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+    out = df
+    for c in cols:
+        if c in df.columns:
+            out = out.withColumn(
+                c, F.when(F.col(f"`{c}`").isin(*NULL_LITERALS), None).otherwise(F.col(f"`{c}`"))
+            )
+    return out
+
+
+# --------------------------------------------------------------------------
+# Sinks
+# --------------------------------------------------------------------------
+
+def _stringify_complex(df: DataFrame) -> DataFrame:
+    """CSV cannot hold arrays/structs: stringify them Python-style.
+
+    Parity: the reference saves list values as ``"['a', 'b']"``
+    (``tests/test_csv.py:151-157``).
+    """
+    out = df
+    for f in df.schema.fields:
+        c = F.col(f"`{f.name}`")
+        if isinstance(f.dataType, T.ArrayType):
+            if isinstance(f.dataType.elementType, T.StringType):
+                inner = F.array_join(
+                    F.transform(c, lambda x: F.concat(F.lit("'"), x, F.lit("'"))), ", "
+                )
+            else:
+                inner = F.array_join(c.cast(T.ArrayType(T.StringType())), ", ")
+            out = out.withColumn(
+                f.name, F.when(c.isNull(), None).otherwise(F.concat(F.lit("["), inner, F.lit("]")))
+            )
+        elif isinstance(f.dataType, (T.StructType, T.MapType)):
+            out = out.withColumn(f.name, F.to_json(c))
+    return out
+
+
+def _collect_parts(tmp: str, pattern: str, filename: str, header_lines: int = 0) -> None:
+    """Stream Spark part-files into one output file without loading rows."""
+    parts = sorted(glob.glob(os.path.join(tmp, pattern)))
+    with open(filename, "wb") as out:
+        for i, part in enumerate(parts):
+            with open(part, "rb") as f:
+                if i > 0 and header_lines:
+                    for _ in range(header_lines):
+                        f.readline()
+                shutil.copyfileobj(f, out)
+
+
+def save_csv(df: DataFrame, filename: str, single_file: bool = True) -> None:
+    """CSV sink (phaser/io.py:164-190): nulls → empty string, lists
+    stringified; one output file for CLI parity (part-files streamed
+    together driver-side, no row materialization)."""
+    out = _stringify_complex(df)
+    if single_file:
+        tmp = tempfile.mkdtemp(prefix="phaser_csv_")
+        try:
+            (
+                out.coalesce(1)
+                .write.mode("overwrite")
+                .options(header=True, nullValue="", emptyValue="")
+                .csv(tmp)
+            )
+            _collect_parts(tmp, "part-*.csv", filename, header_lines=1)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        out.write.mode("overwrite").options(header=True, nullValue="", emptyValue="").csv(filename)
+
+
+def save_json(df: DataFrame, filename: str, single_file: bool = True) -> None:
+    """JSON sink: a single top-level array (phaser/io.py:29-31), built by
+    streaming NDJSON part-files — constant driver memory."""
+    if not single_file:
+        df.write.mode("overwrite").json(filename)
+        return
+    tmp = tempfile.mkdtemp(prefix="phaser_json_")
+    try:
+        df.coalesce(1).write.mode("overwrite").json(tmp)
+        parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
+        with open(filename, "w", encoding="utf-8") as out:
+            out.write("[")
+            first = True
+            for part in parts:
+                with open(part, encoding="utf-8") as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        if not first:
+                            out.write(",\n")
+                        out.write(line)
+                        first = False
+            out.write("]")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def save_parquet(df: DataFrame, path: str) -> None:
+    """Native columnar checkpoint (engine addition; the scale path)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def load_any(spark: SparkSession, source: str, save_format: str | None = None) -> DataFrame:
+    """Extension-based format dispatch (reference ``Pipeline.load``,
+    phaser/pipeline.py:244-252)."""
+    fmt = save_format or _format_of(source)
+    if fmt == JSON_RECORD_FORMAT:
+        return read_json(spark, source)
+    if fmt == PARQUET_FORMAT_NAME:
+        return spark.read.parquet(source)
+    return read_csv(spark, source)
+
+
+PARQUET_FORMAT_NAME = "parquet"
+
+
+def _format_of(source: str) -> str:
+    ext = os.path.splitext(str(source))[1].lower()
+    if ext == ".json":
+        return JSON_RECORD_FORMAT
+    if ext == ".parquet":
+        return PARQUET_FORMAT_NAME
+    return CSV_FORMAT
+
+
+def save_any(df: DataFrame, filename: str, save_format: str) -> None:
+    if save_format == JSON_RECORD_FORMAT:
+        save_json(df, filename)
+    elif save_format == PARQUET_FORMAT_NAME:
+        save_parquet(df, filename)
+    else:
+        save_csv(df, filename)
+
+
+# --------------------------------------------------------------------------
+# Extra sources / outputs (side datasets)
+# --------------------------------------------------------------------------
+
+class SavableObject:
+    """Named side dataset passed between phases (phaser/io.py:193-222)."""
+
+    def __init__(self, name: str, df: DataFrame | None = None, to_save: bool = True):
+        if not name or not isinstance(name, str):
+            raise PhaserError("Extra source/output needs a non-empty string name")
+        self.name = name
+        self.df = df
+        self.to_save = to_save
+
+    format = CSV_FORMAT
+
+    def load(self, spark: SparkSession, path: str) -> None:
+        self.df = load_any(spark, path)
+
+    def save(self, working_dir: str) -> str | None:
+        if self.df is None or not self.to_save:
+            return None
+        path = os.path.join(working_dir, f"{self.name}.csv")
+        save_csv(self.df.drop(PHASER_ROW_NUM) if PHASER_ROW_NUM in self.df.columns else self.df, path)
+        return path
+
+
+class ExtraRecords(SavableObject):
+    """List-of-dicts side dataset (phaser/io.py:193-222) — here a DataFrame."""
+
+    def __init__(self, name: str, data=None, to_save: bool = True, spark: SparkSession | None = None):
+        super().__init__(name, to_save=to_save)
+        if data is not None:
+            if isinstance(data, DataFrame):
+                self.df = data
+            else:
+                spark = spark or SparkSession.active()
+                self.df = spark.createDataFrame(list(data))
+
+
+class ExtraMapping(SavableObject):
+    """Key→value side dataset serialized as a 2-column table
+    (phaser/io.py:224-241).  Backed by a DataFrame with columns
+    ``key``/``value``; small maps broadcast cleanly into joins."""
+
+    def __init__(self, name: str, data=None, to_save: bool = True, spark: SparkSession | None = None):
+        super().__init__(name, to_save=to_save)
+        if data is not None:
+            if isinstance(data, DataFrame):
+                self.df = data
+            elif isinstance(data, dict):
+                spark = spark or SparkSession.active()
+                self.df = spark.createDataFrame(
+                    [(str(k), v) for k, v in data.items()], ["key", "value"]
+                )
+            else:
+                raise PhaserError("ExtraMapping needs a dict or a 2-column DataFrame")
+
+    def load(self, spark: SparkSession, path: str) -> None:
+        df = load_any(spark, path)
+        cols = [c for c in df.columns if c != PHASER_ROW_NUM]
+        if len(cols) != 2:
+            raise DataException(
+                f"ExtraMapping {self.name}: expected exactly 2 columns, got {cols}"
+            )
+        self.df = df.select(F.col(f"`{cols[0]}`").alias("key"), F.col(f"`{cols[1]}`").alias("value"))
+
+    def to_dict(self) -> dict:
+        """Driver-side dict for small maps (broadcast into row steps)."""
+        if self.df is None:
+            return {}
+        return {r["key"]: r["value"] for r in self.df.collect()}

@@ -1,0 +1,96 @@
+"""Row-number lineage — stable, 1-based, scale-safe.
+
+Parity target: the reference assigns every row a stable 1-based ``row_num``
+at load time and preserves it through phases and checkpoints
+(``phaser/records.py:8,18-107``); rows added later get ``max+1`` numbers
+(``phaser/records.py:60-92``); ``renumber=True`` phases re-assign from 1
+(``phaser/phase.py:120-124``).
+
+Scale design (SURVEY.md §4.2 "Stable row numbering at ingest"): a global
+``row_number()`` window is a single-task bottleneck at 100 TB.  Instead we
+exploit the documented layout of ``monotonically_increasing_id()`` —
+partition id in the upper 31 bits, per-partition record index in the lower
+33 bits — to derive (partition, local index) with **zero shuffle**, count
+rows per partition in one tiny aggregate job, prefix-sum those counts on
+the driver (one scalar per partition), and add the offset back via a
+broadcast join.  Total cost: one extra pass over the data, no global sort,
+no single-reducer stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .constants import PHASER_ROW_NUM
+
+_PID = "__phaser_pid__"
+_LOCAL = "__phaser_local__"
+_MID_LOCAL_MASK = (1 << 33) - 1
+
+
+def with_row_numbers(df: DataFrame, start: int = 1, cache: bool = True) -> DataFrame:
+    """Attach ``__phaser_row_num__`` in current partition/row order.
+
+    ``cache=True`` pins the input so the per-partition counts and the final
+    numbering observe the same partitioning (file scans are deterministic,
+    but e.g. a post-shuffle input may not be).
+    """
+    if PHASER_ROW_NUM in df.columns:
+        return df
+    if cache:
+        df = df.cache()
+    mid = F.monotonically_increasing_id()
+    tagged = df.withColumn(_PID, F.shiftrightunsigned(mid, 33).cast("long")).withColumn(
+        _LOCAL, (mid.bitwiseAND(F.lit(_MID_LOCAL_MASK))).cast("long")
+    )
+    # One tiny job: rows per partition (map-side combine; result is
+    # n_partitions rows on the driver).
+    counts = sorted(
+        (r[_PID], r["cnt"])
+        for r in tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, running = [], start
+    for pid, cnt in counts:
+        offsets.append((pid, running))
+        running += cnt
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, start)], f"{_PID} long, __phaser_offset__ long")
+    out = (
+        tagged.join(F.broadcast(off_df), _PID, "left")
+        .withColumn(PHASER_ROW_NUM, (F.col("__phaser_offset__") + F.col(_LOCAL)).cast("long"))
+        .drop(_PID, _LOCAL, "__phaser_offset__")
+    )
+    return out
+
+
+def renumber(df: DataFrame, order_by=None, start: int = 1) -> DataFrame:
+    """Re-assign row numbers from ``start`` (reference ``phaser/phase.py:120-124``).
+
+    When ``order_by`` is given, numbering follows that ordering via a global
+    ``row_number`` window — acceptable because renumbering phases are, by
+    definition, re-shaping output whose new identity *is* the new order.
+    Otherwise numbers follow current partition order (zero-shuffle path).
+    """
+    if order_by is not None:
+        w = Window.orderBy(*([order_by] if not isinstance(order_by, (list, tuple)) else order_by))
+        return df.withColumn(PHASER_ROW_NUM, F.row_number().over(w).cast("long") + (start - 1))
+    return with_row_numbers(df.drop(PHASER_ROW_NUM), start=start)
+
+
+def number_new_rows(df: DataFrame, max_existing: int) -> DataFrame:
+    """Number rows whose ``__phaser_row_num__`` is null from ``max_existing+1``.
+
+    Reference semantics: rows added by steps get ``max+1`` numbering
+    (``phaser/records.py:60-92``, ``tests/test_record_metadata.py:63-97``).
+    """
+    if PHASER_ROW_NUM not in df.columns:
+        return with_row_numbers(df, start=max_existing + 1)
+    has_null = df.filter(F.col(PHASER_ROW_NUM).isNull())
+    if has_null.isEmpty():
+        return df
+    kept = df.filter(F.col(PHASER_ROW_NUM).isNotNull())
+    fresh = with_row_numbers(
+        has_null.drop(PHASER_ROW_NUM), start=max_existing + 1
+    )
+    return kept.unionByName(fresh)

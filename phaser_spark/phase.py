@@ -1,0 +1,495 @@
+"""Phase: the unit of work — columns, then steps, then prune.
+
+Parity target: reference ``phaser/phase.py`` (SURVEY.md §1.1, §3):
+
+* ``do_column_stuff`` — header canonicalization + renames
+  (``phaser/phase.py:264-300``), required checks (``:258-259``), then
+  cast/fix/check per declared column in order, stopping at the first
+  failing column per row (``phaser/phase.py:241-253``).
+* ``run_steps`` — dispatch row/batch/dataframe/context steps
+  (``phaser/phase.py:57-140``).
+* error-policy routing (``phaser/context.py:127-173``): collect / warn /
+  drop_row / stop_now; rows with an ERROR event are skipped by later row
+  steps but retained in output (``phaser/phase.py:90-91,101-105``).
+* ``prepare_for_save`` — undeclared-column warnings + ``save=False``
+  pruning (``phaser/phase.py:302-328``).
+
+Engine design: a Phase is a **lazy DataFrame transform** — one narrow
+projection for the whole column stage (vectorized, codegen), `mapInPandas`
+only for opaque row steps, and policy routing as pure column expressions.
+Nothing materializes until the pipeline checkpoints the phase output; the
+only eager driver actions are tiny (stop_now probe, check_size counts,
+sample-based schema inference), each documented where it happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .column import Column, make_strict_name
+from .constants import (
+    DROP_COL,
+    ERROR_COL,
+    EVENT_DROPPED_ROW,
+    EVENT_ERROR,
+    EVENT_WARNING,
+    INTERNAL_COLS,
+    ON_ERROR_COLLECT,
+    ON_ERROR_DROP_ROW,
+    ON_ERROR_STOP_NOW,
+    ON_ERROR_WARN,
+    PHASER_ROW_NUM,
+    WARNING_COL,
+)
+from .context import Context
+from .exceptions import DataErrorException, DataException, PhaserError
+from .io import ExtraMapping, ExtraRecords, SavableObject
+from .lineage import renumber as _renumber
+from .lineage import with_row_numbers
+from .steps import (
+    BATCH_STEP,
+    CONTEXT_STEP,
+    DATAFRAME_STEP,
+    ROW_STEP,
+    extract_extra_output_deltas,
+    run_row_step,
+    step_type_of,
+)
+
+_ERR_TYPE = "struct<type:string,column:string,step:string,message:string,policy:string>"
+
+
+class TolerantDict(dict):
+    """Driver dict for extra sources with string-key fallback.
+
+    Accumulated extra outputs serialize keys as strings (JSON/CSV); the
+    reference keeps native Python keys in memory.  Lookups fall back to
+    ``str(key)`` (and ``"null"`` for None) so reference row functions like
+    ``sibling_counts[parent_id]`` keep working."""
+
+    def _alt(self, key):
+        if key is None:
+            return "null"
+        s = str(key)
+        if isinstance(key, float) and key == int(key):
+            return str(int(key))
+        return s
+
+    def __missing__(self, key):
+        alt = self._alt(key)
+        if alt in self.keys():
+            return dict.__getitem__(self, alt)
+        return 0  # defaultdict(int) parity for counting mappings
+
+    def __contains__(self, key):
+        return dict.__contains__(self, key) or dict.__contains__(self, self._alt(key))
+
+
+class Phase:
+    """Declarative phase (reference ``phaser/phase.py:196-228``).
+
+    Subclass with class attributes (``columns``, ``steps``,
+    ``extra_sources``, ``extra_outputs``, ``error_policy``) or instantiate
+    directly — both reference idioms are supported.
+    """
+
+    columns: list = []
+    steps: list = []
+    extra_sources: list = []
+    extra_outputs: list = []
+    error_policy: str | None = None
+    renumber = False
+
+    def __init__(
+        self,
+        name: str | None = None,
+        steps: list | None = None,
+        columns: list | None = None,
+        context: Context | None = None,
+        renumber: bool | None = None,
+        extra_sources: list | None = None,
+        extra_outputs: list | None = None,
+        error_policy: str | None = None,
+    ):
+        self.name = name or type(self).__name__
+        self.steps = list(steps if steps is not None else type(self).steps)
+        self.columns = list(columns if columns is not None else type(self).columns)
+        self.context = context or Context()
+        if renumber is not None:
+            self.renumber = renumber
+        self.extra_sources = list(
+            extra_sources if extra_sources is not None else type(self).extra_sources
+        )
+        self.extra_outputs = list(
+            extra_outputs if extra_outputs is not None else type(self).extra_outputs
+        )
+        self.error_policy = error_policy or type(self).error_policy
+        for c in self.columns:
+            if not isinstance(c, Column):
+                raise PhaserError(f"Phase {self.name}: {c!r} is not a Column")
+        self.df: DataFrame | None = None
+        self._original_headers: list[str] = []
+
+    # -- reference helper used by the diff CLI (phaser/phase.py:222-228) ----
+    @property
+    def rename_list(self) -> dict[str, str]:
+        out = {}
+        for c in self.columns:
+            for alt in c.rename:
+                out[alt] = c.name
+        return out
+
+    def load_data(self, data) -> None:
+        """Accept a Spark DataFrame, pandas DataFrame, or list of dicts
+        (reference ``PhaseBase.load_data``, phaser/phase.py:31-49)."""
+        if isinstance(data, DataFrame):
+            self.df = data
+        else:
+            import pandas as pd
+
+            if isinstance(data, pd.DataFrame):
+                self.df = self.context.spark.createDataFrame(data)
+            else:
+                self.df = self.context.spark.createDataFrame(list(data))
+
+    # ------------------------------------------------------------------
+    def run(self, df: DataFrame | None = None) -> DataFrame:
+        """Build the phase's lazy output DataFrame (internal marker columns
+        included; the Pipeline strips them at checkpoint)."""
+        if df is not None:
+            self.df = df
+        if self.df is None:
+            raise PhaserError(f"Phase {self.name}: no data loaded")
+        self.context.current_phase = self.name
+        df = with_row_numbers(self.df)
+        self._original_headers = [c for c in df.columns if c not in INTERNAL_COLS]
+
+        df = self._rename_columns(df)
+        df = self._ensure_internal(df)
+        if self.columns:
+            df = self._column_stage(df)
+            df = self._resolve_policies(df)
+        df = self._run_steps(df)
+        df = self._prepare_for_save(df)
+        if self.renumber:
+            df = _renumber(df.drop(PHASER_ROW_NUM))
+        return df
+
+    # -- P1: header canonicalization + renames ---------------------------
+    def _rename_columns(self, df: DataFrame) -> DataFrame:
+        targets: dict[str, str] = {}
+        for c in self.columns:
+            for candidate in [c.name] + c.rename:
+                strict = make_strict_name(candidate)
+                if strict in targets and targets[strict] != c.name:
+                    raise DataException(
+                        f"Phase {self.name}: rename conflict — '{candidate}' maps to "
+                        f"both '{targets[strict]}' and '{c.name}'"
+                    )
+                targets[strict] = c.name
+        mapping: dict[str, str] = {}
+        used: dict[str, str] = {}
+        for h in df.columns:
+            if h in INTERNAL_COLS or h == PHASER_ROW_NUM:
+                continue
+            cleaned = h.strip().strip("'\"").strip()
+            new = targets.get(make_strict_name(cleaned), cleaned)
+            if new in used:
+                raise DataException(
+                    f"Phase {self.name}: headers '{used[new]}' and '{h}' both "
+                    f"canonicalize to '{new}'"
+                )
+            used[new] = h
+            mapping[h] = new
+        selects = [
+            F.col(f"`{h}`").alias(mapping.get(h, h)) for h in df.columns
+        ]
+        df = df.select(*selects)
+
+        # required / add-missing (phaser/phase.py:251,258-259; column.py:107-112)
+        for c in self.columns:
+            if c.name not in df.columns:
+                if c.required:
+                    raise DataException(
+                        f"Phase {self.name}: required column '{c.name}' not found "
+                        f"in {[h for h in df.columns if h not in INTERNAL_COLS]}"
+                    )
+                if c.save:
+                    df = df.withColumn(c.name, F.lit(None).cast(c.spark_type))
+        return df
+
+    def _ensure_internal(self, df: DataFrame) -> DataFrame:
+        if ERROR_COL not in df.columns:
+            df = df.withColumn(ERROR_COL, F.lit(None).cast(_ERR_TYPE))
+        if WARNING_COL not in df.columns:
+            df = df.withColumn(
+                WARNING_COL, F.lit(None).cast(f"array<{_ERR_TYPE}>")
+            )
+        if DROP_COL not in df.columns:
+            df = df.withColumn(DROP_COL, F.lit(False))
+        return df
+
+    # -- column stage: one projection for every declared column ----------
+    def _column_stage(self, df: DataFrame) -> DataFrame:
+        values: dict[str, F.Column] = {}
+        errors: list = []
+        for c in self.columns:
+            if c.name not in df.columns:
+                continue
+            value, err = c.compile(F.col(f"`{c.name}`"))
+            values[c.name] = value.cast(c.spark_type).alias(c.name)
+            errors.append(err)
+        # first failing column wins, in declared order (phaser/phase.py:241-253)
+        first_err = F.coalesce(*errors, F.col(ERROR_COL)) if errors else F.col(ERROR_COL)
+        cols = []
+        for name in df.columns:
+            if name == ERROR_COL:
+                cols.append(first_err.alias(ERROR_COL))
+            elif name in values:
+                cols.append(values[name])
+            else:
+                cols.append(F.col(f"`{name}`"))
+        return df.select(*cols)
+
+    # -- policy routing as pure expressions -------------------------------
+    def _resolve_policies(self, df: DataFrame) -> DataFrame:
+        policy = self.error_policy or self.context.error_policy or ON_ERROR_COLLECT
+        err = F.col(ERROR_COL)
+        eff = F.coalesce(err["policy"], F.lit(policy))
+        as_warning = F.struct(
+            F.lit(EVENT_WARNING).alias("type"),
+            err["column"].alias("column"),
+            err["step"].alias("step"),
+            err["message"].alias("message"),
+            F.lit(None).cast("string").alias("policy"),
+        )
+        as_dropped = F.struct(
+            F.lit(EVENT_DROPPED_ROW).alias("type"),
+            err["column"].alias("column"),
+            err["step"].alias("step"),
+            err["message"].alias("message"),
+            F.lit(None).cast("string").alias("policy"),
+        )
+        warnings0 = F.coalesce(F.col(WARNING_COL), F.array().cast(f"array<{_ERR_TYPE}>"))
+        new_warnings = (
+            F.when(err.isNull(), F.col(WARNING_COL))
+            .when(eff == ON_ERROR_WARN, F.array_append(warnings0, as_warning))
+            .when(eff == ON_ERROR_DROP_ROW, F.array_append(warnings0, as_dropped))
+            .otherwise(F.col(WARNING_COL))
+        )
+        new_drop = F.when(
+            err.isNotNull() & (eff == ON_ERROR_DROP_ROW), F.lit(True)
+        ).otherwise(F.col(DROP_COL))
+        new_err = F.when(
+            err.isNotNull() & eff.isin(ON_ERROR_WARN, ON_ERROR_DROP_ROW), F.lit(None).cast(_ERR_TYPE)
+        ).otherwise(err)
+        out = (
+            df.withColumn(WARNING_COL, new_warnings)
+            .withColumn(DROP_COL, new_drop)
+            .withColumn(ERROR_COL, new_err)
+        )
+        # stop_now must abort immediately (phaser/context.py:160-173): the
+        # only policy that requires an eager probe.
+        needs_probe = policy == ON_ERROR_STOP_NOW or any(
+            c.on_error == ON_ERROR_STOP_NOW for c in self.columns
+        )
+        if needs_probe:
+            probe_eff = F.coalesce(F.col(ERROR_COL)["policy"], F.lit(policy))
+            hit = (
+                out.filter(
+                    F.col(ERROR_COL).isNotNull() & (probe_eff == ON_ERROR_STOP_NOW)
+                )
+                .select(ERROR_COL, PHASER_ROW_NUM)
+                .first()
+            )
+            if hit is not None:
+                e = hit[ERROR_COL]
+                raise DataException(
+                    f"Phase {self.name} stopped (stop_now): row "
+                    f"{hit[PHASER_ROW_NUM]}: {e['message']}"
+                )
+        return out
+
+    # -- steps -------------------------------------------------------------
+    def _resolve_source(self, spec):
+        if isinstance(spec, SavableObject):
+            if spec.df is None and self.context.has_source(spec.name):
+                return self.context.get_source(spec.name)
+            return spec
+        return self.context.get_source(str(spec))
+
+    def _source_value_for_row_step(self, obj: SavableObject):
+        if isinstance(obj, ExtraMapping):
+            return TolerantDict(obj.to_dict())
+        if obj.df is None:
+            return []
+        return [r.asDict(recursive=True) for r in obj.df.collect()]
+
+    def _run_steps(self, df: DataFrame) -> DataFrame:
+        declared_outputs = {o.name: o for o in self.extra_outputs}
+        phase_sources = {}
+        for spec in self.extra_sources:
+            obj = self._resolve_source(spec)
+            phase_sources[obj.name] = obj
+
+        for step in self.steps:
+            st = step_type_of(step)
+            step_name = getattr(step, "__name__", str(step))
+            src_names = getattr(step, "__phaser_extra_sources__", ()) or ()
+            out_names = getattr(step, "__phaser_extra_outputs__", ()) or ()
+            for n in out_names:
+                if n not in declared_outputs:
+                    raise PhaserError(
+                        f"Step {step_name} declares extra_output '{n}' but phase "
+                        f"{self.name} does not (reference phaser/phase.py:63-66)"
+                    )
+
+            if st == CONTEXT_STEP:
+                kwargs = self._step_kwargs(step, src_names, phase_sources, for_row=False)
+                step(self.context, **kwargs)
+                continue
+
+            if st == ROW_STEP:
+                kwargs = self._step_kwargs(step, src_names, phase_sources, for_row=True)
+                df = run_row_step(
+                    df,
+                    step,
+                    step_name=step_name,
+                    phase_name=self.name,
+                    extra_source_values=kwargs,
+                    extra_output_names=tuple(out_names),
+                    context_vars=self.context.variables,
+                )
+                if out_names:
+                    deltas = extract_extra_output_deltas(df, tuple(out_names))
+                    df = df.drop("__phaser_extra_deltas__")
+                    for n, ddf in deltas.items():
+                        self._merge_extra_output(declared_outputs[n], ddf)
+                df = self._resolve_policies(df)
+                continue
+
+            # batch / dataframe steps: operate on visible, non-dropped rows
+            state = df.select(PHASER_ROW_NUM, ERROR_COL, WARNING_COL, DROP_COL)
+            visible = df.filter(~F.col(DROP_COL)).drop(*INTERNAL_COLS)
+            check_size = getattr(step, "__phaser_check_size__", False)
+            n_before = visible.count() if check_size else None
+            kwargs = self._step_kwargs(step, src_names, phase_sources, for_row=False)
+            try:
+                out = step(visible, **kwargs)
+            except DataException as e:
+                # whole-batch error attributed per policy (phaser/phase.py:125-126)
+                policy = self.error_policy or self.context.error_policy
+                if policy == ON_ERROR_STOP_NOW:
+                    raise
+                row_num = (e.row or {}).get(PHASER_ROW_NUM) if e.row else None
+                self.context.add_error(step_name, row_num, str(e))
+                continue
+            if not isinstance(out, DataFrame):
+                raise PhaserError(
+                    f"batch/dataframe step {step_name} must return a Spark "
+                    f"DataFrame, got {type(out)}"
+                )
+            df = self._realign(out, state)
+            if check_size and n_before is not None:
+                n_after = df.filter(~F.col(DROP_COL)).count()
+                if n_after != n_before:
+                    what = "dropped" if n_after < n_before else "ADDED"
+                    self.context.add_warning(
+                        step_name,
+                        None,
+                        f"{abs(n_after - n_before)} rows were {what} during step {step_name}",
+                    )
+            for n in out_names:
+                obj = declared_outputs[n]
+                if obj.df is not None:
+                    self.context.set_source(obj)
+
+        for n, obj in declared_outputs.items():
+            self.context.set_source(obj)
+        return df
+
+    def _step_kwargs(self, step, src_names, phase_sources, for_row: bool) -> dict:
+        kwargs = {}
+        for n in src_names:
+            obj = phase_sources.get(n) or self._resolve_source(n)
+            kwargs[n] = (
+                self._source_value_for_row_step(obj) if for_row else obj.df
+            )
+        if not for_row:
+            import inspect
+
+            if "context" in inspect.signature(step).parameters:
+                kwargs["context"] = self.context
+            for n in getattr(step, "__phaser_extra_outputs__", ()) or ():
+                for o in self.extra_outputs:
+                    if o.name == n:
+                        kwargs[n] = o
+        return kwargs
+
+    def _merge_extra_output(self, obj: SavableObject, delta_df: DataFrame) -> None:
+        """Merge a (key, value) delta DataFrame into a declared output.
+
+        Sums with any existing content; casts to long when every value is
+        integral so counting mappings round-trip as ints."""
+        if obj.df is not None:
+            delta_df = (
+                obj.df.select(
+                    F.col("key").cast("string").alias("key"),
+                    F.col("value").cast("double").alias("value"),
+                )
+                .unionByName(delta_df)
+                .groupBy("key")
+                .agg(F.sum("value").alias("value"))
+            )
+        frac = delta_df.agg(
+            F.max(F.abs(F.col("value") - F.round(F.col("value")))).alias("m")
+        ).first()["m"]
+        if frac is not None and frac == 0:
+            delta_df = delta_df.withColumn("value", F.col("value").cast("long"))
+        obj.df = delta_df
+        self.context.set_source(obj)
+
+    def _realign(self, out: DataFrame, state: DataFrame) -> DataFrame:
+        """Re-attach lineage + quarantine state after a batch step
+        (row-number preservation rules, phaser/records.py:63-92).
+
+        Rows the step emitted without a row number are "new" and get max+1
+        numbers; previously-dropped rows rejoin as marker-only rows so their
+        DROPPED_ROW events survive to checkpoint extraction."""
+        from .lineage import number_new_rows
+
+        if PHASER_ROW_NUM not in out.columns:
+            # step destroyed row identity → every row is "new"
+            out = with_row_numbers(out)
+            joined = self._ensure_internal(out)
+        else:
+            if not out.filter(F.col(PHASER_ROW_NUM).isNull()).isEmpty():
+                mx = state.agg(F.max(PHASER_ROW_NUM)).first()[0] or 0
+                out = number_new_rows(out, mx)
+            joined = out.join(state, on=PHASER_ROW_NUM, how="left")
+            joined = joined.withColumn(
+                DROP_COL, F.coalesce(F.col(DROP_COL), F.lit(False))
+            )
+        dropped_state = state.filter(F.col(DROP_COL))
+        return joined.unionByName(dropped_state, allowMissingColumns=True)
+
+    # -- prune + consistency (phaser/phase.py:302-328) ---------------------
+    def _prepare_for_save(self, df: DataFrame) -> DataFrame:
+        declared = {c.name for c in self.columns}
+        original = set(self._original_headers) | {PHASER_ROW_NUM}
+        for col in df.columns:
+            if col in INTERNAL_COLS or col == PHASER_ROW_NUM:
+                continue
+            if col not in declared and col not in original:
+                self.context.add_warning(
+                    None,
+                    None,
+                    f"New column '{col}' was added by steps but not declared "
+                    f"in phase {self.name}",
+                )
+        drops = [c.name for c in self.columns if not c.save and c.name in df.columns]
+        if drops:
+            df = df.drop(*drops)
+        return df

@@ -1,0 +1,255 @@
+"""Pipeline: phase orchestration, checkpoints, reporting.
+
+Parity target: reference ``phaser/pipeline.py`` (SURVEY.md §2.1 S5–S11, §3):
+
+* ordered phases, each phase's saved output is the next phase's input
+  (``phaser/pipeline.py:157-177``);
+* per-phase checkpoint ``{phase}_output.{ext}`` with the row-number column,
+  plus ``source_copy.{ext}`` (``phaser/pipeline.py:168-199,254-282``);
+* working-dir management: previous outputs moved to a timestamped dir,
+  collision checks (``phaser/pipeline.py:98-127``);
+* extra-source init/validation (``phaser/pipeline.py:44-56,129-155``) and
+  extra-output saving (``:228-235``);
+* ``errors_and_warnings.txt`` report (``phaser/pipeline.py:201-216``);
+* phase with ≥1 ERROR event raises after its checkpoint is saved
+  (``phaser/pipeline.py:198-199``); empty phase output aborts
+  (``phaser/pipeline.py:191-192``).
+
+Engine design: each phase builds one lazy DataFrame chain and materializes
+exactly once, at its checkpoint write (parquet with engine state; CSV/JSON
+user view for reference parity).  Events are extracted from the checkpoint
+parquet — no second computation of the phase plan, no row-level driver
+state.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .constants import (
+    CSV_FORMAT,
+    DROP_COL,
+    ERROR_COL,
+    EVENT_ERROR,
+    INTERNAL_COLS,
+    ON_ERROR_COLLECT,
+    PHASER_ROW_NUM,
+    WARNING_COL,
+)
+from .context import EVENT_SCHEMA, Context
+from .exceptions import DataException, PhaserError
+from .io import SavableObject, load_any, save_any
+from .phase import Phase
+
+
+def extract_events(df: DataFrame, phase_name: str) -> DataFrame:
+    """Derive the events DataFrame from a phase's internal checkpoint:
+    errors from ``__phaser_error__``, warnings + dropped-row events from
+    ``__phaser_warnings__`` (SURVEY.md §1.1 "Events")."""
+    err = F.col(ERROR_COL)
+    errors = df.filter(err.isNotNull()).select(
+        F.lit(phase_name).alias("phase"),
+        F.col(PHASER_ROW_NUM).alias("row_num"),
+        err["type"].alias("type"),
+        F.coalesce(err["step"], err["column"]).alias("step"),
+        err["message"].alias("message"),
+    )
+    w = F.col("w")
+    warnings = (
+        df.filter(F.col(WARNING_COL).isNotNull() & (F.size(WARNING_COL) > 0))
+        .select(F.col(PHASER_ROW_NUM), F.explode(WARNING_COL).alias("w"))
+        .select(
+            F.lit(phase_name).alias("phase"),
+            F.col(PHASER_ROW_NUM).alias("row_num"),
+            w["type"].alias("type"),
+            F.coalesce(w["step"], w["column"]).alias("step"),
+            w["message"].alias("message"),
+        )
+    )
+    return errors.unionByName(warnings)
+
+
+class Pipeline:
+    """Ordered phases + I/O marshalling (reference ``phaser/pipeline.py:17-43``)."""
+
+    phases: list = []
+    save_format = CSV_FORMAT
+
+    def __init__(
+        self,
+        working_dir: str | None = None,
+        source: str | None = None,
+        phases: list | None = None,
+        verbose: bool = False,
+        error_policy: str | None = None,
+        name: str = "pipeline",
+        spark: SparkSession | None = None,
+    ):
+        self.name = name if name != "pipeline" else (type(self).__name__ or name)
+        self.working_dir = working_dir
+        self.source = source
+        self.spark = spark or SparkSession.active()
+        self.context = Context(
+            spark=self.spark,
+            working_dir=working_dir,
+            error_policy=error_policy or ON_ERROR_COLLECT,
+            verbose=verbose,
+        )
+        declared = phases if phases is not None else type(self).phases
+        self.phase_instances: list[Phase] = []
+        for p in declared:
+            if isinstance(p, Phase):
+                p.context = self.context
+                self.phase_instances.append(p)
+            elif isinstance(p, type) and issubclass(p, Phase):
+                self.phase_instances.append(p(context=self.context))
+            else:
+                raise PhaserError(f"{p!r} is not a Phase or Phase subclass")
+        self._init_paths: dict[str, str] = {}
+        self.checkpoints: dict[str, str] = {}
+        self.check_output_collision()
+
+    # -- extra sources (phaser/pipeline.py:44-56,129-155) -------------------
+    def init_source(self, name: str, path: str) -> None:
+        self._init_paths[name] = path
+
+    def _declared_outputs(self) -> set:
+        return {o.name for ph in self.phase_instances for o in ph.extra_outputs}
+
+    def validate_sources(self) -> None:
+        produced = set(self._init_paths)
+        for ph in self.phase_instances:
+            for spec in ph.extra_sources:
+                n = spec.name if isinstance(spec, SavableObject) else str(spec)
+                if n not in produced and not self.context.has_source(n):
+                    raise PhaserError(
+                        f"Extra source '{n}' needed by phase {ph.name} is neither "
+                        "initialized (init_source) nor produced by an earlier phase"
+                    )
+            produced |= {o.name for o in ph.extra_outputs}
+        for n, path in self._init_paths.items():
+            holder = None
+            for ph in self.phase_instances:
+                for spec in ph.extra_sources:
+                    if isinstance(spec, SavableObject) and spec.name == n:
+                        holder = spec
+            obj = holder or SavableObject(n)
+            obj.load(self.spark, path)
+            self.context.set_source(obj)
+
+    # -- working dir (phaser/pipeline.py:98-127) -----------------------------
+    def check_output_collision(self) -> None:
+        names = [f"{ph.name}_output" for ph in self.phase_instances]
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            raise PhaserError(f"Phase output name collision: {sorted(dupes)}")
+
+    def cleanup_working_dir(self) -> None:
+        if not self.working_dir or not os.path.isdir(self.working_dir):
+            return
+        leftovers = [
+            f
+            for f in os.listdir(self.working_dir)
+            if f.endswith((".csv", ".json", ".txt", ".parquet"))
+            or f.endswith("_output")
+        ]
+        if not leftovers:
+            return
+        stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+        dest = os.path.join(self.working_dir, f"{self.name}-{stamp}")
+        os.makedirs(dest, exist_ok=True)
+        for f in leftovers:
+            shutil.move(os.path.join(self.working_dir, f), os.path.join(dest, f))
+
+    # -- run (phaser/pipeline.py:157-199) ------------------------------------
+    def load(self, source: str) -> DataFrame:
+        return load_any(self.spark, source, None)
+
+    def run(self, source: str | None = None) -> DataFrame:
+        self.source = source or self.source
+        if not self.source:
+            raise PhaserError("Pipeline needs a source")
+        if self.working_dir:
+            os.makedirs(self.working_dir, exist_ok=True)
+            self.cleanup_working_dir()
+        self.validate_sources()
+        df = self.load(self.source)
+        if self.working_dir:
+            src_copy = os.path.join(self.working_dir, f"source_copy.{self.save_format}")
+            save_any(df.drop(PHASER_ROW_NUM), src_copy, self.save_format)
+        for ph in self.phase_instances:
+            df = self.run_phase(ph, df)
+        return df
+
+    def run_phase(self, ph: Phase, df: DataFrame) -> DataFrame:
+        out = ph.run(df)
+        # Materialize exactly once: the internal parquet checkpoint.
+        internal_path = None
+        if self.working_dir:
+            internal_path = os.path.join(self.working_dir, f".{ph.name}_state.parquet")
+            out.write.mode("overwrite").parquet(internal_path)
+            out = self.spark.read.parquet(internal_path)
+        else:
+            out = out.cache()
+
+        events = extract_events(out, ph.name)
+        self.context.add_event_df(events)
+
+        visible = out.filter(~F.col(DROP_COL)).drop(*INTERNAL_COLS)
+        if self.working_dir:
+            user_path = os.path.join(
+                self.working_dir, f"{ph.name}_output.{self.save_format}"
+            )
+            save_any(visible, user_path, self.save_format)
+            self.checkpoints[ph.name] = user_path
+        self.save_extra_outputs()
+        self.report_errors_and_warnings()
+
+        if visible.isEmpty():
+            raise DataException(
+                f"Phase {ph.name} produced zero rows — stopping "
+                "(reference phaser/pipeline.py:191-192)"
+            )
+        if self.context.phase_has_errors(ph.name):
+            raise DataException(
+                f"Phase {ph.name} failed with errors; see "
+                "errors_and_warnings.txt (reference phaser/pipeline.py:198-199)"
+            )
+        return visible
+
+    # -- outputs & reporting -------------------------------------------------
+    def save_extra_outputs(self) -> None:
+        if not self.working_dir:
+            return
+        for ph in self.phase_instances:
+            for o in ph.extra_outputs:
+                if o.df is not None and o.to_save:
+                    o.save(self.working_dir)
+
+    def report_errors_and_warnings(self, limit: int = 10000) -> str:
+        """Text report (phaser/pipeline.py:201-216): events grouped per
+        phase.  Row-level events are truncated at ``limit`` — the full set
+        stays queryable as a DataFrame (``context.events_df()``)."""
+        lines = []
+        events = self.context.events_df().limit(limit).collect()
+        by_phase: dict[str, list] = {}
+        for e in events:
+            by_phase.setdefault(e["phase"], []).append(e)
+        for phase, evs in by_phase.items():
+            lines.append(f"Reporting for phase {phase}")
+            for e in evs:
+                loc = f" in row {e['row_num']}" if e["row_num"] is not None else ""
+                step = f" during step {e['step']}" if e["step"] else ""
+                lines.append(f"{e['type']}{step}{loc}: {e['message']}")
+        text = "\n".join(lines) + ("\n" if lines else "")
+        if self.working_dir:
+            with open(
+                os.path.join(self.working_dir, "errors_and_warnings.txt"), "w"
+            ) as f:
+                f.write(text)
+        return text
