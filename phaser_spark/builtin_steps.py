@@ -54,10 +54,12 @@ def filter_rows(func: Callable | SparkCol, name: str = "filter_rows"):
     lazily from a count aggregate, not per-row driver traffic.
     """
 
-    @batch_step
+    @batch_step(internal=True)
     def _filter_rows(df: DataFrame, context=None) -> DataFrame:
+        from .constants import DROP_COL
+
         if isinstance(func, SparkCol):
-            pred = func
+            pred = F.col(DROP_COL) | func
         else:
             from pyspark.sql.functions import pandas_udf
 
@@ -67,15 +69,17 @@ def filter_rows(func: Callable | SparkCol, name: str = "filter_rows"):
 
                 return pd.Series([bool(func(r)) for r in s])
 
-            # struct-pack the visible columns so the python predicate sees a dict
-            cols = _data_columns(df) + [PHASER_ROW_NUM]
-            import pandas as pd
+            # the python predicate sees a plain dict of the data columns
+            data_cols = _data_columns(df) + [PHASER_ROW_NUM]
 
             def gen(batches):
                 for pdf in batches:
-                    pdf = pdf.astype(object).where(pdf.notna(), None)
-                    keep = pdf.apply(lambda r: bool(func(r.to_dict())), axis=1)
-                    yield pdf.assign(__phaser_keep__=keep.astype(bool))
+                    sub = pdf[data_cols].astype(object).where(pdf[data_cols].notna(), None)
+                    keep = [
+                        bool(dropped) or bool(func(rec))
+                        for dropped, rec in zip(pdf[DROP_COL], sub.to_dict("records"))
+                    ]
+                    yield pdf.assign(__phaser_keep__=keep)
 
             schema = T.StructType(
                 list(df.schema.fields) + [T.StructField("__phaser_keep__", T.BooleanType())]
@@ -106,7 +110,7 @@ def sort_by(column):
     first, row-number tiebreak reproduces Python's stable sort."""
     col = _colname(column)
 
-    @batch_step
+    @batch_step(internal=True)
     def _sort_by(df: DataFrame, context=None) -> DataFrame:
         return df.orderBy(F.col(col).asc_nulls_first(), F.col(PHASER_ROW_NUM).asc())
 
@@ -121,14 +125,19 @@ def drop_duplicate_rows(columns=None):
     equivalence for scalar values, no separator-collision bug)."""
     cols = [_colname(c) for c in columns] if columns else None
 
-    @batch_step
+    @batch_step(internal=True)
     def _drop_duplicate_rows(df: DataFrame, context=None) -> DataFrame:
+        from .constants import DROP_COL
+
         key = cols or _data_columns(df)
+        # dropped-marker rows sit out of the dedup and pass through
         w = Window.partitionBy(*key).orderBy(F.col(PHASER_ROW_NUM).desc())
+        live = df.filter(~F.col(DROP_COL))
         out = (
-            df.withColumn("__phaser_dd_rn__", F.row_number().over(w))
+            live.withColumn("__phaser_dd_rn__", F.row_number().over(w))
             .filter(F.col("__phaser_dd_rn__") == 1)
             .drop("__phaser_dd_rn__")
+            .unionByName(df.filter(F.col(DROP_COL)))
         )
         if context is not None:
             dropped = df.count() - out.count()
@@ -147,8 +156,10 @@ def check_unique(column, strip: bool = True, ignore_case: bool = False):
     whole-batch error.  One aggregate job; short-circuits via ``limit(1)``."""
     col = _colname(column)
 
-    @batch_step
+    @batch_step(internal=True)
     def _check_unique(df: DataFrame, context=None) -> DataFrame:
+        from .constants import DROP_COL
+
         if col not in df.columns:
             raise DataErrorException(
                 f"check_unique: column '{col}' not found; columns: {_data_columns(df)}"
@@ -159,7 +170,7 @@ def check_unique(column, strip: bool = True, ignore_case: bool = False):
         if ignore_case:
             expr = F.lower(F.coalesce(expr, F.lit("")))
         dup = (
-            df.groupBy(expr.alias("k"))
+            df.filter(~F.col(DROP_COL)).groupBy(expr.alias("k"))
             .count()
             .filter(F.col("count") > 1)
             .limit(1)
@@ -197,7 +208,7 @@ def flatten_column(column, deep: bool = True):
     struct remains under this prefix.  Pure projection — no shuffle."""
     col = _colname(column)
 
-    @batch_step
+    @batch_step(internal=True)
     def _flatten_column(df: DataFrame, context=None) -> DataFrame:
         if col not in df.columns:
             return df
@@ -224,7 +235,7 @@ def flatten_all(deep: bool = True):
     """Iteratively flatten every struct column until none remain
     (phaser/builtin_steps.py:141-186)."""
 
-    @batch_step
+    @batch_step(internal=True)
     def _flatten_all(df: DataFrame, context=None) -> DataFrame:
         current = df
         while True:

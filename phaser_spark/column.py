@@ -325,9 +325,11 @@ class BooleanColumn(_CastColumn):
 
 # strptime directive → java.time pattern (for explicit *_format args)
 _STRPTIME_MAP = {
-    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH", "%I": "hh",
-    "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%p": "a", "%b": "MMM", "%B": "MMMM",
-    "%a": "EEE", "%A": "EEEE", "%j": "DDD", "%z": "xx", "%%": "%",
+    # single-letter java.time patterns accept 1-2 digits, matching
+    # strptime's leniency ("%m" parses both "3" and "03")
+    "%Y": "yyyy", "%y": "yy", "%m": "M", "%d": "d", "%H": "H", "%I": "h",
+    "%M": "m", "%S": "s", "%f": "SSSSSS", "%p": "a", "%b": "MMM", "%B": "MMMM",
+    "%a": "EEE", "%A": "EEEE", "%j": "D", "%z": "xx", "%%": "%",
 }
 
 

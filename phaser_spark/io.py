@@ -352,10 +352,13 @@ class ExtraMapping(SavableObject):
             if isinstance(data, DataFrame):
                 self.df = data
             elif isinstance(data, dict):
-                spark = spark or SparkSession.active()
-                self.df = spark.createDataFrame(
-                    [(str(k), v) for k, v in data.items()], ["key", "value"]
-                )
+                if data:
+                    spark = spark or SparkSession.active()
+                    self.df = spark.createDataFrame(
+                        [(str(k), v) for k, v in data.items()], ["key", "value"]
+                    )
+                # empty initial mapping (e.g. defaultdict(int)) stays df=None
+                # until an extra-output accumulation fills it
             else:
                 raise PhaserError("ExtraMapping needs a dict or a 2-column DataFrame")
 

@@ -348,6 +348,7 @@ class Phase:
 
             if st == CONTEXT_STEP:
                 kwargs = self._step_kwargs(step, src_names, phase_sources, for_row=False)
+                kwargs.pop("context", None)  # passed positionally
                 step(self.context, **kwargs)
                 continue
 
@@ -370,9 +371,14 @@ class Phase:
                 df = self._resolve_policies(df)
                 continue
 
-            # batch / dataframe steps: operate on visible, non-dropped rows
+            # batch / dataframe steps: operate on visible, non-dropped rows.
+            # Engine builtins (internal=True) receive the full DataFrame and
+            # preserve lineage/quarantine columns themselves — no realign.
+            is_internal = getattr(step, "__phaser_internal__", False)
             state = df.select(PHASER_ROW_NUM, ERROR_COL, WARNING_COL, DROP_COL)
-            visible = df.filter(~F.col(DROP_COL)).drop(*INTERNAL_COLS)
+            visible = (
+                df if is_internal else df.filter(~F.col(DROP_COL)).drop(*INTERNAL_COLS)
+            )
             check_size = getattr(step, "__phaser_check_size__", False)
             n_before = visible.count() if check_size else None
             kwargs = self._step_kwargs(step, src_names, phase_sources, for_row=False)
@@ -391,7 +397,7 @@ class Phase:
                     f"batch/dataframe step {step_name} must return a Spark "
                     f"DataFrame, got {type(out)}"
                 )
-            df = self._realign(out, state)
+            df = out if is_internal else self._realign(out, state)
             if check_size and n_before is not None:
                 n_after = df.filter(~F.col(DROP_COL)).count()
                 if n_after != n_before:

@@ -100,8 +100,11 @@ row_step = _step_decorator(
 
 #: ``@batch_step`` — whole-dataset ``f(df, ...) -> df``
 #: (phaser/steps.py:135-162); ``check_size=True`` warns on row-count change.
+#: ``internal=True`` (engine builtins only): the function receives the full
+#: DataFrame including lineage/quarantine columns and promises to preserve
+#: them — skips the post-step realign join, so e.g. sort order survives.
 batch_step = _step_decorator(
-    BATCH_STEP, extra_sources=(), extra_outputs=(), check_size=False
+    BATCH_STEP, extra_sources=(), extra_outputs=(), check_size=False, internal=False
 )
 
 #: ``@dataframe_step`` (phaser/steps.py:164-212) — same execution as
@@ -146,10 +149,22 @@ class DeltaMapping(UserDict):
         super().__init__()
         self.deltas: dict = {}
 
+    @staticmethod
+    def _norm_key(key):
+        # pandas turns nullable int columns into float64 — "3" becomes 3.0;
+        # normalize integral floats so keys round-trip through JSON as "3"
+        if isinstance(key, float) and key == int(key):
+            return int(key)
+        return key
+
     def __missing__(self, key):
         return 0
 
+    def __getitem__(self, key):
+        return super().__getitem__(self._norm_key(key))
+
     def __setitem__(self, key, value):
+        key = self._norm_key(key)
         old = self.data.get(key, 0)
         if not isinstance(value, (int, float)):
             raise PhaserError(

@@ -1,0 +1,185 @@
+"""Step decorators, error policies, lineage, extra sources/outputs."""
+import pytest
+from pyspark.sql import functions as F
+
+from phaser_spark import (
+    Column,
+    Context,
+    DataErrorException,
+    DataException,
+    DropRowException,
+    ExtraMapping,
+    IntColumn,
+    ON_ERROR_DROP_ROW,
+    ON_ERROR_STOP_NOW,
+    ON_ERROR_WARN,
+    Phase,
+    WarningException,
+    batch_step,
+    context_step,
+    row_step,
+)
+from phaser_spark.constants import PHASER_ROW_NUM
+from phaser_spark.lineage import with_row_numbers
+
+
+def ctx(spark, **kw):
+    return Context(spark=spark, **kw)
+
+
+def test_row_step_adds_column_with_inference(spark):
+    @row_step
+    def add(row):
+        row["total"] = int(row["a"]) + int(row["b"])
+        return row
+
+    ph = Phase(name="T", steps=[add], context=ctx(spark))
+    out = ph.run(spark.createDataFrame([("1", "2"), ("3", "4")], ["a", "b"]))
+    assert sorted(r["total"] for r in out.collect()) == [3, 7]
+
+
+def test_row_step_declared_schema(spark):
+    @row_step(output_schema="doubled long")
+    def add(row):
+        row["doubled"] = int(row["a"]) * 2
+        return row
+
+    ph = Phase(name="T", steps=[add], context=ctx(spark))
+    out = ph.run(spark.createDataFrame([("2",)], ["a"]))
+    assert out.collect()[0]["doubled"] == 4
+
+
+def test_row_step_error_skips_later_steps(spark):
+    # E3: a row with an ERROR event is skipped by subsequent row steps
+    @row_step
+    def fail_on_b(row):
+        if row["k"] == "b":
+            raise DataErrorException("bad row")
+        return row
+
+    @row_step
+    def mark(row):
+        row["seen"] = "yes"
+        return row
+
+    ph = Phase(name="T", steps=[fail_on_b, mark], context=ctx(spark))
+    out = ph.run(spark.createDataFrame([("a",), ("b",)], ["k"]))
+    got = {r["k"]: r["seen"] for r in out.collect()}
+    assert got["a"] == "yes" and got["b"] is None
+
+
+def test_drop_row_exception(spark):
+    @row_step
+    def dropper(row):
+        if row["k"] == "x":
+            raise DropRowException("dropping x")
+        return row
+
+    c = ctx(spark)
+    ph = Phase(name="T", steps=[dropper], context=c)
+    out = ph.run(spark.createDataFrame([("x",), ("y",)], ["k"]))
+    from phaser_spark.constants import DROP_COL
+
+    visible = out.filter(~F.col(DROP_COL))
+    assert [r["k"] for r in visible.collect()] == ["y"]
+
+
+def test_warning_exception_keeps_row(spark):
+    @row_step
+    def warner(row):
+        if row["k"] == "x":
+            raise WarningException("suspicious")
+        return row
+
+    c = ctx(spark)
+    ph = Phase(name="T", steps=[warner], context=c)
+    out = ph.run(spark.createDataFrame([("x",), ("y",)], ["k"]))
+    assert out.count() == 2
+    from phaser_spark.pipeline import extract_events
+
+    evs = extract_events(out, "T").collect()
+    assert any(e["type"] == "WARNING" and "suspicious" in e["message"] for e in evs)
+
+
+def test_stop_now_aborts(spark):
+    ph = Phase(
+        name="T",
+        columns=[IntColumn("n")],
+        context=ctx(spark),
+        error_policy=ON_ERROR_STOP_NOW,
+    )
+    with pytest.raises(DataException, match="stop_now"):
+        ph.run(spark.createDataFrame([("1",), ("zz",)], ["n"]))
+
+
+def test_batch_step_and_check_size(spark):
+    @batch_step(check_size=True)
+    def halve(df):
+        return df.limit(1)
+
+    c = ctx(spark)
+    ph = Phase(name="T", steps=[halve], context=c)
+    ph.run(spark.createDataFrame([("a",), ("b",)], ["k"]))
+    assert any("dropped" in e["message"] for e in c.driver_events)
+
+
+def test_batch_step_new_rows_numbered_max_plus_one(spark):
+    @batch_step
+    def add_row(df):
+        new = df.sparkSession.createDataFrame(
+            [("z", None)], f"k string, {PHASER_ROW_NUM} long"
+        )
+        return df.unionByName(new)
+
+    ph = Phase(name="T", steps=[add_row], context=ctx(spark))
+    out = ph.run(spark.createDataFrame([("a",), ("b",)], ["k"]))
+    nums = sorted(r[PHASER_ROW_NUM] for r in out.collect())
+    assert nums == [1, 2, 3]
+
+
+def test_context_step_runs_on_driver(spark):
+    @context_step
+    def set_var(context):
+        context.add_variable("flag", 42)
+
+    c = ctx(spark)
+    ph = Phase(name="T", steps=[set_var], context=c)
+    ph.run(spark.createDataFrame([("a",)], ["k"]))
+    assert c.get("flag") == 42
+
+
+def test_extra_source_mapping_in_row_step(spark):
+    @row_step(extra_sources=["depts"])
+    def lookup(row, depts):
+        row["dep_id"] = depts[row["dep"]] if row["dep"] in depts else None
+        return row
+
+    c = ctx(spark)
+    c.set_source(ExtraMapping("depts", {"Fin": 1, "Eng": 2}, spark=spark))
+    ph = Phase(name="T", steps=[lookup], extra_sources=["depts"], context=c)
+    out = ph.run(spark.createDataFrame([("Fin",), ("Xxx",)], ["dep"]))
+    got = {r["dep"]: r["dep_id"] for r in out.collect()}
+    assert got["Fin"] == 1 and got["Xxx"] is None
+
+
+def test_extra_output_counting(spark):
+    @row_step(extra_outputs=["counts"])
+    def count_k(row, counts):
+        counts[row["k"]] += 1
+        return row
+
+    c = ctx(spark)
+    out_obj = ExtraMapping("counts", {})
+    ph = Phase(
+        name="T", steps=[count_k], extra_outputs=[out_obj], context=c
+    )
+    ph.run(spark.createDataFrame([("a",), ("a",), ("b",)], ["k"]))
+    got = out_obj.to_dict()
+    assert got == {"a": 2, "b": 1}
+
+
+def test_lineage_contiguous(spark):
+    df = spark.range(100).repartition(7)
+    out = with_row_numbers(df.toDF("v"))
+    nums = sorted(r[PHASER_ROW_NUM] for r in out.collect())
+    assert nums == list(range(1, 101))
