@@ -1,38 +1,743 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+plus the beyond-reference LLM-data operators; ``oracle_sql()`` holds the
+DuckDB-equivalent SQL for every oracle-checkable query.
+
+Determinism conventions (so Spark and DuckDB hash-match bit-for-bit):
+
+* money/value sums go through ``decimal`` (exact, order-insensitive), are
+  rounded, then cast to double — identical in both engines;
+* timestamps/dates are emitted as formatted strings;
+* every tie in a rank/top-k is broken by a unique id column;
+* floating-point *passthrough* values (no aggregation) are emitted raw.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from phaser_spark import (  # noqa: E402
+    BooleanColumn,
+    Column,
+    DateColumn,
+    FloatColumn,
+    IntColumn,
+    ON_ERROR_DROP_ROW,
+    Phase,
+    drop_duplicate_rows,
+    filter_rows,
+    flatten_column,
+)
+from phaser_spark.constants import PHASER_ROW_NUM  # noqa: E402
+from phaser_spark.context import Context  # noqa: E402
+from phaser_spark.lineage import renumber, with_row_numbers  # noqa: E402
+from phaser_spark.ops import dedup, multimodal, similarity, text  # noqa: E402
+from phaser_spark.ops.dedup import trunc_digits  # noqa: E402
+from phaser_spark.pipeline import extract_events  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return df
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
+    default; read nanos as long and truncate to microseconds (exactly what
+    DuckDB's nanos→micros conversion does)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def _dec(col, prec=18, scale=4):
+    return col.cast(T.DecimalType(prec, scale))
+
+
+def _money(col, prec=28, scale=8):
+    """Exact, order-insensitive sum → 2dp double."""
+    return F.round(F.sum(col.cast(T.DecimalType(prec, scale))), 2).cast("double")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-flavored relational queries (Catalyst surface)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(F.col("l_quantity")).alias("sum_qty"),
+            _money(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money(disc).alias("sum_disc_price"),
+            _money(charge, 30, 10).alias("sum_charge"),
+            trunc_digits(
+                F.sum(_dec(F.col("l_discount"), 18, 6)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_top_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(_money(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_nation_revenue(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(cust),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_money(revenue).alias("revenue"))
+    )
+
+
+def topk_orders_per_customer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+def events_sessionize(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+            _money(F.col("value"), 18, 4).alias("session_value"),
+        )
+    )
+
+
+def a2_user_event_counts(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def a1_pivot_events(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    avg_val = trunc_digits(
+        F.sum(_dec(F.col("value"))).cast("double") / F.count(F.lit(1)), 4
+    )
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(avg_val)
+        .select("user_id", *[F.col(k).alias(f"avg_{k}") for k in kinds])
+    )
+
+
+def a3_running_sum(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = F.round(F.sum(_dec(F.col("o_totalprice"))).over(w), 2).cast("double")
+    return orders.select(
+        "o_custkey", "o_orderkey", running.alias("running_total")
+    )
+
+
+def a4_consecutive_runs(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    run_id = F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("run_id", run_id)
+        .groupBy("user_id", "run_id")
+        .agg(
+            F.first("event_type").alias("event_type"),
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("event_id").alias("run_start_event_id"),
+        )
+        .select("user_id", "run_id", "event_type", "run_len", "run_start_event_id")
+    )
+
+
+def j1_brand_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(_money(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def j2_customers_without_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# phaser-engine operator queries (SURVEY.md §2 parity surface)
+# --------------------------------------------------------------------------
+
+def o1_sort_rank(spark, sf_dir):
+    """sort_by semantics made hash-visible: stable sort by o_totalprice
+    with ingest-order tiebreak, then renumber (O1 + R1)."""
+    orders = with_row_numbers(_t(spark, sf_dir, "orders"))
+    ranked = renumber(
+        orders,
+        order_by=[F.col("o_totalprice").asc_nulls_first(), F.col(PHASER_ROW_NUM).asc()],
+    )
+    return ranked.select("o_orderkey", F.col(PHASER_ROW_NUM).alias("sort_rank"))
+
+
+def o2_dedup_keep_last(spark, sf_dir):
+    """drop_duplicate_rows keep-last parity (O2) through the Phase engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    ph = Phase(
+        name="dedup",
+        steps=[drop_duplicate_rows(columns=["l_orderkey"])],
+        context=Context(spark=spark),
+    )
+    out = ph.run(li)
+    return out.select("l_orderkey", "l_partkey", "l_linenumber")
+
+
+def o3_duplicate_keys(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def p4_filter_rows(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    ph = Phase(
+        name="filter",
+        steps=[filter_rows(F.col("l_quantity") >= 45)],
+        context=Context(spark=spark),
+    )
+    return ph.run(li).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def p1_column_casts(spark, sf_dir):
+    """Column-engine cast parity (IntColumn-via-decimal, BooleanColumn
+    variants, DateColumn yyyy/MM/dd) on stringified lineitem values."""
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("string").alias("qty"),
+        F.when(F.col("l_returnflag") == "R", "Yes").otherwise("no").alias("flag"),
+        F.date_format("l_shipdate", "yyyy/MM/dd").alias("ship"),
+    )
+    ph = Phase(
+        name="casts",
+        columns=[
+            IntColumn("qty"),
+            BooleanColumn("flag"),
+            DateColumn("ship"),
+        ],
+        context=Context(spark=spark),
+    )
+    out = ph.run(src)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("qty").alias("qty_int"),
+        F.col("flag").alias("flag_bool"),
+        F.date_format("ship", "yyyy-MM-dd").alias("ship_date"),
+    )
+
+
+def e1_quarantine_events(spark, sf_dir):
+    """Error-policy parity (E1): drop_row policy on a min_value contract;
+    output is the extracted events table."""
+    orders = _t(spark, sf_dir, "orders")
+    ph = Phase(
+        name="guard",
+        columns=[FloatColumn("o_totalprice", min_value=50000.0)],
+        context=Context(spark=spark),
+        error_policy=ON_ERROR_DROP_ROW,
+    )
+    out = ph.run(orders)
+    ev = extract_events(out, "guard")
+    return ev.select(F.col("row_num"), F.col("type"), F.col("step"))
+
+
+def u6_flatten_props(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    parsed = ev.withColumn(
+        "props", F.from_json(F.col("props"), "struct<k: bigint>")
+    )
+    flat = flatten_column("props")(with_row_numbers(parsed))
+    return flat.select("event_id", F.col("props__k"))
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators (north star)
+# --------------------------------------------------------------------------
+
+def dedup_exact_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(text.fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
+def dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries_df, k=5, exact=True)
+
+
+def ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, queries_df, k=5)
+
+
+def text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count(c).alias("n_tokens"),
+        trunc_digits(text.stopword_ratio(c), 4).alias("stopword_ratio"),
+        text.lang_id(c).alias("lang_pred"),
+        text.fingerprint(c).alias("fingerprint"),
+    )
+
+
+def multimodal_binary(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = multimodal.attach_binary(docs, "text")
+    feat = multimodal.decode_and_featurize(wrapped)
+    return feat.select(
+        "doc_id",
+        "content_sha256",
+        F.size("features").alias("feature_dim"),
+        F.col("meta.width").alias("meta_width"),
+    )
+
+
+def streaming_event_window(spark, sf_dir):
+    """Structured-streaming tumbling window over the events table (memory
+    sink, complete mode, drained synchronously) — semantically equal to
+    the batch window aggregate the oracle runs."""
+    batch = _events(spark, sf_dir)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # file-stream sources must be directories: expose the single parquet
+    # file through a symlinked temp dir
+    import tempfile
+
+    stream_dir = tempfile.mkdtemp(prefix="phaser_stream_src_")
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")), link)
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec(F.col("value"))), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    name = "phaser_stream_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_nation_revenue": q5_nation_revenue,
+        "topk_orders_per_customer": topk_orders_per_customer,
+        "events_sessionize": events_sessionize,
+        "a1_pivot_events": a1_pivot_events,
+        "a2_user_event_counts": a2_user_event_counts,
+        "a3_running_sum": a3_running_sum,
+        "a4_consecutive_runs": a4_consecutive_runs,
+        "j1_brand_revenue": j1_brand_revenue,
+        "j2_customers_without_orders": j2_customers_without_orders,
+        "o1_sort_rank": o1_sort_rank,
+        "o2_dedup_keep_last": o2_dedup_keep_last,
+        "o3_duplicate_keys": o3_duplicate_keys,
+        "p4_filter_rows": p4_filter_rows,
+        "p1_column_casts": p1_column_casts,
+        "e1_quarantine_events": e1_quarantine_events,
+        "u6_flatten_props": u6_flatten_props,
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "text_stats": text_stats,
+        "multimodal_binary": multimodal_binary,
+        "streaming_event_window": streaming_event_window,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_NGRAM_SHINGLE_SQL = """
+WITH norm AS (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS nt
+    FROM documents
+), words AS (
+    SELECT doc_id, string_split(nt, ' ') AS w FROM norm
+), sh AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(w) >= 3
+                    THEN list_transform(generate_series(1, len(w) - 2),
+                                        i -> array_to_string(w[i:i+2], ' '))
+                    ELSE [array_to_string(w, ' ')]
+               END
+           ) AS shingles
+    FROM words
+), flat AS (
+    SELECT doc_id, unnest(shingles) AS sh FROM sh
+), sizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM flat GROUP BY doc_id
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM flat a JOIN flat b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b,
+       floor(CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) * 1000000) / 1000000 AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+WHERE floor(CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) * 1000000) / 1000000 >= {threshold}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_disc_price,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_charge,
+                   floor(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1000000) / 1000000 AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o_orderkey,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT n_name,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name
+        """,
+        "topk_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, rank FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "events_sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g
+            )
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MIN(event_id) AS first_event_id,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS session_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "a1_pivot_events": """
+            SELECT user_id,
+                   floor(CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (event_type = 'click') AS DOUBLE) / COUNT(*) FILTER (event_type = 'click') * 10000) / 10000 AS avg_click,
+                   floor(CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (event_type = 'view') AS DOUBLE) / COUNT(*) FILTER (event_type = 'view') * 10000) / 10000 AS avg_view,
+                   floor(CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (event_type = 'purchase') AS DOUBLE) / COUNT(*) FILTER (event_type = 'purchase') * 10000) / 10000 AS avg_purchase,
+                   floor(CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (event_type = 'signup') AS DOUBLE) / COUNT(*) FILTER (event_type = 'signup') * 10000) / 10000 AS avg_signup,
+                   floor(CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (event_type = 'error') AS DOUBLE) / COUNT(*) FILTER (event_type = 'error') * 10000) / 10000 AS avg_error
+            FROM events GROUP BY user_id
+        """,
+        "a2_user_event_counts": """
+            SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+        """,
+        "a3_running_sum": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                    ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_total
+            FROM orders
+        """,
+        "a4_consecutive_runs": """
+            WITH g AS (
+                SELECT user_id, event_id, event_type, ts,
+                       CASE WHEN lag(event_type) OVER w IS NULL
+                                 OR lag(event_type) OVER w <> event_type
+                            THEN 1 ELSE 0 END AS changed
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), r AS (
+                SELECT *, SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS run_id
+                FROM g
+            )
+            SELECT user_id, run_id,
+                   MIN(event_type) AS event_type,
+                   COUNT(*) AS run_len,
+                   MIN(event_id) AS run_start_event_id
+            FROM r GROUP BY user_id, run_id
+        """,
+        "j1_brand_revenue": """
+            SELECT p_brand,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "j2_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "o1_sort_rank": """
+            SELECT o_orderkey,
+                   row_number() OVER (ORDER BY o_totalprice ASC NULLS FIRST, rn ASC) AS sort_rank
+            FROM (SELECT o_orderkey, o_totalprice, row_number() OVER () AS rn FROM orders)
+        """,
+        "o2_dedup_keep_last": """
+            SELECT l_orderkey, l_partkey, l_linenumber FROM (
+                SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY rn DESC) AS dd
+                FROM (SELECT *, row_number() OVER () AS rn FROM lineitem)
+            ) WHERE dd = 1
+        """,
+        "o3_duplicate_keys": """
+            SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+            GROUP BY l_orderkey HAVING COUNT(*) > 1
+        """,
+        "p4_filter_rows": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_quantity >= 45
+        """,
+        "p1_column_casts": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(TRUNC(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(38,18))) AS BIGINT) AS qty_int,
+                   (l_returnflag = 'R') AS flag_bool,
+                   strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+            FROM lineitem
+        """,
+        "e1_quarantine_events": """
+            SELECT rn AS row_num, 'DROPPED_ROW' AS type, '__cast_and_check__' AS step
+            FROM (SELECT row_number() OVER () AS rn, o_totalprice FROM orders)
+            WHERE o_totalprice < 50000
+        """,
+        "u6_flatten_props": """
+            SELECT event_id, CAST(props->>'k' AS BIGINT) AS props__k FROM events
+        """,
+        "dedup_exact_docs": """
+            SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                           '\\s+', ' ', 'g'))) AS fp,
+                   MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": _NGRAM_SHINGLE_SQL.format(threshold=0.5),
+        "dedup_minhash_lsh": _NGRAM_SHINGLE_SQL.format(threshold=0.8),
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+            pairs AS (
+                SELECT query_id, neighbor_id, unnest(qv) AS a, unnest(cv) AS b
+                FROM q, c WHERE query_id <> neighbor_id
+            ), agg AS (
+                SELECT query_id, neighbor_id,
+                       SUM(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS dot,
+                       SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS na,
+                       SUM(CAST(CAST(b AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS nb
+                FROM pairs GROUP BY query_id, neighbor_id
+            ), scored AS (
+                SELECT query_id, neighbor_id,
+                       CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+                FROM agg
+            )
+            SELECT query_id, neighbor_id, floor(cos * 1000000) / 1000000 AS cosine, rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY floor(cos * 1000000) / 1000000 DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "text_stats": f"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN []
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+                       list_transform(
+                           CASE WHEN trim(lower(text)) = '' THEN []
+                                ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END,
+                           x -> regexp_replace(x, '[^a-z]', '', 'g')) AS ltoks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text, len(toks) AS n_tokens,
+                       CASE WHEN len(ltoks) > 0
+                            THEN CAST(len(list_filter(ltoks, x -> x IN ({stop_list}))) AS DOUBLE) / len(ltoks)
+                            ELSE 0.0 END AS sw_ratio,
+                       CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+                           / greatest(CAST(length(text) AS DOUBLE), 1.0) AS ascii_ratio
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   floor(sw_ratio * 10000) / 10000 AS stopword_ratio,
+                   CASE WHEN sw_ratio >= 0.08 AND ascii_ratio >= 0.9 THEN 'en' ELSE 'und' END AS lang_pred,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                           '\\s+', ' ', 'g'))) AS fingerprint
+            FROM s
+        """,
+        "multimodal_binary": """
+            SELECT doc_id, sha256(text) AS content_sha256,
+                   16 AS feature_dim,
+                   CAST(octet_length(CAST(text AS BLOB)) % 1024 AS INTEGER) AS meta_width
+            FROM documents
+        """,
+        "streaming_event_window": """
+            SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,157 @@
+"""CLI: ``python -m phaser_spark run|diff|describe`` (reference
+``phaser/cli/main.py:60-137``, SURVEY.md §2.10).
+
+* ``run <pipeline> <working_dir> <source> [--error-policy P]
+  [--<extra-source> path] [--master M] [--conf k=v]`` — discovers the sole
+  Pipeline subclass in ``pipelines.<name>`` (or a ``module:Class`` path),
+  instantiates it, runs it.  Unrecognized ``--name path`` pairs initialize
+  extra sources (two-pass dynamic args, reference ``main.py:121-123``).
+* ``diff <pipeline> <working_dir>`` — per-phase HTML diffs of consecutive
+  checkpoints (reference ``cli/commands/diff.py``).
+* ``describe <pipeline>`` — prints the phase/step/column plan (the
+  reference declares this command but leaves it a stub; SURVEY.md C3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import os
+import sys
+
+from ..exceptions import PhaserError
+
+
+def _find_pipeline_class(name: str):
+    from ..pipeline import Pipeline
+
+    if ":" in name:
+        mod_name, cls_name = name.split(":", 1)
+        mod = importlib.import_module(mod_name)
+        return getattr(mod, cls_name)
+    mod = importlib.import_module(f"pipelines.{name}")
+    candidates = [
+        v
+        for v in vars(mod).values()
+        if isinstance(v, type) and issubclass(v, Pipeline) and v is not Pipeline
+    ]
+    if len(candidates) != 1:
+        raise PhaserError(
+            f"pipelines.{name} must define exactly one Pipeline subclass, "
+            f"found {len(candidates)}"
+        )
+    return candidates[0]
+
+
+def cmd_run(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(prog="phaser_spark run")
+    parser.add_argument("pipeline")
+    parser.add_argument("working_dir")
+    parser.add_argument("source")
+    parser.add_argument("--error-policy", default=None)
+    parser.add_argument("--master", default=None)
+    parser.add_argument("--conf", action="append", default=[])
+    args, extra = parser.parse_known_args(argv)
+
+    from ..session import get_spark
+
+    conf = dict(kv.split("=", 1) for kv in args.conf)
+    spark = get_spark(master=args.master, extra_conf=conf)
+    cls = _find_pipeline_class(args.pipeline)
+    pipe = cls(
+        working_dir=args.working_dir,
+        source=args.source,
+        error_policy=args.error_policy,
+        spark=spark,
+    )
+    # dynamic extra-source args: --name path (reference main.py:121-123)
+    it = iter(extra)
+    for flag in it:
+        if not flag.startswith("--"):
+            parser.error(f"unexpected argument {flag}")
+        try:
+            path = next(it)
+        except StopIteration:
+            parser.error(f"{flag} needs a path")
+        pipe.init_source(flag[2:].replace("-", "_"), path)
+    pipe.run()
+    print(f"Pipeline {pipe.name} completed; outputs in {args.working_dir}")
+    return 0
+
+
+def cmd_diff(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(prog="phaser_spark diff")
+    parser.add_argument("pipeline")
+    parser.add_argument("working_dir")
+    parser.add_argument("--open-browser", action="store_true")
+    args = parser.parse_args(argv)
+
+    from ..session import get_spark
+    from ..table_diff import IndexedTableDiffer
+    from .. import io as pio
+
+    spark = get_spark()
+    cls = _find_pipeline_class(args.pipeline)
+    pipe = cls(working_dir=args.working_dir, spark=spark)
+    names = ["source_copy"] + [f"{ph.name}_output" for ph in pipe.phase_instances]
+    paths = []
+    for n in names:
+        for ext in ("csv", "json", "parquet"):
+            p = os.path.join(args.working_dir, f"{n}.{ext}")
+            if os.path.exists(p):
+                paths.append((n, p))
+                break
+    out_files = []
+    for (n1, p1), (n2, p2), ph in zip(paths, paths[1:], pipe.phase_instances):
+        renames = ph.rename_list
+        d = IndexedTableDiffer(
+            pio.load_any(spark, p1), pio.load_any(spark, p2), renamed_columns=renames
+        )
+        html = d.html()
+        out = os.path.join(args.working_dir, f"diff_{n1}__{n2}.html")
+        with open(out, "w") as f:
+            f.write(html)
+        print(f"{n1} → {n2}: {d.summary()}  [{out}]")
+        out_files.append(out)
+    if args.open_browser and out_files:
+        import webbrowser
+
+        webbrowser.open(f"file://{out_files[-1]}")
+    return 0
+
+
+def cmd_describe(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(prog="phaser_spark describe")
+    parser.add_argument("pipeline")
+    args = parser.parse_args(argv)
+    # pipeline modules build Column expressions at import time, which needs
+    # a live session even for describe
+    from ..session import get_spark
+
+    get_spark()
+    cls = _find_pipeline_class(args.pipeline)
+    phases = getattr(cls, "phases", [])
+    print(f"Pipeline {cls.__name__}: {len(phases)} phases")
+    for p in phases:
+        pc = p if isinstance(p, type) else type(p)
+        print(f"  Phase {pc.__name__}")
+        for c in getattr(pc, "columns", []):
+            print(f"    column {c.name} ({type(c).__name__})")
+        for s in getattr(pc, "steps", []):
+            print(f"    step {getattr(s, '__name__', s)}")
+    return 0
+
+
+COMMANDS = {"run": cmd_run, "diff": cmd_diff, "describe": cmd_describe}
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help") or argv[0] not in COMMANDS:
+        print(f"usage: python -m phaser_spark {{{'|'.join(COMMANDS)}}} ...")
+        return 0 if argv and argv[0] in ("-h", "--help") else 2
+    return COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

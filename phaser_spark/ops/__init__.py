@@ -1,0 +1,10 @@
+"""Beyond-reference operators for large-scale training-data pipelines.
+
+The reference (lisad/phaser) is a row-oriented ETL framework with no
+dedup/similarity/text operators; these modules add the operations a
+100 TB training-data pipeline needs (BASELINE.json "north_star"),
+expressed Spark-first: built-in expressions where possible, Arrow-batched
+pandas UDFs only where semantics demand Python.
+"""
+
+from . import dedup, multimodal, relational, similarity, text  # noqa: F401

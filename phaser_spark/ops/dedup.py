@@ -1,0 +1,424 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine (engine additions; BASELINE.json north star).
+
+Scale design notes (the whole point of these implementations):
+
+* **exact_dedup** — one hash-shuffle on the dedup key; keep-first/last via
+  a window ordered by the lineage column, not a global sort.
+* **ngram_jaccard_pairs** — exact pairwise Jaccard via an inverted index
+  (explode shingles → self-join on shingle → count per pair).  The
+  ``max_shingle_df`` guard drops ultra-frequent shingles (stopword runs)
+  that would otherwise create quadratic skew on a single join key — the
+  classic hot-key problem at 100 TB.
+* **minhash_lsh_pairs** — the scale path: constant-size signatures
+  (``num_perm`` permutations via seeded xxhash64), banded into
+  ``num_bands`` buckets; only same-bucket docs ever meet (join on
+  (band, bucket-hash)), then candidates are verified with exact Jaccard.
+  Recall for sim ≥ t is 1-(1-t^r)^b; with 128 perms / 32 bands ≈ .999 at
+  t=0.8.
+* **simhash** — 64-bit signature computed entirely in Catalyst (explode →
+  64 conditional sums → bit-assemble): no UDF, map-side combinable.
+* **embedding_dup_pairs** — cosine near-dup via random-hyperplane LSH
+  bucketing with exact verification inside buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column as SparkCol
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..constants import PHASER_ROW_NUM
+from .text import normalize_text
+
+
+def trunc_digits(col: SparkCol, n: int) -> SparkCol:
+    """Truncate a non-negative double to ``n`` decimal digits via
+    floor(x·10ⁿ)/10ⁿ.  Unlike ``round()``, this is bit-reproducible across
+    engines: both operate on the same binary double, no tie-breaking mode
+    involved (Spark's round consults the shortest decimal representation,
+    DuckDB's the binary value — they disagree on boundary values)."""
+    scale = float(10**n)
+    return F.floor(col * scale) / F.lit(scale)
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, columns: list[str], keep: str = "first", order_col: str | None = None
+) -> DataFrame:
+    """Exact dedup on ``columns``; deterministic winner per group.
+
+    ``keep='first'|'last'`` by ``order_col`` (defaults to the lineage
+    column if present, else a stable hash of all columns)."""
+    oc = order_col or (PHASER_ROW_NUM if PHASER_ROW_NUM in df.columns else None)
+    if oc is None:
+        df = df.withColumn("__xdd_ord__", F.xxhash64(*[F.col(c) for c in df.columns]))
+        oc = "__xdd_ord__"
+    order = F.col(oc).asc() if keep == "first" else F.col(oc).desc()
+    w = Window.partitionBy(*columns).orderBy(order)
+    out = (
+        df.withColumn("__xdd_rn__", F.row_number().over(w))
+        .filter(F.col("__xdd_rn__") == 1)
+        .drop("__xdd_rn__")
+    )
+    return out.drop("__xdd_ord__") if "__xdd_ord__" in out.columns else out
+
+
+# --------------------------------------------------------------------------
+# shingling + exact n-gram Jaccard
+# --------------------------------------------------------------------------
+
+def shingles(col: SparkCol, n: int = 3) -> SparkCol:
+    """Distinct word ``n``-gram shingles of the normalized text."""
+    words = F.split(normalize_text(col), " ")
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+    ).otherwise(F.sequence(F.lit(0), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    return F.array_distinct(sh)
+
+
+def _shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_shingle_df: int | None
+) -> DataFrame:
+    """(id, shingle) inverted index, with hot-shingle suppression."""
+    idx = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    if max_shingle_df:
+        # drop shingles appearing in more than max_shingle_df docs: they
+        # contribute little to Jaccard but quadratic join fan-out
+        hot = (
+            idx.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        idx = idx.join(F.broadcast(hot), "sh", "left_anti")
+    return idx
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard ≥ t).
+
+    Inverted-index self-join: cost is Σ df(shingle)² — bounded by
+    ``max_shingle_df`` for web-scale corpora.  Returns
+    ``(id_a, id_b, jaccard double)``."""
+    idx = _shingle_index(df, id_col, text_col, n, max_shingle_df)
+    sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            trunc_digits(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signature(col: SparkCol, num_perm: int = 128, n: int = 3) -> SparkCol:
+    """MinHash signature (array<bigint>) as a single expression.
+
+    NOTE: higher-order array functions don't whole-stage-codegen; for bulk
+    signing use :func:`minhash_signatures` (explode + codegen aggregates),
+    which is an order of magnitude faster.  This form exists for ad-hoc
+    per-column use."""
+    sh = shingles(col, n)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(num_perm)),
+        lambda seed: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(s, seed))
+        ),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    n: int = 3,
+) -> DataFrame:
+    """Bulk MinHash: explode shingles once, then ``num_perm`` seeded
+    ``min(xxhash64(sh, seed))`` aggregates in ONE groupBy — all inside
+    whole-stage codegen with map-side partial aggregation.  Returns
+    ``(id, sig array<bigint>)``.  This is the scale path: the shuffle
+    carries only (id × num_perm longs), never the shingle text."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.xxhash64("sh", F.lit(seed))).alias(f"h{seed}")
+        for seed in range(1, num_perm + 1)
+    ]
+    sums = sh.groupBy("id").agg(*aggs)
+    return sums.select(
+        "id", F.array(*[F.col(f"h{s}") for s in range(1, num_perm + 1)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    num_bands: int = 32,
+    n: int = 3,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding; candidates verified with exact
+    Jaccard when ``verify`` (the production setting).
+
+    Returns ``(id_a, id_b, jaccard)`` (estimated signature similarity when
+    ``verify=False``)."""
+    rows_per_band = num_perm // num_bands
+    sig = minhash_signatures(df, id_col, text_col, num_perm, n)
+    # the banding table is consumed by both sides of a self-join: pin it so
+    # signatures are computed once, not once per join branch
+    sig = sig.cache()
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+        sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+        est = F.size(F.array_intersect("sig_a", "sig_b")).cast("double") / F.lit(
+            float(num_perm)
+        )
+        return (
+            cand.join(sig_a, "id_a").join(sig_b, "id_b")
+            .select("id_a", "id_b", trunc_digits(est, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    ta = texts.select(F.col("id").alias("id_a"), shingles(F.col("t"), n).alias("sh_a"))
+    tb = texts.select(F.col("id").alias("id_b"), shingles(F.col("t"), n).alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", trunc_digits(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Drop near-duplicates, keeping the smallest id of each dup cluster
+    (single-link via the pair list; greedy union by min-id propagation)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, **kw)
+    # connected components via iterative min-label propagation (few rounds
+    # suffice for dup clusters, which are small and dense)
+    labels = df.select(F.col(id_col).alias("id")).withColumn("root", F.col("id"))
+    edges = pairs.select("id_a", "id_b")
+    for _ in range(3):
+        nbr_min = (
+            edges.select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr"))
+            .union(edges.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr")))
+            .join(labels.select(F.col("id").alias("nbr"), F.col("root").alias("nbr_root")), "nbr")
+            .groupBy("id")
+            .agg(F.min("nbr_root").alias("min_nbr_root"))
+        )
+        labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("root"), F.coalesce(F.col("min_nbr_root"), F.col("root"))
+                ).alias("root"),
+            )
+        )
+    keep = labels.filter(F.col("id") == F.col("root")).select(F.col("id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, computed entirely in Catalyst:
+    explode words → per-bit ±1 sums (64 conditional aggregates with
+    map-side combine) → reassemble bits.  Returns ``(id, simhash long)``."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = words.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+    return sums.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ k between SimHashes.
+
+    Scale path: block on 4 16-bit chunks (pigeonhole: any pair within
+    Hamming ≤ 3 shares at least one exact chunk), so the self-join is on
+    chunk equality, never all-pairs."""
+    sh = simhash(df, id_col, text_col)
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup
+# --------------------------------------------------------------------------
+
+def _dot(a: SparkCol, b: SparkCol) -> SparkCol:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: SparkCol) -> SparkCol:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 12,
+) -> DataFrame:
+    """Cosine near-dup pairs via random-hyperplane LSH bucketing with
+    exact verification inside buckets.  Deterministic hyperplanes from
+    seeded hashes of the dimension index.  Returns (id_a, id_b, cosine)."""
+    dim_hash = lambda seed: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.size(F.col("v")) - 1),
+        lambda i: (F.pmod(F.xxhash64(i, F.lit(seed)), F.lit(1000)).cast("double") - 499.5),
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    sig = base
+    bits = []
+    for p in range(planes):
+        bit = (_dot(F.col("v"), dim_hash(p + 7)) > 0).cast("int")
+        bits.append(bit)
+    bucket = F.lit(0)
+    for i, b in enumerate(bits):
+        bucket = bucket + F.shiftleft(b.cast("long"), i)
+    sig = sig.withColumn("bucket", bucket)
+    cand = (
+        sig.alias("x")
+        .join(
+            sig.alias("y"),
+            (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.v").alias("va"),
+            F.col("y.v").alias("vb"),
+        )
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return cand.select("id_a", "id_b", trunc_digits(cos, 6).alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

@@ -1,0 +1,161 @@
+"""Relational builtin steps exposing Catalyst to phase pipelines.
+
+The reference has **no** native join/aggregate/window operators — all
+relational work happens inside opaque user steps (SURVEY.md §2.3, §2.5).
+These factories surface the missing operators as first-class phase steps
+so reference-style pipelines get Catalyst's machinery (broadcast joins,
+partial aggregation, AQE) declaratively.
+
+Each returns a decorated ``batch_step``; lineage follows the reference's
+row-number rules (joins preserve the left side's numbers; aggregations
+and pivots destroy row identity → phases using them should set
+``renumber=True``, reference ``phaser/phase.py:120-124``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column as SparkCol
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..constants import PHASER_ROW_NUM
+from ..exceptions import PhaserError
+from ..steps import batch_step
+
+
+def join_step(
+    source_name: str,
+    on,
+    how: str = "left",
+    broadcast: bool = True,
+    warn_on_miss: bool = False,
+):
+    """Join against a named extra source (the reference's lookup-enrichment
+    pattern, SURVEY.md J1, done as a real join).  ``broadcast=True`` for
+    dimension tables — no shuffle of the fact side."""
+
+    @batch_step(extra_sources=[source_name])
+    def _join(df: DataFrame, context=None, **kwargs) -> DataFrame:
+        other = kwargs[source_name]
+        if other is None:
+            raise PhaserError(f"extra source '{source_name}' has no data")
+        right = F.broadcast(other) if broadcast else other
+        out = df.join(right, on=on, how=how)
+        if warn_on_miss and context is not None and how in ("left", "left_outer"):
+            right_cols = [c for c in other.columns if c not in df.columns]
+            if right_cols:
+                misses = out.filter(F.col(right_cols[0]).isNull()).count()
+                if misses:
+                    context.add_warning(
+                        f"join_{source_name}", None,
+                        f"{misses} rows had no match in '{source_name}'",
+                    )
+        return out
+
+    _join.__name__ = f"join_{source_name}"
+    return _join
+
+
+def agg_step(group_by: list[str], aggs: list[SparkCol]):
+    """groupBy().agg() as a phase step (destroys row identity — pair with
+    ``renumber=True``).  Catalyst plans partial + final aggregation."""
+
+    @batch_step
+    def _agg(df: DataFrame, context=None) -> DataFrame:
+        return df.groupBy(*group_by).agg(*aggs)
+
+    return _agg
+
+
+def pivot_step(index: list[str], pivot_col: str, value_expr: SparkCol, values: list | None = None):
+    """Long→wide pivot (reference merge_by_location pattern, SURVEY.md A1).
+    Pass explicit ``values`` at scale to skip the distinct-values job."""
+
+    @batch_step
+    def _pivot(df: DataFrame, context=None) -> DataFrame:
+        g = df.groupBy(*index)
+        p = g.pivot(pivot_col, values) if values else g.pivot(pivot_col)
+        return p.agg(value_expr)
+
+    return _pivot
+
+
+def window_step(new_col: str, expr_fn, partition_by: list | None = None, order_by: list | None = None):
+    """Windowed column: running sums, ranks, lags.  ``expr_fn(window_spec)``
+    returns the column expression."""
+
+    @batch_step(internal=True)
+    def _window(df: DataFrame, context=None) -> DataFrame:
+        w = Window.partitionBy(*(partition_by or []))
+        if order_by:
+            w = w.orderBy(*order_by)
+        return df.withColumn(new_col, expr_fn(w))
+
+    return _window
+
+
+def running_sum_step(col: str, new_col: str | None = None):
+    """Ordered cumulative sum by row number (reference sum_so_far,
+    SURVEY.md A3).  NOTE: a single global ordered window is a one-task
+    bottleneck at scale — prefer a partitioned variant when a natural key
+    exists."""
+    out = new_col or f"{col}_running"
+    return window_step(
+        out,
+        lambda w: F.sum(F.col(col)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+        order_by=[PHASER_ROW_NUM],
+    )
+
+
+def explode_step(col: str, into: str, delimiter: str = ","):
+    """Split a delimited column and explode to one row per value (the
+    reference's languages reshape, SURVEY.md A6); destroys row identity."""
+
+    @batch_step
+    def _explode(df: DataFrame, context=None) -> DataFrame:
+        return df.withColumn(
+            into, F.explode(F.transform(F.split(F.col(col), delimiter), F.trim))
+        ).drop(col)
+
+    return _explode
+
+
+def union_step(source_name: str):
+    @batch_step(extra_sources=[source_name])
+    def _union(df: DataFrame, context=None, **kwargs) -> DataFrame:
+        return df.unionByName(kwargs[source_name], allowMissingColumns=True)
+
+    return _union
+
+
+def distinct_step():
+    @batch_step
+    def _distinct(df: DataFrame, context=None) -> DataFrame:
+        return df.drop(PHASER_ROW_NUM).distinct()
+
+    return _distinct
+
+
+def limit_step(n: int):
+    @batch_step(internal=True)
+    def _limit(df: DataFrame, context=None) -> DataFrame:
+        return df.limit(n)
+
+    return _limit
+
+
+def topk_per_group_step(partition_by: list[str], order_by: list, k: int):
+    """Top-k rows per group via row_number window — the standard pattern."""
+
+    @batch_step(internal=True)
+    def _topk(df: DataFrame, context=None) -> DataFrame:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+        return (
+            df.withColumn("__topk_rn__", F.row_number().over(w))
+            .filter(F.col("__topk_rn__") <= k)
+            .drop("__topk_rn__")
+        )
+
+    return _topk

@@ -1,0 +1,133 @@
+"""Text analysis operators: language-ID, quality scoring, token counts,
+fingerprinting (engine additions; BASELINE.json north star).
+
+All pure Catalyst expressions — no Python in the hot path, so every
+operator whole-stage-codegens and scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column as SparkCol
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Top English stopwords used by the n-gram/stopword language heuristic.
+# Deliberately small: the point is a deterministic, vectorizable signal.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this", "are",
+)
+
+_WS = r"\s+"
+
+
+def tokens(col: SparkCol) -> SparkCol:
+    """Whitespace tokenization (returns array<string>)."""
+    return F.split(F.trim(col), _WS)
+
+
+def token_count(col: SparkCol) -> SparkCol:
+    """Whitespace token count."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def bpe_ish_token_count(col: SparkCol) -> SparkCol:
+    """BPE-ish subword count: words + digits + punctuation runs, the way a
+    byte-pair tokenizer fragments text (regex approximation)."""
+    pieces = F.split(F.trim(col), r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])")
+    return F.size(F.filter(pieces, lambda p: (p != "") & (p != " ")))
+
+
+def stopword_ratio(col: SparkCol) -> SparkCol:
+    """Fraction of tokens that are common-English stopwords."""
+    toks = F.transform(tokens(F.lower(col)), lambda t: F.regexp_replace(t, r"[^a-z]", ""))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def lang_id(col: SparkCol, threshold: float = 0.08) -> SparkCol:
+    """Heuristic language ID: 'en' when the stopword ratio clears the
+    threshold AND the text is mostly ASCII letters, else 'und'."""
+    ascii_ratio = (
+        F.length(F.regexp_replace(col, r"[^\x00-\x7F]", "")).cast("double")
+        / F.greatest(F.length(col).cast("double"), F.lit(1.0))
+    )
+    return F.when(
+        (stopword_ratio(col) >= threshold) & (ascii_ratio >= 0.9), F.lit("en")
+    ).otherwise(F.lit("und"))
+
+
+def punct_ratio(col: SparkCol) -> SparkCol:
+    return (
+        F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", "")).cast("double")
+        / F.greatest(F.length(col).cast("double"), F.lit(1.0))
+    )
+
+
+def mean_word_len(col: SparkCol) -> SparkCol:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(
+        F.size(toks) > 0, total.cast("double") / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(col: SparkCol) -> SparkCol:
+    """Composite document quality in [0,1]: length, punctuation, stopword
+    presence, mean word length — a Gopher-rules-flavored heuristic."""
+    n_chars = F.length(col).cast("double")
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4.0)
+    stop_score = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    mwl = mean_word_len(col)
+    word_len_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        (len_score * 0.3 + punct_penalty * 0.2 + stop_score * 0.3 + word_len_score * 0.2),
+        6,
+    )
+
+
+def normalize_text(col: SparkCol) -> SparkCol:
+    """Lowercase, collapse whitespace, strip non-alphanumerics — canonical
+    form for fingerprinting."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""), _WS, " ")
+    )
+
+
+def fingerprint(col: SparkCol) -> SparkCol:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_fingerprints(col: SparkCol, n: int = 8, keep: int = 4) -> SparkCol:
+    """Winnowing-style rolling fingerprint set: the ``keep`` smallest
+    hashes of ``n``-word shingles of the normalized text (array<string>).
+    A compact signature for containment-style near-dup checks."""
+    words = F.split(normalize_text(col), " ")
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(words) - n, F.lit(0))
+    )
+    shingles = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    )
+    hashes = F.array_distinct(F.transform(shingles, F.md5))
+    return F.slice(F.array_sort(hashes), 1, keep)
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach the full stat column family in one projection."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_subword_tokens"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        punct_ratio(c).alias("punct_ratio"),
+        lang_id(c).alias("lang_pred"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+    )
