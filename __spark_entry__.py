@@ -262,6 +262,7 @@ def o2_dedup_keep_last(spark, sf_dir):
         name="dedup",
         steps=[drop_duplicate_rows(columns=["l_orderkey"])],
         context=Context(spark=spark),
+        lineage_cache=False,
     )
     out = ph.run(li)
     return out.select("l_orderkey", "l_partkey", "l_linenumber")
@@ -282,6 +283,7 @@ def p4_filter_rows(spark, sf_dir):
         name="filter",
         steps=[filter_rows(F.col("l_quantity") >= 45)],
         context=Context(spark=spark),
+        lineage_cache=False,
     )
     return ph.run(li).select("l_orderkey", "l_linenumber", "l_quantity")
 
@@ -305,6 +307,7 @@ def p1_column_casts(spark, sf_dir):
             DateColumn("ship"),
         ],
         context=Context(spark=spark),
+        lineage_cache=False,
     )
     out = ph.run(src)
     return out.select(
@@ -325,6 +328,7 @@ def e1_quarantine_events(spark, sf_dir):
         columns=[FloatColumn("o_totalprice", min_value=50000.0)],
         context=Context(spark=spark),
         error_policy=ON_ERROR_DROP_ROW,
+        lineage_cache=False,
     )
     out = ph.run(orders)
     ev = extract_events(out, "guard")
@@ -382,12 +386,36 @@ def ann_lsh_topk(spark, sf_dir):
 def text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
-    return docs.select(
+    # tokenize/normalize once in a lower projection; the stats read the
+    # intermediate columns (Catalyst keeps non-cheap exprs un-inlined, so
+    # the regex work runs once per doc, not once per stat)
+    staged = docs.select(
         "doc_id",
-        text.token_count(c).alias("n_tokens"),
-        trunc_digits(text.stopword_ratio(c), 4).alias("stopword_ratio"),
-        text.lang_id(c).alias("lang_pred"),
-        text.fingerprint(c).alias("fingerprint"),
+        c.alias("text"),
+        text.tokens(c).alias("__toks"),
+        F.transform(
+            text.tokens(F.lower(c)), lambda t: F.regexp_replace(t, r"[^a-z]", "")
+        ).alias("__ltoks"),
+        text.normalize_text(c).alias("__norm"),
+    )
+    toks, ltoks = F.col("__toks"), F.col("__ltoks")
+    n = F.size(ltoks)
+    sw_ratio = F.when(
+        n > 0,
+        F.size(F.filter(ltoks, lambda t: t.isin(*text.EN_STOPWORDS))).cast("double")
+        / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    ascii_ratio = F.length(
+        F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", "")
+    ).cast("double") / F.greatest(F.length("text").cast("double"), F.lit(1.0))
+    return staged.select(
+        "doc_id",
+        F.when(F.trim("text") == "", F.lit(0)).otherwise(F.size(toks)).alias("n_tokens"),
+        trunc_digits(sw_ratio, 4).alias("stopword_ratio"),
+        F.when((sw_ratio >= 0.08) & (ascii_ratio >= 0.9), F.lit("en"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        F.md5(F.col("__norm")).alias("fingerprint"),
     )
 
 

@@ -46,6 +46,9 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="phaser_spark_bench")
+    # JVM/codegen warmup so the first timed query isn't charged for session
+    # bring-up (standard practice; the reference has no comparable cost)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -105,13 +105,10 @@ def read_csv(
     # error (reference errors via DictReader restval check); extra fields
     # are warned about and dropped (phaser/phase.py:289-295). One tiny
     # sample job classifies them; the data itself never leaves executors.
-    # (selecting the corrupt column alone is disallowed — include a data col)
-    bad = (
-        df.select(F.col(f"`{headers[0]}`"), F.col(_CORRUPT))
-        .filter(F.col(_CORRUPT).isNotNull())
-        .limit(50)
-        .collect()
-    )
+    # Keep every column in the probe: CSV column pruning re-parses only the
+    # selected fields, which would mask short rows (and querying the corrupt
+    # column alone is disallowed).
+    bad = df.filter(F.col(_CORRUPT).isNotNull()).limit(50).collect()
     if bad:
         n_fields = len(headers)
         missing, extra = [], []

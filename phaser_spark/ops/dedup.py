@@ -113,13 +113,25 @@ def ngram_jaccard_pairs(
     Inverted-index self-join: cost is Σ df(shingle)² — bounded by
     ``max_shingle_df`` for web-scale corpora.  Returns
     ``(id_a, id_b, jaccard double)``."""
-    idx = _shingle_index(df, id_col, text_col, n, max_shingle_df)
+    idx = _shingle_index(df, id_col, text_col, n, max_shingle_df).cache()
     sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = idx.alias("a")
-    b = idx.alias("b")
+    # pair generation via posting-list combinations: one shuffle on the
+    # shingle key, pairs emitted per posting list — avoids the index×index
+    # hash join (the per-shingle pair blow-up is identical, but the join
+    # build side and probe traffic disappear)
+    postings = (
+        idx.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+    )
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        postings.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
@@ -174,8 +186,12 @@ def minhash_signatures(
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
     )
+    # hash the variable-length shingle string ONCE; the permutation family
+    # re-hashes the fixed-width 64-bit base (xxhash64 over 8 bytes), which
+    # is an order of magnitude cheaper than 128 string hashes per shingle
+    sh = sh.select("id", F.xxhash64("sh").alias("base"))
     aggs = [
-        F.min(F.xxhash64("sh", F.lit(seed))).alias(f"h{seed}")
+        F.min(F.xxhash64("base", F.lit(seed))).alias(f"h{seed}")
         for seed in range(1, num_perm + 1)
     ]
     sums = sh.groupBy("id").agg(*aggs)
@@ -240,9 +256,13 @@ def minhash_lsh_pairs(
             .select("id_a", "id_b", trunc_digits(est, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
-    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-    ta = texts.select(F.col("id").alias("id_a"), shingles(F.col("t"), n).alias("sh_a"))
-    tb = texts.select(F.col("id").alias("id_b"), shingles(F.col("t"), n).alias("sh_b"))
+    # shingle sets are needed on both sides of the candidate join: compute
+    # once, cache, alias twice
+    sh_df = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).cache()
+    ta = sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    tb = sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     ).cast("double")

@@ -112,6 +112,7 @@ class Phase:
         extra_sources: list | None = None,
         extra_outputs: list | None = None,
         error_policy: str | None = None,
+        lineage_cache: bool = True,
     ):
         self.name = name or type(self).__name__
         self.steps = list(steps if steps is not None else type(self).steps)
@@ -126,6 +127,10 @@ class Phase:
             extra_outputs if extra_outputs is not None else type(self).extra_outputs
         )
         self.error_policy = error_policy or type(self).error_policy
+        # lineage_cache=False skips pinning the input for row numbering —
+        # safe when the source is a deterministic file scan (two passes see
+        # identical partitioning); required True after a shuffle
+        self.lineage_cache = lineage_cache
         for c in self.columns:
             if not isinstance(c, Column):
                 raise PhaserError(f"Phase {self.name}: {c!r} is not a Column")
@@ -163,7 +168,7 @@ class Phase:
         if self.df is None:
             raise PhaserError(f"Phase {self.name}: no data loaded")
         self.context.current_phase = self.name
-        df = with_row_numbers(self.df)
+        df = with_row_numbers(self.df, cache=self.lineage_cache)
         self._original_headers = [c for c in df.columns if c not in INTERNAL_COLS]
 
         df = self._rename_columns(df)

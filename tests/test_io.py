@@ -1,0 +1,116 @@
+"""CSV/JSON ingest conformance (reference tests/test_csv.py shapes, SURVEY §2.1)."""
+import os
+
+import pytest
+
+from phaser_spark import DataException, read_csv, read_json, save_csv, save_json
+from phaser_spark.constants import PHASER_ROW_NUM
+from phaser_spark.lineage import with_row_numbers
+
+
+def w(tmp_path, name, content, encoding="utf-8"):
+    p = os.path.join(str(tmp_path), name)
+    with open(p, "w", encoding=encoding) as f:
+        f.write(content)
+    return p
+
+
+def test_comment_and_empty_lines_skipped(spark, tmp_path):
+    p = w(tmp_path, "a.csv", "x,y\n# comment\n1,2\n\n3,4\n")
+    df = read_csv(spark, p)
+    assert df.count() == 2
+    nums = sorted(r[PHASER_ROW_NUM] for r in df.collect())
+    assert nums == [1, 2]
+
+
+def test_all_empty_row_dropped(spark, tmp_path):
+    p = w(tmp_path, "a.csv", "x,y\n1,2\n,\n3,4\n")
+    df = read_csv(spark, p)
+    assert df.count() == 2
+
+
+def test_values_stay_strings_and_blank_preserved(spark, tmp_path):
+    p = w(tmp_path, "a.csv", 'x,y\n1, padded \n2,""\n')
+    rows = {r["x"]: r["y"] for r in read_csv(spark, p).collect()}
+    assert rows["1"] == " padded "  # value spaces preserved (tests/test_csv.py:61-71)
+    assert rows["2"] == ""
+
+
+def test_missing_field_errors(spark, tmp_path):
+    p = w(tmp_path, "a.csv", "x,y,z\n1,2,3\n4,5\n")
+    with pytest.raises(DataException, match="missing fields"):
+        read_csv(spark, p)
+
+
+def test_extra_field_warns(spark, tmp_path):
+    p = w(tmp_path, "a.csv", "x,y\n1,2\n3,4,5\n")
+    warnings = []
+    df = read_csv(spark, p, on_warning=warnings.append)
+    assert df.count() == 2
+    assert warnings and "extra fields" in warnings[0]
+
+
+def test_tab_and_semicolon_delimiters(spark, tmp_path):
+    p1 = w(tmp_path, "t.csv", "x\ty\n1\t2\n")
+    p2 = w(tmp_path, "s.csv", "x;y\n1;2\n")
+    assert read_csv(spark, p1, delimiter="\t").collect()[0]["y"] == "2"
+    assert read_csv(spark, p2, delimiter=";").collect()[0]["y"] == "2"
+
+
+def test_quoted_headers_with_spaces(spark, tmp_path):
+    p = w(tmp_path, "a.csv", '"First name","Last name"\na,b\n')
+    df = read_csv(spark, p)
+    assert "First name" in df.columns
+
+
+def test_values_containing_commas(spark, tmp_path):
+    p = w(tmp_path, "a.csv", 'x,y\n1,"a, b"\n')
+    assert read_csv(spark, p).collect()[0]["y"] == "a, b"
+
+
+def test_unicode_values(spark, tmp_path):
+    p = w(tmp_path, "a.csv", "from,to,rate\n$,€,0.93\n¥,₱,0.39\nJosé,œuvre,1\n")
+    rows = [tuple(r)[:2] for r in read_csv(spark, p).collect()]
+    assert ("$", "€") in rows and ("José", "œuvre") in rows
+
+
+def test_10k_rows(spark, tmp_path):
+    body = "".join(f"{i},{i*2}\n" for i in range(10000))
+    p = w(tmp_path, "big.csv", "x,y\n" + body)
+    df = read_csv(spark, p)
+    assert df.count() == 10000
+    nums = df.agg({PHASER_ROW_NUM: "max"}).collect()[0][0]
+    assert nums == 10000
+
+
+def test_json_records_roundtrip(spark, tmp_path):
+    p = w(tmp_path, "a.json", '[{"id": 1, "msg": {"content": "hi"}}, {"id": 2, "msg": {"content": "yo"}}]')
+    df = read_json(spark, p)
+    assert df.count() == 2
+    assert df.schema["msg"].dataType.typeName() == "struct"
+    out = os.path.join(str(tmp_path), "out.json")
+    save_json(df.drop(PHASER_ROW_NUM), out)
+    import json
+
+    data = json.load(open(out))
+    assert isinstance(data, list) and len(data) == 2
+
+
+def test_save_csv_nulls_empty_and_lists(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None, ["a", "b"]), (2, "x", ["c"])],
+        "id long, s string, arr array<string>",
+    )
+    out = os.path.join(str(tmp_path), "out.csv")
+    save_csv(df, out)
+    content = open(out).read()
+    # None → empty; list stringified python-style (tests/test_csv.py:151-157)
+    assert "1,,\"['a', 'b']\"" in content or "1,,['a', 'b']" in content
+
+
+def test_save_csv_single_file_roundtrip(spark, tmp_path):
+    df = with_row_numbers(spark.createDataFrame([("a",), ("b",)], ["k"]))
+    out = os.path.join(str(tmp_path), "out.csv")
+    save_csv(df, out)
+    back = read_csv(spark, out)
+    assert back.count() == 2

@@ -1,0 +1,156 @@
+"""Tests for the beyond-reference operators (ops/)."""
+import pytest
+from pyspark.sql import functions as F
+
+from phaser_spark.ops import dedup, multimodal, relational, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+        (5, [1.0, 0.05, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_exact_dedup_keeps_first(spark, docs):
+    out = dedup.exact_dedup(docs, ["text"], keep="first", order_col="doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 4 not in ids and len(ids) == 4
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert (1, 4) in got and got[(1, 4)] == 1.0
+    assert (1, 2) in got and 0.5 < got[(1, 2)] < 1.0
+    assert not any(3 in p for p in got)
+
+
+def test_minhash_lsh_matches_exact_at_high_threshold(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert lsh == exact
+
+
+def test_minhash_dedup_removes_cluster(spark, docs):
+    out = dedup.minhash_dedup(docs, threshold=0.8)
+    ids = {r["doc_id"] for r in out.collect()}
+    # 1 and 4 are identical; the min id (1) survives
+    assert 1 in ids and 4 not in ids
+
+
+def test_simhash_exact_dups_have_zero_hamming(spark, docs):
+    pairs = dedup.simhash_pairs(docs.filter(F.col("text") != ""), max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((1, 4)) == 0
+
+
+def test_embedding_dup_pairs(spark, vecs):
+    pairs = dedup.embedding_dup_pairs(vecs, threshold=0.95).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 5) in got  # nearly identical direction
+
+
+def test_cosine_topk_ranks_correctly(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 1)
+    out = similarity.cosine_topk(vecs, q, k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [5, 2]
+
+
+def test_lsh_topk_high_recall_on_tight_cluster(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 1)
+    out = similarity.lsh_topk(vecs, q, k=2, planes=6, probe_hamming=3).collect()
+    assert any(r["neighbor_id"] in (2, 5) for r in out)
+
+
+def test_text_stats_shapes(spark, docs):
+    out = text.add_text_stats(docs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_tokens"] == 9
+    assert by_id[5]["n_tokens"] == 0
+    assert 0.0 <= by_id[1]["quality"] <= 1.0
+    assert by_id[1]["fingerprint"] == by_id[4]["fingerprint"]
+    assert by_id[1]["fingerprint"] != by_id[2]["fingerprint"]
+
+
+def test_lang_id_english_detection(spark):
+    rows = [
+        (1, "the cat sat on the mat and it was a good day for the cat"),
+        (2, "zxcvb qwerty asdfgh poiuyt lkjhgf mnbvcx"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {r["id"]: r["lang"] for r in df.select("id", text.lang_id(F.col("t")).alias("lang")).collect()}
+    assert out[1] == "en" and out[2] == "und"
+
+
+def test_multimodal_plumbing(spark, docs):
+    wrapped = multimodal.attach_binary(docs.filter(F.col("doc_id") == 1), "text")
+    feat = multimodal.decode_and_featurize(wrapped)
+    row = feat.collect()[0]
+    assert len(row["features"]) == multimodal.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in row["features"])
+    import hashlib
+
+    assert row["content_sha256"] == hashlib.sha256(
+        "the quick brown fox jumps over the lazy dog".encode()
+    ).hexdigest()
+
+
+def test_multimodal_real_decode_raises(spark, docs):
+    wrapped = multimodal.attach_binary(docs.limit(1), "text")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_and_featurize(wrapped, real_decode=True)
+
+
+def test_relational_topk_step(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9)], ["k", "v"]
+    )
+    from phaser_spark.lineage import with_row_numbers
+
+    step = relational.topk_per_group_step(["k"], [F.col("v").desc()], k=2)
+    out = step(with_row_numbers(df))
+    got = sorted((r["k"], r["v"]) for r in out.collect())
+    assert got == [("a", 2), ("a", 3), ("b", 9)]
+
+
+def test_table_diff_classification(spark):
+    from phaser_spark.constants import PHASER_ROW_NUM
+    from phaser_spark.table_diff import IndexedTableDiffer
+
+    f1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["x", "y"]
+    ).withColumn(PHASER_ROW_NUM, F.col("x").cast("long"))
+    f2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], ["x", "y"]
+    ).withColumn(
+        PHASER_ROW_NUM, F.when(F.col("x") == 4, 4).otherwise(F.col("x")).cast("long")
+    )
+    d = IndexedTableDiffer(f1, f2)
+    counts = d.run()
+    assert counts == {"added": 1, "removed": 1, "changed": 1, "unchanged": 1}
+    html = d.html()
+    assert "<table" in html and "added" in html

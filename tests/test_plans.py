@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, not just the
+first ones that passed (predicate pushdown, column pruning, broadcast
+joins, whole-stage codegen)."""
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = plan_of(entrymod.q1_pricing_summary(spark, SF))
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    # partial (map-side) + final agg: two HashAggregate nodes
+    plan = plan_of(entrymod.q1_pricing_summary(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_j1_broadcast_join(spark):
+    plan = plan_of(entrymod.j1_brand_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_text_stats_column_pruning(spark):
+    plan = plan_of(entrymod.text_stats(spark, SF))
+    # scan should read only doc_id + text, never lang/source/n_chars
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and "lang" not in scan[0] and "n_chars" not in scan[0]
+
+
+def test_p4_filter_stays_jvm_side(spark):
+    """filter_rows through the Phase engine: the predicate CANNOT push below
+    the scan — row numbers are assigned to pre-filter rows (reference
+    semantics: dropped rows consume numbers), and Catalyst correctly
+    refuses to move a filter through the nondeterministic lineage
+    projection.  What we assert instead: the filter runs as a native
+    Filter node (no Python), directly above the numbering."""
+    plan = plan_of(entrymod.p4_filter_rows(spark, SF), "simple")
+    assert "Filter" in plan and "l_quantity" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_raw_filter_pushdown_outside_phase(spark):
+    """Without lineage semantics in the way, the same predicate reaches the
+    parquet scan."""
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").filter(
+        F.col("l_quantity") >= 45
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "l_quantity" in plan
+
+
+def test_column_stage_is_one_projection(spark):
+    """The whole cast/validate stage must stay inside whole-stage codegen —
+    no Python evaluation nodes."""
+    plan = plan_of(entrymod.p1_column_casts(spark, SF), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_topk_single_shuffle(spark):
+    plan = plan_of(entrymod.topk_orders_per_customer(spark, SF), "simple")
+    # one exchange for the window partitioning; no extra global sort
+    assert plan.count("Exchange") <= 2
+
+
+def test_minhash_partial_aggregation(spark):
+    from phaser_spark.ops import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(dedup.minhash_signatures(docs), "simple")
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,65 @@
+"""Reshape parity: pivot (locations), explode (languages), renumber
+(reference tests/test_reshape.py shapes, SURVEY §2.5/§2.8)."""
+from pyspark.sql import functions as F
+
+from phaser_spark import Phase
+from phaser_spark.constants import PHASER_ROW_NUM
+from phaser_spark.context import Context
+from phaser_spark.ops import relational
+
+
+def test_pivot_long_to_wide_renumbered(spark):
+    rows = [
+        ("Ten Forward", "temperature", "21"),
+        ("Ten Forward", "gamma radiation", "9.8 μR/h"),
+        ("Engineering", "temperature", "19"),
+        ("Engineering", "gamma radiation", "10.1 μR/h"),
+    ]
+    df = spark.createDataFrame(rows, ["location", "measure", "value"])
+    step = relational.pivot_step(
+        ["location"], "measure", F.first("value"), values=["temperature", "gamma radiation"]
+    )
+    ph = Phase(name="P", steps=[step], renumber=True, context=Context(spark=spark))
+    out = ph.run(df)
+    got = {r["location"]: (r["temperature"], r["gamma radiation"]) for r in out.collect()}
+    assert got["Ten Forward"] == ("21", "9.8 μR/h")
+    assert got["Engineering"] == ("19", "10.1 μR/h")
+    # renumbered from 1 (reference tests/test_reshape.py:22-64)
+    assert sorted(r[PHASER_ROW_NUM] for r in out.collect()) == [1, 2]
+
+
+def test_explode_multivalued_column(spark):
+    rows = [(1, "Standard,Vulcan,Romulan"), (2, "Standard"), (3, "Standard,Klingon")]
+    df = spark.createDataFrame(rows, ["crew_id", "languages"])
+    step = relational.explode_step("languages", "language")
+    ph = Phase(name="E", steps=[step], renumber=True, context=Context(spark=spark))
+    out = ph.run(df)
+    assert out.count() == 6
+    langs = sorted(
+        r["language"] for r in out.filter(F.col("crew_id") == 1).collect()
+    )
+    assert langs == ["Romulan", "Standard", "Vulcan"]
+
+
+def test_agg_step_group_counts(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], ["pid", "x"])
+    step = relational.agg_step(["pid"], [F.count(F.lit(1)).alias("n")])
+    ph = Phase(name="A", steps=[step], renumber=True, context=Context(spark=spark))
+    out = ph.run(df)
+    got = {r["pid"]: r["n"] for r in out.collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_join_step_broadcast_enrichment(spark):
+    from phaser_spark import ExtraRecords
+
+    facts = spark.createDataFrame([("a", 1), ("b", 2), ("zz", 3)], ["k", "v"])
+    dim = spark.createDataFrame([("a", "Alpha"), ("b", "Beta")], ["k", "label"])
+    ctx = Context(spark=spark)
+    ctx.set_source(ExtraRecords("dim", dim))
+    step = relational.join_step("dim", on="k", how="left", warn_on_miss=True)
+    ph = Phase(name="J", steps=[step], extra_sources=["dim"], context=ctx)
+    out = ph.run(facts)
+    got = {r["k"]: r["label"] for r in out.collect()}
+    assert got == {"a": "Alpha", "b": "Beta", "zz": None}
+    assert any("no match" in e["message"] for e in ctx.driver_events)
