@@ -39,15 +39,21 @@ from phaser_spark import (  # noqa: E402
 )
 from phaser_spark.constants import PHASER_ROW_NUM  # noqa: E402
 from phaser_spark.context import Context  # noqa: E402
-from phaser_spark.lineage import renumber, with_row_numbers  # noqa: E402
+from phaser_spark.lineage import renumber, spread_for_compute, with_row_numbers  # noqa: E402
 from phaser_spark.ops import dedup, multimodal, similarity, text  # noqa: E402
 from phaser_spark.ops.dedup import trunc_digits  # noqa: E402
 from phaser_spark.pipeline import extract_events  # noqa: E402
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+    """Read a test table.  ``spread=True`` fans single-row-group files out
+    across cores — worth it only when heavy per-row compute precedes the
+    first shuffle (measured: helps regex/text staging, hurts plain
+    scan→agg queries where the extra exchange costs more than it saves).
+    Lineage-sensitive callers must keep file order (spread=False) and
+    number rows first."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return df
+    return spread_for_compute(df) if spread else df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,7 +253,7 @@ def j2_customers_without_orders(spark, sf_dir):
 def o1_sort_rank(spark, sf_dir):
     """sort_by semantics made hash-visible: stable sort by o_totalprice
     with ingest-order tiebreak, then renumber (O1 + R1)."""
-    orders = with_row_numbers(_t(spark, sf_dir, "orders"))
+    orders = with_row_numbers(_t(spark, sf_dir, "orders", spread=False))
     ranked = renumber(
         orders,
         order_by=[F.col("o_totalprice").asc_nulls_first(), F.col(PHASER_ROW_NUM).asc()],
@@ -257,7 +263,7 @@ def o1_sort_rank(spark, sf_dir):
 
 def o2_dedup_keep_last(spark, sf_dir):
     """drop_duplicate_rows keep-last parity (O2) through the Phase engine."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", spread=False)
     ph = Phase(
         name="dedup",
         steps=[drop_duplicate_rows(columns=["l_orderkey"])],
@@ -278,7 +284,7 @@ def o3_duplicate_keys(spark, sf_dir):
 
 
 def p4_filter_rows(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", spread=False)
     ph = Phase(
         name="filter",
         steps=[filter_rows(F.col("l_quantity") >= 45)],
@@ -291,7 +297,7 @@ def p4_filter_rows(spark, sf_dir):
 def p1_column_casts(spark, sf_dir):
     """Column-engine cast parity (IntColumn-via-decimal, BooleanColumn
     variants, DateColumn yyyy/MM/dd) on stringified lineitem values."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", spread=False)
     src = li.select(
         "l_orderkey",
         "l_linenumber",
@@ -322,7 +328,7 @@ def p1_column_casts(spark, sf_dir):
 def e1_quarantine_events(spark, sf_dir):
     """Error-policy parity (E1): drop_row policy on a min_value contract;
     output is the extracted events table."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders", spread=False)
     ph = Phase(
         name="guard",
         columns=[FloatColumn("o_totalprice", min_value=50000.0)],
@@ -384,7 +390,7 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 def text_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     c = F.col("text")
     # tokenize/normalize once in a lower projection; the stats read the
     # intermediate columns (Catalyst keeps non-cheap exprs un-inlined, so

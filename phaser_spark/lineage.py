@@ -64,6 +64,33 @@ def with_row_numbers(df: DataFrame, start: int = 1, cache: bool = True) -> DataF
     return out
 
 
+def spread_for_compute(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition a *narrow* input before CPU-heavy per-row
+    work.
+
+    A parquet file with a single row group yields a single input split no
+    matter how small ``maxPartitionBytes`` is, so an expensive projection
+    (shingling, casting, hashing) after such a scan runs on ONE core.  On a
+    real cluster large inputs already arrive well-split and this is a no-op
+    — the guard makes the repartition cost strictly local to the
+    small-input case.  Row-order-sensitive work (lineage numbering) must
+    happen *before* this call.
+
+    The default target is ``defaultParallelism / 2``, not the full core
+    count: measured on local[32], allocation-heavy projections (decimal
+    casts, higher-order array lambdas) *degrade* past ~16 concurrent
+    threads in one JVM (GC/allocator contention — 600k-row cast projection:
+    3.8s at 16-way, 17s at 32-way), while 8–16-way delivers the expected
+    speedup.  Multi-executor clusters run few cores per JVM and never hit
+    this regime.
+    """
+    sc = df.sparkSession.sparkContext
+    target = target or max(2, sc.defaultParallelism // 2)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def renumber(df: DataFrame, order_by=None, start: int = 1) -> DataFrame:
     """Re-assign row numbers from ``start`` (reference ``phaser/phase.py:120-124``).
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..constants import PHASER_ROW_NUM
+from ..lineage import spread_for_compute
 from .text import normalize_text
 
 
@@ -70,9 +71,14 @@ def exact_dedup(
 # shingling + exact n-gram Jaccard
 # --------------------------------------------------------------------------
 
-def shingles(col: SparkCol, n: int = 3) -> SparkCol:
-    """Distinct word ``n``-gram shingles of the normalized text."""
-    words = F.split(normalize_text(col), " ")
+def shingles_from_words(words: SparkCol, n: int = 3) -> SparkCol:
+    """Distinct word ``n``-gram shingles from an already-split word array.
+
+    ``words`` must be a plain column *attribute* (see
+    :func:`staged_words`), never an inline ``split(...)`` expression: a
+    lambda body re-evaluates every non-attribute subexpression per array
+    element, turning shingling O(words²·regex) — measured 8× slower on the
+    test corpus."""
     idx = F.when(
         F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
     ).otherwise(F.sequence(F.lit(0), F.lit(0)))
@@ -80,12 +86,35 @@ def shingles(col: SparkCol, n: int = 3) -> SparkCol:
     return F.array_distinct(sh)
 
 
+def shingles(col: SparkCol, n: int = 3) -> SparkCol:
+    """Distinct word ``n``-gram shingles of the normalized text.
+
+    Ad-hoc single-expression form; bulk paths should stage the word split
+    in its own projection first (:func:`staged_words` +
+    :func:`shingles_from_words`) so the tokenization isn't re-evaluated
+    per shingle position."""
+    return shingles_from_words(F.split(normalize_text(col), " "), n)
+
+
+def staged_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, words)`` with normalization+tokenization materialized once.
+
+    The fan-out exchange doubles as a CollapseProject barrier, so
+    downstream per-element lambdas see ``words`` as a cheap attribute."""
+    return spread_for_compute(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("words"),
+        )
+    )
+
+
 def _shingle_index(
     df: DataFrame, id_col: str, text_col: str, n: int, max_shingle_df: int | None
 ) -> DataFrame:
     """(id, shingle) inverted index, with hot-shingle suppression."""
-    idx = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    idx = staged_words(df, id_col, text_col).select(
+        "id", F.explode(shingles_from_words(F.col("words"), n)).alias("sh")
     )
     if max_shingle_df:
         # drop shingles appearing in more than max_shingle_df docs: they
@@ -183,8 +212,8 @@ def minhash_signatures(
     whole-stage codegen with map-side partial aggregation.  Returns
     ``(id, sig array<bigint>)``.  This is the scale path: the shuffle
     carries only (id × num_perm longs), never the shingle text."""
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    sh = staged_words(df, id_col, text_col).select(
+        "id", F.explode(shingles_from_words(F.col("words"), n)).alias("sh")
     )
     # hash the variable-length shingle string ONCE; the permutation family
     # re-hashes the fixed-width 64-bit base (xxhash64 over 8 bytes), which
@@ -258,9 +287,11 @@ def minhash_lsh_pairs(
         )
     # shingle sets are needed on both sides of the candidate join: compute
     # once, cache, alias twice
-    sh_df = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).cache()
+    sh_df = (
+        staged_words(df, id_col, text_col)
+        .select("id", shingles_from_words(F.col("words"), n).alias("sh"))
+        .cache()
+    )
     ta = sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     tb = sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
@@ -317,9 +348,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """64-bit SimHash per document, computed entirely in Catalyst:
     explode words → per-bit ±1 sums (64 conditional aggregates with
     map-side combine) → reassemble bits.  Returns ``(id, simhash long)``."""
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    words = staged_words(df, id_col, text_col).select(
+        "id", F.explode(F.col("words")).alias("w")
     ).withColumn("h", F.xxhash64("w"))
     aggs = [
         F.sum(
@@ -415,7 +445,9 @@ def embedding_dup_pairs(
         F.sequence(F.lit(0), F.size(F.col("v")) - 1),
         lambda i: (F.pmod(F.xxhash64(i, F.lit(seed)), F.lit(1000)).cast("double") - 499.5),
     )
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    base = spread_for_compute(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
     sig = base
     bits = []
     for p in range(planes):

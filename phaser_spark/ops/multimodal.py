@@ -89,6 +89,9 @@ def decode_and_featurize(
             "real_decode=True needs an image codec (PIL); not available in "
             "this environment — the Spark plumbing below is the supported path"
         )
+    # NOTE: no spread here — fanning out a small input spawns one Python
+    # worker per partition, and worker startup dwarfs the decode work at
+    # test scale; real media corpora arrive already split.
     out_schema = T.StructType(
         list(df.schema.fields)
         + [

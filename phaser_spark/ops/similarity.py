@@ -17,6 +17,7 @@ from pyspark.sql import Column as SparkCol
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..lineage import spread_for_compute
 from .dedup import _dot, _norm, trunc_digits
 
 
@@ -54,7 +55,7 @@ def cosine_topk(
     the double path).
     Returns (query_id, neighbor_id, cosine, rank)."""
     qid = query_id_col or id_col
-    c = corpus.select(
+    c = spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
     q = queries.select(
@@ -105,7 +106,7 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: probe only buckets within Hamming ≤ ``probe_hamming``
     of the query signature.  Same output shape as ``cosine_topk``."""
-    c = corpus.select(
+    c = spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).withColumn("c_sig", _plane_signature(F.col("cv"), planes))

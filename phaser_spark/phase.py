@@ -47,7 +47,7 @@ from .context import Context
 from .exceptions import DataErrorException, DataException, PhaserError
 from .io import ExtraMapping, ExtraRecords, SavableObject
 from .lineage import renumber as _renumber
-from .lineage import with_row_numbers
+from .lineage import spread_for_compute, with_row_numbers
 from .steps import (
     BATCH_STEP,
     CONTEXT_STEP,
@@ -169,6 +169,10 @@ class Phase:
             raise PhaserError(f"Phase {self.name}: no data loaded")
         self.context.current_phase = self.name
         df = with_row_numbers(self.df, cache=self.lineage_cache)
+        # numbering is pinned to ingest order above; from here on the plan is
+        # order-free (everything keys off __phaser_row_num__), so fan a
+        # narrow scan out across cores before the column/step projections
+        df = spread_for_compute(df)
         self._original_headers = [c for c in df.columns if c not in INTERNAL_COLS]
 
         df = self._rename_columns(df)
