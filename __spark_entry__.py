@@ -350,6 +350,93 @@ def u6_flatten_props(spark, sf_dir):
     return flat.select("event_id", F.col("props__k"))
 
 
+def u1_row_step_derive(spark, sf_dir):
+    """Opaque-Python row_step parity (U1): derived columns + DropRowException
+    through the real mapInPandas path (reference phaser/steps.py:108-133)."""
+    from phaser_spark import DropRowException, row_step
+
+    @row_step(output_schema="tier string, doubled double")
+    def classify(row):
+        price = row["o_totalprice"]
+        if price is None or price < 1000.0:
+            raise DropRowException("price below floor")
+        row["tier"] = "high" if price >= 200000.0 else ("mid" if price >= 50000.0 else "low")
+        row["doubled"] = price * 2.0
+        return row
+
+    from phaser_spark.constants import DROP_COL
+
+    orders = _t(spark, sf_dir, "orders", spread=False)
+    ph = Phase(
+        name="derive",
+        steps=[classify],
+        context=Context(spark=spark),
+        lineage_cache=False,
+    )
+    out = ph.run(orders)
+    return out.filter(~F.col(DROP_COL)).select("o_orderkey", "tier", "doubled")
+
+
+def u5_lookup_enrichment(spark, sf_dir):
+    """Extra-source lookup enrichment (J1/U5): a row_step reads a broadcast
+    key→value mapping per row — the reference's departments idiom
+    (tests/pipelines/multi_source_and_outputs.py:65-77)."""
+    from phaser_spark import ExtraMapping, row_step
+
+    nation = _t(spark, sf_dir, "nation")
+    mapping = {str(r["n_nationkey"]): r["n_name"] for r in nation.collect()}
+
+    @row_step(extra_sources=["nation_names"], output_schema="nation_name string")
+    def enrich(row, nation_names):
+        row["nation_name"] = nation_names[row["c_nationkey"]]
+        return row
+
+    c = Context(spark=spark)
+    c.set_source(ExtraMapping("nation_names", mapping, spark=spark))
+    ph = Phase(
+        name="enrich",
+        steps=[enrich],
+        extra_sources=["nation_names"],
+        context=c,
+        lineage_cache=False,
+    )
+    cust = _t(spark, sf_dir, "customer", spread=False)
+    return ph.run(cust).select("c_custkey", "nation_name")
+
+
+def d1_table_diff(spark, sf_dir):
+    """Checkpoint differ parity (D1): full-outer join on the lineage index,
+    row classified added/removed/changed/unchanged
+    (reference phaser/table_diff.py:18-164)."""
+    from phaser_spark.table_diff import IndexedTableDiffer
+
+    f1 = with_row_numbers(_t(spark, sf_dir, "orders", spread=False)).select(
+        PHASER_ROW_NUM, "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    rn = F.col(PHASER_ROW_NUM)
+    f2 = (
+        f1.filter(rn % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(rn % 7 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+    )
+    added = f1.filter(rn <= 5).withColumn(PHASER_ROW_NUM, rn + 10_000_000)
+    f2 = f2.unionByName(added)
+    differ = IndexedTableDiffer(f1, f2)
+    return differ.classified()
+
+
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH bucketing
+    with exact in-bucket verification (scale path; recall on planted dups
+    covered in tests/test_ops.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.95)
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline operators (north star)
 # --------------------------------------------------------------------------
@@ -437,16 +524,13 @@ def multimodal_binary(spark, sf_dir):
     )
 
 
-def streaming_event_window(spark, sf_dir):
-    """Structured-streaming tumbling window over the events table (memory
-    sink, complete mode, drained synchronously) — semantically equal to
-    the batch window aggregate the oracle runs."""
-    batch = _events(spark, sf_dir)
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    # file-stream sources must be directories: expose the single parquet
-    # file through a symlinked temp dir
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """file-stream sources must be directories: expose the single parquet
+    file through a symlinked temp dir; nanos ts normalized like _events."""
     import tempfile
 
+    _events(spark, sf_dir)  # sets the nanosAsLong conf
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream_dir = tempfile.mkdtemp(prefix="phaser_stream_src_")
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
@@ -454,6 +538,21 @@ def streaming_event_window(spark, sf_dir):
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def _drain(q):
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def streaming_event_window(spark, sf_dir):
+    """Structured-streaming tumbling window over the events table (memory
+    sink, complete mode, drained synchronously) — semantically equal to
+    the batch window aggregate the oracle runs."""
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes"), "event_type")
@@ -475,10 +574,53 @@ def streaming_event_window(spark, sf_dir):
         .queryName(name)
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain(q)
+    return spark.table(name)
+
+
+def streaming_stateful_user_stats(spark, sf_dir):
+    """Custom stateful streaming operator: per-user running stats kept in
+    ``applyInPandasWithState`` group state (the Structured Streaming
+    arbitrary-state API — the engine's answer to custom stateful operators
+    the reference lacks entirely, SURVEY.md §2.11)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, mn, mx = state.get
+        else:
+            n, mn, mx = 0, None, None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            lo, hi = int(pdf["event_id"].min()), int(pdf["event_id"].max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        state.update((n, mn, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "first_event_id": [mn],
+                "last_event_id": [mx],
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, "
+        "first_event_id bigint, last_event_id bigint",
+        stateStructType="n bigint, mn bigint, mx bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "phaser_stateful_out"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    _drain(q)
     return spark.table(name)
 
 
@@ -511,6 +653,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_column_casts": p1_column_casts,
         "e1_quarantine_events": e1_quarantine_events,
         "u6_flatten_props": u6_flatten_props,
+        "u1_row_step_derive": u1_row_step_derive,
+        "u5_lookup_enrichment": u5_lookup_enrichment,
+        "d1_table_diff": d1_table_diff,
+        "dedup_embedding": dedup_embedding,
+        "streaming_stateful_user_stats": streaming_stateful_user_stats,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -703,6 +850,67 @@ def oracle_sql() -> dict[str, str]:
         """,
         "u6_flatten_props": """
             SELECT event_id, CAST(props->>'k' AS BIGINT) AS props__k FROM events
+        """,
+        "u1_row_step_derive": """
+            SELECT o_orderkey,
+                   CASE WHEN o_totalprice >= 200000.0 THEN 'high'
+                        WHEN o_totalprice >= 50000.0 THEN 'mid'
+                        ELSE 'low' END AS tier,
+                   o_totalprice * 2.0 AS doubled
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1000.0
+        """,
+        "u5_lookup_enrichment": """
+            SELECT c_custkey, n_name AS nation_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "d1_table_diff": """
+            WITH f1 AS (
+                SELECT row_number() OVER () AS rn, o_orderkey, o_totalprice, o_orderstatus
+                FROM orders
+            ), f2 AS (
+                SELECT rn, o_orderkey,
+                       CASE WHEN rn % 7 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderstatus
+                FROM f1 WHERE rn % 13 <> 0
+                UNION ALL
+                SELECT rn + 10000000, o_orderkey, o_totalprice, o_orderstatus
+                FROM f1 WHERE rn <= 5
+            )
+            SELECT COALESCE(f1.rn, f2.rn) AS row_num,
+                   CASE WHEN f1.rn IS NULL THEN 'added'
+                        WHEN f2.rn IS NULL THEN 'removed'
+                        WHEN (f1.o_orderkey IS DISTINCT FROM f2.o_orderkey)
+                             OR (f1.o_totalprice IS DISTINCT FROM f2.o_totalprice)
+                             OR (f1.o_orderstatus IS DISTINCT FROM f2.o_orderstatus)
+                        THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM f1 FULL OUTER JOIN f2 ON f1.rn = f2.rn
+        """,
+        "dedup_embedding": """
+            WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+            b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),
+            pairs AS (
+                SELECT id_a, id_b, unnest(va) AS x, unnest(vb) AS y
+                FROM a, b WHERE id_a < id_b
+            ), agg AS (
+                SELECT id_a, id_b,
+                       SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS dot,
+                       SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS na,
+                       SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS nb
+                FROM pairs GROUP BY id_a, id_b
+            )
+            SELECT id_a, id_b,
+                   floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000) / 1000000 AS cosine
+            FROM agg
+            WHERE floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000) / 1000000 >= 0.95
+        """,
+        "streaming_stateful_user_stats": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   MIN(event_id) AS first_event_id,
+                   MAX(event_id) AS last_event_id
+            FROM events GROUP BY user_id
         """,
         "dedup_exact_docs": """
             SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),

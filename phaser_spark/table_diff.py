@@ -93,6 +93,14 @@ class IndexedTableDiffer:
         )
         return j.withColumn("__status", status)
 
+    def classified(self) -> DataFrame:
+        """Per-row classification as data: ``(row_num, status)`` with
+        status ∈ added/removed/changed/unchanged — the distributed diff
+        result itself (the HTML renderer consumes a bounded sample of it)."""
+        return self._classified().select(
+            F.col("rn").alias("row_num"), F.col("__status").alias("status")
+        )
+
     def run(self) -> dict:
         """Compute classification counters (one distributed aggregate)."""
         j = self._classified()
