@@ -87,18 +87,32 @@ def filter_rows(func: Callable | SparkCol, name: str = "filter_rows"):
             marked = df.mapInPandas(gen, schema=schema)
             kept = marked.filter(F.col("__phaser_keep__")).drop("__phaser_keep__")
             if context is not None:
-                dropped = marked.filter(~F.col("__phaser_keep__")).count()
-                if dropped:
-                    context.add_dropped_row(
-                        name, None, f"{dropped} rows dropped by filter_rows"
-                    )
+                phase = context.current_phase
+
+                def _count_udf_drops(marked=marked, name=name, phase=phase, ctx=context):
+                    dropped = marked.filter(~F.col("__phaser_keep__")).count()
+                    if dropped:
+                        ctx.add_dropped_row(
+                            name, None, f"{dropped} rows dropped by filter_rows", phase=phase
+                        )
+
+                # summarized count needs its own job — defer it to event-read
+                # time so the query plan itself stays single-pass
+                context.add_deferred_event(_count_udf_drops)
             return kept
 
         kept = df.filter(pred)
         if context is not None:
-            dropped = df.filter(~F.coalesce(pred, F.lit(False))).count()
-            if dropped:
-                context.add_dropped_row(name, None, f"{dropped} rows dropped by filter_rows")
+            phase = context.current_phase
+
+            def _count_drops(df=df, pred=pred, name=name, phase=phase, ctx=context):
+                dropped = df.filter(~F.coalesce(pred, F.lit(False))).count()
+                if dropped:
+                    ctx.add_dropped_row(
+                        name, None, f"{dropped} rows dropped by filter_rows", phase=phase
+                    )
+
+            context.add_deferred_event(_count_drops)
         return kept
 
     _filter_rows.__name__ = name
@@ -140,11 +154,25 @@ def drop_duplicate_rows(columns=None):
             .unionByName(df.filter(F.col(DROP_COL)))
         )
         if context is not None:
-            dropped = df.count() - out.count()
-            if dropped:
-                context.add_dropped_row(
-                    "drop_duplicate_rows", None, f"{dropped} duplicate rows dropped"
-                )
+            phase = context.current_phase
+
+            def _count_dups(live=live, key=key, phase=phase, ctx=context):
+                # one aggregate job: Σ per-key (n-1) = duplicates dropped
+                dropped = (
+                    live.groupBy(*[F.col(f"`{k}`") for k in key])
+                    .agg((F.count(F.lit(1)) - 1).alias("d"))
+                    .agg(F.sum("d").alias("s"))
+                    .first()["s"]
+                ) or 0
+                if dropped:
+                    ctx.add_dropped_row(
+                        "drop_duplicate_rows",
+                        None,
+                        f"{dropped} duplicate rows dropped",
+                        phase=phase,
+                    )
+
+            context.add_deferred_event(_count_dups)
         return out
 
     return _drop_duplicate_rows

@@ -57,7 +57,11 @@ class Context:
         self.current_phase: str = "__pipeline__"
         self.variables: dict = {}
         # driver-originated events: list of dicts matching EVENT_SCHEMA
-        self.driver_events: list[dict] = []
+        self._driver_events: list[dict] = []
+        # lazily-computed events (e.g. dropped-row counts that need a Spark
+        # job): resolved on first read of the event log, i.e. after the
+        # phase's real action — never as extra mid-plan jobs
+        self._deferred_resolvers: list = []
         # row-level event DataFrames extracted at phase checkpoints
         self.event_dfs: list[DataFrame] = []
         # named side datasets (reference "rwos", phaser/context.py:28-33)
@@ -79,7 +83,7 @@ class Context:
         row_num: int | None = None,
         phase: str | None = None,
     ) -> None:
-        self.driver_events.append(
+        self._driver_events.append(
             {
                 "phase": phase or self.current_phase,
                 "row_num": row_num,
@@ -119,6 +123,27 @@ class Context:
     def add_dropped_row(self, step_or_message, row=None, message=None, stack_info=None, phase=None) -> None:
         step, row_num, msg = self._normalize_event_args(step_or_message, row, message)
         self.add_event(EVENT_DROPPED_ROW, msg, step=step, row_num=row_num, phase=phase)
+
+    def add_deferred_event(self, resolver) -> None:
+        """Register a lazily-computed event.
+
+        ``resolver()`` performs its own ``add_*`` calls (it receives no
+        arguments; capture what you need, including ``phase=`` for correct
+        attribution).  Resolvers run on first read of the event log — in
+        the Pipeline flow that is *after* the phase checkpoint action, so a
+        count job can reuse shuffle output instead of forcing an extra full
+        execution mid-plan.  Queries that never read events never pay."""
+        self._deferred_resolvers.append(resolver)
+
+    def _resolve_deferred(self) -> None:
+        pending, self._deferred_resolvers = self._deferred_resolvers, []
+        for resolver in pending:
+            resolver()
+
+    @property
+    def driver_events(self) -> list[dict]:
+        self._resolve_deferred()
+        return self._driver_events
 
     def add_event_df(self, df: DataFrame) -> None:
         """Attach a row-level events DataFrame (columns per EVENT_SCHEMA)."""
