@@ -437,6 +437,131 @@ def dedup_embedding(spark, sf_dir):
     return dedup.embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.95)
 
 
+def a5_batch_stats(spark, sf_dir):
+    """Whole-batch statistics (A5): per-group count/sum/mean/variance via
+    exact decimal sums, final arithmetic in double (identical op order in
+    both engines → deterministic)."""
+    orders = _t(spark, sf_dir, "orders")
+    col = F.col("o_totalprice")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(col, 18, 4)).alias("s"),
+        F.sum((col * col).cast(T.DecimalType(38, 8))).alias("s2"),
+    )
+    s, s2, n = F.col("s").cast("double"), F.col("s2").cast("double"), F.col("n")
+    return agg.select(
+        "o_orderstatus",
+        "n",
+        F.round(F.col("s"), 2).cast("double").alias("sum_price"),
+        trunc_digits(s / n, 4).alias("mean_price"),
+        trunc_digits((s2 - s * s / n) / (n - 1), 2).alias("var_price"),
+    )
+
+
+def a6_explode_words(spark, sf_dir):
+    """Row-multiplying reshape (A6, the reference's pandas ``explode``
+    idiom): normalize → split → explode → word frequency top-100."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    words = docs.select(
+        F.explode(F.split(text.normalize_text(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(100)
+    )
+
+
+def u7_flatten_all(spark, sf_dir):
+    """Deep recursive struct flatten (U7): nested struct column expanded to
+    ``parent__child__grandchild`` scalar columns
+    (reference phaser/builtin_steps.py:141-186)."""
+    from phaser_spark import flatten_all
+
+    orders = _t(spark, sf_dir, "orders", spread=False)
+    src = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderpriority").alias("pri"),
+            ).alias("detail"),
+        ).alias("info"),
+    )
+    flat = flatten_all(deep=True)(with_row_numbers(src))
+    return flat.select(
+        "o_orderkey",
+        "info__status",
+        "info__detail__price",
+        "info__detail__pri",
+    )
+
+
+def u8_fix_functions(spark, sf_dir):
+    """Declarative fix_value_fn surface (U8): whitelisted strip/upper/lower
+    string fixes and numeric abs through the column engine
+    (reference phaser/column.py:483-507; eval path deliberately dropped)."""
+    cust = _t(spark, sf_dir, "customer", spread=False)
+    src = cust.select(
+        "c_custkey",
+        F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  ")).alias("segment"),
+        F.lower(F.col("c_name")).alias("name_u"),
+        (-F.col("c_acctbal")).alias("bal"),
+    )
+    ph = Phase(
+        name="fixes",
+        columns=[
+            Column("segment", fix_value_fn=["strip", "lower"]),
+            Column("name_u", fix_value_fn="upper"),
+            FloatColumn("bal", fix_value_fn="abs"),
+        ],
+        context=Context(spark=spark),
+        lineage_cache=False,
+    )
+    out = ph.run(src)
+    return out.select(
+        "c_custkey",
+        F.col("segment").alias("segment_fixed"),
+        F.col("name_u").alias("name_upper"),
+        F.col("bal").alias("abs_bal"),
+    )
+
+
+def s1_csv_roundtrip(spark, sf_dir):
+    """CSV sink + scan parity (S1+S5): write the customer table with
+    ``save_csv`` (single-file, header), re-read with ``read_csv`` (phaser
+    null-literal/comment semantics), cast back through the column engine —
+    output must hash-match the original parquet rows."""
+    import tempfile
+
+    from phaser_spark.io import read_csv, save_csv
+
+    cust = _t(spark, sf_dir, "customer", spread=False)
+    path = os.path.join(
+        tempfile.gettempdir(), f"phaser_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}.csv"
+    )
+    save_csv(cust, path)
+    back = read_csv(spark, path)
+    ph = Phase(
+        name="recast",
+        columns=[
+            IntColumn("c_custkey"),
+            Column("c_name"),
+            IntColumn("c_nationkey"),
+            FloatColumn("c_acctbal"),
+            Column("c_mktsegment"),
+        ],
+        context=Context(spark=spark),
+        lineage_cache=False,
+    )
+    out = ph.run(back)
+    return out.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline operators (north star)
 # --------------------------------------------------------------------------
@@ -644,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_user_event_counts": a2_user_event_counts,
         "a3_running_sum": a3_running_sum,
         "a4_consecutive_runs": a4_consecutive_runs,
+        "a5_batch_stats": a5_batch_stats,
+        "a6_explode_words": a6_explode_words,
         "j1_brand_revenue": j1_brand_revenue,
         "j2_customers_without_orders": j2_customers_without_orders,
         "o1_sort_rank": o1_sort_rank,
@@ -653,8 +780,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_column_casts": p1_column_casts,
         "e1_quarantine_events": e1_quarantine_events,
         "u6_flatten_props": u6_flatten_props,
+        "u7_flatten_all": u7_flatten_all,
+        "u8_fix_functions": u8_fix_functions,
         "u1_row_step_derive": u1_row_step_derive,
         "u5_lookup_enrichment": u5_lookup_enrichment,
+        "s1_csv_roundtrip": s1_csv_roundtrip,
         "d1_table_diff": d1_table_diff,
         "dedup_embedding": dedup_embedding,
         "streaming_stateful_user_stats": streaming_stateful_user_stats,
@@ -806,6 +936,31 @@ def oracle_sql() -> dict[str, str]:
                    MIN(event_id) AS run_start_event_id
             FROM r GROUP BY user_id, run_id
         """,
+        "a5_batch_stats": """
+            WITH agg AS (
+                SELECT o_orderstatus,
+                       COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s,
+                       CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS s2
+                FROM orders GROUP BY o_orderstatus
+            )
+            SELECT o_orderstatus, n,
+                   CAST(ROUND(s, 2) AS DOUBLE) AS sum_price,
+                   floor(s / n * 10000) / 10000 AS mean_price,
+                   floor((s2 - s * s / n) / (n - 1) * 100) / 100 AS var_price
+            FROM agg
+        """,
+        "a6_explode_words": """
+            WITH norm AS (
+                SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                           '\\s+', ' ', 'g')) AS nt
+                FROM documents
+            ), w AS (
+                SELECT unnest(string_split(nt, ' ')) AS word FROM norm
+            )
+            SELECT word, COUNT(*) AS n FROM w WHERE word <> ''
+            GROUP BY word ORDER BY n DESC, word ASC LIMIT 100
+        """,
         "j1_brand_revenue": """
             SELECT p_brand,
                    CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
@@ -850,6 +1005,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "u6_flatten_props": """
             SELECT event_id, CAST(props->>'k' AS BIGINT) AS props__k FROM events
+        """,
+        "u7_flatten_all": """
+            SELECT o_orderkey,
+                   o_orderstatus AS info__status,
+                   o_totalprice AS info__detail__price,
+                   o_orderpriority AS info__detail__pri
+            FROM orders
+        """,
+        "u8_fix_functions": """
+            SELECT c_custkey,
+                   lower(c_mktsegment) AS segment_fixed,
+                   upper(lower(c_name)) AS name_upper,
+                   abs(-c_acctbal) AS abs_bal
+            FROM customer
+        """,
+        "s1_csv_roundtrip": """
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer
         """,
         "u1_row_step_derive": """
             SELECT o_orderkey,
