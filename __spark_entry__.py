@@ -296,9 +296,18 @@ def p4_filter_rows(spark, sf_dir):
 
 def p1_column_casts(spark, sf_dir):
     """Column-engine cast parity (IntColumn-via-decimal, BooleanColumn
-    variants, DateColumn yyyy/MM/dd) on stringified lineitem values."""
-    li = _t(spark, sf_dir, "lineitem", spread=False)
+    variants, DateColumn yyyy/MM/dd) on stringified lineitem values.
+
+    Rows are numbered on the raw scan (cheap, order-pinned), THEN fanned
+    out, THEN stringified — so the expensive projection runs distributed
+    and exactly once instead of single-core-twice inside the lineage
+    count job."""
+    narrow = _t(spark, sf_dir, "lineitem", spread=False).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    li = spread_for_compute(with_row_numbers(narrow, cache=False))
     src = li.select(
+        PHASER_ROW_NUM,
         "l_orderkey",
         "l_linenumber",
         F.col("l_quantity").cast("string").alias("qty"),
@@ -435,6 +444,60 @@ def dedup_embedding(spark, sf_dir):
     covered in tests/test_ops.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.95)
+
+
+def j4_asof_join(spark, sf_dir):
+    """As-of join (beyond-reference; Spark lacks it natively): each
+    purchase event matched to the user's most recent prior-or-equal click.
+    Implemented as union + one keyed window (no range join, no per-key
+    collect — see ops/relational.py::asof_join)."""
+    from phaser_spark.ops.relational import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+        right_tiebreak="event_id",
+        suffix="_click",
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.col("event_id_click").alias("last_click_id"),
+    )
+
+
+def a7_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup (day → hour → event_type)
+    via Catalyst ``rollup`` (grouping sets; absent in the reference,
+    SURVEY §2.5 'Catalyst provides them if exposed')."""
+    ev = _events(spark, sf_dir)
+    rolled = ev.rollup(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _money(F.col("value"), 18, 4).alias("total_value"),
+    )
+    return rolled.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.date_format("hour", "yyyy-MM-dd HH:mm").alias("hour"),
+        "event_type",
+        "n",
+        "total_value",
+    )
 
 
 def a5_batch_stats(spark, sf_dir):
@@ -771,7 +834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_consecutive_runs": a4_consecutive_runs,
         "a5_batch_stats": a5_batch_stats,
         "a6_explode_words": a6_explode_words,
+        "a7_time_rollup": a7_time_rollup,
         "j1_brand_revenue": j1_brand_revenue,
+        "j4_asof_join": j4_asof_join,
         "j2_customers_without_orders": j2_customers_without_orders,
         "o1_sort_rank": o1_sort_rank,
         "o2_dedup_keep_last": o2_dedup_keep_last,
@@ -960,6 +1025,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT word, COUNT(*) AS n FROM w WHERE word <> ''
             GROUP BY word ORDER BY n DESC, word ASC LIMIT 100
+        """,
+        "a7_time_rollup": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+                   event_type,
+                   COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+            FROM events
+            GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts), event_type)
+        """,
+        "j4_asof_join": """
+            WITH u AS (
+                SELECT user_id, ts, 0 AS side, event_id AS tb,
+                       event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id
+                FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT user_id, ts, 1, 0, NULL, event_id
+                FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT *, last_value(click_id IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts, side, tb
+                           ROWS UNBOUNDED PRECEDING) AS last_click_id
+                FROM u
+            )
+            SELECT user_id, purchase_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+                   last_click_id
+            FROM c WHERE side = 1
         """,
         "j1_brand_revenue": """
             SELECT p_brand,

@@ -274,10 +274,13 @@ def load_any(spark: SparkSession, source: str, save_format: str | None = None) -
         return read_json(spark, source)
     if fmt == PARQUET_FORMAT_NAME:
         return spark.read.parquet(source)
+    if fmt == ORC_FORMAT_NAME:
+        return spark.read.orc(source)
     return read_csv(spark, source)
 
 
 PARQUET_FORMAT_NAME = "parquet"
+ORC_FORMAT_NAME = "orc"
 
 
 def _format_of(source: str) -> str:
@@ -286,6 +289,8 @@ def _format_of(source: str) -> str:
         return JSON_RECORD_FORMAT
     if ext == ".parquet":
         return PARQUET_FORMAT_NAME
+    if ext == ".orc":
+        return ORC_FORMAT_NAME
     return CSV_FORMAT
 
 
@@ -294,6 +299,8 @@ def save_any(df: DataFrame, filename: str, save_format: str) -> None:
         save_json(df, filename)
     elif save_format == PARQUET_FORMAT_NAME:
         save_parquet(df, filename)
+    elif save_format == ORC_FORMAT_NAME:
+        df.write.mode("overwrite").orc(filename)
     else:
         save_csv(df, filename)
 

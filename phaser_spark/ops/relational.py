@@ -159,3 +159,104 @@ def topk_per_group_step(partition_by: list[str], order_by: list, k: int):
         )
 
     return _topk
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    right_tiebreak: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, the single most recent right row with
+    ``right_ts <= left_ts`` in the same key group (time-series point
+    lookup; Spark has no native ASOF JOIN, DuckDB/pandas do).
+
+    Scale design: NOT a range join (quadratic fan-out) and NOT a per-key
+    collect.  Both sides are tagged and unioned, then one window per key
+    ordered by ``(ts, side, tiebreak)`` carries the latest right payload
+    forward with ``last(..., ignorenulls=True)`` — a single shuffle on the
+    key, linear in rows, skew handled by AQE like any other window.  Right
+    rows at exactly ``left_ts`` DO match (ties sort right-before-left),
+    matching DuckDB ``ASOF JOIN`` / pandas ``merge_asof`` semantics.
+    ``right_tiebreak`` (a right column, e.g. a unique id) makes the winner
+    among equal-``right_ts`` rows deterministic: the greatest value wins.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_cols = right_cols or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    left_rest = [c for c in left.columns if c not in keys]
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__asof_ts__"),
+        F.lit(0).alias("__asof_side__"),
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).cast("long").alias(
+            "__asof_tb__"
+        ),
+        payload.alias("__asof_payload__"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_rest
+        ],
+    )
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__asof_ts__"),
+        F.lit(1).alias("__asof_side__"),
+        F.lit(0).cast("long").alias("__asof_tb__"),
+        F.lit(None)
+        .cast(r.schema["__asof_payload__"].dataType)
+        .alias("__asof_payload__"),
+        *[F.col(c) for c in left_rest],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col("__asof_ts__").asc(),
+            F.col("__asof_side__").asc(),
+            F.col("__asof_tb__").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = r.unionByName(l.select(*r.columns)).withColumn(
+        "__asof_match__", F.last("__asof_payload__", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("__asof_side__") == 1).select(
+        *[F.col(k) for k in keys],
+        F.col("__asof_ts__").alias(left_ts),
+        *[F.col(c) for c in left_rest if c != left_ts],
+        *[
+            F.col("__asof_match__")[c].alias(
+                c if c not in left.columns else f"{c}{suffix}"
+            )
+            for c in right_cols
+        ],
+    )
+
+
+def asof_join_step(
+    source_name: str,
+    on,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    right_tiebreak: str | None = None,
+):
+    """As-of join against a named extra source, as a phase step."""
+
+    @batch_step(extra_sources=[source_name])
+    def _asof(df: DataFrame, context=None, **kwargs) -> DataFrame:
+        other = kwargs[source_name]
+        if other is None:
+            raise PhaserError(f"extra source '{source_name}' has no data")
+        return asof_join(
+            df, other, on, left_ts, right_ts, right_cols, right_tiebreak
+        )
+
+    _asof.__name__ = f"asof_join_{source_name}"
+    return _asof

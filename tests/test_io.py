@@ -114,3 +114,14 @@ def test_save_csv_single_file_roundtrip(spark, tmp_path):
     save_csv(df, out)
     back = read_csv(spark, out)
     assert back.count() == 2
+
+
+def test_format_dispatch_parquet_and_orc(spark, tmp_path):
+    from phaser_spark.io import load_any, save_any
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    for fmt, ext in [("parquet", ".parquet"), ("orc", ".orc")]:
+        path = os.path.join(str(tmp_path), f"t{ext}")
+        save_any(df, path, fmt)
+        back = load_any(spark, path)
+        assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]

@@ -154,3 +154,27 @@ def test_table_diff_classification(spark):
     assert counts == {"added": 1, "removed": 1, "changed": 1, "unchanged": 1}
     html = d.html()
     assert "<table" in html and "added" in html
+
+
+def test_asof_join_semantics(spark):
+    from phaser_spark.ops.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3")],
+        "k long, ts long, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 10, 101), (1, 15, 102), (2, 6, 103)],
+        "k long, ts long, rid long",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_cols=["rid"], right_tiebreak="rid",
+    )
+    got = {(r.k, r.ts): r.rid for r in out.collect()}
+    # equal ts matches; among equal-ts right rows the greatest tiebreak wins
+    assert got[(1, 10)] == 101
+    # later left row sees the newest prior right row
+    assert got[(1, 20)] == 102
+    # no right row at-or-before ts=5 -> null
+    assert got[(2, 5)] is None
