@@ -664,6 +664,14 @@ def ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, queries_df, k=5)
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (rows-only check; recall vs the brute-force
+    baseline is asserted in tests/test_ops.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=4)
+
+
 def text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents", spread=True)
     c = F.col("text")
@@ -859,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "text_stats": text_stats,
         "multimodal_binary": multimodal_binary,
         "streaming_event_window": streaming_event_window,
