@@ -774,6 +774,40 @@ def streaming_event_window(spark, sf_dir):
     return spark.table(name)
 
 
+def streaming_session_window(spark, sf_dir):
+    """Structured-streaming SESSION window (gap-merged, watermarked) — the
+    native session operator, complementing the batch lag/cumsum
+    sessionization in events_sessionize.  Boundary semantics: an event at
+    exactly ``prev + gap`` starts a NEW session (session_window's end is
+    exclusive), which the oracle mirrors with ``diff >= gap``."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money(F.col("value"), 18, 4).alias("session_value"),
+        )
+        .select(
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+    name = "phaser_session_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    _drain(q)
+    return spark.table(name)
+
+
 def streaming_stateful_user_stats(spark, sf_dir):
     """Custom stateful streaming operator: per-user running stats kept in
     ``applyInPandasWithState`` group state (the Structured Streaming
@@ -861,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_table_diff": d1_table_diff,
         "dedup_embedding": dedup_embedding,
         "streaming_stateful_user_stats": streaming_stateful_user_stats,
+        "streaming_session_window": streaming_session_window,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1180,6 +1215,25 @@ def oracle_sql() -> dict[str, str]:
                    floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000) / 1000000 AS cosine
             FROM agg
             WHERE floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000) / 1000000 >= 0.95
+        """,
+        "streaming_session_window": """
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+            ), s AS (
+                SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+                                              ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM g
+            )
+            SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   user_id,
+                   COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS session_value
+            FROM s GROUP BY user_id, sess_id
         """,
         "streaming_stateful_user_stats": """
             SELECT user_id, COUNT(*) AS n_events,

@@ -83,3 +83,28 @@ def test_minhash_partial_aggregation(spark):
     plan = plan_of(dedup.minhash_signatures(docs), "simple")
     assert "HashAggregate" in plan or "SortAggregate" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    # union + one keyed window: exactly one exchange on the key, and NO
+    # join node (a range join here would be quadratic at scale)
+    plan = plan_of(entrymod.j4_asof_join(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_rollup_partial_aggregation(spark):
+    plan = plan_of(entrymod.a7_time_rollup(spark, SF))
+    assert "Expand" in plan  # grouping-sets expansion, not 3 separate scans
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_candidate_join_is_equi_join_on_cell(spark):
+    from phaser_spark.ops import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    plan = plan_of(similarity.ivf_topk(emb, q, k=3, n_centroids=4, n_probe=2))
+    # the probe join must be a hash join on cell, not a nested-loop scan
+    assert "BroadcastHashJoin" in plan and "cell" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
