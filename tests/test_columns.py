@@ -163,3 +163,15 @@ def test_rename_and_canonicalization(spark):
 def test_make_strict_name():
     assert make_strict_name("Crew_ID") == "crew id"
     assert make_strict_name("  First\tName ") == "first name"
+
+
+def test_datetime_default_tz(spark):
+    from phaser_spark import DateTimeColumn, Phase
+    from phaser_spark.context import Context
+
+    df = spark.createDataFrame([("2024-06-01T12:00:00",)], ["t"])
+    ph = Phase(name="tz", columns=[DateTimeColumn("t", default_tz="America/New_York")],
+               context=Context(spark=spark), lineage_cache=False)
+    out = ph.run(df).select("t").collect()
+    # noon EDT == 16:00 UTC (session tz is UTC)
+    assert out[0].t.hour == 16
