@@ -1,0 +1,57 @@
+"""CLI surface (SURVEY.md §2.10 C1-C3): run, diff, describe end-to-end."""
+import os
+import sys
+
+import pytest
+
+from phaser_spark.cli.main import main
+
+PIPELINE_MOD = """
+from pyspark.sql import functions as F
+from phaser_spark import Column, FloatColumn, Phase, Pipeline, filter_rows
+
+
+class Clean(Phase):
+    name = "Clean"
+    columns = [Column("name", fix_value_fn="strip"), FloatColumn("score")]
+    steps = [filter_rows(F.col("score") >= 1.0)]
+
+
+class DemoPipeline(Pipeline):
+    phases = [Clean]
+"""
+
+CSV = "name,score\\n alice ,2.5\\nbob,0.5\\ncara,3.0\\n"
+
+
+@pytest.fixture()
+def workdir(tmp_path, monkeypatch, spark):
+    pkg = tmp_path / "pipelines"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "demo.py").write_text(PIPELINE_MOD)
+    (tmp_path / "src.csv").write_text(CSV.replace("\\n", "\n"))
+    monkeypatch.syspath_prepend(str(tmp_path))
+    sys.modules.pop("pipelines", None)
+    sys.modules.pop("pipelines.demo", None)
+    return tmp_path
+
+
+def test_cli_run_and_diff_and_describe(workdir, capsys):
+    wd = str(workdir / "out")
+    rc = main(["run", "demo", wd, str(workdir / "src.csv")])
+    assert rc == 0
+    out_files = os.listdir(wd)
+    assert any(f.startswith("Clean_output") for f in out_files)
+    assert "errors_and_warnings.txt" in out_files
+    content = open(os.path.join(wd, "Clean_output.csv")).read()
+    assert "alice" in content and "bob" not in content  # filtered + stripped
+
+    rc = main(["diff", "demo", wd])
+    assert rc == 0
+    assert any(f.endswith(".html") for f in os.listdir(wd))
+
+    rc = main(["describe", "demo"])
+    assert rc == 0
+    desc = capsys.readouterr().out
+    assert "Clean" in desc and "filter_rows" in desc

@@ -1,0 +1,86 @@
+"""Property-based cast parity (hypothesis): the column engine's casts must
+match the reference's Python semantics (int via Decimal, float via Decimal,
+boolean word lists — phaser/column.py:280-294,187-222) on arbitrary inputs."""
+from decimal import Decimal, InvalidOperation
+
+from hypothesis import given, settings, strategies as st
+
+from phaser_spark import BooleanColumn, FloatColumn, IntColumn, Phase
+from phaser_spark.context import Context
+
+NUMERIC_STR = st.one_of(
+    st.integers(-10**15, 10**15).map(str),
+    st.floats(allow_nan=False, allow_infinity=False, width=32).map(lambda f: repr(f)),
+    st.sampled_from(["", "  ", "NULL", "None", "5.0", "-0", "00042", " 7 ", "1e3", "xyz"]),
+)
+
+
+def ref_int(s):
+    try:
+        v = s.strip()
+        if v in ("", "NULL", "None"):
+            return None
+        return int(Decimal(v))
+    except (InvalidOperation, ValueError, OverflowError):
+        return "ERR"
+
+
+def ref_float(s):
+    try:
+        v = s.strip()
+        if v in ("", "NULL", "None"):
+            return None
+        return float(Decimal(v))
+    except (InvalidOperation, ValueError, OverflowError):
+        return "ERR"
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(NUMERIC_STR, min_size=1, max_size=40))
+def test_int_and_float_cast_parity(spark, values):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i long, s string")
+    ph = Phase(
+        name="p",
+        columns=[IntColumn("s", rename=[])],
+        context=Context(spark=spark),
+        lineage_cache=False,
+    )
+    from phaser_spark.constants import ERROR_COL
+
+    out = {r.i: (r.s, r[ERROR_COL]) for r in ph.run(df.withColumn("s2", df.s)).collect()}
+    for i, v in enumerate(values):
+        expect = ref_int(v)
+        got, err = out[i]
+        if expect == "ERR":
+            assert err is not None, f"{v!r} should error, got {got!r}"
+        else:
+            assert err is None and got == expect, f"{v!r}: want {expect!r} got {got!r} err={err}"
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.sampled_from(
+    ["t", "TRUE", "Yes", "y", "1", "f", "False", "NO", "n", "0", "maybe", "", "NULL"]
+), min_size=1, max_size=20))
+def test_boolean_cast_parity(spark, values):
+    TRUE, FALSE = {"t", "true", "1", "yes", "y"}, {"f", "false", "0", "no", "n"}
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i long, s string")
+    ph = Phase(
+        name="p",
+        columns=[BooleanColumn("s")],
+        context=Context(spark=spark),
+        lineage_cache=False,
+    )
+    from phaser_spark.constants import ERROR_COL
+
+    out = {r.i: (r.s, r[ERROR_COL]) for r in ph.run(df).collect()}
+    for i, v in enumerate(values):
+        got, err = out[i]
+        low = v.strip().lower()
+        if low in ("", "null", "none"):
+            assert got is None and err is None, f"{v!r}"
+        elif low in TRUE:
+            assert got is True and err is None, f"{v!r}"
+        elif low in FALSE:
+            assert got is False and err is None, f"{v!r}"
+        else:
+            assert err is not None, f"{v!r} should error"
