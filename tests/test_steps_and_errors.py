@@ -183,3 +183,20 @@ def test_lineage_contiguous(spark):
     out = with_row_numbers(df.toDF("v"))
     nums = sorted(r[PHASER_ROW_NUM] for r in out.collect())
     assert nums == list(range(1, 101))
+
+
+def test_load_data_pandas_and_dicts(spark):
+    import pandas as pd
+
+    from phaser_spark import IntColumn, Phase
+    from phaser_spark.context import Context
+
+    for data in (
+        pd.DataFrame({"x": ["1", "2"], "y": ["a", "b"]}),
+        [{"x": "1", "y": "a"}, {"x": "2", "y": "b"}],
+    ):
+        ph = Phase(name="ld", columns=[IntColumn("x")],
+                   context=Context(spark=spark), lineage_cache=False)
+        ph.load_data(data)
+        out = sorted((r.x, r.y) for r in ph.run().select("x", "y").collect())
+        assert out == [(1, "a"), (2, "b")]
