@@ -1,0 +1,49 @@
+"""Pipeline lifecycle: phase fails AFTER checkpointing under the collect
+policy (E6), and prior outputs rotate into a timestamped dir on re-run
+(S10) — reference phaser/pipeline.py:98-127,188-199."""
+import os
+
+import pytest
+
+from phaser_spark import DataException, FloatColumn, Phase, Pipeline
+
+
+def _write_csv(tmp_path, name, content):
+    p = os.path.join(str(tmp_path), name)
+    with open(p, "w") as f:
+        f.write(content)
+    return p
+
+
+def test_phase_fails_after_checkpoint_on_collected_errors(spark, tmp_path):
+    src = _write_csv(tmp_path, "src.csv", "id,score\n1,5.0\n2,bad\n3,7.0\n")
+
+    class Guard(Phase):
+        name = "Guard"
+        columns = [FloatColumn("score")]
+
+    wd = os.path.join(str(tmp_path), "out")
+    pipe = Pipeline(working_dir=wd, source=src, phases=[Guard], spark=spark)
+    with pytest.raises(DataException):
+        pipe.run()
+    # E6: the checkpoint exists even though the phase failed
+    assert any(f.startswith("Guard_output") for f in os.listdir(wd))
+    report = open(os.path.join(wd, "errors_and_warnings.txt")).read()
+    assert "ERROR" in report
+
+
+def test_working_dir_rotation_on_rerun(spark, tmp_path):
+    src = _write_csv(tmp_path, "src.csv", "id,score\n1,5.0\n")
+
+    class Ok(Phase):
+        name = "Ok"
+        columns = [FloatColumn("score")]
+
+    wd = os.path.join(str(tmp_path), "out")
+    for _ in range(2):
+        Pipeline(working_dir=wd, source=src, phases=[Ok], spark=spark).run()
+    entries = os.listdir(wd)
+    stamped = [e for e in entries if os.path.isdir(os.path.join(wd, e)) and e != "."]
+    # S10: first run's outputs moved into a timestamped subdir
+    assert any(os.listdir(os.path.join(wd, d)) for d in stamped)
+    assert any(f.startswith("Ok_output") for f in entries)
