@@ -27,18 +27,26 @@ BENCH_QUERIES = [
     "a1_pivot_events",
     "a3_running_sum",
     "a4_consecutive_runs",
+    "a5_batch_stats",
+    "a6_explode_words",
+    "a7_time_rollup",
     "j1_brand_revenue",
+    "j4_asof_join",
     "o2_dedup_keep_last",
     "p1_column_casts",
     "u6_flatten_props",
+    "u7_flatten_all",
+    "u8_fix_functions",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "text_stats",
     "multimodal_binary",
     "streaming_event_window",
+    "streaming_session_window",
 ]
 
 

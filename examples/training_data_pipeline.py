@@ -1,0 +1,112 @@
+"""End-to-end LLM training-data pipeline built from phaser_spark operators.
+
+Demonstrates the engine's purpose: a phased, checkpointed, lineage-tracked
+corpus-cleaning flow that a user of the reference framework could run with
+the same Pipeline/Phase API, but that scales to a 100 TB corpus:
+
+  1. QualityFilter — text stats (token counts, stopword ratio, language id,
+     quality score) as pure Catalyst expressions; drop short/low-quality
+     and non-English docs with summarized DROPPED_ROW events.
+  2. ExactDedup — normalize+hash fingerprint, keep the first copy.
+  3. NearDedup — MinHash+LSH banding; drop every doc whose near-dup
+     cluster keeper is a different doc.
+
+Run:  python examples/training_data_pipeline.py [sf_dir] [working_dir]
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from phaser_spark import Phase, Pipeline, dataframe_step, filter_rows
+from phaser_spark.ops import dedup, text
+from phaser_spark.session import get_spark
+
+# column expressions below are built at class-definition time, which needs
+# an active SparkContext
+spark = get_spark(app_name="training_data_pipeline")
+
+
+@dataframe_step(check_size=False)
+def add_stats(df, context=None):
+    c = F.col("text")
+    return df.select(
+        "*",
+        text.token_count(c).alias("n_tokens"),
+        text.stopword_ratio(c).alias("stopword_ratio"),
+        text.lang_id(c).alias("lang_pred"),
+        text.quality_score(c).alias("quality"),
+    )
+
+
+@dataframe_step(check_size=False)
+def drop_exact_dups(df, context=None):
+    # keep the lowest doc_id per normalized-text fingerprint
+    keepers = (
+        df.groupBy(text.fingerprint(F.col("text")).alias("__fp__"))
+        .agg(F.min("doc_id").alias("__keeper__"))
+    )
+    return (
+        df.withColumn("__fp__", text.fingerprint(F.col("text")))
+        .join(keepers, "__fp__")
+        .filter(F.col("doc_id") == F.col("__keeper__"))
+        .drop("__fp__", "__keeper__")
+    )
+
+
+@dataframe_step(check_size=False)
+def drop_near_dups(df, context=None):
+    pairs = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.85)
+    # a doc is dropped if it appears as the larger id of any surviving pair
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return df.join(losers, "doc_id", "left_anti")
+
+
+class QualityFilter(Phase):
+    name = "QualityFilter"
+    steps = [
+        add_stats,
+        filter_rows(
+            (F.col("n_tokens") >= 5)
+            & (F.col("quality") >= 0.35)
+            & (F.col("lang_pred") == "en"),
+            name="quality_gate",
+        ),
+    ]
+
+
+class ExactDedup(Phase):
+    name = "ExactDedup"
+    steps = [drop_exact_dups]
+
+
+class NearDedup(Phase):
+    name = "NearDedup"
+    steps = [drop_near_dups]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    wd = sys.argv[2] if len(sys.argv) > 2 else "/tmp/phaser_training_pipeline"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pipe = Pipeline(
+        working_dir=wd,
+        phases=[QualityFilter, ExactDedup, NearDedup],
+        spark=spark,
+    )
+    pipe.save_format = "parquet"  # columnar checkpoints (the scale path)
+    out = pipe.run(docs)
+    n_in, n_out = docs.count(), out.count()
+    print(
+        f"{n_in} docs in -> {n_out} after quality+dedup "
+        f"({100 * (n_in - n_out) / max(n_in, 1):.1f}% removed)"
+    )
+    print(pipe.report_errors_and_warnings())
+
+
+if __name__ == "__main__":
+    main()

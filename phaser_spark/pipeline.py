@@ -170,15 +170,21 @@ class Pipeline:
     def load(self, source: str) -> DataFrame:
         return load_any(self.spark, source, None)
 
-    def run(self, source: str | None = None) -> DataFrame:
-        self.source = source or self.source
-        if not self.source:
+    def run(self, source: str | DataFrame | None = None) -> DataFrame:
+        self.source = source if source is not None else self.source
+        if self.source is None:
             raise PhaserError("Pipeline needs a source")
         if self.working_dir:
             os.makedirs(self.working_dir, exist_ok=True)
             self.cleanup_working_dir()
         self.validate_sources()
-        df = self.load(self.source)
+        # engine addition: accept a live DataFrame source (the reference's
+        # Phase.load_data accepts in-memory data, phaser/phase.py:31-49 —
+        # this lifts the same convenience to the pipeline level)
+        if isinstance(self.source, DataFrame):
+            df = self.source
+        else:
+            df = self.load(self.source)
         if self.working_dir:
             src_copy = os.path.join(self.working_dir, f"source_copy.{self.save_format}")
             save_any(df.drop(PHASER_ROW_NUM), src_copy, self.save_format)
