@@ -289,7 +289,12 @@ class _CastColumn(Column, _RangeMixin):
 
 class IntColumn(_CastColumn):
     """``int(Decimal(v))`` semantics: "5.0" → 5, truncation toward zero
-    (phaser/column.py:280-283; tests/test_columns.py:408-436)."""
+    (phaser/column.py:280-283; tests/test_columns.py:408-436).
+
+    Documented divergence: the reference returns Python bigints; this
+    engine's ``LongType`` is 64-bit, so values outside ±2^63 ERROR under
+    the phase policy instead of silently wrapping (found by the
+    property-based parity suite, tests/test_property_casts.py)."""
 
     spark_type = T.LongType()
 

@@ -148,14 +148,17 @@ def _estimated_partitions(df: DataFrame) -> int:
 def renumber(df: DataFrame, order_by=None, start: int = 1) -> DataFrame:
     """Re-assign row numbers from ``start`` (reference ``phaser/phase.py:120-124``).
 
-    When ``order_by`` is given, numbering follows that ordering via a global
-    ``row_number`` window — acceptable because renumbering phases are, by
-    definition, re-shaping output whose new identity *is* the new order.
-    Otherwise numbers follow current partition order (zero-shuffle path).
-    """
+    When ``order_by`` is given, the rows are globally SORTED (range
+    exchange → per-partition sort, the scalable path) and then numbered
+    with the per-partition offset trick — partition order after a range
+    exchange IS global order, so this equals a global ``row_number``
+    window without the window's single-task bottleneck.  Otherwise numbers
+    follow current partition order (zero-shuffle path)."""
     if order_by is not None:
-        w = Window.orderBy(*([order_by] if not isinstance(order_by, (list, tuple)) else order_by))
-        return df.withColumn(PHASER_ROW_NUM, F.row_number().over(w).cast("long") + (start - 1))
+        order = [order_by] if not isinstance(order_by, (list, tuple)) else list(order_by)
+        return with_row_numbers(
+            df.drop(PHASER_ROW_NUM).orderBy(*order), start=start, cache=True
+        )
     return with_row_numbers(df.drop(PHASER_ROW_NUM), start=start)
 
 

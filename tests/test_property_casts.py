@@ -20,7 +20,13 @@ def ref_int(s):
         v = s.strip()
         if v in ("", "NULL", "None"):
             return None
-        return int(Decimal(v))
+        n = int(Decimal(v))
+        # documented divergence: the reference returns Python bigints, the
+        # engine's LongType is 64-bit — out-of-range values ERROR (safer
+        # than silent wraparound; see IntColumn docstring)
+        if not (-(2**63) <= n < 2**63):
+            return "ERR"
+        return n
     except (InvalidOperation, ValueError, OverflowError):
         return "ERR"
 
