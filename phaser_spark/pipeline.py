@@ -44,6 +44,7 @@ from .constants import (
 from .context import EVENT_SCHEMA, Context
 from .exceptions import DataException, PhaserError
 from .io import SavableObject, load_any, save_any
+from .lineage import with_row_numbers
 from .phase import Phase
 
 
@@ -227,6 +228,60 @@ class Pipeline:
                 "errors_and_warnings.txt (reference phaser/pipeline.py:198-199)"
             )
         return visible
+
+    # -- streaming (engine addition; the reference is strictly batch) --------
+    def run_stream(
+        self,
+        stream_df: DataFrame,
+        output_path: str,
+        checkpoint_dir: str | None = None,
+        available_now: bool = True,
+    ):
+        """Run the SAME declarative phase pipeline over a streaming source.
+
+        Each micro-batch flows through every phase via ``foreachBatch`` —
+        column contracts, error policies, steps, and quarantine behave
+        exactly as in batch mode; surviving rows append to ``output_path``
+        (parquet).  Row numbers stay globally consistent across batches:
+        batch N+1 continues from batch N's max (the reference's max+1 rule
+        for new rows, phaser/records.py:60-92).
+
+        Scale notes: state lives in the stream checkpoint + the output
+        table, never on the driver; per-batch phase plans are the same
+        single-projection chains as batch mode.  ``available_now=True``
+        drains existing input then stops (batch-parity mode, used by
+        tests); pass ``False`` for a continuously running query.
+        """
+        from pyspark.sql import functions as SF
+
+        counter = {"next_start": 1}
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            numbered = with_row_numbers(
+                batch_df, start=counter["next_start"], cache=True
+            )
+            df = numbered
+            for ph in self.phase_instances:
+                out = ph.run(df)
+                out = out.cache()
+                events = extract_events(out, ph.name)
+                self.context.add_event_df(events)
+                df = out.filter(~F.col(DROP_COL)).drop(*INTERNAL_COLS)
+            hi = df.agg(SF.max(PHASER_ROW_NUM)).first()[0]
+            if hi is not None:
+                counter["next_start"] = max(counter["next_start"], hi + 1)
+            df.write.mode("append").parquet(output_path)
+
+        writer = stream_df.writeStream.foreachBatch(process)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+            return q
+        return writer.start()
 
     # -- outputs & reporting -------------------------------------------------
     def save_extra_outputs(self) -> None:

@@ -1,0 +1,40 @@
+"""Streaming pipelines (engine addition): the same declarative Phase
+pipeline over a readStream source via Pipeline.run_stream — batch parity
+for results, cross-batch row-number continuity."""
+import os
+
+from pyspark.sql import functions as F
+
+from phaser_spark import FloatColumn, Phase, Pipeline, filter_rows
+from phaser_spark.constants import PHASER_ROW_NUM
+
+
+def test_run_stream_matches_batch(spark, tmp_path):
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir)
+    df1 = spark.createDataFrame([(1, 5.0), (2, 0.5), (3, 7.0)], "id long, score double")
+    df2 = spark.createDataFrame([(4, 9.0), (5, 0.1)], "id long, score double")
+    import glob
+    import shutil
+
+    for i, d in enumerate([df1, df2], 1):
+        stage = os.path.join(str(tmp_path), f"stage{i}")
+        d.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src_dir, f"b{i}.parquet"))
+
+    class Clean(Phase):
+        name = "Clean"
+        columns = [FloatColumn("score")]
+        steps = [filter_rows(F.col("score") >= 1.0)]
+
+    out_dir = os.path.join(str(tmp_path), "out")
+    pipe = Pipeline(phases=[Clean], spark=spark)
+    stream = spark.readStream.schema(df1.schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    pipe.run_stream(stream, out_dir, checkpoint_dir=os.path.join(str(tmp_path), "ckpt"))
+
+    got = spark.read.parquet(out_dir)
+    assert sorted(r.id for r in got.collect()) == [1, 3, 4]
+    # row numbers unique and contiguous-per-batch (max+1 continuation)
+    nums = sorted(r[PHASER_ROW_NUM] for r in got.collect())
+    assert len(set(nums)) == 3 and nums[0] >= 1 and nums[-1] <= 5
