@@ -201,3 +201,19 @@ def test_ivf_topk_partial_probe_finds_cluster_neighbors(spark, vecs):
     ids = {r.neighbor_id for r in got}
     # vectors 2 and 5 sit in vector 1's cluster; one-cell probe must find them
     assert ids == {2, 5}
+
+
+def test_multimodal_frame_sample_and_resize(spark, docs):
+    wrapped = multimodal.attach_binary(docs.filter(F.col("text") != ""), "text", kind="video")
+    frames = multimodal.frame_sample(wrapped, every_ms=500)
+    rows = frames.select("doc_id", "frame_ts_ms", "frame_id").collect()
+    assert len(rows) >= frames.select("doc_id").distinct().count()  # >=1 frame/doc
+    assert all(r.frame_ts_ms % 500 == 0 for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_ts_ms)
+    for ts in per_doc.values():
+        assert sorted(ts) == list(range(0, len(ts) * 500, 500))  # contiguous grid
+
+    resized = multimodal.resize_stub(wrapped, 320, 240).select("meta.width", "meta.height").first()
+    assert (resized.width, resized.height) == (320, 240)

@@ -90,3 +90,47 @@ def test_boolean_cast_parity(spark, values):
             assert got is False and err is None, f"{v!r}"
         else:
             assert err is not None, f"{v!r} should error"
+
+
+DATE_STR = st.one_of(
+    st.dates().map(lambda d: d.isoformat()),
+    st.dates().map(lambda d: d.strftime("%Y/%m/%d")),
+    st.dates().map(lambda d: d.strftime("%Y%m%d")),
+    st.sampled_from(["", "NULL", "not-a-date", "2024-13-01", "2024/02/30", "99999999"]),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(DATE_STR, min_size=1, max_size=30))
+def test_date_cast_parity(spark, values):
+    import datetime
+
+    from phaser_spark import DateColumn
+    from phaser_spark.constants import ERROR_COL
+
+    def ref(s):
+        v = s.strip()
+        if v in ("", "NULL", "None"):
+            return None
+        for parse in (
+            datetime.date.fromisoformat,
+            lambda x: datetime.datetime.strptime(x, "%Y/%m/%d").date(),
+            lambda x: datetime.datetime.strptime(x, "%Y%m%d").date(),
+        ):
+            try:
+                return parse(v)
+            except ValueError:
+                continue
+        return "ERR"
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i long, s string")
+    ph = Phase(name="p", columns=[DateColumn("s")], context=Context(spark=spark),
+               lineage_cache=False)
+    out = {r.i: (r.s, r[ERROR_COL]) for r in ph.run(df).collect()}
+    for i, v in enumerate(values):
+        expect = ref(v)
+        got, err = out[i]
+        if expect == "ERR":
+            assert err is not None, f"{v!r} should error, got {got!r}"
+        else:
+            assert err is None and got == expect, f"{v!r}: want {expect} got {got} err={err}"
