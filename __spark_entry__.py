@@ -45,6 +45,21 @@ from phaser_spark.ops.dedup import trunc_digits  # noqa: E402
 from phaser_spark.pipeline import extract_events  # noqa: E402
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Queries must produce oracle-identical results under ANY caller's
+    SparkSession (the driver builds its own): timestamps format against
+    UTC (DuckDB timestamps are UTC-naive), Arrow backs the pandas-UDF
+    paths.  Both are runtime-settable SQL confs."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
     """Read a test table.  ``spread=True`` fans single-row-group files out
     across cores — worth it only when heavy per-row compute precedes the
@@ -52,6 +67,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> Dat
     scan→agg queries where the extra exchange costs more than it saves).
     Lineage-sensitive callers must keep file order (spread=False) and
     number rows first."""
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return spread_for_compute(df) if spread else df
 
@@ -60,6 +76,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
     default; read nanos as long and truncate to microseconds (exactly what
     DuckDB's nanos→micros conversion does)."""
+    _ensure_session_confs(spark)
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
