@@ -517,6 +517,22 @@ def a7_time_rollup(spark, sf_dir):
     )
 
 
+def a8_percentiles(spark, sf_dir):
+    """Exact quartiles per group via Catalyst ``percentile`` (linear
+    interpolation — same definition as DuckDB ``quantile_cont``).  A
+    single-shuffle sort-based aggregate; at scale the approx_percentile
+    sketch is the cheaper drop-in when exactness isn't required."""
+    orders = _t(spark, sf_dir, "orders")
+    q = F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")
+    agg = orders.groupBy("o_orderstatus").agg(q.alias("q"))
+    return agg.select(
+        "o_orderstatus",
+        trunc_digits(F.col("q")[0], 4).alias("p25"),
+        trunc_digits(F.col("q")[1], 4).alias("p50"),
+        trunc_digits(F.col("q")[2], 4).alias("p75"),
+    )
+
+
 def a5_batch_stats(spark, sf_dir):
     """Whole-batch statistics (A5): per-group count/sum/mean/variance via
     exact decimal sums, final arithmetic in double (identical op order in
@@ -894,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_batch_stats": a5_batch_stats,
         "a6_explode_words": a6_explode_words,
         "a7_time_rollup": a7_time_rollup,
+        "a8_percentiles": a8_percentiles,
         "j1_brand_revenue": j1_brand_revenue,
         "j4_asof_join": j4_asof_join,
         "j2_customers_without_orders": j2_customers_without_orders,
@@ -1095,6 +1112,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
             FROM events
             GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts), event_type)
+        """,
+        "a8_percentiles": """
+            SELECT o_orderstatus,
+                   floor(quantile_cont(o_totalprice, 0.25) * 10000) / 10000 AS p25,
+                   floor(quantile_cont(o_totalprice, 0.5) * 10000) / 10000 AS p50,
+                   floor(quantile_cont(o_totalprice, 0.75) * 10000) / 10000 AS p75
+            FROM orders GROUP BY o_orderstatus
         """,
         "j4_asof_join": """
             WITH u AS (
