@@ -463,6 +463,16 @@ def dedup_embedding(spark, sf_dir):
     return dedup.embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.95)
 
 
+def o5_distinct_counts(spark, sf_dir):
+    """Distinct aggregation surface (absent in the reference, Catalyst
+    supplies it): distinct customers and orders per priority."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def j4_asof_join(spark, sf_dir):
     """As-of join (beyond-reference; Spark lacks it natively): each
     purchase event matched to the user's most recent prior-or-equal click.
@@ -917,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_sort_rank": o1_sort_rank,
         "o2_dedup_keep_last": o2_dedup_keep_last,
         "o3_duplicate_keys": o3_duplicate_keys,
+        "o5_distinct_counts": o5_distinct_counts,
         "p4_filter_rows": p4_filter_rows,
         "p1_column_casts": p1_column_casts,
         "e1_quarantine_events": e1_quarantine_events,
@@ -1164,6 +1175,12 @@ def oracle_sql() -> dict[str, str]:
         "o3_duplicate_keys": """
             SELECT l_orderkey, COUNT(*) AS n FROM lineitem
             GROUP BY l_orderkey HAVING COUNT(*) > 1
+        """,
+        "o5_distinct_counts": """
+            SELECT o_orderpriority,
+                   COUNT(DISTINCT o_custkey) AS n_customers,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
         """,
         "p4_filter_rows": """
             SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
