@@ -375,6 +375,11 @@ class DateColumn(_CastColumn):
     """ISO first, then unambiguous ``%Y/%m/%d`` and ``%Y%m%d``
     (phaser/column.py:382-459); explicit ``date_format`` overrides.
 
+    Documented divergence (found by the property suite): for pre-1000
+    years the reference's greedy ``strptime`` re-interprets non-padded
+    compact dates ("9990101" → 9990-10-01); this engine's fixed-width
+    pattern rejects them as errors instead of silently mis-parsing.
+
     (The reference's ``continue``-instead-of-``break`` quirk at
     phaser/column.py:449-454 is benign and not replicated — SURVEY §4.3.)
     """
