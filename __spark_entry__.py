@@ -672,6 +672,17 @@ def s1_csv_roundtrip(spark, sf_dir):
 # LLM-data-pipeline operators (north star)
 # --------------------------------------------------------------------------
 
+def split_train_val_test(spark, sf_dir):
+    """Deterministic hash-based corpus splitting (ops/sampling.py):
+    md5-bucket assignment is reproducible across runs, partitionings, and
+    engines, and never reassigns existing rows as the corpus grows."""
+    from phaser_spark.ops import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split")
+
+
 def dedup_exact_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -941,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": dedup_embedding,
         "streaming_stateful_user_stats": streaming_stateful_user_stats,
         "streaming_session_window": streaming_session_window,
+        "split_train_val_test": split_train_val_test,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1298,6 +1310,16 @@ def oracle_sql() -> dict[str, str]:
                    MIN(event_id) AS first_event_id,
                    MAX(event_id) AS last_event_id
             FROM events GROUP BY user_id
+        """,
+        "split_train_val_test": """
+            SELECT doc_id,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                             % 10000 AS b
+                  FROM documents)
         """,
         "dedup_exact_docs": """
             SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),

@@ -217,3 +217,32 @@ def test_multimodal_frame_sample_and_resize(spark, docs):
 
     resized = multimodal.resize_stub(wrapped, 320, 240).select("meta.width", "meta.height").first()
     assert (resized.width, resized.height) == (320, 240)
+
+
+def test_split_by_hash_deterministic_and_stable(spark):
+    from phaser_spark.ops import sampling
+
+    df = spark.range(1000).toDF("id")
+    s1 = sampling.split_by_hash(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    s2 = sampling.split_by_hash(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = dict((r.id, r.split) for r in s1.collect())
+    b = dict((r.id, r.split) for r in s2.collect())
+    assert a == b  # reproducible
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 700 < c["train"] < 900 and 50 < c["val"] < 160 and 50 < c["test"] < 160
+    # growing the corpus never reassigns existing rows
+    grown = sampling.split_by_hash(
+        spark.range(2000).toDF("id"), "id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    g = dict((r.id, r.split) for r in grown.collect())
+    assert all(g[k] == v for k, v in a.items())
+
+
+def test_sample_by_hash_fraction(spark):
+    from phaser_spark.ops import sampling
+
+    df = spark.range(5000).toDF("id")
+    n = sampling.sample_by_hash(df, "id", 0.2).count()
+    assert 800 < n < 1200
