@@ -108,3 +108,12 @@ def test_ivf_candidate_join_is_equi_join_on_cell(spark):
     # the probe join must be a hash join on cell, not a nested-loop scan
     assert "BroadcastHashJoin" in plan and "cell" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ordered_renumber_has_no_global_window(spark):
+    # scalable renumber: range-partitioned sort + broadcast offset join,
+    # never a single-task global row_number window
+    df = entrymod.o1_sort_rank(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan and "BroadcastHashJoin" in plan
