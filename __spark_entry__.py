@@ -403,6 +403,28 @@ def u1_row_step_derive(spark, sf_dir):
     return out.filter(~F.col(DROP_COL)).select("o_orderkey", "tier", "doubled")
 
 
+def u2_batch_step(spark, sf_dir):
+    """Whole-batch step parity (U2): a batch_step receives the live Spark
+    DataFrame, filters and derives — size-change warning handled by
+    check_size (reference phaser/steps.py:135-162)."""
+    from phaser_spark import batch_step
+
+    @batch_step(check_size=False)
+    def keep_high_value(df, context=None):
+        return df.filter(F.col("o_totalprice") >= 100000.0).withColumn(
+            "price_k", F.round(F.col("o_totalprice") / 1000.0, 1)
+        )
+
+    orders = _t(spark, sf_dir, "orders", spread=False)
+    ph = Phase(
+        name="batch",
+        steps=[keep_high_value],
+        context=Context(spark=spark),
+        lineage_cache=False,
+    )
+    return ph.run(orders).select("o_orderkey", "price_k")
+
+
 def u5_lookup_enrichment(spark, sf_dir):
     """Extra-source lookup enrichment (J1/U5): a row_step reads a broadcast
     key→value mapping per row — the reference's departments idiom
@@ -946,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u7_flatten_all": u7_flatten_all,
         "u8_fix_functions": u8_fix_functions,
         "u1_row_step_derive": u1_row_step_derive,
+        "u2_batch_step": u2_batch_step,
         "u5_lookup_enrichment": u5_lookup_enrichment,
         "s1_csv_roundtrip": s1_csv_roundtrip,
         "d1_table_diff": d1_table_diff,
@@ -1239,6 +1262,10 @@ def oracle_sql() -> dict[str, str]:
                    o_totalprice * 2.0 AS doubled
             FROM orders
             WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1000.0
+        """,
+        "u2_batch_step": """
+            SELECT o_orderkey, ROUND(o_totalprice / 1000.0, 1) AS price_k
+            FROM orders WHERE o_totalprice >= 100000.0
         """,
         "u5_lookup_enrichment": """
             SELECT c_custkey, n_name AS nation_name
