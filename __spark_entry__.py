@@ -1090,8 +1090,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
-                SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                              ROWS UNBOUNDED PRECEDING) AS session_id
+                -- CAST: DuckDB SUM(int) is HUGEINT -> float64 in pandas, which
+                -- breaks the value hash vs Spark's bigint; pin to BIGINT.
+                SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
                 FROM g
             )
             SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -1127,8 +1129,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), r AS (
-                SELECT *, SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                             ROWS UNBOUNDED PRECEDING) AS run_id
+                -- CAST: DuckDB SUM(int) is HUGEINT -> float64 in pandas, which
+                -- breaks the value hash vs Spark's bigint; pin to BIGINT.
+                SELECT *, CAST(SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
                 FROM g
             )
             SELECT user_id, run_id,

@@ -89,6 +89,25 @@ def main():
             res = con.sql(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            # Driver-harness realism: the driver compares pandas frames, so a
+            # DuckDB HUGEINT (-> float64) vs Spark bigint (-> int64) mismatch
+            # breaks its value hash even when fetchall() values are identical.
+            # Compare numpy dtype *kinds* per column to catch that class here.
+            odf = con.sql(oracles[name]).df()
+            pdf = sdf.toPandas()
+            kind_bad = []
+            for c in ocols:
+                if c not in pdf.columns:
+                    continue
+                ok, sk = odf[c].dtype.kind, pdf[c].dtype.kind
+                norm = lambda k: "i" if k in "iu" else k
+                if norm(ok) != norm(sk):
+                    kind_bad.append((c, sk, ok))
+            if kind_bad:
+                print(f"FAIL  {name}: pandas dtype-kind mismatch "
+                      f"(col, spark, oracle): {kind_bad}")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             n_fail += 1
