@@ -715,7 +715,13 @@ def dedup_exact_docs(spark, sf_dir):
 
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    # max_shingle_df bounds the d² pair fan-out of a hot shingle — the
+    # operator's quadratic scale-killer; 1000 is far above any shingle df
+    # in this corpus (no result change at test SFs) but caps the worst
+    # case at 10⁶ pairs per shingle at 100 TB
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=1000
+    )
 
 
 def dedup_minhash_lsh(spark, sf_dir):
@@ -735,28 +741,44 @@ def ann_cosine_topk(spark, sf_dir):
 
 
 def ann_lsh_topk(spark, sf_dir):
+    """LSH approximate top-k with a FULL value oracle: the hyperplanes are
+    md5-derived literals (`similarity.deterministic_planes`) and dot
+    products accumulate in decimal, so DuckDB reproduces the exact same
+    buckets, candidates, cosines, and ranks — the approximate result
+    itself is hash-checked, not just a recall proxy."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return similarity.lsh_topk(emb, queries_df, k=5)
+    return similarity.lsh_topk(
+        emb, queries_df, k=5,
+        planes_matrix=similarity.deterministic_planes(8, 64),
+        probe_hamming=2, exact=True,
+    )
 
 
 _IVF_CENTROIDS: dict[str, list] = {}
 
 
 def ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k (rows-only check; recall vs the brute-force
-    baseline is asserted in tests/test_ops.py).  Centroids are trained
-    once per dataset and reused — in production the coarse quantizer is a
-    build-time artifact, not a per-query cost."""
+    """IVF approximate top-k with a FULL value oracle: the coarse
+    quantizer is the deterministic md5-ordered medoid set
+    (`similarity.medoid_centroids` — reproducible in SQL, unlike k-means,
+    which remains the quality path via `train_centroids`, recall-tested in
+    tests/test_ops.py), and distances/cosines accumulate in decimal.
+    Centroids are trained once per dataset — in production the coarse
+    quantizer is a build-time artifact, not a per-query cost."""
     emb = _t(spark, sf_dir, "embeddings")
     if sf_dir not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf_dir] = similarity.train_centroids(
-            emb, "embedding", n_centroids=16
+        _IVF_CENTROIDS[sf_dir] = similarity.medoid_centroids(
+            emb, "vec_id", "embedding", n_centroids=16
         )
     queries_df = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_topk(
         emb, queries_df, k=5, n_centroids=16, n_probe=4,
-        centroids=_IVF_CENTROIDS[sf_dir],
+        centroids=_IVF_CENTROIDS[sf_dir], exact=True,
+        # 5 queries × 4 probes — provably driver-small, so broadcasting
+        # the probe side is safe here (the library default leaves the
+        # choice to AQE for unbounded query sets)
+        broadcast_queries=True,
     )
 
 
@@ -1394,6 +1416,155 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY floor(cos * 1000000) / 1000000 DESC, neighbor_id ASC) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        # Full value oracle for the LSH path: hyperplane component (p, i) =
+        # md5(f"{p}-{i}")[:8] as int, mod 1000, − 500 — identical in DuckDB,
+        # Spark, and Python (similarity.deterministic_planes).  Projections
+        # and cosines accumulate in DECIMAL so bucket bits and ranks are
+        # bit-identical across engines.
+        "ann_lsh_topk": """
+            WITH planes AS (
+                SELECT p, i,
+                       CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 1000 - 500 AS comp
+                FROM generate_series(0, 7) AS gp(p), generate_series(0, 63) AS gi(i)
+            ), dims AS (
+                SELECT vec_id, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) - 1 AS i
+                FROM embeddings
+            ), proj AS (
+                SELECT d.vec_id, pl.p,
+                       SUM(CAST(CAST(d.x AS DOUBLE) * pl.comp AS DECIMAL(28,12))) AS s
+                FROM dims d JOIN planes pl ON d.i = pl.i
+                GROUP BY d.vec_id, pl.p
+            ), sigs AS (
+                SELECT vec_id,
+                       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+                FROM proj GROUP BY vec_id
+            ), cand AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                FROM sigs q JOIN sigs c
+                  ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+                 AND bit_count(xor(q.sig, c.sig)) <= 2
+            ), pairs AS (
+                SELECT cand.query_id, cand.neighbor_id,
+                       unnest(eq.embedding) AS a, unnest(ec.embedding) AS b
+                FROM cand
+                JOIN embeddings eq ON eq.vec_id = cand.query_id
+                JOIN embeddings ec ON ec.vec_id = cand.neighbor_id
+            ), agg AS (
+                SELECT query_id, neighbor_id,
+                       SUM(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS dot,
+                       SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS na,
+                       SUM(CAST(CAST(b AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS nb
+                FROM pairs GROUP BY query_id, neighbor_id
+            ), scored AS (
+                SELECT query_id, neighbor_id,
+                       CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+                FROM agg
+            )
+            SELECT query_id, neighbor_id, floor(cos * 1000000) / 1000000 AS cosine, rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY floor(cos * 1000000) / 1000000 DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        # Full value oracle for the IVF path: centroids = the 16 corpus
+        # vectors with smallest md5(vec_id) (similarity.medoid_centroids),
+        # cell index = rank in that ordering; squared distances and cosines
+        # accumulate in DECIMAL; argmin/probe tie-breaks are (dist, cell) on
+        # both engines.
+        "ann_ivf_topk": """
+            WITH cents AS (
+                SELECT cell, embedding FROM (
+                    SELECT vec_id, embedding,
+                           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
+                    FROM embeddings
+                ) WHERE cell <= 16
+            ), dims AS (
+                SELECT vec_id, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ), cdims AS (
+                SELECT cell, unnest(embedding) AS y,
+                       generate_subscripts(embedding, 1) AS i
+                FROM cents
+            ), cd AS (
+                SELECT d.vec_id, c.cell,
+                       SUM(CAST((CAST(d.x AS DOUBLE) - CAST(c.y AS DOUBLE))
+                                * (CAST(d.x AS DOUBLE) - CAST(c.y AS DOUBLE)) AS DECIMAL(28,12))) AS dist
+                FROM dims d JOIN cdims c ON d.i = c.i
+                GROUP BY d.vec_id, c.cell
+            ), assign AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                    FROM cd
+                ) WHERE rn = 1
+            ), probes AS (
+                SELECT vec_id AS query_id, cell FROM (
+                    SELECT vec_id, cell,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                    FROM cd WHERE vec_id < 5
+                ) WHERE rn <= 4
+            ), cand AS (
+                SELECT p.query_id, a.vec_id AS neighbor_id
+                FROM probes p JOIN assign a ON a.cell = p.cell
+                WHERE p.query_id <> a.vec_id
+            ), pairs AS (
+                SELECT cand.query_id, cand.neighbor_id,
+                       unnest(eq.embedding) AS a, unnest(ec.embedding) AS b
+                FROM cand
+                JOIN embeddings eq ON eq.vec_id = cand.query_id
+                JOIN embeddings ec ON ec.vec_id = cand.neighbor_id
+            ), agg AS (
+                SELECT query_id, neighbor_id,
+                       SUM(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS dot,
+                       SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS na,
+                       SUM(CAST(CAST(b AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS nb
+                FROM pairs GROUP BY query_id, neighbor_id
+            ), scored AS (
+                SELECT query_id, neighbor_id,
+                       CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+                FROM agg
+            )
+            SELECT query_id, neighbor_id, floor(cos * 1000000) / 1000000 AS cosine, rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY floor(cos * 1000000) / 1000000 DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        # Full value oracle for SimHash: the word hash is the first 15 hex
+        # digits of md5 (ops/dedup.py::simhash word_hash='md5'), so DuckDB
+        # reproduces signatures bit-for-bit; the oracle uses the all-pairs
+        # formulation, which the pigeonhole chunk blocking provably equals
+        # for max_hamming <= 3.
+        "dedup_simhash": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                           '\\s+', ' ', 'g')) AS nt
+                FROM documents
+            ), words AS (
+                SELECT doc_id, unnest(string_split(nt, ' ')) AS w FROM norm
+            ), hashed AS (
+                SELECT doc_id,
+                       CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h
+                FROM words
+            ), bits AS (
+                SELECT doc_id, g.i,
+                       CAST(SUM(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+                FROM hashed, generate_series(0, 63) AS g(i)
+                GROUP BY doc_id, g.i
+            ), sigs AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
+                FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
         "text_stats": f"""
             WITH t AS (

@@ -135,13 +135,19 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard ≥ t).
 
-    Inverted-index self-join: cost is Σ df(shingle)² — bounded by
-    ``max_shingle_df`` for web-scale corpora.  Returns
-    ``(id_a, id_b, jaccard double)``."""
+    Inverted-index self-join: cost is Σ df(shingle)² — a single shingle
+    appearing in d documents emits d² candidate pairs, so an unguarded hot
+    shingle (a stopword run) is THE quadratic scale-killer of this
+    operator at 100 TB.  ``max_shingle_df`` therefore defaults to a cap
+    (1000 ⇒ ≤10⁶ pairs per shingle); pass ``None`` only for small corpora
+    where exact Jaccard against every shingle is required.  Dropping a
+    shingle with df > 1000 changes Jaccard of an affected pair by at most
+    1/|union|, and only pairs sharing that near-universal shingle are
+    affected.  Returns ``(id_a, id_b, jaccard double)``."""
     idx = _shingle_index(df, id_col, text_col, n, max_shingle_df).cache()
     sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # pair generation via posting-list combinations: one shuffle on the
@@ -315,11 +321,20 @@ def minhash_dedup(
     """Drop near-duplicates, keeping the smallest id of each dup cluster
     (single-link via the pair list; greedy union by min-id propagation)."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, **kw)
-    # connected components via iterative min-label propagation (few rounds
-    # suffice for dup clusters, which are small and dense)
+    # connected components via min-label propagation, iterated to
+    # FIXPOINT: each round a node adopts the smallest root among its
+    # neighbors' roots, so the minimum label advances one hop per round
+    # and labels strictly decrease until stable.  A fixed round count (the
+    # obvious shortcut) silently mis-clusters chains longer than its hop
+    # budget; instead check the changed-label count per round (one small
+    # driver-side long) and stop at zero, with a bounded max_iters safety
+    # (dup clusters are dense and small-diameter in practice; 50 hops is
+    # far beyond any realistic near-dup chain).
     labels = df.select(F.col(id_col).alias("id")).withColumn("root", F.col("id"))
-    edges = pairs.select("id_a", "id_b")
-    for _ in range(3):
+    edges = pairs.select("id_a", "id_b").cache()
+    prev_cached = None
+    max_iters = 50
+    for _ in range(max_iters):
         nbr_min = (
             edges.select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr"))
             .union(edges.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr")))
@@ -327,15 +342,31 @@ def minhash_dedup(
             .groupBy("id")
             .agg(F.min("nbr_root").alias("min_nbr_root"))
         )
-        labels = (
+        # cache each round's labels: truncates the exponentially deepening
+        # lineage and is materialized by the changed-count action; the
+        # previous round's cache is released once the new one is live
+        new_labels = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
+                F.col("root").alias("old_root"),
                 F.least(
                     F.col("root"), F.coalesce(F.col("min_nbr_root"), F.col("root"))
                 ).alias("root"),
             )
+            .cache()
         )
+        changed = new_labels.filter(F.col("old_root") != F.col("root")).count()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
+        labels = new_labels.select("id", "root")
+        if changed == 0:
+            break
+    edges.unpersist()
+    # the final labels cache stays pinned (one (id, root) row per doc —
+    # driver-small relative to the corpus) so the returned lazy join
+    # doesn't recompute the whole propagation when the caller executes it
     keep = labels.filter(F.col("id") == F.col("root")).select(F.col("id").alias(id_col))
     return df.join(keep, id_col, "left_semi")
 
@@ -344,13 +375,28 @@ def minhash_dedup(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    word_hash: str = "md5",
+) -> DataFrame:
     """64-bit SimHash per document, computed entirely in Catalyst:
     explode words → per-bit ±1 sums (64 conditional aggregates with
-    map-side combine) → reassemble bits.  Returns ``(id, simhash long)``."""
+    map-side combine) → reassemble bits.  Returns ``(id, simhash long)``.
+
+    ``word_hash='md5'`` (default) derives a 60-bit word hash from the
+    first 15 hex digits of md5 — reproducible on any engine (DuckDB,
+    Spark, Python compute identical md5), so signatures can be verified
+    by an external SQL oracle; bits 60–63 of the signature are then
+    always 0, which leaves Hamming distances and the 16-bit-chunk
+    blocking unaffected.  ``word_hash='xxhash64'`` uses the full-width
+    Spark-native hash (marginally cheaper, engine-specific)."""
+    if word_hash == "md5":
+        h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("w")
     words = staged_words(df, id_col, text_col).select(
         "id", F.explode(F.col("words")).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", h)
     aggs = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -369,13 +415,16 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    word_hash: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ k between SimHashes.
 
     Scale path: block on 4 16-bit chunks (pigeonhole: any pair within
     Hamming ≤ 3 shares at least one exact chunk), so the self-join is on
-    chunk equality, never all-pairs."""
-    sh = simhash(df, id_col, text_col)
+    chunk equality, never all-pairs.  The blocking is exact, not
+    approximate — an all-pairs scan (the oracle formulation) returns the
+    identical pair set."""
+    sh = simhash(df, id_col, text_col, word_hash=word_hash)
     chunks = sh.select(
         "id",
         "simhash",

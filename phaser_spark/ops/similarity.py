@@ -78,6 +78,26 @@ def cosine_topk(
     )
 
 
+def deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Engine-reproducible pseudo-random hyperplanes.
+
+    Component (p, i) = md5(f"{p}-{i}") first 8 hex digits mod 1000 − 500,
+    an integer in [−500, 499] — md5 is available and identical in Spark,
+    DuckDB, and Python, so the same planes can be reproduced in an external
+    oracle.  Integer components keep float·plane products exact in double
+    (24-bit × ≤10-bit mantissas), which makes the signature bits
+    bit-reproducible across engines when accumulated in decimal."""
+    import hashlib
+
+    return [
+        [
+            float(int(hashlib.md5(f"{p}-{i}".encode()).hexdigest()[:8], 16) % 1000 - 500)
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def _plane_signature(vec: SparkCol, planes: int) -> SparkCol:
     """Deterministic random-hyperplane signature (long) of a vector."""
     def plane(seed):
@@ -95,6 +115,21 @@ def _plane_signature(vec: SparkCol, planes: int) -> SparkCol:
     return sig
 
 
+def _literal_plane_signature(
+    vec: SparkCol, planes_matrix: list[list[float]], exact: bool
+) -> SparkCol:
+    """Signature from literal plane vectors (no per-row hash evaluation —
+    the planes are constants; recomputing them per row, as the seeded-hash
+    form does, wastes a hash per (row × plane × dim))."""
+    dot = _dot_decimal if exact else _dot
+    sig = F.lit(0).cast("long")
+    for p, comps in enumerate(planes_matrix):
+        plane = F.array(*[F.lit(c) for c in comps])
+        bit = (dot(vec, plane) > 0).cast("long")
+        sig = sig + F.shiftleft(bit, p)
+    return sig
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -103,23 +138,37 @@ def lsh_topk(
     vec_col: str = "embedding",
     planes: int = 8,
     probe_hamming: int = 2,
+    planes_matrix: list[list[float]] | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Approximate top-k: probe only buckets within Hamming ≤ ``probe_hamming``
-    of the query signature.  Same output shape as ``cosine_topk``."""
+    of the query signature.  Same output shape as ``cosine_topk``.
+
+    ``planes_matrix`` (e.g. :func:`deterministic_planes`) supplies literal
+    hyperplanes, making the bucketing reproducible in an external SQL
+    oracle; ``exact`` switches dot products to decimal accumulation for
+    bit-reproducible cosines (slower; the default double path is for
+    production throughput)."""
+    if planes_matrix is not None:
+        sig_of = lambda v: _literal_plane_signature(v, planes_matrix, exact)  # noqa: E731
+    else:
+        sig_of = lambda v: _plane_signature(v, planes)  # noqa: E731
     c = spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("c_sig", _plane_signature(F.col("cv"), planes))
+    ).withColumn("c_sig", sig_of(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("q_sig", _plane_signature(F.col("qv"), planes))
+    ).withColumn("q_sig", sig_of(F.col("qv")))
     joined = c.join(
         F.broadcast(q),
         (F.bit_count(F.col("c_sig").bitwiseXOR(F.col("q_sig"))) <= probe_hamming)
         & (F.col("query_id") != F.col("neighbor_id")),
     )
-    cos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    dot = _dot_decimal if exact else _dot
+    norm = (lambda v: F.sqrt(_dot_decimal(v, v))) if exact else _norm
+    cos = dot(F.col("cv"), F.col("qv")) / (norm(F.col("cv")) * norm(F.col("qv")))
     scored = joined.select("query_id", "neighbor_id", trunc_digits(cos, 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -134,6 +183,43 @@ def lsh_topk(
 def _sq_dist(vec: SparkCol, centroid: SparkCol) -> SparkCol:
     d = F.zip_with(vec, centroid, lambda x, y: (x - y) * (x - y))
     return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _sq_dist_decimal(vec: SparkCol, centroid: SparkCol) -> SparkCol:
+    """Order-insensitive squared distance: per-element (x−y)² is a
+    deterministic IEEE double on any engine; decimal accumulation removes
+    the summation-order dependence, so argmin cell assignment is
+    bit-reproducible against an external oracle."""
+    d = F.zip_with(vec, centroid, lambda x, y: ((x - y) * (x - y)).cast("decimal(28,12)"))
+    return F.aggregate(
+        d,
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, v: (
+            acc + F.coalesce(v, F.lit(0).cast("decimal(28,12)"))
+        ).cast("decimal(38,12)"),
+    )
+
+
+def medoid_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> list[list[float]]:
+    """Deterministic medoid coarse quantizer: the ``n_centroids`` corpus
+    vectors with smallest ``md5(id)`` (a reproducible pseudo-random draw —
+    same choice on any engine, any partitioning).  Lower quality than
+    k-means (:func:`train_centroids`) but exactly reproducible in an
+    external SQL oracle; only n_centroids vectors leave the executors."""
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r["v"]] for r in rows]
 
 
 def train_centroids(
@@ -151,10 +237,15 @@ def train_centroids(
     with numpy, deterministic under ``seed``."""
     import numpy as np
 
+    # deterministic sample: md5-ordered take (limit() alone is
+    # partitioning-dependent — same seed, different centroids on a
+    # different cluster layout). TakeOrderedAndProject keeps this a
+    # per-partition top-k merge, never a full sort.
     sample = np.array(
         [
             r["v"]
             for r in corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy(F.md5(F.to_json(F.struct(F.col("v")))))
             .limit(sample_size)
             .collect()
         ]
@@ -172,13 +263,16 @@ def train_centroids(
 
 
 def assign_cells(
-    df: DataFrame, centroids: list[list[float]], vec_col: str, out_col: str = "cell"
+    df: DataFrame, centroids: list[list[float]], vec_col: str, out_col: str = "cell",
+    dist_fn=None,
 ) -> DataFrame:
     """Nearest-centroid cell id as a pure expression (no Python on the row
-    path): distances via zip_with/aggregate, argmin via array_position."""
+    path): distances via zip_with/aggregate, argmin via array_position
+    (first index on ties — mirror `ORDER BY dist, cell LIMIT 1` in SQL)."""
+    sq = dist_fn or _sq_dist
     vec = F.col(vec_col).cast("array<double>")
     cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
-    dists = F.transform(cent_arr, lambda c: _sq_dist(vec, c))
+    dists = F.transform(cent_arr, lambda c: sq(vec, c))
     return df.withColumn(out_col, F.array_position(dists, F.array_min(dists)).cast("int"))
 
 
@@ -191,6 +285,8 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     centroids: list[list[float]] | None = None,
+    exact: bool = False,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus partitioned into
     nearest-centroid cells; each query scores only its ``n_probe`` nearest
@@ -198,10 +294,16 @@ def ivf_topk(
 
     Scale path: the candidate join is an equi-join on ``cell`` — the
     corpus shuffles once by cell id (or is pre-bucketed by it), each query
-    reads n_probe/n_centroids of the data, and nothing but the centroid
-    table (k × dim floats) is broadcast.  Same output shape as
-    ``cosine_topk``; recall tuned by ``n_probe``."""
+    reads n_probe/n_centroids of the data.  The centroid table (k × dim
+    floats) is embedded as literals; the *probe* side (n_queries × n_probe
+    rows, query vectors included) is broadcast only when
+    ``broadcast_queries`` is True or the query count is provably small —
+    for large query sets leave it None and let AQE pick the join strategy.
+    Same output shape as ``cosine_topk``; recall tuned by ``n_probe``.
+    ``exact`` uses decimal accumulation for distances and cosines so the
+    result is bit-reproducible against an external oracle."""
     cents = centroids or train_centroids(corpus, vec_col, n_centroids)
+    sq = _sq_dist_decimal if exact else _sq_dist
     c = assign_cells(
         spread_for_compute(corpus).select(
             F.col(id_col).alias("neighbor_id"),
@@ -209,20 +311,16 @@ def ivf_topk(
         ),
         cents,
         "cv",
+        dist_fn=sq,
     )
-    q = assign_cells(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("qv"),
-        ),
-        cents,
-        "qv",
-        out_col="__unused__",
-    ).drop("__unused__")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
     # n_probe nearest cells per query, exploded to (query, cell) probe rows
     qvec = F.col("qv")
     cent_arr = F.array(*[F.array(*[F.lit(x) for x in c_]) for c_ in cents])
-    dists = F.transform(cent_arr, lambda ce: _sq_dist(qvec, ce))
+    dists = F.transform(cent_arr, lambda ce: sq(qvec, ce))
     ranked = F.slice(
         F.array_sort(
             F.zip_with(
@@ -237,10 +335,14 @@ def ivf_topk(
     probes = q.withColumn(
         "cell", F.explode(F.transform(ranked, lambda s: s["cell"]))
     ).select("query_id", "qv", F.col("cell").cast("int"))
-    joined = c.join(F.broadcast(probes), "cell").filter(
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    joined = c.join(probes, "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    cos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    dot = _dot_decimal if exact else _dot
+    norm = (lambda v: F.sqrt(_dot_decimal(v, v))) if exact else _norm
+    cos = dot(F.col("cv"), F.col("qv")) / (norm(F.col("cv")) * norm(F.col("qv")))
     scored = joined.select(
         "query_id", "neighbor_id", trunc_digits(cos, 6).alias("cosine")
     )

@@ -62,6 +62,25 @@ def test_minhash_dedup_removes_cluster(spark, docs):
     assert 1 in ids and 4 not in ids
 
 
+def test_minhash_dedup_converges_on_long_chain(spark):
+    # A 5-doc near-dup chain laid out so the min id (0) sits 4 hops from
+    # id 1: a fixed-round propagation (< 4 rounds) leaves node 1 believing
+    # it is its own cluster root (a false keeper); fixpoint iteration must
+    # collapse the whole chain to the single keeper 0.
+    # Texts: 38-word windows sliding by 3 words — adjacent jaccard ≈ 0.846
+    # (kept at threshold 0.8), distance-2 ≈ 0.714 (dropped), so the edge
+    # set is exactly the chain.
+    words = [f"tok{i:03d}" for i in range(60)]
+    chain_ids = [1, 2, 3, 4, 0]
+    rows = [
+        (doc_id, " ".join(words[pos * 3: pos * 3 + 38]))
+        for pos, doc_id in enumerate(chain_ids)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.minhash_dedup(df, "doc_id", "text", threshold=0.8)
+    assert {r["doc_id"] for r in out.collect()} == {0}
+
+
 def test_simhash_exact_dups_have_zero_hamming(spark, docs):
     pairs = dedup.simhash_pairs(docs.filter(F.col("text") != ""), max_hamming=3).collect()
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}

@@ -104,10 +104,20 @@ def test_ivf_candidate_join_is_equi_join_on_cell(spark):
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 3)
-    plan = plan_of(similarity.ivf_topk(emb, q, k=3, n_centroids=4, n_probe=2))
-    # the probe join must be a hash join on cell, not a nested-loop scan
+    plan = plan_of(
+        similarity.ivf_topk(
+            emb, q, k=3, n_centroids=4, n_probe=2, broadcast_queries=True
+        )
+    )
+    # with a provably-small probe set the join is a broadcast hash join on
+    # cell, not a nested-loop scan
     assert "BroadcastHashJoin" in plan and "cell" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the default (AQE-decided) path must still be an equi-join on cell —
+    # never a nested loop
+    default_plan = plan_of(similarity.ivf_topk(emb, q, k=3, n_centroids=4, n_probe=2))
+    assert "cell" in default_plan
+    assert "BroadcastNestedLoopJoin" not in default_plan
 
 
 def test_ordered_renumber_has_no_global_window(spark):
