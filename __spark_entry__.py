@@ -288,7 +288,12 @@ def o2_dedup_keep_last(spark, sf_dir):
         lineage_cache=False,
     )
     out = ph.run(li)
-    return out.select("l_orderkey", "l_partkey", "l_linenumber")
+    # Phase.run returns the full marker-carrying frame; user-visible rows
+    # are the non-dropped ones (the Pipeline applies this same filter at
+    # its checkpoint)
+    return out.filter(~F.col("__phaser_drop__")).select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
 
 
 def o3_duplicate_keys(spark, sf_dir):
@@ -308,7 +313,11 @@ def p4_filter_rows(spark, sf_dir):
         context=Context(spark=spark),
         lineage_cache=False,
     )
-    return ph.run(li).select("l_orderkey", "l_linenumber", "l_quantity")
+    return (
+        ph.run(li)
+        .filter(~F.col("__phaser_drop__"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
 
 
 def p1_column_casts(spark, sf_dir):
@@ -452,6 +461,58 @@ def u5_lookup_enrichment(spark, sf_dir):
     return ph.run(cust).select("c_custkey", "nation_name")
 
 
+def j3_pipe_segment_peers(spark, sf_dir):
+    """Cross-phase piping end-to-end (J3, S7, S10): a REAL two-phase
+    Pipeline.run() — phase 1 accumulates a per-segment count into an
+    ExtraMapping output (distributed delta-sum, steps.py::
+    extract_extra_output_deltas), the pipeline saves it and feeds it to
+    phase 2 as an extra source, whose row_step derives peers = count − 1.
+    The reference's families.py sibling-count idiom
+    (tests/pipelines/families.py; docs 'Piping data between phases'),
+    hash-checked against a DuckDB CTE over the same parquet."""
+    import shutil
+    import tempfile
+
+    from phaser_spark import ExtraMapping, Phase, Pipeline, row_step
+
+    @row_step(extra_outputs=["segment_counts"])
+    def count_segment(row, segment_counts):
+        segment_counts[row["c_mktsegment"]] += 1
+        return row
+
+    @row_step(extra_sources=["segment_counts"], output_schema="segment_peers long")
+    def add_peers(row, segment_counts):
+        row["segment_peers"] = int(segment_counts[row["c_mktsegment"]]) - 1
+        return row
+
+    class CountPhase(Phase):
+        name = "CountPhase"
+        steps = [count_segment]
+        extra_outputs = [ExtraMapping("segment_counts", {})]
+
+    class EnrichPhase(Phase):
+        name = "EnrichPhase"
+        steps = [add_peers]
+        extra_sources = ["segment_counts"]
+
+    wd = tempfile.mkdtemp(prefix="phaser_j3_")
+    try:
+        pipe = Pipeline(
+            working_dir=wd,
+            source=f"{sf_dir}/customer.parquet",
+            phases=[CountPhase, EnrichPhase],
+            spark=spark,
+        )
+        out = pipe.run()
+        result = out.select("c_custkey", "c_mktsegment", "segment_peers")
+        # materialize before the working dir disappears (the checkpoint
+        # backing `out` lives under wd)
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
 def d1_table_diff(spark, sf_dir):
     """Checkpoint differ parity (D1): full-outer join on the lineage index,
     row classified added/removed/changed/unchanged
@@ -480,9 +541,16 @@ def d1_table_diff(spark, sf_dir):
 def dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs via random-hyperplane LSH bucketing
     with exact in-bucket verification (scale path; recall on planted dups
-    covered in tests/test_ops.py)."""
+    covered in tests/test_ops.py).
+
+    Deterministic md5-derived planes + decimal dots so the oracle mirrors
+    the BUCKETED computation itself (not an all-pairs proxy) and the
+    threshold can sit where real pairs exist — a non-vacuous hash check."""
     emb = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.95)
+    return dedup.embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3,
+        planes_matrix=similarity.deterministic_planes(8, 64), exact=True,
+    )
 
 
 def o5_distinct_counts(spark, sf_dir):
@@ -1004,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_row_step_derive": u1_row_step_derive,
         "u2_batch_step": u2_batch_step,
         "u5_lookup_enrichment": u5_lookup_enrichment,
+        "j3_pipe_segment_peers": j3_pipe_segment_peers,
         "s1_csv_roundtrip": s1_csv_roundtrip,
         "d1_table_diff": d1_table_diff,
         "dedup_embedding": dedup_embedding,
@@ -1309,6 +1378,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, n_name AS nation_name
             FROM customer JOIN nation ON c_nationkey = n_nationkey
         """,
+        "j3_pipe_segment_peers": """
+            WITH counts AS (
+                SELECT c_mktsegment, COUNT(*) AS cnt
+                FROM customer GROUP BY c_mktsegment
+            )
+            SELECT c_custkey, c_mktsegment,
+                   CAST(cnt - 1 AS BIGINT) AS segment_peers
+            FROM customer JOIN counts USING (c_mktsegment)
+        """,
         "d1_table_diff": """
             WITH f1 AS (
                 SELECT row_number() OVER () AS rn, o_orderkey, o_totalprice, o_orderstatus
@@ -1333,12 +1411,38 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unchanged' END AS status
             FROM f1 FULL OUTER JOIN f2 ON f1.rn = f2.rn
         """,
+        # Mirrors the BUCKETED computation (same md5-derived planes as the
+        # Spark side, similarity.deterministic_planes(8, 64)) — candidates
+        # only meet inside a bucket, then decimal-exact cosine + threshold.
         "dedup_embedding": """
-            WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
-            b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),
-            pairs AS (
-                SELECT id_a, id_b, unnest(va) AS x, unnest(vb) AS y
-                FROM a, b WHERE id_a < id_b
+            WITH planes AS (
+                SELECT p, i,
+                       CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 1000 - 500 AS comp
+                FROM generate_series(0, 7) AS gp(p), generate_series(0, 63) AS gi(i)
+            ), dims AS (
+                SELECT vec_id, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) - 1 AS i
+                FROM embeddings
+            ), proj AS (
+                SELECT d.vec_id, pl.p,
+                       SUM(CAST(CAST(d.x AS DOUBLE) * pl.comp AS DECIMAL(28,12))) AS s
+                FROM dims d JOIN planes pl ON d.i = pl.i
+                GROUP BY d.vec_id, pl.p
+            ), sigs AS (
+                SELECT vec_id,
+                       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+                FROM proj GROUP BY vec_id
+            ), cand AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM sigs a JOIN sigs b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ), pairs AS (
+                SELECT cand.id_a, cand.id_b,
+                       unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+                FROM cand
+                JOIN embeddings ea ON ea.vec_id = cand.id_a
+                JOIN embeddings eb ON eb.vec_id = cand.id_b
             ), agg AS (
                 SELECT id_a, id_b,
                        SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS dot,
@@ -1349,7 +1453,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000) / 1000000 AS cosine
             FROM agg
-            WHERE floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000) / 1000000 >= 0.95
+            WHERE floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000) / 1000000 >= 0.3
         """,
         "streaming_session_window": """
             WITH g AS (

@@ -45,30 +45,49 @@ def _data_columns(df: DataFrame) -> list[str]:
     return [c for c in df.columns if c not in INTERNAL_COLS and c != PHASER_ROW_NUM]
 
 
+def _defer_drop_count(context, step_name: str, message_fmt: str, fallback_df, fallback_pred):
+    """Register a summarized drop-count event that resolves CHEAPLY.
+
+    Preferred path: count rows tagged ``DROP_STEP_COL == step_name`` in the
+    phase's materialized checkpoint (set by Pipeline.run_phase) — a pruned
+    single-column parquet scan with a pushed filter, never a re-execution
+    of the pre-filter plan.  Standalone ``Phase.run`` callers (no pipeline
+    checkpoint) fall back to counting ``fallback_pred`` over the step's
+    input plan, the old behavior."""
+    from .constants import DROP_STEP_COL
+
+    phase = context.current_phase
+
+    def _count(ctx=context, phase=phase, name=step_name):
+        ckpt = getattr(ctx, "phase_checkpoints", {}).get(phase)
+        if ckpt is not None and DROP_STEP_COL in ckpt.columns:
+            dropped = ckpt.filter(F.col(DROP_STEP_COL) == name).count()
+        else:
+            dropped = fallback_df.filter(fallback_pred).count()
+        if dropped:
+            ctx.add_dropped_row(name, None, message_fmt.format(n=dropped), phase=phase)
+
+    context.add_deferred_event(_count)
+
+
 def filter_rows(func: Callable | SparkCol, name: str = "filter_rows"):
     """Keep rows where the predicate holds (phaser/builtin_steps.py:110-138).
 
     ``func`` may be a Spark Column predicate (fast path, stays in codegen)
-    or a Python ``f(row_dict) -> bool`` (Arrow-batched fallback).  Emits a
-    single summarized DROPPED_ROW event with the dropped count — computed
-    lazily from a count aggregate, not per-row driver traffic.
+    or a Python ``f(row_dict) -> bool`` (Arrow-batched fallback).  Filtered
+    rows are MARKED dropped (``DROP_COL`` + a ``DROP_STEP_COL`` tag) rather
+    than removed — the pipeline strips them from visible output at the
+    checkpoint, and the summarized DROPPED_ROW count is then read back from
+    the checkpoint itself instead of re-scanning the pre-filter input.
     """
 
     @batch_step(internal=True)
     def _filter_rows(df: DataFrame, context=None) -> DataFrame:
-        from .constants import DROP_COL
+        from .constants import DROP_COL, DROP_STEP_COL
 
         if isinstance(func, SparkCol):
-            pred = F.col(DROP_COL) | func
+            newly = (~F.col(DROP_COL)) & ~F.coalesce(func, F.lit(False))
         else:
-            from pyspark.sql.functions import pandas_udf
-
-            @pandas_udf(T.BooleanType())
-            def _pred_udf(s):  # pragma: no cover - executor side
-                import pandas as pd
-
-                return pd.Series([bool(func(r)) for r in s])
-
             # the python predicate sees a plain dict of the data columns
             data_cols = _data_columns(df) + [PHASER_ROW_NUM]
 
@@ -84,36 +103,24 @@ def filter_rows(func: Callable | SparkCol, name: str = "filter_rows"):
             schema = T.StructType(
                 list(df.schema.fields) + [T.StructField("__phaser_keep__", T.BooleanType())]
             )
-            marked = df.mapInPandas(gen, schema=schema)
-            kept = marked.filter(F.col("__phaser_keep__")).drop("__phaser_keep__")
-            if context is not None:
-                phase = context.current_phase
+            df = df.mapInPandas(gen, schema=schema)
+            newly = ~F.col("__phaser_keep__")
 
-                def _count_udf_drops(marked=marked, name=name, phase=phase, ctx=context):
-                    dropped = marked.filter(~F.col("__phaser_keep__")).count()
-                    if dropped:
-                        ctx.add_dropped_row(
-                            name, None, f"{dropped} rows dropped by filter_rows", phase=phase
-                        )
-
-                # summarized count needs its own job — defer it to event-read
-                # time so the query plan itself stays single-pass
-                context.add_deferred_event(_count_udf_drops)
-            return kept
-
-        kept = df.filter(pred)
+        out = (
+            df.withColumn(
+                DROP_STEP_COL,
+                F.when(newly, F.lit(name)).otherwise(F.col(DROP_STEP_COL)),
+            )
+            .withColumn(DROP_COL, F.col(DROP_COL) | newly)
+        )
+        if "__phaser_keep__" in out.columns:
+            out = out.drop("__phaser_keep__")
         if context is not None:
-            phase = context.current_phase
-
-            def _count_drops(df=df, pred=pred, name=name, phase=phase, ctx=context):
-                dropped = df.filter(~F.coalesce(pred, F.lit(False))).count()
-                if dropped:
-                    ctx.add_dropped_row(
-                        name, None, f"{dropped} rows dropped by filter_rows", phase=phase
-                    )
-
-            context.add_deferred_event(_count_drops)
-        return kept
+            _defer_drop_count(
+                context, name, "{n} rows dropped by filter_rows", out,
+                F.col(DROP_STEP_COL) == name,
+            )
+        return out
 
     _filter_rows.__name__ = name
     return _filter_rows
@@ -141,38 +148,33 @@ def drop_duplicate_rows(columns=None):
 
     @batch_step(internal=True)
     def _drop_duplicate_rows(df: DataFrame, context=None) -> DataFrame:
-        from .constants import DROP_COL
+        from .constants import DROP_COL, DROP_STEP_COL
 
         key = cols or _data_columns(df)
-        # dropped-marker rows sit out of the dedup and pass through
-        w = Window.partitionBy(*key).orderBy(F.col(PHASER_ROW_NUM).desc())
-        live = df.filter(~F.col(DROP_COL))
+        # one window over ALL rows: already-dropped markers sort after live
+        # rows, so the keeper (live row with the highest row number) is
+        # rank 1 and markers are never re-tagged — single shuffle, no
+        # filter/union split of the input
+        w = Window.partitionBy(*key).orderBy(
+            F.col(DROP_COL).asc(), F.col(PHASER_ROW_NUM).desc()
+        )
+        rn = F.row_number().over(w)
+        newly = (~F.col(DROP_COL)) & (rn > 1)
         out = (
-            live.withColumn("__phaser_dd_rn__", F.row_number().over(w))
-            .filter(F.col("__phaser_dd_rn__") == 1)
-            .drop("__phaser_dd_rn__")
-            .unionByName(df.filter(F.col(DROP_COL)))
+            df.withColumn("__phaser_dd_new__", newly)
+            .withColumn(
+                DROP_STEP_COL,
+                F.when(F.col("__phaser_dd_new__"), F.lit("drop_duplicate_rows"))
+                .otherwise(F.col(DROP_STEP_COL)),
+            )
+            .withColumn(DROP_COL, F.col(DROP_COL) | F.col("__phaser_dd_new__"))
+            .drop("__phaser_dd_new__")
         )
         if context is not None:
-            phase = context.current_phase
-
-            def _count_dups(live=live, key=key, phase=phase, ctx=context):
-                # one aggregate job: Σ per-key (n-1) = duplicates dropped
-                dropped = (
-                    live.groupBy(*[F.col(f"`{k}`") for k in key])
-                    .agg((F.count(F.lit(1)) - 1).alias("d"))
-                    .agg(F.sum("d").alias("s"))
-                    .first()["s"]
-                ) or 0
-                if dropped:
-                    ctx.add_dropped_row(
-                        "drop_duplicate_rows",
-                        None,
-                        f"{dropped} duplicate rows dropped",
-                        phase=phase,
-                    )
-
-            context.add_deferred_event(_count_dups)
+            _defer_drop_count(
+                context, "drop_duplicate_rows", "{n} duplicate rows dropped",
+                out, F.col(DROP_STEP_COL) == "drop_duplicate_rows",
+            )
         return out
 
     return _drop_duplicate_rows

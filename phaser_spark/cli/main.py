@@ -142,7 +142,28 @@ def cmd_describe(argv: list[str]) -> int:
     return 0
 
 
-COMMANDS = {"run": cmd_run, "diff": cmd_diff, "describe": cmd_describe}
+def cmd_debug(argv: list[str]) -> int:
+    """Surface parity with the reference's declared-but-unimplemented
+    debug command (phaser/cli/commands/debug.py:1-8: "Helpful tools for
+    debugging a pipeline (that are not yet implemented)"); exits 0 like
+    the reference's empty Command."""
+    parser = argparse.ArgumentParser(
+        prog="phaser_spark debug",
+        description="Pipeline debugging tools (not yet implemented — "
+        "matching the reference CLI surface)",
+    )
+    parser.add_argument("pipeline", nargs="?")
+    parser.parse_args(argv)
+    print("debug: not yet implemented (reference parity stub)")
+    return 0
+
+
+COMMANDS = {
+    "run": cmd_run,
+    "diff": cmd_diff,
+    "describe": cmd_describe,
+    "debug": cmd_debug,
+}
 
 
 def main(argv: list[str] | None = None) -> int:

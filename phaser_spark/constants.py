@@ -42,8 +42,13 @@ ERROR_COL = "__phaser_error__"
 WARNING_COL = "__phaser_warnings__"
 # Drop marker set by DropRowException / drop_row policy resolution.
 DROP_COL = "__phaser_drop__"
+# Name of the builtin step that dropped the row (filter_rows /
+# drop_duplicate_rows): lets summarized drop counts be read back from the
+# materialized phase checkpoint (a pruned metadata-cheap column scan)
+# instead of re-executing the pre-filter plan.
+DROP_STEP_COL = "__phaser_drop_step__"
 
-INTERNAL_COLS = (ERROR_COL, WARNING_COL, DROP_COL)
+INTERNAL_COLS = (ERROR_COL, WARNING_COL, DROP_COL, DROP_STEP_COL)
 
 # Event types recorded in the events table
 # (reference: phaser/context.py:40-76 — ERROR / WARNING / DROPPED_ROW).

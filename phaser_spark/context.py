@@ -64,6 +64,10 @@ class Context:
         self._deferred_resolvers: list = []
         # row-level event DataFrames extracted at phase checkpoints
         self.event_dfs: list[DataFrame] = []
+        # materialized phase checkpoints (set by Pipeline.run_phase):
+        # deferred drop-count resolvers read these instead of re-executing
+        # the pre-filter plan
+        self.phase_checkpoints: dict[str, DataFrame] = {}
         # named side datasets (reference "rwos", phaser/context.py:28-33)
         self.rwos: dict[str, SavableObject] = {}
 

@@ -29,15 +29,62 @@ _LOCAL = "__phaser_local__"
 _MID_LOCAL_MASK = (1 << 33) - 1
 
 
-def with_row_numbers(df: DataFrame, start: int = 1, cache: bool = True) -> DataFrame:
+def _is_deterministic_narrow_plan(df: DataFrame) -> bool:
+    """True when the optimized plan is a pure deterministic scan — file
+    relation / local relation / range plus narrow projections and filters.
+    Such a plan yields the same (partition, row) layout on every execution,
+    so the two passes of the numbering trick (count job + final job) agree
+    WITHOUT pinning the input.  Anything that shuffles, samples, or calls a
+    nondeterministic expression is conservatively reported unsafe."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    # NOTE what is deliberately NOT unsafe here:
+    #  * Sort — a range exchange over a deterministic input is itself
+    #    deterministic at the partition level: boundary sampling is seeded
+    #    per partition index, and equal keys land in the same range
+    #    partition, so the count job and the numbering job see identical
+    #    per-partition row sets even when tie order varies.
+    #  * broadcast-hinted Join — the stream side never shuffles, so its
+    #    row layout is exactly the (recursively checked) input's; this is
+    #    what lets a renumber() run on top of an earlier numbering's
+    #    offset join without re-pinning.
+    #  * monotonically_increasing_id — deterministic exactly when the
+    #    partition layout is, which is what the rest of this check
+    #    establishes (it is the numbering trick's own premise).
+    unsafe = (
+        "Repartition", "RebalancePartitions", "Aggregate",
+        "Window", "Sample", "Deduplicate", "Limit", "Expand", "Generate",
+        "rand(", "randn(", "uuid(", "shuffle(",
+        "spark_partition_id", "input_file",
+    )
+    if any(tok in plan for tok in unsafe):
+        return False
+    for line in plan.splitlines():
+        if "Join" in line and "strategy=broadcast" not in line:
+            # a shuffled (sort-merge / shuffled-hash) join loses in-partition
+            # arrival order across executions
+            return False
+    return "Relation" in plan or "Range" in plan or "LogicalRDD" in plan
+
+
+def with_row_numbers(df: DataFrame, start: int = 1, cache: bool | None = None) -> DataFrame:
     """Attach ``__phaser_row_num__`` in current partition/row order.
 
-    ``cache=True`` pins the input so the per-partition counts and the final
-    numbering observe the same partitioning (file scans are deterministic,
-    but e.g. a post-shuffle input may not be).
+    ``cache`` pins the input so the per-partition counts and the final
+    numbering observe the same partitioning.  The default (``None``)
+    decides automatically: a deterministic pure-scan plan is NOT pinned —
+    file scans repeat identically and a ``.cache()`` of a 100 TB input is
+    itself a scale-killer (storage pressure, eviction nondeterminism) —
+    while any shuffled/sampled input is.  Pass ``True``/``False`` to
+    force (e.g. ``False`` for a post-shuffle plan you know you will only
+    materialize once and whose order you don't rely on).
     """
     if PHASER_ROW_NUM in df.columns:
         return df
+    if cache is None:
+        cache = not _is_deterministic_narrow_plan(df)
     if cache:
         df = df.cache()
     mid = F.monotonically_increasing_id()
@@ -156,8 +203,12 @@ def renumber(df: DataFrame, order_by=None, start: int = 1) -> DataFrame:
     follow current partition order (zero-shuffle path)."""
     if order_by is not None:
         order = [order_by] if not isinstance(order_by, (list, tuple)) else list(order_by)
+        # cache is decided automatically (see with_row_numbers): a sort
+        # over a deterministic scan re-executes for the second pass rather
+        # than pinning a full sorted copy — at 100 TB a re-sort streams,
+        # while a pinned copy is storage pressure
         return with_row_numbers(
-            df.drop(PHASER_ROW_NUM).orderBy(*order), start=start, cache=True
+            df.drop(PHASER_ROW_NUM).orderBy(*order), start=start
         )
     return with_row_numbers(df.drop(PHASER_ROW_NUM), start=start)
 

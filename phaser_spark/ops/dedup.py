@@ -486,10 +486,18 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     planes: int = 12,
+    planes_matrix: list[list[float]] | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Cosine near-dup pairs via random-hyperplane LSH bucketing with
-    exact verification inside buckets.  Deterministic hyperplanes from
-    seeded hashes of the dimension index.  Returns (id_a, id_b, cosine)."""
+    exact verification inside buckets.  Returns (id_a, id_b, cosine).
+
+    Default planes come from seeded per-dimension hashes (Spark-native);
+    pass ``planes_matrix`` (e.g. ``similarity.deterministic_planes``) for
+    hyperplanes reproducible in an external SQL oracle, and ``exact`` for
+    decimal-accumulated dots (bit-identical cosines across engines)."""
+    from .similarity import _dot_decimal
+
     dim_hash = lambda seed: F.transform(  # noqa: E731
         F.sequence(F.lit(0), F.size(F.col("v")) - 1),
         lambda i: (F.pmod(F.xxhash64(i, F.lit(seed)), F.lit(1000)).cast("double") - 499.5),
@@ -497,11 +505,17 @@ def embedding_dup_pairs(
     base = spread_for_compute(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    dot = _dot_decimal if exact else _dot
+    norm = (lambda a: F.sqrt(_dot_decimal(a, a))) if exact else _norm
     sig = base
     bits = []
-    for p in range(planes):
-        bit = (_dot(F.col("v"), dim_hash(p + 7)) > 0).cast("int")
-        bits.append(bit)
+    if planes_matrix is not None:
+        for comps in planes_matrix:
+            plane = F.array(*[F.lit(c) for c in comps])
+            bits.append((dot(F.col("v"), plane) > 0).cast("int"))
+    else:
+        for p in range(planes):
+            bits.append((_dot(F.col("v"), dim_hash(p + 7)) > 0).cast("int"))
     bucket = F.lit(0)
     for i, b in enumerate(bits):
         bucket = bucket + F.shiftleft(b.cast("long"), i)
@@ -519,7 +533,7 @@ def embedding_dup_pairs(
             F.col("y.v").alias("vb"),
         )
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))
     return cand.select("id_a", "id_b", trunc_digits(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )

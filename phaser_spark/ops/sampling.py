@@ -32,29 +32,42 @@ def split_by_hash(
     key_col: str,
     fractions: dict[str, float],
     split_col: str = "split",
+    remainder: str | None = None,
 ) -> DataFrame:
     """Assign each row to a named split by hash of ``key_col``.
 
-    ``fractions`` maps split name → fraction (must sum to ≤ 1; any
-    remainder becomes the LAST declared split's overflow guard).  Pure
-    projection — no shuffle, no sampling state, safe at any scale, and
-    adding rows later never reassigns existing ones.
+    ``fractions`` maps split name → fraction.  The fractions must sum to
+    ~1.0 unless ``remainder`` names an extra split that absorbs the
+    leftover mass — silently dumping an unnamed remainder into the last
+    declared split (so ``{'train': 0.5}`` labels 100% 'train') is exactly
+    the surprise this signature forbids.  Bucket boundaries are *rounded*,
+    not truncated, so a fraction like 1/3 lands within half a bucket
+    (5e-5) of its stated mass.  Pure projection — no shuffle, no sampling
+    state, safe at any scale, and adding rows later never reassigns
+    existing ones.
     """
     total = sum(fractions.values())
-    if not 0 < total <= 1.0 + 1e-9:
-        raise ValueError(f"fractions must sum to (0, 1], got {total}")
+    if remainder is None and abs(total - 1.0) > 1e-6:
+        raise ValueError(
+            f"fractions must sum to 1.0 (got {total}); pass remainder="
+            "'<name>' to route the leftover mass to an explicit split"
+        )
+    if remainder is not None and total > 1.0 + 1e-9:
+        raise ValueError(f"fractions with a remainder split must sum to <= 1, got {total}")
     b = hash_bucket(F.col(key_col))
     expr = None
     lo = 0.0
     for name, frac in fractions.items():
         hi = lo + frac
-        cond = (b >= int(lo * _BUCKETS)) & (b < int(hi * _BUCKETS))
+        cond = (b >= round(lo * _BUCKETS)) & (b < round(hi * _BUCKETS))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
-    expr = expr.otherwise(list(fractions)[-1])
+    # rows past the last rounded boundary: rounding slack for ~1.0 totals,
+    # or the explicit remainder split
+    expr = expr.otherwise(remainder if remainder is not None else list(fractions)[-1])
     return df.withColumn(split_col, expr)
 
 
 def sample_by_hash(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     """Deterministic ``fraction`` sample: the same rows every run."""
-    return df.filter(hash_bucket(F.col(key_col)) < int(fraction * _BUCKETS))
+    return df.filter(hash_bucket(F.col(key_col)) < round(fraction * _BUCKETS))

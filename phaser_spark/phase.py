@@ -31,6 +31,7 @@ from pyspark.sql import types as T
 from .column import Column, make_strict_name
 from .constants import (
     DROP_COL,
+    DROP_STEP_COL,
     ERROR_COL,
     EVENT_DROPPED_ROW,
     EVENT_ERROR,
@@ -112,7 +113,7 @@ class Phase:
         extra_sources: list | None = None,
         extra_outputs: list | None = None,
         error_policy: str | None = None,
-        lineage_cache: bool = True,
+        lineage_cache: bool | None = None,
     ):
         self.name = name or type(self).__name__
         self.steps = list(steps if steps is not None else type(self).steps)
@@ -127,9 +128,10 @@ class Phase:
             extra_outputs if extra_outputs is not None else type(self).extra_outputs
         )
         self.error_policy = error_policy or type(self).error_policy
-        # lineage_cache=False skips pinning the input for row numbering —
-        # safe when the source is a deterministic file scan (two passes see
-        # identical partitioning); required True after a shuffle
+        # lineage_cache: None (default) = decide automatically — pin the
+        # input for row numbering only when the plan is NOT a deterministic
+        # scan (see lineage._is_deterministic_narrow_plan); a .cache() of a
+        # 100 TB file source is itself a scale problem.  True/False force.
         self.lineage_cache = lineage_cache
         for c in self.columns:
             if not isinstance(c, Column):
@@ -238,6 +240,8 @@ class Phase:
             )
         if DROP_COL not in df.columns:
             df = df.withColumn(DROP_COL, F.lit(False))
+        if DROP_STEP_COL not in df.columns:
+            df = df.withColumn(DROP_STEP_COL, F.lit(None).cast("string"))
         return df
 
     # -- column stage: one projection for every declared column ----------
@@ -384,7 +388,9 @@ class Phase:
             # Engine builtins (internal=True) receive the full DataFrame and
             # preserve lineage/quarantine columns themselves — no realign.
             is_internal = getattr(step, "__phaser_internal__", False)
-            state = df.select(PHASER_ROW_NUM, ERROR_COL, WARNING_COL, DROP_COL)
+            state = df.select(
+                PHASER_ROW_NUM, ERROR_COL, WARNING_COL, DROP_COL, DROP_STEP_COL
+            )
             visible = (
                 df if is_internal else df.filter(~F.col(DROP_COL)).drop(*INTERNAL_COLS)
             )

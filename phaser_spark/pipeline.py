@@ -206,13 +206,23 @@ class Pipeline:
 
         events = extract_events(out, ph.name)
         self.context.add_event_df(events)
+        # deferred drop counts resolve against this materialized checkpoint
+        # (pruned column scan) rather than re-executing the phase plan
+        self.context.phase_checkpoints[ph.name] = out
 
         visible = out.filter(~F.col(DROP_COL)).drop(*INTERNAL_COLS)
         if self.working_dir:
             user_path = os.path.join(
                 self.working_dir, f"{ph.name}_output.{self.save_format}"
             )
-            save_any(visible, user_path, self.save_format)
+            # the compute-fanout repartition (spread_for_compute) leaves the
+            # checkpoint in shuffle order; the user-visible file contract is
+            # ingest order (reference behavior), so sort by the lineage
+            # column at write time — cheap relative to the write itself
+            saved = visible
+            if PHASER_ROW_NUM in saved.columns:
+                saved = saved.sort(PHASER_ROW_NUM)
+            save_any(saved, user_path, self.save_format)
             self.checkpoints[ph.name] = user_path
         self.save_extra_outputs()
         self.report_errors_and_warnings()
@@ -236,43 +246,121 @@ class Pipeline:
         output_path: str,
         checkpoint_dir: str | None = None,
         available_now: bool = True,
+        events_path: str | None = None,
     ):
         """Run the SAME declarative phase pipeline over a streaming source.
 
         Each micro-batch flows through every phase via ``foreachBatch`` —
         column contracts, error policies, steps, and quarantine behave
-        exactly as in batch mode; surviving rows append to ``output_path``
-        (parquet).  Row numbers stay globally consistent across batches:
-        batch N+1 continues from batch N's max (the reference's max+1 rule
-        for new rows, phaser/records.py:60-92).
+        exactly as in batch mode; surviving rows land in ``output_path``
+        (parquet, partitioned by ``__phaser_batch_id__``).  Row numbers
+        stay globally consistent across batches: batch N+1 continues from
+        batch N's max (the reference's max+1 rule for new rows,
+        phaser/records.py:60-92).
 
-        Scale notes: state lives in the stream checkpoint + the output
-        table, never on the driver; per-batch phase plans are the same
-        single-projection chains as batch mode.  ``available_now=True``
-        drains existing input then stops (batch-parity mode, used by
-        tests); pass ``False`` for a continuously running query.
+        Exactly-once output: each batch OVERWRITES its own
+        ``__phaser_batch_id__`` partition (dynamic partition overwrite), so
+        a micro-batch retry or a restart-from-checkpoint replay replaces
+        its previous attempt instead of appending duplicates; the batch's
+        numbering start is derived from the max row number over *earlier*
+        batch partitions in the output table itself (never from driver
+        memory, which a restart would reset).
+
+        Driver memory is bounded for continuous runs: per-batch caches are
+        unpersisted after the write, deferred drop-count events are
+        resolved while the batch is still cached, and — when
+        ``events_path`` is given — row-level and driver events flush to a
+        parquet events table per batch instead of accumulating on the
+        driver.  Without ``events_path``, row-level events are retained on
+        the context only in ``available_now`` (drain) mode, where the
+        stream is finite by construction.
+
+        ``available_now=True`` drains existing input then stops
+        (batch-parity mode, used by tests); pass ``False`` for a
+        continuously running query.
         """
         from pyspark.sql import functions as SF
 
-        counter = {"next_start": 1}
+        BATCH_COL = "__phaser_batch_id__"
+        state: dict = {"next_start": None, "last_batch": None}
+
+        def start_for(batch_id: int) -> int:
+            """max+1 over batches strictly before this one, read from the
+            output table — correct after restart AND after a same-batch
+            retry (whose own partial output must not shift numbering)."""
+            try:
+                existing = self.spark.read.parquet(output_path)
+            except Exception:
+                return 1
+            if BATCH_COL not in existing.columns or PHASER_ROW_NUM not in existing.columns:
+                return 1
+            hi = (
+                existing.filter(F.col(BATCH_COL) < batch_id)
+                .agg(SF.max(PHASER_ROW_NUM))
+                .first()[0]
+            )
+            return int(hi) + 1 if hi is not None else 1
+
+        def write_partition(df: DataFrame, path: str, batch_id: int) -> None:
+            (
+                df.withColumn(BATCH_COL, SF.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(BATCH_COL)
+                .parquet(path)
+            )
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
+            if (
+                state["next_start"] is None
+                or state["last_batch"] is None
+                or batch_id <= state["last_batch"]
+            ):
+                state["next_start"] = start_for(batch_id)
             numbered = with_row_numbers(
-                batch_df, start=counter["next_start"], cache=True
+                batch_df, start=state["next_start"], cache=True
             )
             df = numbered
+            caches: list[DataFrame] = []
+            event_dfs: list[DataFrame] = []
             for ph in self.phase_instances:
-                out = ph.run(df)
-                out = out.cache()
-                events = extract_events(out, ph.name)
-                self.context.add_event_df(events)
+                out = ph.run(df).cache()
+                caches.append(out)
+                event_dfs.append(extract_events(out, ph.name))
                 df = out.filter(~F.col(DROP_COL)).drop(*INTERNAL_COLS)
+            write_partition(df, output_path, batch_id)
             hi = df.agg(SF.max(PHASER_ROW_NUM)).first()[0]
             if hi is not None:
-                counter["next_start"] = max(counter["next_start"], hi + 1)
-            df.write.mode("append").parquet(output_path)
+                state["next_start"] = int(hi) + 1
+            state["last_batch"] = batch_id
+            # resolve deferred drop-count events NOW, while the phase
+            # caches backing them are still alive
+            self.context._resolve_deferred()
+            if events_path is not None:
+                ev = None
+                for e in event_dfs:
+                    ev = e if ev is None else ev.unionByName(e)
+                driver_ev = self.context._driver_events
+                if driver_ev:
+                    ev = ev.unionByName(
+                        self.spark.createDataFrame(driver_ev, ev.schema)
+                    )
+                    self.context._driver_events = []
+                write_partition(ev, events_path, batch_id)
+            elif available_now:
+                # finite drain: retain for batch-parity reporting.  Events
+                # must be materialized BEFORE the phase caches are released
+                # — their lineage reads this batch's DataFrame, which is
+                # only valid inside this foreachBatch call.
+                for e in event_dfs:
+                    pinned = e.cache()
+                    pinned.count()
+                    self.context.add_event_df(pinned)
+            for c in caches:
+                c.unpersist()
+            batch_df.unpersist()
 
         writer = stream_df.writeStream.foreachBatch(process)
         if checkpoint_dir:

@@ -20,7 +20,11 @@ from phaser_spark.lineage import with_row_numbers
 def run_steps(spark, steps, rows, header):
     df = spark.createDataFrame(rows, header)
     ph = Phase(name="T", steps=steps, context=Context(spark=spark))
-    return ph.run(df)
+    # user-visible phase output: dropped-marked rows stripped, exactly as
+    # the Pipeline does at its checkpoint
+    from phaser_spark.constants import DROP_COL
+
+    return ph.run(df).filter(~F.col(DROP_COL))
 
 
 def test_drop_duplicate_rows_keeps_last(spark):
@@ -73,7 +77,9 @@ def test_filter_rows_expression(spark):
     ctx = Context(spark=spark)
     ph = Phase(name="T", steps=[filter_rows(F.col("k") != "x")], context=ctx)
     out = ph.run(spark.createDataFrame([("x",), ("y",)], ["k"]))
-    assert [r["k"] for r in out.collect()] == ["y"]
+    from phaser_spark.constants import DROP_COL
+
+    assert [r["k"] for r in out.filter(~F.col(DROP_COL)).collect()] == ["y"]
     evs = [e for e in ctx.driver_events if e["type"] == "DROPPED_ROW"]
     assert len(evs) == 1 and "1 rows dropped" in evs[0]["message"]
 
@@ -82,7 +88,31 @@ def test_filter_rows_python_predicate(spark):
     ctx = Context(spark=spark)
     ph = Phase(name="T", steps=[filter_rows(lambda row: row["k"] == "y")], context=ctx)
     out = ph.run(spark.createDataFrame([("x",), ("y",)], ["k"]))
-    assert [r["k"] for r in out.collect()] == ["y"]
+    from phaser_spark.constants import DROP_COL
+
+    assert [r["k"] for r in out.filter(~F.col(DROP_COL)).collect()] == ["y"]
+
+
+def test_drop_count_resolves_from_checkpoint_not_rescan(spark):
+    # when the pipeline has materialized a checkpoint, the summarized drop
+    # count must come from it — the fallback (a re-execution of the step's
+    # input plan) is a None sentinel here and would raise if touched
+    from phaser_spark.builtin_steps import _defer_drop_count
+    from phaser_spark.constants import DROP_STEP_COL
+
+    ctx = Context(spark=spark)
+    ctx.current_phase = "P"
+    ckpt = spark.createDataFrame(
+        [("a", "filter_rows"), ("b", None), ("c", "filter_rows")],
+        f"k string, {DROP_STEP_COL} string",
+    )
+    ctx.phase_checkpoints["P"] = ckpt
+    _defer_drop_count(
+        ctx, "filter_rows", "{n} rows dropped by filter_rows",
+        None, None,  # fallback sentinels: touching them would raise
+    )
+    evs = [e for e in ctx.driver_events if e["type"] == "DROPPED_ROW"]
+    assert len(evs) == 1 and "2 rows dropped" in evs[0]["message"]
 
 
 def test_flatten_column_deep(spark):

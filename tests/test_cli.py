@@ -55,3 +55,8 @@ def test_cli_run_and_diff_and_describe(workdir, capsys):
     assert rc == 0
     desc = capsys.readouterr().out
     assert "Clean" in desc and "filter_rows" in desc
+
+    # reference parity: debug is declared but unimplemented, exits 0
+    rc = main(["debug", "demo"])
+    assert rc == 0
+    assert "not yet implemented" in capsys.readouterr().out

@@ -62,6 +62,24 @@ def test_minhash_dedup_removes_cluster(spark, docs):
     assert 1 in ids and 4 not in ids
 
 
+def test_ngram_jaccard_hot_shingle_guard(spark):
+    # one shingle shared by all 30 docs: unguarded, it alone fans out to
+    # C(30,2)=435 candidate pairs (the quadratic hot-key blow-up); with
+    # max_shingle_df below its document frequency the shingle is dropped
+    # and no pairs survive — the guard bounds per-shingle cost at d²≤cap²
+    rows = [
+        (i, "the quick brown fox " + f"tail{i} alpha{i} beta{i} gamma{i}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    unguarded = dedup.ngram_jaccard_pairs(
+        df, threshold=0.01, max_shingle_df=None
+    ).count()
+    assert unguarded == 435  # every pair met through the hot shingles
+    guarded = dedup.ngram_jaccard_pairs(df, threshold=0.01, max_shingle_df=5).count()
+    assert guarded == 0
+
+
 def test_minhash_dedup_converges_on_long_chain(spark):
     # A 5-doc near-dup chain laid out so the min id (0) sits 4 hops from
     # id 1: a fixed-round propagation (< 4 rounds) leaves node 1 believing
@@ -257,6 +275,23 @@ def test_split_by_hash_deterministic_and_stable(spark):
     )
     g = dict((r.id, r.split) for r in grown.collect())
     assert all(g[k] == v for k, v in a.items())
+
+
+def test_split_by_hash_rejects_partial_fractions(spark):
+    # {'train': 0.5} used to silently label 100% of rows 'train' via the
+    # remainder fallthrough — now an error unless the remainder is named
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from phaser_spark.ops import sampling
+
+    df = spark.range(1000).toDF("id")
+    with _pytest.raises(ValueError, match="sum to 1.0"):
+        sampling.split_by_hash(df, "id", {"train": 0.5})
+    out = sampling.split_by_hash(df, "id", {"train": 0.5}, remainder="rest")
+    c = Counter(r.split for r in out.collect())
+    assert 400 < c["train"] < 600 and 400 < c["rest"] < 600
 
 
 def test_sample_by_hash_fraction(spark):

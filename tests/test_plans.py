@@ -120,6 +120,27 @@ def test_ivf_candidate_join_is_equi_join_on_cell(spark):
     assert "BroadcastNestedLoopJoin" not in default_plan
 
 
+def test_lineage_cache_skipped_for_deterministic_scans(spark):
+    # auto mode: numbering a pure file scan (and a sort over one) must NOT
+    # pin the input — a .cache() of a 100 TB source is a scale-killer; the
+    # two numbering passes re-read the deterministic scan instead
+    from phaser_spark.lineage import with_row_numbers
+
+    plain = plan_of(with_row_numbers(spark.read.parquet(f"{SF}/orders.parquet")))
+    assert "InMemoryRelation" not in plain and "InMemoryTableScan" not in plain
+    o1 = plan_of(entrymod.o1_sort_rank(spark, SF))
+    assert "InMemoryRelation" not in o1 and "InMemoryTableScan" not in o1
+    p1 = plan_of(entrymod.p1_column_casts(spark, SF))
+    assert "InMemoryRelation" not in p1 and "InMemoryTableScan" not in p1
+    # ...but a shuffled input (no longer deterministic) IS pinned
+    shuffled = plan_of(
+        with_row_numbers(
+            spark.read.parquet(f"{SF}/orders.parquet").repartition(8)
+        )
+    )
+    assert "InMemoryRelation" in shuffled or "InMemoryTableScan" in shuffled
+
+
 def test_ordered_renumber_has_no_global_window(spark):
     # scalable renumber: range-partitioned sort + broadcast offset join,
     # never a single-task global row_number window

@@ -38,3 +38,43 @@ def test_run_stream_matches_batch(spark, tmp_path):
     # row numbers unique and contiguous-per-batch (max+1 continuation)
     nums = sorted(r[PHASER_ROW_NUM] for r in got.collect())
     assert len(set(nums)) == 3 and nums[0] >= 1 and nums[-1] <= 5
+
+
+def test_run_stream_restart_continues_numbering(spark, tmp_path):
+    # restart-from-checkpoint with a FRESH Pipeline (driver state gone):
+    # the second run must derive its numbering start from the output table,
+    # not replay or duplicate the first run's rows
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir)
+
+    import glob
+    import shutil
+
+    def add_file(df, name):
+        stage = os.path.join(str(tmp_path), f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src_dir, f"{name}.parquet"))
+
+    class Clean(Phase):
+        name = "Clean"
+        columns = [FloatColumn("score")]
+
+    schema = "id long, score double"
+    out_dir = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    add_file(spark.createDataFrame([(1, 5.0), (2, 6.0)], schema), "b1")
+    pipe1 = Pipeline(phases=[Clean], spark=spark)
+    stream1 = spark.readStream.schema(spark.createDataFrame([], schema).schema).parquet(src_dir)
+    pipe1.run_stream(stream1, out_dir, checkpoint_dir=ckpt)
+
+    add_file(spark.createDataFrame([(3, 7.0), (4, 8.0)], schema), "b2")
+    pipe2 = Pipeline(phases=[Clean], spark=spark)  # fresh driver state
+    stream2 = spark.readStream.schema(spark.createDataFrame([], schema).schema).parquet(src_dir)
+    pipe2.run_stream(stream2, out_dir, checkpoint_dir=ckpt)
+
+    got = spark.read.parquet(out_dir).collect()
+    assert sorted(r.id for r in got) == [1, 2, 3, 4]  # no replay duplicates
+    nums = sorted(r[PHASER_ROW_NUM] for r in got)
+    assert nums == [1, 2, 3, 4]  # second run continued from max+1
