@@ -40,6 +40,42 @@ def test_run_stream_matches_batch(spark, tmp_path):
     assert len(set(nums)) == 3 and nums[0] >= 1 and nums[-1] <= 5
 
 
+def test_run_stream_flushes_events_to_events_path(spark, tmp_path):
+    # continuous-mode memory bound: with events_path given, row-level drop
+    # events land in a per-batch parquet table instead of accumulating on
+    # the driver context
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir)
+    import glob
+    import shutil
+
+    df1 = spark.createDataFrame([(1, 5.0), (2, 0.5), (3, 7.0)], "id long, score double")
+    stage = os.path.join(str(tmp_path), "stage")
+    df1.coalesce(1).write.parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(src_dir, "b1.parquet"))
+
+    class Clean(Phase):
+        name = "Clean"
+        columns = [FloatColumn("score")]
+        steps = [filter_rows(F.col("score") >= 1.0)]
+
+    out_dir = os.path.join(str(tmp_path), "out")
+    ev_dir = os.path.join(str(tmp_path), "events")
+    pipe = Pipeline(phases=[Clean], spark=spark)
+    stream = spark.readStream.schema(df1.schema).parquet(src_dir)
+    pipe.run_stream(
+        stream, out_dir,
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        events_path=ev_dir,
+    )
+    evs = spark.read.parquet(ev_dir)
+    msgs = [r.message for r in evs.collect()]
+    assert any("rows dropped by filter_rows" in m for m in msgs)
+    # nothing retained on the driver context in events_path mode
+    assert pipe.context.event_dfs == []
+
+
 def test_run_stream_restart_continues_numbering(spark, tmp_path):
     # restart-from-checkpoint with a FRESH Pipeline (driver state gone):
     # the second run must derive its numbering start from the output table,
