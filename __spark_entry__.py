@@ -40,7 +40,7 @@ from phaser_spark import (  # noqa: E402
 from phaser_spark.constants import PHASER_ROW_NUM  # noqa: E402
 from phaser_spark.context import Context  # noqa: E402
 from phaser_spark.lineage import renumber, spread_for_compute, with_row_numbers  # noqa: E402
-from phaser_spark.ops import dedup, multimodal, similarity, text  # noqa: E402
+from phaser_spark.ops import dedup, multimodal, pii, similarity, text  # noqa: E402
 from phaser_spark.ops.dedup import trunc_digits  # noqa: E402
 from phaser_spark.pipeline import extract_events  # noqa: E402
 
@@ -886,6 +886,70 @@ def text_stats(spark, sf_dir):
     )
 
 
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (ops/text.py::repetition_signals).
+    The synthetic docs are single-line, so the query builds a
+    deterministic 3-line variant (full text + the same 40-char prefix
+    twice) — duplicate lines and repeated n-grams are then real, and the
+    oracle constructs the identical text."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"),
+            F.substring("text", 1, 40), F.lit("\n"),
+            F.substring("text", 1, 40),
+        ).alias("text"),
+    )
+    rep = text.repetition_signals(built, "doc_id", "text")
+    return rep.select(
+        "doc_id",
+        trunc_digits(F.col("dup_line_frac"), 6).alias("dup_line_frac"),
+        trunc_digits(F.col("dup_line_char_frac"), 6).alias("dup_line_char_frac"),
+        trunc_digits(F.col("top_2gram_char_frac"), 6).alias("top_2gram_char_frac"),
+        trunc_digits(F.col("dup_5gram_char_frac"), 6).alias("dup_5gram_char_frac"),
+    )
+
+
+def pii_redaction(spark, sf_dir):
+    """PII redaction + per-type counts (ops/pii.py).  The synthetic docs
+    contain no PII, so the query injects a deterministic payload per doc
+    (email always; phone/ssn/ip/card on doc_id mod cycles) — both engines
+    build the identical string, then redaction and counts must agree."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" call (555) 123-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.lit(" ssn 987-65-4321")).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" host 192.168."), (did % 256).cast("string"), F.lit(".7")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit(" card 4111-1111-1111-1111")).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", injected.alias("txt"))
+    out = pii.redact_pii(staged, "txt")
+    return out.select(
+        "doc_id",
+        F.md5("txt_redacted").alias("redacted_md5"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_card").cast("long").alias("n_card"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+    )
+
+
 def multimodal_binary(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     wrapped = multimodal.attach_binary(docs, "text")
@@ -1087,6 +1151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "text_stats": text_stats,
+        "text_repetition": text_repetition,
+        "pii_redaction": pii_redaction,
         "multimodal_binary": multimodal_binary,
         "streaming_event_window": streaming_event_window,
     }
@@ -1130,6 +1196,16 @@ WHERE floor(CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) * 1000000) /
 
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+    # PII oracle is GENERATED from pii.PII_PATTERNS so the DuckDB regexes
+    # are character-identical to the Spark ones (single source of truth);
+    # patterns stay in the Java-regex ∩ RE2 common subset by construction.
+    pii_redacted_expr = "txt"
+    for _name, _pat, _rep in pii.PII_PATTERNS:
+        pii_redacted_expr = f"regexp_replace({pii_redacted_expr}, '{_pat}', '{_rep}', 'g')"
+    pii_count_exprs = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(txt, '{_pat}')) AS BIGINT) AS n_{_name}"
+        for _name, _pat, _rep in pii.PII_PATTERNS
+    )
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1695,6 +1771,78 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
                                            '\\s+', ' ', 'g'))) AS fingerprint
             FROM s
+        """,
+        "text_repetition": r"""
+            WITH built AS (
+                SELECT doc_id,
+                       text || chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40) AS text
+                FROM documents
+            ), norm AS (
+                SELECT doc_id, text,
+                       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                           '\s+', ' ', 'g')) AS nt
+                FROM built
+            ), base AS (
+                SELECT doc_id,
+                       CASE WHEN nt = '' THEN [] ELSE string_split(nt, ' ') END AS w,
+                       list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                                   x -> x <> '') AS lines
+                FROM norm
+            ), parts AS (
+                SELECT doc_id, 'line' AS kind, unnest(lines) AS item FROM base
+                UNION ALL
+                SELECT doc_id, 'g2' AS kind,
+                       unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                             i -> array_to_string(w[i:i+1], ' '))) AS item
+                FROM base WHERE len(w) >= 2
+                UNION ALL
+                SELECT doc_id, 'g5' AS kind,
+                       unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                                             i -> array_to_string(w[i:i+4], ' '))) AS item
+                FROM base WHERE len(w) >= 5
+            ), counted AS (
+                SELECT doc_id, kind, item, COUNT(*) AS cnt FROM parts GROUP BY 1, 2, 3
+            ), per_kind AS (
+                SELECT doc_id, kind,
+                       SUM(cnt) AS occ, SUM(cnt - 1) AS dup_occ,
+                       SUM(cnt * length(item)) AS chars,
+                       SUM((cnt - 1) * length(item)) AS dup_chars,
+                       MAX(cnt * length(item)) AS top_chars
+                FROM counted GROUP BY 1, 2
+            ), m AS (
+                SELECT doc_id,
+                       MAX(CASE WHEN kind = 'line' THEN CAST(dup_occ AS DOUBLE) / CAST(occ AS DOUBLE) END) AS dup_line_frac,
+                       MAX(CASE WHEN kind = 'line' THEN CAST(dup_chars AS DOUBLE) / CAST(chars AS DOUBLE) END) AS dup_line_char_frac,
+                       MAX(CASE WHEN kind = 'g2' THEN CAST(top_chars AS DOUBLE) / CAST(chars AS DOUBLE) END) AS top_2gram_char_frac,
+                       MAX(CASE WHEN kind = 'g5' THEN CAST(dup_chars AS DOUBLE) / CAST(chars AS DOUBLE) END) AS dup_5gram_char_frac
+                FROM per_kind GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   floor(coalesce(m.dup_line_frac, 0.0) * 1000000) / 1000000 AS dup_line_frac,
+                   floor(coalesce(m.dup_line_char_frac, 0.0) * 1000000) / 1000000 AS dup_line_char_frac,
+                   floor(coalesce(m.top_2gram_char_frac, 0.0) * 1000000) / 1000000 AS top_2gram_char_frac,
+                   floor(coalesce(m.dup_5gram_char_frac, 0.0) * 1000000) / 1000000 AS dup_5gram_char_frac
+            FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        """,
+        "pii_redaction": f"""
+            WITH built AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                            || CASE WHEN doc_id % 3 = 0
+                                    THEN ' call (555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                                    ELSE '' END
+                            || CASE WHEN doc_id % 4 = 0 THEN ' ssn 987-65-4321' ELSE '' END
+                            || CASE WHEN doc_id % 5 = 0
+                                    THEN ' host 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                                    ELSE '' END
+                            || CASE WHEN doc_id % 7 = 0 THEN ' card 4111-1111-1111-1111' ELSE '' END
+                       AS txt
+                FROM documents
+            )
+            SELECT doc_id,
+                   md5({pii_redacted_expr}) AS redacted_md5,
+                   {pii_count_exprs}
+            FROM built
         """,
         "multimodal_binary": """
             SELECT doc_id, sha256(text) AS content_sha256,

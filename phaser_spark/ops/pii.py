@@ -1,0 +1,88 @@
+"""PII detection and redaction for training-data pipelines.
+
+Engine addition (the reference, lisad/phaser, has no text operators);
+part of the LLM-data suite alongside :mod:`phaser_spark.ops.text`.
+
+Everything here is a pure Catalyst projection — ``regexp_count`` +
+nested ``regexp_replace`` — so redaction whole-stage-codegens, needs no
+shuffle, and scales embarrassingly with executors.  The patterns are
+written in the common subset of Java regex (Spark) and RE2 (DuckDB,
+used as the correctness oracle): no lookaround, no backreferences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column as SparkCol
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (name, pattern, replacement) in APPLICATION ORDER.  Order matters:
+# email before phone (digits in the local part must not be eaten as a
+# phone), card before ssn/phone (16-digit groups contain 3-4 digit runs),
+# ip before phone (dotted triples).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "card",
+        r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+        "<CARD>",
+    ),
+    (
+        "ssn",
+        r"\b\d{3}-\d{2}-\d{4}\b",
+        "<SSN>",
+    ),
+    (
+        "ip",
+        r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+        "<IP>",
+    ),
+    (
+        "phone",
+        r"(?:\(\d{3}\)|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b",
+        "<PHONE>",
+    ),
+)
+
+PII_TYPES = tuple(name for name, _, _ in PII_PATTERNS)
+
+
+def pii_counts(col: SparkCol) -> dict[str, SparkCol]:
+    """Per-type match counts on the ORIGINAL text (pre-redaction), so a
+    value masked by an earlier rule is still attributed to its own type."""
+    return {
+        name: F.regexp_count(col, F.lit(pattern)).alias(f"n_{name}")
+        for name, pattern, _ in PII_PATTERNS
+    }
+
+
+def redact(col: SparkCol) -> SparkCol:
+    """Apply every redaction pattern in :data:`PII_PATTERNS` order."""
+    out = col
+    for _, pattern, replacement in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, replacement)
+    return out
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    with_counts: bool = True,
+) -> DataFrame:
+    """Add a redacted copy of ``text_col`` (default ``{text_col}_redacted``)
+    plus ``n_email/n_card/n_ssn/n_ip/n_phone`` count columns.
+
+    One projection, zero shuffle — the plan is scan → codegen'd regex
+    stage regardless of data size.
+    """
+    out_col = out_col or f"{text_col}_redacted"
+    c = F.col(text_col)
+    cols = [df["*"], redact(c).alias(out_col)]
+    if with_counts:
+        cols.extend(pii_counts(c).values())
+    return df.select(*cols)

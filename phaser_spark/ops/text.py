@@ -118,6 +118,101 @@ def rolling_fingerprints(col: SparkCol, n: int = 8, keep: int = 4) -> SparkCol:
     return F.slice(F.array_sort(hashes), 1, keep)
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    * ``dup_line_frac`` — fraction of (non-empty, trimmed) line occurrences
+      that are repeats of an earlier identical line;
+    * ``dup_line_char_frac`` — the same, weighted by line length;
+    * ``top_2gram_char_frac`` — the largest share of 2-gram characters
+      covered by any single word 2-gram (count × gram length);
+    * ``dup_5gram_char_frac`` — fraction of 5-gram characters sitting in
+      5-grams that occur more than once.
+
+    Scale design: one explode over (line | 2-gram | 5-gram) parts, then a
+    count keyed on ``(id, kind, item)`` — the wide key spreads even a
+    pathologically repetitive document across reducers — followed by a
+    per-``(id, kind)`` rollup and a left join back to the id spine so
+    empty documents keep 0.0 rows.  Both aggregations are map-side
+    combinable; no Python on the row path.
+    """
+    c = F.col(text_col)
+    words = F.split(normalize_text(c), " ")
+
+    def grams(n: int) -> SparkCol:
+        return F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # NB: the lambda must be single-arg — F.trim itself takes an optional
+    # second parameter, so transform(arr, F.trim) would bind the element
+    # INDEX as trim's character set and silently not trim.
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+
+    def tagged(kind: str, arr: SparkCol) -> SparkCol:
+        return F.transform(
+            arr, lambda x: F.struct(F.lit(kind).alias("kind"), x.alias("item"))
+        )
+
+    parts = df.select(
+        F.col(id_col).alias("__rs_id"),
+        F.explode(
+            F.concat(tagged("line", lines), tagged("g2", grams(2)), tagged("g5", grams(5)))
+        ).alias("p"),
+    ).select("__rs_id", "p.kind", "p.item")
+    counted = parts.groupBy("__rs_id", "kind", "item").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_kind = counted.groupBy("__rs_id", "kind").agg(
+        F.sum("cnt").alias("occ"),
+        F.sum(F.col("cnt") - 1).alias("dup_occ"),
+        F.sum(F.col("cnt") * F.length("item")).alias("chars"),
+        F.sum((F.col("cnt") - 1) * F.length("item")).alias("dup_chars"),
+        F.max(F.col("cnt") * F.length("item")).alias("top_chars"),
+    )
+
+    def ratio(kind: str, num: str, den: str) -> SparkCol:
+        # integer/integer double division: bit-identical across engines
+        return F.coalesce(
+            F.max(
+                F.when(
+                    F.col("kind") == kind,
+                    F.col(num).cast("double") / F.col(den).cast("double"),
+                )
+            ),
+            F.lit(0.0),
+        )
+
+    metrics = per_kind.groupBy("__rs_id").agg(
+        ratio("line", "dup_occ", "occ").alias("dup_line_frac"),
+        ratio("line", "dup_chars", "chars").alias("dup_line_char_frac"),
+        ratio("g2", "top_chars", "chars").alias("top_2gram_char_frac"),
+        ratio("g5", "dup_chars", "chars").alias("dup_5gram_char_frac"),
+    )
+    out = (
+        df.join(metrics, df[id_col] == metrics["__rs_id"], "left")
+        .drop("__rs_id")
+        .fillna(
+            0.0,
+            subset=[
+                "dup_line_frac",
+                "dup_line_char_frac",
+                "top_2gram_char_frac",
+                "dup_5gram_char_frac",
+            ],
+        )
+    )
+    return out
+
+
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full stat column family in one projection."""
     c = F.col(text_col)

@@ -300,3 +300,56 @@ def test_sample_by_hash_fraction(spark):
     df = spark.range(5000).toDF("id")
     n = sampling.sample_by_hash(df, "id", 0.2).count()
     assert 800 < n < 1200
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (1, "aa bb aa bb\ncc dd\ncc dd"),
+        (2, "unique words only here"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.repetition_signals(df).collect()}
+    # doc 3 (empty): every metric 0.0, row preserved by the left join
+    assert out[3]["dup_line_frac"] == 0.0
+    assert out[3]["top_2gram_char_frac"] == 0.0
+    # doc 1 lines: ["aa bb aa bb", "cc dd", "cc dd"] -> 1 of 3 occurrences dup
+    assert abs(out[1]["dup_line_frac"] - 1 / 3) < 1e-12
+    # char-weighted: 5 dup chars of 11+5+5
+    assert abs(out[1]["dup_line_char_frac"] - 5 / 21) < 1e-12
+    # 2-grams: "aa bb" and "cc dd" occur twice (10 chars each) of 35 total
+    assert abs(out[1]["top_2gram_char_frac"] - 10 / 35) < 1e-12
+    # all four 5-grams distinct
+    assert out[1]["dup_5gram_char_frac"] == 0.0
+    # doc 2: no repetition; top 2-gram is "unique words" (12 of 31 chars)
+    assert out[2]["dup_line_frac"] == 0.0
+    assert abs(out[2]["top_2gram_char_frac"] - 12 / 31) < 1e-12
+
+
+def test_redact_pii_counts_and_text(spark):
+    from phaser_spark.ops import pii
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "mail a@b.co call (555) 123-4567 ssn 123-45-6789 "
+                "ip 10.0.0.1 card 4111-1111-1111-1111",
+            ),
+            (2, "nothing sensitive here"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in pii.redact_pii(df, "text").collect()}
+    r = rows[1]
+    assert (r["n_email"], r["n_phone"], r["n_ssn"], r["n_ip"], r["n_card"]) == (
+        1, 1, 1, 1, 1,
+    )
+    red = r["text_redacted"]
+    for token in ("<EMAIL>", "<PHONE>", "<SSN>", "<IP>", "<CARD>"):
+        assert token in red
+    for leaked in ("a@b.co", "123-4567", "123-45-6789", "10.0.0.1", "4111"):
+        assert leaked not in red
+    r2 = rows[2]
+    assert r2["text_redacted"] == "nothing sensitive here"
+    assert r2["n_email"] == 0 and r2["n_phone"] == 0

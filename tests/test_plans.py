@@ -148,3 +148,20 @@ def test_ordered_renumber_has_no_global_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "rangepartitioning" in plan and "BroadcastHashJoin" in plan
+
+
+def test_pii_redaction_is_shuffle_free(spark):
+    # redact_pii is a pure projection: scan -> regex stage -> project,
+    # no Exchange at any data size (the driver query's spread_for_compute
+    # fan-out is a separate, deliberate repartition)
+    from phaser_spark.ops import pii
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(pii.redact_pii(docs, "text"))
+    assert "Exchange" not in plan
+
+
+def test_repetition_counting_is_partial_agg(spark):
+    # the (id, kind, item) count must map-side combine before its shuffle
+    plan = plan_of(entrymod.text_repetition(spark, SF))
+    assert "partial_count" in plan or "HashAggregate" in plan
