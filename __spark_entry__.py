@@ -40,7 +40,7 @@ from phaser_spark import (  # noqa: E402
 from phaser_spark.constants import PHASER_ROW_NUM  # noqa: E402
 from phaser_spark.context import Context  # noqa: E402
 from phaser_spark.lineage import renumber, spread_for_compute, with_row_numbers  # noqa: E402
-from phaser_spark.ops import dedup, multimodal, pii, similarity, text  # noqa: E402
+from phaser_spark.ops import cleaning, dedup, multimodal, pii, similarity, text  # noqa: E402
 from phaser_spark.ops.dedup import trunc_digits  # noqa: E402
 from phaser_spark.pipeline import extract_events  # noqa: E402
 
@@ -950,6 +950,50 @@ def pii_redaction(spark, sf_dir):
     )
 
 
+def boilerplate_removal(spark, sf_dir):
+    """C4-style corpus-level line cleaning (ops/cleaning.py).  Injects a
+    footer into every doc and a banner into even docs so the corpus-wide
+    line-frequency rule has real work; the oracle builds the identical
+    text and applies the same exact doc-frequency threshold."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    built = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("subscribe to our newsletter\n"),
+                F.col("text"),
+                F.lit("\nall rights reserved"),
+            ),
+        )
+        .otherwise(F.concat(F.col("text"), F.lit("\nall rights reserved")))
+        .alias("text"),
+    )
+    out = cleaning.remove_boilerplate_lines(built, min_doc_freq=30)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("cleaned_md5"),
+        F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
+    )
+
+
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination (ops/cleaning.py::decontaminate): docs
+    sharing any 5-gram with the doc_id<20 'benchmark' slice are flagged.
+    flag_only=True so the output is a stable full-corpus report."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    out = cleaning.decontaminate(
+        corpus, bench, n=5, min_overlap=1, flag_only=True
+    )
+    return out.select(
+        "doc_id",
+        "contaminated",
+        F.col("n_contaminated_shingles").cast("long").alias("n_contaminated_shingles"),
+    )
+
+
 def multimodal_binary(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     wrapped = multimodal.attach_binary(docs, "text")
@@ -1153,9 +1197,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "text_repetition": text_repetition,
         "pii_redaction": pii_redaction,
+        "boilerplate_removal": boilerplate_removal,
+        "decontaminate_docs": decontaminate_docs,
         "multimodal_binary": multimodal_binary,
         "streaming_event_window": streaming_event_window,
     }
+
+
+# Ordered left-fold vector math for DuckDB oracles.  Spark's F.aggregate
+# folds arrays left-to-right in double; DuckDB's list_reduce does the
+# same, so plain double accumulation is bit-identical across engines
+# (verified element-wise on the embeddings tables) — no decimal
+# accumulation needed, which keeps the Spark side on the fast
+# whole-stage-codegen double path.  Operand arrays must already be
+# DOUBLE[].
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _nsq_sql(a: str) -> str:
+    return _dot_sql(a, a)
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        "(x, y) -> x + y)"
+    )
 
 
 _NGRAM_SHINGLE_SQL = """
@@ -1823,6 +1899,65 @@ def oracle_sql() -> dict[str, str]:
                    floor(coalesce(m.top_2gram_char_frac, 0.0) * 1000000) / 1000000 AS top_2gram_char_frac,
                    floor(coalesce(m.dup_5gram_char_frac, 0.0) * 1000000) / 1000000 AS dup_5gram_char_frac
             FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        """,
+        "boilerplate_removal": r"""
+            WITH built AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'subscribe to our newsletter' || chr(10) || text || chr(10) || 'all rights reserved'
+                            ELSE text || chr(10) || 'all rights reserved' END AS text
+                FROM documents
+            ), ll AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls FROM built
+            ), entries AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(ls)),
+                                             i -> {'pos': i, 'line': trim(ls[i])})) AS e
+                FROM ll
+            ), nl AS (
+                SELECT doc_id, e.pos AS pos, e.line AS line FROM entries WHERE e.line <> ''
+            ), freq AS (
+                SELECT line, COUNT(DISTINCT doc_id) AS doc_freq FROM nl GROUP BY line
+            ), kept AS (
+                SELECT nl.doc_id, nl.pos, nl.line, f.doc_freq >= 30 AS dropped
+                FROM nl JOIN freq f USING (line)
+            ), rebuilt AS (
+                SELECT doc_id,
+                       string_agg(CASE WHEN NOT dropped THEN line END, chr(10) ORDER BY pos) AS text2,
+                       SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_removed
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   md5(coalesce(r.text2, '')) AS cleaned_md5,
+                   CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_lines_removed
+            FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "decontaminate_docs": r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                           '\s+', ' ', 'g')) AS nt
+                FROM documents
+            ), words AS (
+                SELECT doc_id, string_split(nt, ' ') AS w FROM norm
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                                                    i -> array_to_string(w[i:i+4], ' '))) AS shingles
+                FROM words WHERE len(w) >= 5
+            ), doc_sh AS (
+                SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id >= 20
+            ), bench_sh AS (
+                SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 20
+            ), ov AS (
+                SELECT doc_id, COUNT(*) AS n
+                FROM doc_sh JOIN bench_sh USING (s) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   ov.doc_id IS NOT NULL AS contaminated,
+                   CAST(coalesce(ov.n, 0) AS BIGINT) AS n_contaminated_shingles
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+            LEFT JOIN ov ON d.doc_id = ov.doc_id
         """,
         "pii_redaction": f"""
             WITH built AS (

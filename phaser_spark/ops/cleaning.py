@@ -1,0 +1,167 @@
+"""Corpus-level cleaning operators: boilerplate line removal and
+benchmark decontamination.
+
+Engine additions (the reference, lisad/phaser, has no corpus operators);
+part of the LLM-data suite alongside :mod:`phaser_spark.ops.text` and
+:mod:`phaser_spark.ops.dedup`.
+
+Scale design notes
+------------------
+* ``remove_boilerplate_lines`` is the C4-style "drop lines that repeat
+  across many documents" rule.  The frequency count is keyed on the
+  line text itself — cardinality grows with the corpus, so the shuffle
+  spreads; the rebuild is a per-document sort of that document's own
+  lines only (array_sort over a collected struct list, never a global
+  sort).
+* ``decontaminate`` flags documents sharing word n-grams with a
+  benchmark set.  The benchmark side is small by definition (eval sets),
+  so Catalyst broadcasts it; the document side streams through one
+  explode + one join + one per-doc count — no all-pairs stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column as SparkCol
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+
+def _lines_with_pos(text_col: SparkCol) -> SparkCol:
+    """Non-empty trimmed lines as array<struct<pos,line>> (pos = original
+    line index, so documents rebuild in source order)."""
+    raw = F.split(text_col, "\n")
+    idx = F.sequence(F.lit(0), F.size(raw) - 1)
+    entries = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"), F.trim(F.element_at(raw, i + 1)).alias("line")
+        ),
+    )
+    return F.filter(entries, lambda e: e["line"] != "")
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 10,
+) -> DataFrame:
+    """Drop every line that occurs in ``min_doc_freq`` or more *distinct*
+    documents (navigation chrome, cookie banners, license footers), then
+    reassemble each document from its surviving lines in original order.
+
+    Returns the input columns with ``text_col`` replaced by the cleaned
+    text plus ``n_lines_removed``.  Documents whose lines are all
+    boilerplate come back with an empty string.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__bp_id"),
+        F.explode(_lines_with_pos(F.col(text_col))).alias("e"),
+    ).select("__bp_id", "e.pos", "e.line")
+    # distinct doc-frequency per line; approx_count_distinct would halve
+    # the shuffle but the rule must be exact to be oracle-checkable
+    freq = (
+        lines.select("line", "__bp_id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    kept = lines.join(freq, "line", "left").withColumn(
+        "__bp_drop", F.col("doc_freq") >= F.lit(min_doc_freq)
+    )
+    rebuilt = kept.groupBy("__bp_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__bp_drop"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda e: e["line"],
+            ),
+            "\n",
+        ).alias("__bp_text"),
+        F.sum(F.col("__bp_drop").cast("long")).alias("n_lines_removed"),
+    )
+    out_cols = [
+        (
+            F.coalesce(F.col("__bp_text"), F.lit("")).alias(text_col)
+            if c == text_col
+            else F.col(c)
+        )
+        for c in df.columns
+    ]
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["__bp_id"], "left")
+        .select(*out_cols, F.coalesce("n_lines_removed", F.lit(0)).alias("n_lines_removed"))
+    )
+
+
+def _shingles(text_col: SparkCol, n: int) -> SparkCol:
+    words = F.split(normalize_text(text_col), " ")
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    n: int = 8,
+    min_overlap: int = 1,
+    flag_only: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: drop (or, with ``flag_only``, annotate)
+    training documents that share ``min_overlap`` or more distinct word
+    ``n``-grams with any row of ``benchmark`` (an eval/test set).
+
+    A benchmark row with the same id as a document does NOT decontaminate
+    it only when the two frames share the id column semantics — callers
+    deduplicating a corpus against itself should pre-filter.  Overlap is
+    counted over distinct (doc, shingle) pairs, the standard exact-match
+    decontamination rule (e.g. GPT-3 appendix C / PaLM-style n-gram
+    matching).
+    """
+    bench_id_col = bench_id_col or id_col
+    bench_text_col = bench_text_col or text_col
+    doc_sh = df.select(
+        F.col(id_col).alias("__dc_id"),
+        F.explode(_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    bench_sh = (
+        benchmark.select(F.explode(_shingles(F.col(bench_text_col), n)).alias("sh"))
+        .distinct()
+    )
+    # benchmark side is small (an eval set): broadcast the build side so
+    # the contamination check is a map-side hash join, no doc-side shuffle
+    overlap = (
+        doc_sh.join(F.broadcast(bench_sh), "sh", "inner")
+        .groupBy("__dc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+        .filter(F.col("n_contaminated_shingles") >= min_overlap)
+    )
+    joined = df.join(overlap, df[id_col] == overlap["__dc_id"], "left")
+    if flag_only:
+        return joined.select(
+            *[F.col(c) for c in df.columns],
+            F.col("__dc_id").isNotNull().alias("contaminated"),
+            F.coalesce("n_contaminated_shingles", F.lit(0)).alias(
+                "n_contaminated_shingles"
+            ),
+        )
+    return joined.filter(F.col("__dc_id").isNull()).select(*[F.col(c) for c in df.columns])

@@ -353,3 +353,53 @@ def test_redact_pii_counts_and_text(spark):
     r2 = rows[2]
     assert r2["text_redacted"] == "nothing sensitive here"
     assert r2["n_email"] == 0 and r2["n_phone"] == 0
+
+
+def test_remove_boilerplate_lines(spark):
+    from phaser_spark.ops import cleaning
+
+    rows = [(i, f"unique line {i}\nshared footer") for i in range(1, 6)]
+    rows.append((6, "shared footer"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in cleaning.remove_boilerplate_lines(df, min_doc_freq=5).collect()
+    }
+    assert out[1]["text"] == "unique line 1" and out[1]["n_lines_removed"] == 1
+    # a doc that was ALL boilerplate survives as an empty string
+    assert out[6]["text"] == "" and out[6]["n_lines_removed"] == 1
+    # below the threshold nothing is dropped
+    kept = cleaning.remove_boilerplate_lines(df, min_doc_freq=7).collect()
+    assert all(r["n_lines_removed"] == 0 for r in kept)
+    # multi-line order is preserved through the rebuild
+    df2 = spark.createDataFrame(
+        [(1, "first\nsecond\nthird"), (2, "zzz")], "doc_id long, text string"
+    )
+    r2 = cleaning.remove_boilerplate_lines(df2, min_doc_freq=9).collect()
+    assert {r["text"] for r in r2} == {"first\nsecond\nthird", "zzz"}
+
+
+def test_decontaminate(spark):
+    from phaser_spark.ops import cleaning
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words alpha beta gamma delta epsilon more"),
+            (2, "totally different words in here my friend today"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {
+        r["doc_id"]: r
+        for r in cleaning.decontaminate(
+            corpus, bench, n=5, flag_only=True
+        ).collect()
+    }
+    assert flagged[1]["contaminated"] and flagged[1]["n_contaminated_shingles"] >= 1
+    assert not flagged[2]["contaminated"]
+    dropped = cleaning.decontaminate(corpus, bench, n=5).collect()
+    assert [r["doc_id"] for r in dropped] == [2]
+    assert dropped[0].asDict().keys() == {"doc_id", "text"}
