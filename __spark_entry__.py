@@ -543,13 +543,14 @@ def dedup_embedding(spark, sf_dir):
     with exact in-bucket verification (scale path; recall on planted dups
     covered in tests/test_ops.py).
 
-    Deterministic md5-derived planes + decimal dots so the oracle mirrors
-    the BUCKETED computation itself (not an all-pairs proxy) and the
-    threshold can sit where real pairs exist — a non-vacuous hash check."""
+    Deterministic md5-derived planes + ordered double folds (mirrored by
+    list_reduce in the oracle) so the oracle replays the BUCKETED
+    computation itself (not an all-pairs proxy) and the threshold can sit
+    where real pairs exist — a non-vacuous hash check."""
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.3,
-        planes_matrix=similarity.deterministic_planes(8, 64), exact=True,
+        planes_matrix=similarity.deterministic_planes(8, 64),
     )
 
 
@@ -803,23 +804,28 @@ def dedup_simhash(spark, sf_dir):
 
 
 def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k on the plain double path: Spark's
+    F.aggregate is an ordered left-fold, and the oracle folds with
+    DuckDB's list_reduce in the same order, so doubles are bit-identical
+    across engines with zero decimal overhead."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return similarity.cosine_topk(emb, queries_df, k=5, exact=True)
+    return similarity.cosine_topk(emb, queries_df, k=5)
 
 
 def ann_lsh_topk(spark, sf_dir):
-    """LSH approximate top-k with a FULL value oracle: the hyperplanes are
-    md5-derived literals (`similarity.deterministic_planes`) and dot
-    products accumulate in decimal, so DuckDB reproduces the exact same
-    buckets, candidates, cosines, and ranks — the approximate result
-    itself is hash-checked, not just a recall proxy."""
+    """LSH approximate top-k with a FULL value oracle: the hyperplanes
+    are md5-derived literals (`similarity.deterministic_planes`) and dot
+    products are ordered double folds reproduced by list_reduce in the
+    oracle, so DuckDB gets the exact same buckets, candidates, cosines,
+    and ranks — the approximate result itself is hash-checked, not just
+    a recall proxy."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return similarity.lsh_topk(
         emb, queries_df, k=5,
         planes_matrix=similarity.deterministic_planes(8, 64),
-        probe_hamming=2, exact=True,
+        probe_hamming=2,
     )
 
 
@@ -831,7 +837,8 @@ def ann_ivf_topk(spark, sf_dir):
     quantizer is the deterministic md5-ordered medoid set
     (`similarity.medoid_centroids` — reproducible in SQL, unlike k-means,
     which remains the quality path via `train_centroids`, recall-tested in
-    tests/test_ops.py), and distances/cosines accumulate in decimal.
+    tests/test_ops.py), and distances/cosines are ordered double folds
+    reproduced bit-for-bit by list_reduce in the oracle.
     Centroids are trained once per dataset — in production the coarse
     quantizer is a build-time artifact, not a per-query cost."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -842,7 +849,7 @@ def ann_ivf_topk(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_topk(
         emb, queries_df, k=5, n_centroids=16, n_probe=4,
-        centroids=_IVF_CENTROIDS[sf_dir], exact=True,
+        centroids=_IVF_CENTROIDS[sf_dir],
         # 5 queries × 4 probes — provably driver-small, so broadcasting
         # the probe side is safe here (the library default leaves the
         # choice to AQE for unbounded query sets)
@@ -1094,6 +1101,24 @@ def streaming_session_window(spark, sf_dir):
     return spark.table(name)
 
 
+def streaming_dedup_keys(spark, sf_dir):
+    """Watermarked streaming deduplication (``dropDuplicates`` keyed
+    state): each (user_id, event_type) key is emitted exactly once across
+    micro-batches, with watermark-bounded state — the streaming analogue
+    of the batch exact-dedup operator.  The emitted key SET is
+    order-independent, so the batch oracle is a plain DISTINCT."""
+    stream = _events_stream(spark, sf_dir)
+    dd = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = "phaser_dedup_out"
+    q = dd.writeStream.outputMode("append").format("memory").queryName(name).start()
+    _drain(q)
+    return spark.table(name)
+
+
 def streaming_stateful_user_stats(spark, sf_dir):
     """Custom stateful streaming operator: per-user running stats kept in
     ``applyInPandasWithState`` group state (the Structured Streaming
@@ -1185,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_table_diff": d1_table_diff,
         "dedup_embedding": dedup_embedding,
         "streaming_stateful_user_stats": streaming_stateful_user_stats,
+        "streaming_dedup_keys": streaming_dedup_keys,
         "streaming_session_window": streaming_session_window,
         "split_train_val_test": split_train_val_test,
         "dedup_exact_docs": dedup_exact_docs,
@@ -1566,21 +1592,19 @@ def oracle_sql() -> dict[str, str]:
         # Mirrors the BUCKETED computation (same md5-derived planes as the
         # Spark side, similarity.deterministic_planes(8, 64)) — candidates
         # only meet inside a bucket, then decimal-exact cosine + threshold.
-        "dedup_embedding": """
+        "dedup_embedding": f"""
             WITH planes AS (
-                SELECT p, i,
-                       CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
-                           % 1000 - 500 AS comp
-                FROM generate_series(0, 7) AS gp(p), generate_series(0, 63) AS gi(i)
-            ), dims AS (
-                SELECT vec_id, unnest(embedding) AS x,
-                       generate_subscripts(embedding, 1) - 1 AS i
-                FROM embeddings
+                SELECT p, list(CAST(comp AS DOUBLE) ORDER BY i) AS pl
+                FROM (
+                    SELECT p, i,
+                           CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                               % 1000 - 500 AS comp
+                    FROM generate_series(0, 7) AS gp(p), generate_series(0, 63) AS gi(i)
+                ) GROUP BY p
+            ), v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
             ), proj AS (
-                SELECT d.vec_id, pl.p,
-                       SUM(CAST(CAST(d.x AS DOUBLE) * pl.comp AS DECIMAL(28,12))) AS s
-                FROM dims d JOIN planes pl ON d.i = pl.i
-                GROUP BY d.vec_id, pl.p
+                SELECT vec_id, p, {_dot_sql('vv', 'pl')} AS s FROM v, planes
             ), sigs AS (
                 SELECT vec_id,
                        CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
@@ -1589,23 +1613,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b
                 FROM sigs a JOIN sigs b
                   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            ), pairs AS (
+            ), scored AS (
                 SELECT cand.id_a, cand.id_b,
-                       unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+                       {_dot_sql('CAST(ea.embedding AS DOUBLE[])', 'CAST(eb.embedding AS DOUBLE[])')}
+                           / (sqrt({_nsq_sql('CAST(ea.embedding AS DOUBLE[])')})
+                              * sqrt({_nsq_sql('CAST(eb.embedding AS DOUBLE[])')})) AS cos
                 FROM cand
                 JOIN embeddings ea ON ea.vec_id = cand.id_a
                 JOIN embeddings eb ON eb.vec_id = cand.id_b
-            ), agg AS (
-                SELECT id_a, id_b,
-                       SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS dot,
-                       SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS na,
-                       SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS nb
-                FROM pairs GROUP BY id_a, id_b
             )
-            SELECT id_a, id_b,
-                   floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000) / 1000000 AS cosine
-            FROM agg
-            WHERE floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000) / 1000000 >= 0.3
+            SELECT id_a, id_b, floor(cos * 1000000) / 1000000 AS cosine
+            FROM scored
+            WHERE floor(cos * 1000000) / 1000000 >= 0.3
         """,
         "streaming_session_window": """
             WITH g AS (
@@ -1625,6 +1644,9 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS session_value
             FROM s GROUP BY user_id, sess_id
+        """,
+        "streaming_dedup_keys": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
         "streaming_stateful_user_stats": """
             SELECT user_id, COUNT(*) AS n_events,
@@ -1650,22 +1672,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _NGRAM_SHINGLE_SQL.format(threshold=0.5),
         "dedup_minhash_lsh": _NGRAM_SHINGLE_SQL.format(threshold=0.8),
-        "ann_cosine_topk": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-            c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-            pairs AS (
-                SELECT query_id, neighbor_id, unnest(qv) AS a, unnest(cv) AS b
+        "ann_cosine_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       {_dot_sql('cv', 'qv')}
+                           / (sqrt({_nsq_sql('cv')}) * sqrt({_nsq_sql('qv')})) AS cos
                 FROM q, c WHERE query_id <> neighbor_id
-            ), agg AS (
-                SELECT query_id, neighbor_id,
-                       SUM(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS dot,
-                       SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS na,
-                       SUM(CAST(CAST(b AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS nb
-                FROM pairs GROUP BY query_id, neighbor_id
-            ), scored AS (
-                SELECT query_id, neighbor_id,
-                       CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
-                FROM agg
             )
             SELECT query_id, neighbor_id, floor(cos * 1000000) / 1000000 AS cosine, rank FROM (
                 SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1676,23 +1692,22 @@ def oracle_sql() -> dict[str, str]:
         # Full value oracle for the LSH path: hyperplane component (p, i) =
         # md5(f"{p}-{i}")[:8] as int, mod 1000, − 500 — identical in DuckDB,
         # Spark, and Python (similarity.deterministic_planes).  Projections
-        # and cosines accumulate in DECIMAL so bucket bits and ranks are
-        # bit-identical across engines.
-        "ann_lsh_topk": """
+        # and cosines are ordered double left-folds (list_reduce), matching
+        # Spark's F.aggregate bit-for-bit, so bucket bits and ranks agree
+        # across engines without decimal accumulation.
+        "ann_lsh_topk": f"""
             WITH planes AS (
-                SELECT p, i,
-                       CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
-                           % 1000 - 500 AS comp
-                FROM generate_series(0, 7) AS gp(p), generate_series(0, 63) AS gi(i)
-            ), dims AS (
-                SELECT vec_id, unnest(embedding) AS x,
-                       generate_subscripts(embedding, 1) - 1 AS i
-                FROM embeddings
+                SELECT p, list(CAST(comp AS DOUBLE) ORDER BY i) AS pl
+                FROM (
+                    SELECT p, i,
+                           CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                               % 1000 - 500 AS comp
+                    FROM generate_series(0, 7) AS gp(p), generate_series(0, 63) AS gi(i)
+                ) GROUP BY p
+            ), v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
             ), proj AS (
-                SELECT d.vec_id, pl.p,
-                       SUM(CAST(CAST(d.x AS DOUBLE) * pl.comp AS DECIMAL(28,12))) AS s
-                FROM dims d JOIN planes pl ON d.i = pl.i
-                GROUP BY d.vec_id, pl.p
+                SELECT vec_id, p, {_dot_sql('vv', 'pl')} AS s FROM v, planes
             ), sigs AS (
                 SELECT vec_id,
                        CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
@@ -1702,22 +1717,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM sigs q JOIN sigs c
                   ON q.vec_id < 5 AND q.vec_id <> c.vec_id
                  AND bit_count(xor(q.sig, c.sig)) <= 2
-            ), pairs AS (
+            ), scored AS (
                 SELECT cand.query_id, cand.neighbor_id,
-                       unnest(eq.embedding) AS a, unnest(ec.embedding) AS b
+                       {_dot_sql('CAST(ec.embedding AS DOUBLE[])', 'CAST(eq.embedding AS DOUBLE[])')}
+                           / (sqrt({_nsq_sql('CAST(ec.embedding AS DOUBLE[])')})
+                              * sqrt({_nsq_sql('CAST(eq.embedding AS DOUBLE[])')})) AS cos
                 FROM cand
                 JOIN embeddings eq ON eq.vec_id = cand.query_id
                 JOIN embeddings ec ON ec.vec_id = cand.neighbor_id
-            ), agg AS (
-                SELECT query_id, neighbor_id,
-                       SUM(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS dot,
-                       SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS na,
-                       SUM(CAST(CAST(b AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS nb
-                FROM pairs GROUP BY query_id, neighbor_id
-            ), scored AS (
-                SELECT query_id, neighbor_id,
-                       CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
-                FROM agg
             )
             SELECT query_id, neighbor_id, floor(cos * 1000000) / 1000000 AS cosine, rank FROM (
                 SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1728,29 +1735,21 @@ def oracle_sql() -> dict[str, str]:
         # Full value oracle for the IVF path: centroids = the 16 corpus
         # vectors with smallest md5(vec_id) (similarity.medoid_centroids),
         # cell index = rank in that ordering; squared distances and cosines
-        # accumulate in DECIMAL; argmin/probe tie-breaks are (dist, cell) on
-        # both engines.
-        "ann_ivf_topk": """
+        # are ordered double left-folds (list_reduce) matching Spark's
+        # F.aggregate bit-for-bit; argmin/probe tie-breaks are (dist, cell)
+        # on both engines.
+        "ann_ivf_topk": f"""
             WITH cents AS (
-                SELECT cell, embedding FROM (
+                SELECT cell, CAST(embedding AS DOUBLE[]) AS cv FROM (
                     SELECT vec_id, embedding,
                            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
                     FROM embeddings
                 ) WHERE cell <= 16
-            ), dims AS (
-                SELECT vec_id, unnest(embedding) AS x,
-                       generate_subscripts(embedding, 1) AS i
-                FROM embeddings
-            ), cdims AS (
-                SELECT cell, unnest(embedding) AS y,
-                       generate_subscripts(embedding, 1) AS i
-                FROM cents
+            ), v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
             ), cd AS (
-                SELECT d.vec_id, c.cell,
-                       SUM(CAST((CAST(d.x AS DOUBLE) - CAST(c.y AS DOUBLE))
-                                * (CAST(d.x AS DOUBLE) - CAST(c.y AS DOUBLE)) AS DECIMAL(28,12))) AS dist
-                FROM dims d JOIN cdims c ON d.i = c.i
-                GROUP BY d.vec_id, c.cell
+                SELECT vec_id, cell, {_sqdist_sql('vv', 'cv')} AS dist
+                FROM v, cents
             ), assign AS (
                 SELECT vec_id, cell FROM (
                     SELECT vec_id, cell,
@@ -1767,22 +1766,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT p.query_id, a.vec_id AS neighbor_id
                 FROM probes p JOIN assign a ON a.cell = p.cell
                 WHERE p.query_id <> a.vec_id
-            ), pairs AS (
+            ), scored AS (
                 SELECT cand.query_id, cand.neighbor_id,
-                       unnest(eq.embedding) AS a, unnest(ec.embedding) AS b
+                       {_dot_sql('CAST(ec.embedding AS DOUBLE[])', 'CAST(eq.embedding AS DOUBLE[])')}
+                           / (sqrt({_nsq_sql('CAST(ec.embedding AS DOUBLE[])')})
+                              * sqrt({_nsq_sql('CAST(eq.embedding AS DOUBLE[])')})) AS cos
                 FROM cand
                 JOIN embeddings eq ON eq.vec_id = cand.query_id
                 JOIN embeddings ec ON ec.vec_id = cand.neighbor_id
-            ), agg AS (
-                SELECT query_id, neighbor_id,
-                       SUM(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS dot,
-                       SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS na,
-                       SUM(CAST(CAST(b AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS nb
-                FROM pairs GROUP BY query_id, neighbor_id
-            ), scored AS (
-                SELECT query_id, neighbor_id,
-                       CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
-                FROM agg
             )
             SELECT query_id, neighbor_id, floor(cos * 1000000) / 1000000 AS cosine, rank FROM (
                 SELECT *, row_number() OVER (PARTITION BY query_id
