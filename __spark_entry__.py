@@ -893,6 +893,33 @@ def text_stats(spark, sf_dir):
     )
 
 
+def text_quality(spark, sf_dir):
+    """Quality-scoring family (ops/text.py): BPE-ish subword counts,
+    punctuation ratio, mean word length, and the composite Gopher-style
+    quality score (floor-truncated, so reproducible in SQL).  Punctuation
+    is injected on a doc_id cycle so the punct components do real work.
+    The subword-count oracle uses the closed form #(alnum runs) +
+    #(non-space punct chars) — provably equal to the lookaround split,
+    which RE2 can't express."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.lit(" !!!"))
+        .when(did % 3 == 1, F.lit(" ...and, more?"))
+        .otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", injected.alias("txt"))
+    c = F.col("txt")
+    return staged.select(
+        "doc_id",
+        text.bpe_ish_token_count(c).cast("long").alias("n_subword_tokens"),
+        trunc_digits(text.punct_ratio(c), 6).alias("punct_ratio"),
+        trunc_digits(text.mean_word_len(c), 6).alias("mean_word_len"),
+        text.quality_score(c).alias("quality"),
+    )
+
+
 def text_repetition(spark, sf_dir):
     """Gopher-style repetition signals (ops/text.py::repetition_signals).
     The synthetic docs are single-line, so the query builds a
@@ -1221,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "text_stats": text_stats,
+        "text_quality": text_quality,
         "text_repetition": text_repetition,
         "pii_redaction": pii_redaction,
         "boilerplate_removal": boilerplate_removal,
@@ -1837,6 +1865,45 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN sw_ratio >= 0.08 AND ascii_ratio >= 0.9 THEN 'en' ELSE 'und' END AS lang_pred,
                    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
                                            '\\s+', ' ', 'g'))) AS fingerprint
+            FROM s
+        """,
+        "text_quality": f"""
+            WITH built AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 3 = 0 THEN ' !!!'
+                                    WHEN doc_id % 3 = 1 THEN ' ...and, more?'
+                                    ELSE '' END AS txt
+                FROM documents
+            ), t AS (
+                SELECT doc_id, txt,
+                       CAST(len(regexp_extract_all(trim(txt), '[A-Za-z0-9]+'))
+                            + length(regexp_replace(trim(txt), '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_subword_tokens,
+                       CAST(length(regexp_replace(txt, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                           / greatest(CAST(length(txt) AS DOUBLE), 1.0) AS pr,
+                       regexp_split_to_array(trim(txt), '\\s+') AS toks,
+                       list_transform(regexp_split_to_array(trim(lower(txt)), '\\s+'),
+                                      x -> regexp_replace(x, '[^a-z]', '', 'g')) AS ltoks
+                FROM built
+            ), s AS (
+                SELECT doc_id, txt, n_subword_tokens, pr,
+                       CASE WHEN len(toks) > 0
+                            THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+                                 / CAST(len(toks) AS DOUBLE)
+                            ELSE 0.0 END AS mwl,
+                       CASE WHEN len(ltoks) > 0
+                            THEN CAST(len(list_filter(ltoks, x -> x IN ({stop_list}))) AS DOUBLE)
+                                 / CAST(len(ltoks) AS DOUBLE)
+                            ELSE 0.0 END AS sw
+                FROM t
+            )
+            SELECT doc_id, n_subword_tokens,
+                   floor(pr * 1000000) / 1000000 AS punct_ratio,
+                   floor(mwl * 1000000) / 1000000 AS mean_word_len,
+                   floor((least(CAST(length(txt) AS DOUBLE) / 500.0, 1.0) * 0.3
+                          + greatest(0.0, 1.0 - pr * 4.0) * 0.2
+                          + least(sw * 5.0, 1.0) * 0.3
+                          + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2)
+                         * 1000000.0) / 1000000.0 AS quality
             FROM s
         """,
         "text_repetition": r"""

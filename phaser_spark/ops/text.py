@@ -77,17 +77,20 @@ def mean_word_len(col: SparkCol) -> SparkCol:
 
 def quality_score(col: SparkCol) -> SparkCol:
     """Composite document quality in [0,1]: length, punctuation, stopword
-    presence, mean word length — a Gopher-rules-flavored heuristic."""
+    presence, mean word length — a Gopher-rules-flavored heuristic.
+
+    The 6-digit truncation is floor-based (not round): every component is
+    a deterministic IEEE double, and floor on the binary value is
+    engine-independent, so the score is reproducible in an external SQL
+    oracle (round() tie-breaking differs between Spark and DuckDB)."""
     n_chars = F.length(col).cast("double")
     len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4.0)
     stop_score = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
     mwl = mean_word_len(col)
     word_len_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    return F.round(
-        (len_score * 0.3 + punct_penalty * 0.2 + stop_score * 0.3 + word_len_score * 0.2),
-        6,
-    )
+    combined = len_score * 0.3 + punct_penalty * 0.2 + stop_score * 0.3 + word_len_score * 0.2
+    return F.floor(combined * 1000000.0) / F.lit(1000000.0)
 
 
 def normalize_text(col: SparkCol) -> SparkCol:
