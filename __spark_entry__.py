@@ -774,6 +774,20 @@ def split_train_val_test(spark, sf_dir):
     return out.select("doc_id", "split")
 
 
+def stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling
+    (ops/sampling.py::stratified_sample_by_hash): language rebalancing —
+    keep 20% of English, 80% of Chinese, half of everything else — as a
+    single scan with the md5 bucket rule, reproducible in SQL."""
+    from phaser_spark.ops import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample_by_hash(
+        docs, "doc_id", "lang", {"en": 0.2, "zh": 0.8}, default_fraction=0.5
+    )
+    return out.select("doc_id", "lang")
+
+
 def dedup_exact_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -1240,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_keys": streaming_dedup_keys,
         "streaming_session_window": streaming_session_window,
         "split_train_val_test": split_train_val_test,
+        "stratified_sample": stratified_sample,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1691,6 +1706,11 @@ def oracle_sql() -> dict[str, str]:
                          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                              % 10000 AS b
                   FROM documents)
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+                  < CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 8000 ELSE 5000 END
         """,
         "dedup_exact_docs": """
             SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),

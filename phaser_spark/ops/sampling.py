@@ -71,3 +71,37 @@ def split_by_hash(
 def sample_by_hash(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     """Deterministic ``fraction`` sample: the same rows every run."""
     return df.filter(hash_bucket(F.col(key_col)) < round(fraction * _BUCKETS))
+
+
+def stratified_sample_by_hash(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (e.g. language rebalancing:
+    keep 10% of English, all of the low-resource languages).
+
+    Each stratum value gets its own keep-fraction; strata not listed use
+    ``default_fraction``.  Like the other hash samplers this is a pure
+    projection + filter — no shuffle, no sampling state, reproducible on
+    any engine via the md5 bucket rule — so rebalancing a 100 TB corpus
+    is a single scan.
+    """
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    threshold = None
+    for name, frac in fractions.items():
+        cut = F.lit(round(frac * _BUCKETS))
+        cond = F.col(strata_col) == name
+        threshold = F.when(cond, cut) if threshold is None else threshold.when(cond, cut)
+    threshold = (
+        threshold.otherwise(round(default_fraction * _BUCKETS))
+        if threshold is not None
+        else F.lit(round(default_fraction * _BUCKETS))
+    )
+    return df.filter(hash_bucket(F.col(key_col)) < threshold)

@@ -403,3 +403,30 @@ def test_decontaminate(spark):
     dropped = cleaning.decontaminate(corpus, bench, n=5).collect()
     assert [r["doc_id"] for r in dropped] == [2]
     assert dropped[0].asDict().keys() == {"doc_id", "text"}
+
+
+def test_stratified_sample_by_hash(spark):
+    from phaser_spark.ops import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fi") for i in range(2000)],
+        "id long, lang string",
+    )
+    out = sampling.stratified_sample_by_hash(
+        df, "id", "lang", {"en": 0.1, "fi": 1.0}
+    )
+    rows = out.collect()
+    en = sum(1 for r in rows if r["lang"] == "en")
+    fi = sum(1 for r in rows if r["lang"] == "fi")
+    assert fi == 1000  # keep all of the low-resource stratum
+    assert 50 < en < 200  # ~10% of 1000
+    # reproducible: identical row set every run
+    again = {r["id"] for r in sampling.stratified_sample_by_hash(
+        df, "id", "lang", {"en": 0.1, "fi": 1.0}).collect()}
+    assert again == {r["id"] for r in rows}
+    # unlisted strata default to dropped
+    df2 = spark.createDataFrame([(1, "xx")], "id long, lang string")
+    assert sampling.stratified_sample_by_hash(df2, "id", "lang", {"en": 1.0}).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match=r"in \[0, 1\]"):
+        sampling.stratified_sample_by_hash(df, "id", "lang", {"en": 1.5})
