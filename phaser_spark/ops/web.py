@@ -1,0 +1,70 @@
+"""URL / domain operators for web-corpus curation.
+
+Engine addition (the reference, lisad/phaser, has no web operators);
+part of the LLM-data suite.  Web-scale corpora (C4, RefinedWeb) filter
+by URL domain before anything else — these helpers keep that step a
+pure Catalyst projection.
+
+The URL regex deliberately uses the Java-regex ∩ RE2 common subset and
+contains no single quotes, so the DuckDB oracle can embed the identical
+pattern string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column as SparkCol
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# scheme://host[...] — the character class stops at whitespace and quote
+# characters without using lookarounds (RE2-compatible)
+URL_PATTERN = r"https?://[A-Za-z0-9._~:/?#@!$&()*+,;=%-]+"
+DOMAIN_PATTERN = r"https?://([^/:?#]+)"
+
+
+def extract_urls(col: SparkCol) -> SparkCol:
+    """All URLs in the text (array<string>, document order)."""
+    return F.regexp_extract_all(col, F.lit(URL_PATTERN), F.lit(0))
+
+
+def url_count(col: SparkCol) -> SparkCol:
+    return F.size(extract_urls(col))
+
+
+def domain_of(url: SparkCol) -> SparkCol:
+    """Lower-cased host part of a URL ('' when the pattern mismatches)."""
+    return F.lower(F.regexp_extract(url, DOMAIN_PATTERN, 1))
+
+
+def domains_in(col: SparkCol) -> SparkCol:
+    """Distinct lower-cased domains mentioned in the text."""
+    return F.array_distinct(F.transform(extract_urls(col), domain_of))
+
+
+def filter_blocked_domains(
+    df: DataFrame, text_col: str = "text", blocked: list[str] | None = None
+) -> DataFrame:
+    """Drop documents that link to any blocked domain — a pure
+    projection+filter, zero shuffle at any corpus size."""
+    if not blocked:
+        return df
+    hit = F.exists(
+        domains_in(F.col(text_col)), lambda d: d.isin(*[b.lower() for b in blocked])
+    )
+    return df.filter(~hit)
+
+
+def domain_doc_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(domain, n_docs): how many documents mention each domain — the
+    corpus-level signal used for domain allow/deny curation.  One explode
+    + one map-side-combinable count keyed on the domain."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(domains_in(F.col(text_col))).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
