@@ -788,6 +788,51 @@ def stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def web_domains(spark, sf_dir):
+    """URL extraction + domain blocking signals (ops/web.py).  URLs are
+    injected deterministically (the synthetic docs have none); the oracle
+    embeds the IDENTICAL regex strings (no-single-quote Java∩RE2
+    subset, imported from web.URL_PATTERN/DOMAIN_PATTERN)."""
+    from phaser_spark.ops import web
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" see https://Site"), (did % 7).cast("string"),
+        F.when(did % 2 == 0, F.lit(".example.com")).otherwise(F.lit(".example.org")),
+        F.lit("/page/"), did.cast("string"),
+        F.when(
+            did % 5 == 0, F.lit(" and http://ads.blocked.bad/x?id=1")
+        ).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", injected.alias("txt"))
+    c = F.col("txt")
+    urls = web.extract_urls(c)
+    return staged.select(
+        "doc_id",
+        web.url_count(c).cast("long").alias("n_urls"),
+        web.domain_of(F.element_at(urls, 1)).alias("first_domain"),
+        F.exists(
+            web.domains_in(c), lambda d: d == F.lit("ads.blocked.bad")
+        ).alias("links_blocked"),
+    )
+
+
+def pack_sequences_by_lang(spark, sf_dir):
+    """Concat-then-chunk sequence packing
+    (ops/sampling.py::pack_sequences): documents laid end-to-end per
+    language in doc_id order, binned by 4096-char chunks of the running
+    offset — integer window arithmetic, bit-identical in SQL."""
+    from phaser_spark.ops import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.pack_sequences(
+        docs, "n_chars", 4096, order_col="doc_id", partition_col="lang"
+    )
+    return out.select("doc_id", "lang", "bin_id")
+
+
 def dedup_exact_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -1255,6 +1300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_window": streaming_session_window,
         "split_train_val_test": split_train_val_test,
         "stratified_sample": stratified_sample,
+        "web_domains": web_domains,
+        "pack_sequences_by_lang": pack_sequences_by_lang,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1340,6 +1387,9 @@ WHERE floor(CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) * 1000000) /
 
 
 def oracle_sql() -> dict[str, str]:
+    from phaser_spark.ops.web import DOMAIN_PATTERN as _WEB_DOMAIN_PATTERN
+    from phaser_spark.ops.web import URL_PATTERN as _WEB_URL_PATTERN
+
     stop_list = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
     # PII oracle is GENERATED from pii.PII_PATTERNS so the DuckDB regexes
     # are character-identical to the Spark ones (single source of truth);
@@ -1706,6 +1756,35 @@ def oracle_sql() -> dict[str, str]:
                          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                              % 10000 AS b
                   FROM documents)
+        """,
+        "web_domains": f"""
+            WITH built AS (
+                SELECT doc_id,
+                       text || ' see https://Site' || CAST(doc_id % 7 AS VARCHAR)
+                            || CASE WHEN doc_id % 2 = 0 THEN '.example.com' ELSE '.example.org' END
+                            || '/page/' || CAST(doc_id AS VARCHAR)
+                            || CASE WHEN doc_id % 5 = 0 THEN ' and http://ads.blocked.bad/x?id=1' ELSE '' END
+                       AS txt
+                FROM documents
+            ), u AS (
+                SELECT doc_id, regexp_extract_all(txt, '{_WEB_URL_PATTERN}') AS urls FROM built
+            )
+            SELECT doc_id,
+                   CAST(len(urls) AS BIGINT) AS n_urls,
+                   lower(regexp_extract(urls[1], '{_WEB_DOMAIN_PATTERN}', 1)) AS first_domain,
+                   len(list_filter(
+                       list_distinct(list_transform(urls,
+                           x -> lower(regexp_extract(x, '{_WEB_DOMAIN_PATTERN}', 1)))),
+                       d -> d = 'ads.blocked.bad')) > 0 AS links_blocked
+            FROM u
+        """,
+        "pack_sequences_by_lang": """
+            SELECT doc_id, lang,
+                   CAST(floor(CAST(coalesce(SUM(n_chars) OVER (
+                            PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                        / 4096) AS BIGINT) AS bin_id
+            FROM documents
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents

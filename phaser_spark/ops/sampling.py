@@ -73,6 +73,37 @@ def sample_by_hash(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     return df.filter(hash_bucket(F.col(key_col)) < round(fraction * _BUCKETS))
 
 
+def pack_sequences(
+    df: DataFrame,
+    len_col: str,
+    capacity: int,
+    order_col: str,
+    partition_col: str | None = None,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Assign each row to a training-batch bin by concat-then-chunk
+    packing: rows are laid end-to-end in ``order_col`` order and the bin
+    is the chunk its START offset falls in —
+    ``floor(exclusive_cumsum(len) / capacity)`` — exactly how pretraining
+    pipelines pack documents into fixed-length sequences.
+
+    With ``partition_col`` the packing runs independently per partition
+    value (the scale path: one shuffle, every window local to its
+    group).  Without it the window is global — exact, but a single-node
+    sort at the tail; only for corpora small enough to sort on one
+    executor, which is why partitioned packing is the default
+    recommendation at 100 TB (bins then never cross partitions).
+    """
+    from pyspark.sql import Window
+
+    base = (
+        Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
+    )
+    w = base.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum(len_col).over(w), F.lit(0).cast("long"))
+    return df.withColumn(bin_col, F.floor(start / F.lit(capacity)))
+
+
 def stratified_sample_by_hash(
     df: DataFrame,
     key_col: str,

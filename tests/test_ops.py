@@ -430,3 +430,52 @@ def test_stratified_sample_by_hash(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match=r"in \[0, 1\]"):
         sampling.stratified_sample_by_hash(df, "id", "lang", {"en": 1.5})
+
+
+def test_web_ops(spark):
+    from phaser_spark.ops import web
+
+    df = spark.createDataFrame(
+        [
+            (1, "read https://News.Example.com/a and http://ads.bad/x now"),
+            (2, "no links at all"),
+        ],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            web.url_count(F.col("text")).alias("n"),
+            web.domains_in(F.col("text")).alias("doms"),
+        ).collect()
+    }
+    assert rows[1]["n"] == 2 and rows[2]["n"] == 0
+    assert rows[1]["doms"] == ["news.example.com", "ads.bad"]
+    kept = web.filter_blocked_domains(df, "text", ["ADS.BAD"]).collect()
+    assert [r["id"] for r in kept] == [2]
+    counts = {
+        r["domain"]: r["n_docs"] for r in web.domain_doc_counts(df, "id", "text").collect()
+    }
+    assert counts == {"news.example.com": 1, "ads.bad": 1}
+
+
+def test_pack_sequences(spark):
+    from phaser_spark.ops import sampling
+
+    rows = [(i, "g", 100) for i in range(1, 11)]  # 10 docs x 100 tokens
+    df = spark.createDataFrame(rows, "id long, grp string, n long")
+    out = {
+        r["id"]: r["bin_id"]
+        for r in sampling.pack_sequences(
+            df, "n", 250, order_col="id", partition_col="grp"
+        ).collect()
+    }
+    # starts: 0,100,200,...,900 -> bins 0,0,0,1,1,2,2,2,3,3
+    assert [out[i] for i in range(1, 11)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    # global (no partition) gives the same here
+    g = {
+        r["id"]: r["bin_id"]
+        for r in sampling.pack_sequences(df, "n", 250, order_col="id").collect()
+    }
+    assert g == out
