@@ -10,6 +10,9 @@ the same Pipeline/Phase API, but that scales to a 100 TB corpus:
   2. ExactDedup — normalize+hash fingerprint, keep the first copy.
   3. NearDedup — MinHash+LSH banding; drop every doc whose near-dup
      cluster keeper is a different doc.
+  4. CurateAndPack — PII redaction, domain blocklist, benchmark
+     decontamination, stratified language rebalancing, and sequence
+     packing into fixed-capacity training bins.
 
 Run:  python examples/training_data_pipeline.py [sf_dir] [working_dir]
 """
@@ -23,7 +26,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from phaser_spark import Phase, Pipeline, dataframe_step, filter_rows
-from phaser_spark.ops import dedup, text
+from phaser_spark.ops import cleaning, dedup, pii, sampling, text, web
 from phaser_spark.session import get_spark
 
 # column expressions below are built at class-definition time, which needs
@@ -89,13 +92,37 @@ class NearDedup(Phase):
     steps = [drop_near_dups]
 
 
+@dataframe_step(check_size=False)
+def curate_and_pack(df, context=None):
+    # PII scrub and domain blocklist are pure projections
+    out = pii.redact_pii(df, "text", out_col="text_clean", with_counts=False)
+    out = web.filter_blocked_domains(out, "text", ["ads.bad", "tracker.example"])
+    # decontaminate against a (stand-in) benchmark set: here, the 10
+    # lowest doc_ids play the role of an eval set loaded from elsewhere
+    bench = df.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    out = cleaning.decontaminate(out, bench, n=8)
+    # rebalance: keep half of English, all of everything else, then pack
+    # into 4096-token training bins per language
+    out = sampling.stratified_sample_by_hash(
+        out, "doc_id", "lang", {"en": 0.5}, default_fraction=1.0
+    )
+    return sampling.pack_sequences(
+        out, "n_tokens", 4096, order_col="doc_id", partition_col="lang"
+    )
+
+
+class CurateAndPack(Phase):
+    name = "CurateAndPack"
+    steps = [curate_and_pack]
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     wd = sys.argv[2] if len(sys.argv) > 2 else "/tmp/phaser_training_pipeline"
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     pipe = Pipeline(
         working_dir=wd,
-        phases=[QualityFilter, ExactDedup, NearDedup],
+        phases=[QualityFilter, ExactDedup, NearDedup, CurateAndPack],
         spark=spark,
     )
     pipe.save_format = "parquet"  # columnar checkpoints (the scale path)

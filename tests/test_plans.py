@@ -165,3 +165,28 @@ def test_repetition_counting_is_partial_agg(spark):
     # the (id, kind, item) count must map-side combine before its shuffle
     plan = plan_of(entrymod.text_repetition(spark, SF))
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_stratified_sample_is_shuffle_free_with_pushdown(spark):
+    # hash-bucket sampling is scan -> filter: no Exchange, and the filter
+    # must not block column pruning of the wide text column
+    plan = plan_of(entrymod.stratified_sample(spark, SF))
+    assert "Exchange" not in plan
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_web_blocklist_filter_is_shuffle_free(spark):
+    from phaser_spark.ops import web
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(web.filter_blocked_domains(docs, "text", ["ads.bad"]))
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    # partition-local windows: exactly one exchange (hash by lang), no
+    # global sort (formatted mode prints each node name twice — count the
+    # partitioning spec instead)
+    plan = plan_of(entrymod.pack_sequences_by_lang(spark, SF))
+    assert plan.count("hashpartitioning(") == 1
+    assert "rangepartitioning" not in plan
