@@ -40,7 +40,7 @@ from phaser_spark import (  # noqa: E402
 from phaser_spark.constants import PHASER_ROW_NUM  # noqa: E402
 from phaser_spark.context import Context  # noqa: E402
 from phaser_spark.lineage import renumber, spread_for_compute, with_row_numbers  # noqa: E402
-from phaser_spark.ops import cleaning, dedup, multimodal, pii, similarity, text  # noqa: E402
+from phaser_spark.ops import cleaning, dedup, embeddings, multimodal, pii, similarity, text  # noqa: E402
 from phaser_spark.ops.dedup import trunc_digits  # noqa: E402
 from phaser_spark.pipeline import extract_events  # noqa: E402
 
@@ -551,6 +551,36 @@ def dedup_embedding(spark, sf_dir):
     return dedup.embedding_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.3,
         planes_matrix=similarity.deterministic_planes(8, 64),
+    )
+
+
+def embedding_quantize(spark, sf_dir):
+    """Per-vector int8-quantization scorecard (ops/embeddings.py
+    ``embedding_summary``): L2 norm, absmax scale, integer checksum of
+    the quantized vector, and max reconstruction error.  Pure per-row
+    projection — higher-order double folds, no shuffle, no UDF; the
+    q_sum integer checksum catches any cross-engine disagreement in the
+    64-element quantization as a whole-number diff, not a last-ulp
+    float."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embeddings.embedding_summary(emb)
+
+
+def embedding_centroids(spark, sf_dir):
+    """Per-label mean-pooled centroid (ops/embeddings.py
+    ``group_centroids``): posexplode to (label, dim), decimal-exact sums
+    with map-side combine (order-insensitive across shuffles — the 100 TB
+    determinism requirement), array reassembly per label.  The driver
+    query re-explodes the centroid so the oracle compares scalar cells;
+    the operator's array output is exercised as-is in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = embeddings.group_centroids(emb, "label")
+    return cents.select(
+        "label",
+        F.posexplode("centroid").alias("dim", "c"),
+        "n",
+    ).select(
+        "label", "dim", trunc_digits(F.col("c"), 6).alias("c_mean"), "n"
     )
 
 
@@ -1295,6 +1325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_csv_roundtrip": s1_csv_roundtrip,
         "d1_table_diff": d1_table_diff,
         "dedup_embedding": dedup_embedding,
+        "embedding_quantize": embedding_quantize,
+        "embedding_centroids": embedding_centroids,
         "streaming_stateful_user_stats": streaming_stateful_user_stats,
         "streaming_dedup_keys": streaming_dedup_keys,
         "streaming_session_window": streaming_session_window,
@@ -1718,6 +1750,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, floor(cos * 1000000) / 1000000 AS cosine
             FROM scored
             WHERE floor(cos * 1000000) / 1000000 >= 0.3
+        """,
+        # Mirrors ops/embeddings.embedding_summary: ordered double folds
+        # (list_reduce == F.aggregate element order), absmax int8
+        # quantization with floor(x/scale*127+0.5) half-up rounding, and
+        # the same operand order in every expression.
+        "embedding_quantize": f"""
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+            ), base AS (
+                SELECT vec_id, vv,
+                       sqrt({_nsq_sql('vv')}) AS norm,
+                       list_max(list_transform(vv,
+                           x -> CASE WHEN x < 0 THEN -x ELSE x END)) AS scale
+                FROM v
+            ), q AS (
+                SELECT vec_id, vv, norm, scale,
+                       CASE WHEN scale = 0
+                            THEN list_transform(vv, x -> CAST(0 AS INTEGER))
+                            ELSE list_transform(vv,
+                                x -> CAST(floor(x / scale * 127.0 + 0.5) AS INTEGER))
+                       END AS qs
+                FROM base
+            ), e AS (
+                SELECT vec_id, norm, scale, qs,
+                       list_max(list_transform(generate_series(1, len(vv)),
+                           i -> CASE WHEN vv[i] > qs[i] * scale / 127.0
+                                     THEN vv[i] - qs[i] * scale / 127.0
+                                     ELSE qs[i] * scale / 127.0 - vv[i] END)) AS max_diff
+                FROM q
+            )
+            SELECT vec_id,
+                   floor(norm * 1000000) / 1000000 AS norm,
+                   floor(scale * 1000000) / 1000000 AS q_scale,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), qs),
+                               (a, b) -> a + b) AS q_sum,
+                   floor(COALESCE(max_diff, 0.0) * 1000000000) / 1000000000 AS max_err
+            FROM e
+        """,
+        # Mirrors ops/embeddings.group_centroids: decimal(28,12)-exact
+        # element sums (order-insensitive in both engines), one
+        # decimal->double cast, one double division.
+        "embedding_centroids": """
+            WITH dims AS (
+                SELECT label AS g, i - 1 AS dim,
+                       CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+            ), sums AS (
+                SELECT g, dim,
+                       SUM(CAST(x AS DECIMAL(28,12))) AS s,
+                       COUNT(*) AS n
+                FROM dims GROUP BY g, dim
+            )
+            SELECT g AS label, dim,
+                   floor(CAST(s AS DOUBLE) / n * 1000000) / 1000000 AS c_mean,
+                   n
+            FROM sums
         """,
         "streaming_session_window": """
             WITH g AS (

@@ -7,4 +7,15 @@ expressed Spark-first: built-in expressions where possible, Arrow-batched
 pandas UDFs only where semantics demand Python.
 """
 
-from . import cleaning, dedup, multimodal, pii, relational, sampling, similarity, text, web  # noqa: F401
+from . import (  # noqa: F401
+    cleaning,
+    dedup,
+    embeddings,
+    multimodal,
+    pii,
+    relational,
+    sampling,
+    similarity,
+    text,
+    web,
+)

@@ -479,3 +479,78 @@ def test_pack_sequences(spark):
         for r in sampling.pack_sequences(df, "n", 250, order_col="id").collect()
     }
     assert g == out
+
+
+def test_embedding_norms_and_normalize(spark, vecs):
+    from phaser_spark.ops import embeddings as emb
+
+    rows = {
+        r["vec_id"]: r
+        for r in vecs.select(
+            "vec_id",
+            emb.l2_norm(F.col("embedding")).alias("norm"),
+            emb.l2_norm(emb.l2_normalize(F.col("embedding"))).alias("unit_norm"),
+        ).collect()
+    }
+    assert rows[1]["norm"] == 1.0
+    assert abs(rows[2]["norm"] - (0.81 + 0.01) ** 0.5) < 1e-12
+    for vid in rows:
+        assert abs(rows[vid]["unit_norm"] - 1.0) < 1e-12
+    # zero vector: stays zero, no NaN
+    z = spark.createDataFrame(
+        [(9, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    r = z.select(
+        emb.l2_normalize(F.col("embedding")).alias("v"),
+        emb.l2_norm(F.col("embedding")).alias("n"),
+    ).first()
+    assert r["v"] == [0.0, 0.0] and r["n"] == 0.0
+
+
+def test_quantize_int8_roundtrip_bound(spark, vecs):
+    from phaser_spark.ops import embeddings as emb
+
+    v = F.col("embedding")
+    out = vecs.select(
+        "vec_id",
+        emb.quantize_int8(v).alias("qs"),
+        emb.quantization_error(v).alias("err"),
+        emb.max_abs(v).alias("scale"),
+    ).collect()
+    for r in out:
+        assert r["qs"]["scale"] == r["scale"]
+        qs = r["qs"]["q"]
+        assert all(-127 <= q <= 127 for q in qs)
+        # absmax reconstruction bound: err <= scale/254 (+ tiny fp slack)
+        assert r["err"] <= r["scale"] / 254 + 1e-12
+    # zero vector quantizes to zeros with scale 0 (no div-by-zero)
+    z = spark.createDataFrame([(9, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    r = z.select(emb.quantize_int8(F.col("embedding")).alias("qs")).first()
+    assert r["qs"]["scale"] == 0.0 and r["qs"]["q"] == [0, 0]
+
+
+def test_group_centroids_exact_means(spark):
+    from phaser_spark.ops import embeddings as emb
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [3.0, 2.0]),
+            (3, 1, [5.0, 5.0]),
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    rows = {r["label"]: r for r in emb.group_centroids(df, "label").collect()}
+    assert rows[0]["centroid"] == [2.0, 1.0] and rows[0]["n"] == 2
+    assert rows[1]["centroid"] == [5.0, 5.0] and rows[1]["n"] == 1
+
+
+def test_embedding_summary_checksum(spark, vecs):
+    from phaser_spark.ops import embeddings as emb
+
+    rows = {r["vec_id"]: r for r in emb.embedding_summary(vecs).collect()}
+    # vec 1 = [1,0,0]: scale 1, q=[127,0,0], checksum 127
+    assert rows[1]["q_sum"] == 127
+    assert rows[1]["norm"] == 1.0 and rows[1]["q_scale"] == 1.0
+    # vec 2 = [.9,.1,0]: q = [127, floor(.1/.9*127+.5), 0] = [127, 14]
+    assert rows[2]["q_sum"] == 127 + 14

@@ -190,3 +190,18 @@ def test_pack_sequences_single_shuffle(spark):
     plan = plan_of(entrymod.pack_sequences_by_lang(spark, SF))
     assert plan.count("hashpartitioning(") == 1
     assert "rangepartitioning" not in plan
+
+
+def test_embedding_quantize_is_shuffle_free(spark):
+    # per-row higher-order folds: single scan, zero exchanges, no Python
+    plan = plan_of(entrymod.embedding_quantize(spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_centroids_partial_aggregation(spark):
+    # posexplode -> groupBy(label, dim) must map-side combine; the only
+    # shuffle key is (g, dim) then (g) for reassembly
+    plan = plan_of(entrymod.embedding_centroids(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
