@@ -72,19 +72,43 @@ def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> Dat
     return spread_for_compute(df) if spread else df
 
 
+def _normalize_event_ts(df: DataFrame, column: str = "ts") -> DataFrame:
+    """Schema-driven event-time normalization to TIMESTAMP (LTZ).
+
+    The driver has regenerated ``events.parquet`` with different physical
+    timestamp encodings across rounds; dispatch on the *observed* Spark
+    dtype instead of guessing the fixture shape:
+
+    - ``bigint``         — TIMESTAMP(NANOS) surfaced via
+      ``spark.sql.legacy.parquet.nanosAsLong``; truncate to micros
+      (exactly DuckDB's nanos→micros conversion).
+    - ``timestamp_ntz``  — TIMESTAMP_MICROS ``isAdjustedToUTC=0``; cast to
+      LTZ, value-preserving because the session timezone is pinned UTC
+      (see _ensure_session_confs).
+    - ``timestamp``      — already LTZ; no-op.
+
+    Mirrors phaser_spark.io.normalize_event_time (the engine-side helper);
+    duplicated here so the entry file stays self-contained for the driver.
+    """
+    dt = dict(df.dtypes).get(column)
+    if dt == "bigint":
+        return df.withColumn(column, F.expr(f"timestamp_micros({column} div 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn(column, F.col(column).cast("timestamp"))
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
-    default; read nanos as long and truncate to microseconds (exactly what
-    DuckDB's nanos→micros conversion does)."""
+    """events.parquet has stored ``ts`` as TIMESTAMP(NANOS) (read as long
+    under nanosAsLong) and later as TIMESTAMP_MICROS/NTZ; normalize either
+    shape to a plain TIMESTAMP via _normalize_event_ts."""
     _ensure_session_confs(spark)
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    return _normalize_event_ts(df)
 
 
 def _dec(col, prec=18, scale=4):
@@ -1141,9 +1165,7 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     if not os.path.exists(link):
         os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")), link)
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return stream
+    return _normalize_event_ts(stream)
 
 
 def _drain(q):
