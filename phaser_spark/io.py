@@ -172,6 +172,61 @@ def normalize_null_literals(df: DataFrame, columns: list[str] | None = None) -> 
     return out
 
 
+def normalize_event_time(
+    df: DataFrame, column: str, long_unit: str = "nanos"
+) -> DataFrame:
+    """Normalize an event-time column to ``TIMESTAMP`` (LTZ) regardless of
+    how the source physically stored it.
+
+    Spark's watermark/stateful-streaming operators require ``TIMESTAMP``
+    and reject ``TIMESTAMP_NTZ`` outright
+    (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``), yet parquet writers commonly
+    emit ``TIMESTAMP_MICROS isAdjustedToUTC=0`` (read back as NTZ) or
+    ``TIMESTAMP(NANOS)`` (readable only as ``bigint`` via
+    ``spark.sql.legacy.parquet.nanosAsLong``).  Dispatch on the observed
+    dtype so one pipeline definition works over any of these shapes:
+
+    - ``bigint``        — epoch integer in ``long_unit``
+      (``nanos``/``micros``/``millis``/``seconds``) → ``timestamp``.
+    - ``timestamp_ntz`` — wall-clock cast to LTZ in the session timezone
+      (value-preserving when the session timezone matches the writer's —
+      pin ``spark.sql.session.timeZone`` for cross-engine parity).
+    - ``timestamp``     — already LTZ; returned unchanged.
+    - ``string``/``date`` — plain ``CAST`` (ISO-8601 strings).
+
+    All branches are pure Catalyst expressions — no UDF, fully codegen'd,
+    and safe on both batch and streaming DataFrames (streaming schemas are
+    resolved at plan time, so the dtype dispatch happens exactly once on
+    the driver).
+    """
+    field = {f.name: f for f in df.schema.fields}.get(column)
+    if field is None:
+        raise DataException(f"normalize_event_time: no column '{column}' in {df.columns}")
+    dt = field.dataType
+    if isinstance(dt, T.LongType):
+        if long_unit == "nanos":
+            expr = F.expr(f"timestamp_micros(`{column}` div 1000)")
+        elif long_unit == "micros":
+            expr = F.expr(f"timestamp_micros(`{column}`)")
+        elif long_unit == "millis":
+            expr = F.expr(f"timestamp_millis(`{column}`)")
+        elif long_unit == "seconds":
+            expr = F.expr(f"timestamp_seconds(`{column}`)")
+        else:
+            raise DataException(
+                f"normalize_event_time: unknown long_unit '{long_unit}' "
+                "(expected nanos|micros|millis|seconds)"
+            )
+        return df.withColumn(column, expr)
+    if isinstance(dt, (T.TimestampNTZType, T.StringType, T.DateType)):
+        return df.withColumn(column, F.col(f"`{column}`").cast("timestamp"))
+    if isinstance(dt, T.TimestampType):
+        return df
+    raise DataException(
+        f"normalize_event_time: cannot normalize '{column}' of type {dt.simpleString()}"
+    )
+
+
 # --------------------------------------------------------------------------
 # Sinks
 # --------------------------------------------------------------------------

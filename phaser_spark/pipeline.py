@@ -43,7 +43,7 @@ from .constants import (
 )
 from .context import EVENT_SCHEMA, Context
 from .exceptions import DataException, PhaserError
-from .io import SavableObject, load_any, save_any
+from .io import SavableObject, load_any, normalize_event_time, save_any
 from .lineage import with_row_numbers
 from .phase import Phase
 
@@ -247,6 +247,8 @@ class Pipeline:
         checkpoint_dir: str | None = None,
         available_now: bool = True,
         events_path: str | None = None,
+        event_time: str | None = None,
+        watermark_delay: str | None = None,
     ):
         """Run the SAME declarative phase pipeline over a streaming source.
 
@@ -278,8 +280,25 @@ class Pipeline:
         ``available_now=True`` drains existing input then stops
         (batch-parity mode, used by tests); pass ``False`` for a
         continuously running query.
+
+        ``event_time`` names the source's event-time column: it is
+        normalized to ``TIMESTAMP`` via
+        :func:`phaser_spark.io.normalize_event_time` (accepting
+        ``TIMESTAMP_NTZ``, epoch-``bigint``, string, or already-LTZ
+        sources — parquet writers disagree on physical timestamp
+        encodings, and ``withWatermark`` hard-rejects NTZ), and — when
+        ``watermark_delay`` is also given (e.g. ``"10 minutes"``) — a
+        watermark is applied before the phases run, bounding state for
+        any stateful operators downstream.
         """
         from pyspark.sql import functions as SF
+
+        if event_time is not None:
+            stream_df = normalize_event_time(stream_df, event_time)
+            if watermark_delay is not None:
+                stream_df = stream_df.withWatermark(event_time, watermark_delay)
+        elif watermark_delay is not None:
+            raise PhaserError("run_stream: watermark_delay requires event_time")
 
         BATCH_COL = "__phaser_batch_id__"
         state: dict = {"next_start": None, "last_batch": None}

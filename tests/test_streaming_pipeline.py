@@ -114,3 +114,108 @@ def test_run_stream_restart_continues_numbering(spark, tmp_path):
     assert sorted(r.id for r in got) == [1, 2, 3, 4]  # no replay duplicates
     nums = sorted(r[PHASER_ROW_NUM] for r in got)
     assert nums == [1, 2, 3, 4]  # second run continued from max+1
+
+
+def test_normalize_event_time_three_fixture_shapes(spark, tmp_path):
+    # The driver has shipped events.parquet as TIMESTAMP(NANOS)-as-bigint,
+    # TIMESTAMP_MICROS/NTZ, and plain TIMESTAMP across rounds; the engine
+    # helper must produce identical instants from all three encodings.
+    from phaser_spark.io import normalize_event_time
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00.123456"), (2, "2024-03-01 10:05:30.000001")],
+        "id long, raw string",
+    )
+    ltz = base.select("id", F.col("raw").cast("timestamp").alias("ts"))
+    ntz = base.select("id", F.col("raw").cast("timestamp_ntz").alias("ts"))
+    nanos = ltz.select(
+        "id", (F.unix_micros("ts") * F.lit(1000)).cast("long").alias("ts")
+    )
+
+    expected = sorted((r.id, str(r.ts)) for r in ltz.collect())
+    for shaped in (ltz, ntz, nanos):
+        out = normalize_event_time(shaped, "ts")
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        assert sorted((r.id, str(r.ts)) for r in out.collect()) == expected
+
+
+def test_normalize_event_time_units_and_errors(spark):
+    from phaser_spark.io import normalize_event_time
+    from phaser_spark.exceptions import DataException
+
+    import pytest
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame([(1, 1709287200)], "id long, ts long")
+    out = normalize_event_time(df, "ts", long_unit="seconds")
+    assert str(out.first().ts) == "2024-03-01 10:00:00"
+    with pytest.raises(DataException):
+        normalize_event_time(df, "missing")
+    with pytest.raises(DataException):
+        normalize_event_time(df, "ts", long_unit="fortnights")
+    bad = spark.createDataFrame([(1, [1.0])], "id long, ts array<double>")
+    with pytest.raises(DataException):
+        normalize_event_time(bad, "ts")
+
+
+def test_run_stream_ntz_source_watermarked(spark, tmp_path):
+    # An NTZ-typed parquet streaming source must flow through a watermarked
+    # phase pipeline: run_stream normalizes the event-time column to
+    # TIMESTAMP before applying the watermark (withWatermark rejects NTZ).
+    import glob
+    import shutil
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir)
+    raw = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00", 5.0), (2, "2024-03-01 10:01:00", 0.5),
+         (3, "2024-03-01 10:02:00", 7.0)],
+        "id long, raw string, score double",
+    ).select("id", F.col("raw").cast("timestamp_ntz").alias("ts"), "score")
+    stage = os.path.join(str(tmp_path), "stage")
+    raw.coalesce(1).write.parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(src_dir, "b1.parquet"))
+    assert dict(spark.read.parquet(src_dir).dtypes)["ts"] == "timestamp_ntz"
+
+    class Clean(Phase):
+        name = "Clean"
+        columns = [FloatColumn("score")]
+        steps = [filter_rows(F.col("score") >= 1.0)]
+
+    out_dir = os.path.join(str(tmp_path), "out")
+    pipe = Pipeline(phases=[Clean], spark=spark)
+    stream = spark.readStream.schema(raw.schema).parquet(src_dir)
+    pipe.run_stream(
+        stream,
+        out_dir,
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        event_time="ts",
+        watermark_delay="10 minutes",
+    )
+    got = spark.read.parquet(out_dir)
+    assert dict(got.dtypes)["ts"] == "timestamp"
+    assert sorted(r.id for r in got.collect()) == [1, 3]
+
+
+def test_run_stream_watermark_requires_event_time(spark, tmp_path):
+    import pytest
+
+    from phaser_spark.exceptions import PhaserError
+
+    class Clean(Phase):
+        name = "Clean"
+        columns = [FloatColumn("score")]
+
+    schema = "id long, score double"
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir)
+    pipe = Pipeline(phases=[Clean], spark=spark)
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).parquet(src_dir)
+    with pytest.raises(PhaserError):
+        pipe.run_stream(stream, os.path.join(str(tmp_path), "out"),
+                        watermark_delay="10 minutes")
