@@ -400,6 +400,60 @@ def e1_quarantine_events(spark, sf_dir):
     return ev.select(F.col("row_num"), F.col("type"), F.col("step"))
 
 
+def s7_checkpoint_lifecycle(spark, sf_dir):
+    """Checkpoint lifecycle parity (S7/E6, reference
+    phaser/pipeline.py:157-216): a two-phase Pipeline with a working dir
+    materializes every phase to an internal parquet checkpoint; phase 2
+    COLLECTS contract errors and aborts the pipeline AFTER its checkpoint
+    is written (the reference's fail-on-collected-errors rule).  The query
+    then re-reads the aborted phase's on-disk checkpoint and returns its
+    row-level classification: original row numbers survive phase 1's drops
+    (gaps, never renumbered) and each under-minimum row carries its
+    collected error marker.  The working dir is a throwaway under /tmp;
+    the returned DataFrame reads the checkpoint lazily (no driver-side
+    materialization)."""
+    import tempfile
+
+    from phaser_spark import Pipeline
+    from phaser_spark.constants import ERROR_COL, ON_ERROR_COLLECT
+    from phaser_spark.exceptions import DataException
+
+    orders = _t(spark, sf_dir, "orders", spread=False).select(
+        "o_orderkey", "o_totalprice"
+    )
+    workdir = tempfile.mkdtemp(prefix="phaser_ckpt_lifecycle_")
+    pipe = Pipeline(
+        working_dir=workdir,
+        spark=spark,
+        phases=[
+            Phase(
+                name="clean",
+                columns=[IntColumn("o_orderkey"), FloatColumn("o_totalprice")],
+                steps=[filter_rows(F.col("o_totalprice") >= 10000.0)],
+            ),
+            Phase(
+                name="guard",
+                columns=[FloatColumn("o_totalprice", min_value=50000.0)],
+                error_policy=ON_ERROR_COLLECT,
+            ),
+        ],
+    )
+    aborted = False
+    try:
+        pipe.run(orders)
+    except DataException:
+        aborted = True
+    if not aborted:
+        raise AssertionError("guard phase must abort on collected errors (E6)")
+    ckpt = spark.read.parquet(os.path.join(workdir, ".guard_state.parquet"))
+    return ckpt.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col(PHASER_ROW_NUM).alias("row_num"),
+        F.col(ERROR_COL).isNotNull().alias("has_error"),
+        F.col(ERROR_COL)["column"].alias("err_column"),
+    )
+
+
 def u6_flatten_props(spark, sf_dir):
     ev = _events(spark, sf_dir)
     parsed = ev.withColumn(
@@ -1337,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_filter_rows": p4_filter_rows,
         "p1_column_casts": p1_column_casts,
         "e1_quarantine_events": e1_quarantine_events,
+        "s7_checkpoint_lifecycle": s7_checkpoint_lifecycle,
         "u6_flatten_props": u6_flatten_props,
         "u7_flatten_all": u7_flatten_all,
         "u8_fix_functions": u8_fix_functions,
@@ -1664,6 +1719,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT rn AS row_num, 'DROPPED_ROW' AS type, '__cast_and_check__' AS step
             FROM (SELECT row_number() OVER () AS rn, o_totalprice FROM orders)
             WHERE o_totalprice < 50000
+        """,
+        "s7_checkpoint_lifecycle": """
+            WITH numbered AS (
+                SELECT row_number() OVER () AS rn, o_orderkey, o_totalprice
+                FROM orders
+            ), kept AS (
+                SELECT * FROM numbered WHERE o_totalprice >= 10000.0
+            )
+            SELECT o_orderkey,
+                   rn AS row_num,
+                   o_totalprice < 50000.0 AS has_error,
+                   CASE WHEN o_totalprice < 50000.0 THEN 'o_totalprice' END AS err_column
+            FROM kept
         """,
         "u6_flatten_props": """
             SELECT event_id, CAST(props->>'k' AS BIGINT) AS props__k FROM events
