@@ -136,6 +136,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
+    cache_index: bool | None = None,
+    cache_index_max_partitions: int = 256,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard ≥ t).
 
@@ -147,8 +149,24 @@ def ngram_jaccard_pairs(
     where exact Jaccard against every shingle is required.  Dropping a
     shingle with df > 1000 changes Jaccard of an affected pair by at most
     1/|union|, and only pairs sharing that near-universal shingle are
-    affected.  Returns ``(id_a, id_b, jaccard double)``."""
-    idx = _shingle_index(df, id_col, text_col, n, max_shingle_df).cache()
+    affected.  Returns ``(id_a, id_b, jaccard double)``.
+
+    The shingle index feeds two consumers (per-doc sizes and the posting
+    lists), so it is persisted (memory-and-disk) by default — but the
+    index is corpus-sized, and pinning it for a 100 TB corpus trades the
+    whole cluster's storage memory for one recompute.  ``cache_index``
+    gates this: ``None`` (auto) persists only when the input has at most
+    ``cache_index_max_partitions`` partitions (a cheap driver-side size
+    proxy — file sources map partitions to ``maxPartitionBytes``-sized
+    splits); ``False`` always recomputes the index per consumer (two scans
+    of the source, zero storage-memory pressure); ``True`` always pins."""
+    from pyspark import StorageLevel
+
+    idx = _shingle_index(df, id_col, text_col, n, max_shingle_df)
+    if cache_index is None:
+        cache_index = df.rdd.getNumPartitions() <= cache_index_max_partitions
+    if cache_index:
+        idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # pair generation via posting-list combinations: one shuffle on the
     # shingle key, pairs emitted per posting list — avoids the index×index

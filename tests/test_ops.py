@@ -80,6 +80,26 @@ def test_ngram_jaccard_hot_shingle_guard(spark):
     assert guarded == 0
 
 
+def test_ngram_jaccard_cache_index_gate(spark, docs):
+    # cache_index=False (the 100-TB path: recompute the corpus-sized
+    # shingle index per consumer instead of pinning it) must be
+    # result-identical to the pinned default, and auto mode must skip the
+    # persist when the input exceeds the partition threshold
+    expected = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, cache_index=True).collect()
+    )
+    for kwargs in (
+        {"cache_index": False},
+        {"cache_index": None, "cache_index_max_partitions": 0},  # auto -> skip
+    ):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, **kwargs).collect()
+        )
+        assert got == expected
+
+
 def test_minhash_dedup_converges_on_long_chain(spark):
     # A 5-doc near-dup chain laid out so the min id (0) sits 4 hops from
     # id 1: a fixed-round propagation (< 4 rounds) leaves node 1 believing
