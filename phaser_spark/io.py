@@ -316,6 +316,41 @@ def save_json(df: DataFrame, filename: str, single_file: bool = True) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def save_parquet_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table sink (engine addition; the reference has no
+    co-location story at all).
+
+    Bucketing pre-shuffles a table ONCE at write time: rows are hashed on
+    ``bucket_cols`` into ``num_buckets`` files per partition, and the
+    layout is recorded in the session catalog.  Every later equi-join or
+    aggregation on the bucket key then skips its Exchange entirely — the
+    dominant cost of large-table joins at 100 TB, paid once instead of per
+    query.  Both join sides must be bucketed on the join key with the same
+    bucket count (``tests/test_plans.py::test_bucketed_join_skips_shuffle``
+    asserts the shuffle-free SortMergeJoin plan).
+
+    ``sort_cols`` additionally sorts within each bucket file, letting the
+    join skip its Sort as well.  ``path`` makes the table external (data at
+    ``path``, metadata in the catalog); without it the table is managed
+    under ``spark.sql.warehouse.dir``.  Size ``num_buckets`` so one bucket
+    of the FACT table fits an executor core's working memory at target
+    scale (e.g. 100 TB / 32768 buckets ≈ 3 GB per bucket)."""
+    writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def save_parquet(df: DataFrame, path: str) -> None:
     """Native columnar checkpoint (engine addition; the scale path)."""
     df.write.mode("overwrite").parquet(path)

@@ -205,3 +205,38 @@ def test_embedding_centroids_partial_aggregation(spark):
     plan = plan_of(entrymod.embedding_centroids(spark, SF))
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    # Co-located join: both sides bucketed on the join key with the same
+    # bucket count -> the SortMergeJoin runs with NO Exchange on either
+    # side (the 100-TB join strategy: shuffle once at write, never at read)
+    from phaser_spark.io import save_parquet_bucketed
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        facts = spark.range(0, 1000).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+        )
+        dims = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        save_parquet_bucketed(
+            facts, "bt_facts", ["k"], num_buckets=4, sort_cols=["k"],
+            path=str(tmp_path / "facts"),
+        )
+        save_parquet_bucketed(
+            dims, "bt_dims", ["k"], num_buckets=4, sort_cols=["k"],
+            path=str(tmp_path / "dims"),
+        )
+        joined = spark.table("bt_facts").join(spark.table("bt_dims"), "k")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "SelectedBucketsCount" in plan  # scan is bucket-aware
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_facts")
+        spark.sql("DROP TABLE IF EXISTS bt_dims")
