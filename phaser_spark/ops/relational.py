@@ -260,3 +260,48 @@ def asof_join_step(
 
     _asof.__name__ = f"asof_join_{source_name}"
     return _asof
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_source: list[str] | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join: spread each hot key of ``big`` over ``n_salts``
+    shuffle partitions by joining on ``(keys..., salt)`` against a
+    ``small`` side replicated ``n_salts`` times.
+
+    AQE's skew-join splitting handles most skew at runtime, but it can
+    only split what one sort-merge task already received; for a key so hot
+    it dominates a whole executor (the Zipf head of a 100 TB web corpus),
+    salting removes the hotspot *before* the shuffle.  Use when ``small``
+    is too big to broadcast (broadcast is always the first choice — no
+    shuffle at all) but small enough that ``n_salts``× replication is
+    cheap.
+
+    The salt on the big side is DETERMINISTIC — ``xxhash64`` over
+    ``salt_source`` (default: all non-key columns) mod ``n_salts`` — so
+    retried/recomputed tasks salt identically (a ``rand()`` salt breaks
+    exactly-once semantics under task retry: the recomputed row may land
+    in a partition whose join output was already committed).
+
+    Only the join keys of ``small`` are replicated-joined; result columns
+    and ``how`` semantics ('inner'/'left') match ``big.join(small, on,
+    how)``.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise PhaserError(f"salted_join supports inner/left joins, got {how!r}")
+    salt_cols = salt_source or [c for c in big.columns if c not in on]
+    if not salt_cols:
+        salt_cols = on  # degenerate: key-only rows still need a stable salt
+    SALT = "__phaser_salt__"
+    big_salted = big.withColumn(
+        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
+    )
+    small_rep = small.withColumn(
+        SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return big_salted.join(small_rep, on=[*on, SALT], how=how).drop(SALT)

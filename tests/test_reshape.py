@@ -63,3 +63,44 @@ def test_join_step_broadcast_enrichment(spark):
     got = {r["k"]: r["label"] for r in out.collect()}
     assert got == {"a": "Alpha", "b": "Beta", "zz": None}
     assert any("no match" in e["message"] for e in ctx.driver_events)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from phaser_spark.ops.relational import salted_join
+
+    # Zipf-head skew: one key carries most rows
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(20)] + [(9, 1)],
+        "k long, v long",
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "warm"), (3, "unused")], "k long, name string")
+    expected = sorted((r.k, r.v, r.name) for r in big.join(small, ["k"], "inner").collect())
+    got = sorted((r.k, r.v, r.name) for r in salted_join(big, small, ["k"], n_salts=8).collect())
+    assert got == expected and len(got) == 520
+
+    # left join: unmatched key 9 survives exactly once with null name
+    exp_left = sorted(
+        (r.k, r.v, r.name) for r in big.join(small, ["k"], "left").collect()
+    )
+    got_left = sorted(
+        (r.k, r.v, r.name)
+        for r in salted_join(big, small, ["k"], n_salts=8, how="left").collect()
+    )
+    assert got_left == exp_left and len(got_left) == 521
+
+
+def test_salted_join_spreads_hot_key_over_salts(spark):
+    from phaser_spark.ops.relational import salted_join
+
+    # the hot key's rows must land on multiple distinct salt values —
+    # that's the whole point (one shuffle partition no longer owns the key)
+    big = spark.createDataFrame([(1, i) for i in range(200)], "k long, v long")
+    small = spark.createDataFrame([(1, "hot")], "k long, name string")
+    n = (
+        big.withColumn("s", F.pmod(F.xxhash64("v"), F.lit(8)))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert n == 8  # all salt buckets used for the hot key
+    assert salted_join(big, small, ["k"], n_salts=8).count() == 200
