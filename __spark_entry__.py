@@ -280,10 +280,17 @@ def j1_brand_revenue(spark, sf_dir):
 
 
 def j2_customers_without_orders(spark, sf_dir):
+    """Anti-join surface: customers with no URGENT order.  (The plain
+    no-orders-at-all variant returns zero rows on the TPC-H generator's
+    fixtures — every customer has orders — which made the hash check
+    trivially green; the priority filter keeps the anti-join non-empty at
+    every SF so the oracle actually exercises values.)"""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
@@ -1692,7 +1699,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "j2_customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+            )
         """,
         "o1_sort_rank": """
             SELECT o_orderkey,
