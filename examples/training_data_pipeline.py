@@ -127,6 +127,16 @@ def main():
     )
     pipe.save_format = "parquet"  # columnar checkpoints (the scale path)
     out = pipe.run(docs)
+    # persist the curated corpus bucketed on doc_id: every later equi-join
+    # against per-doc metadata (or an incremental re-dedup pass) then runs
+    # with zero Exchange — the write pays the shuffle once (SCALE.md
+    # "Co-located joins")
+    from phaser_spark.io import save_parquet_bucketed
+
+    save_parquet_bucketed(
+        out.drop("bin_id"), "curated_docs", ["doc_id"], num_buckets=32,
+        sort_cols=["doc_id"], path=os.path.join(wd, "curated_bucketed"),
+    )
     n_in, n_out = docs.count(), out.count()
     print(
         f"{n_in} docs in -> {n_out} after quality+dedup "
