@@ -219,3 +219,38 @@ def test_run_stream_watermark_requires_event_time(spark, tmp_path):
     with pytest.raises(PhaserError):
         pipe.run_stream(stream, os.path.join(str(tmp_path), "out"),
                         watermark_delay="10 minutes")
+
+
+def test_normalize_event_time_value_sweep(spark):
+    # broad instant sweep through all three physical shapes in one pass:
+    # epoch, pre-1970, leap day, year/DST boundaries, microsecond extremes,
+    # plus a pseudo-random spread across 1900-2100
+    import datetime as dt
+
+    from phaser_spark.io import normalize_event_time
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    edge = [
+        "1970-01-01 00:00:00.000000",
+        "1969-12-31 23:59:59.999999",   # pre-epoch (negative micros)
+        "1900-06-15 12:30:45.000001",
+        "2000-02-29 23:59:59.500000",   # leap day
+        "2024-12-31 23:59:59.999999",
+        "2025-03-30 02:30:00.000000",   # CET DST gap hour (UTC session: no-op)
+        "2100-01-01 00:00:00.123456",
+    ]
+    rnd = [
+        (dt.datetime(1970, 1, 1) + dt.timedelta(seconds=((i * 2654435761) % 4102444800) - 1000000000,
+                                                microseconds=(i * 40503) % 1000000)
+         ).strftime("%Y-%m-%d %H:%M:%S.%f")
+        for i in range(200)
+    ]
+    vals = edge + rnd
+    base = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, raw string")
+    ltz = base.select("id", F.col("raw").cast("timestamp").alias("ts"))
+    ntz = base.select("id", F.col("raw").cast("timestamp_ntz").alias("ts"))
+    nanos = ltz.select("id", (F.unix_micros("ts") * F.lit(1000)).cast("long").alias("ts"))
+    expected = sorted((r.id, str(r.ts)) for r in ltz.collect())
+    for shaped in (ntz, nanos):
+        got = sorted((r.id, str(r.ts)) for r in normalize_event_time(shaped, "ts").collect())
+        assert got == expected
