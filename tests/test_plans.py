@@ -240,3 +240,15 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_facts")
         spark.sql("DROP TABLE IF EXISTS bt_dims")
+
+
+def test_simhash_signature_build_has_no_join(spark):
+    # the signature build must hash words inline on the (id, word, count)
+    # rows — a vocabulary join would shuffle the full count table on the
+    # word key (and the corpus vocabulary is never broadcastable at scale)
+    from phaser_spark.ops import dedup
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    plan = plan_of(dedup.simhash(docs, "doc_id", "text"))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partials survive
