@@ -81,23 +81,17 @@ def test_ngram_jaccard_hot_shingle_guard(spark):
 
 
 def test_ngram_jaccard_cache_index_gate(spark, docs):
-    # cache_index=False (the 100-TB path: recompute the corpus-sized
-    # shingle index per consumer instead of pinning it) must be
-    # result-identical to the pinned default, and auto mode must skip the
-    # persist when the input exceeds the partition threshold
+    # the recompute default (the 100-TB path: never pin the corpus-sized
+    # shingle index) must be result-identical to an explicit persist
     expected = sorted(
         (r["id_a"], r["id_b"], r["jaccard"])
         for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, cache_index=True).collect()
     )
-    for kwargs in (
-        {"cache_index": False},
-        {"cache_index": None, "cache_index_max_partitions": 0},  # auto -> skip
-    ):
-        got = sorted(
-            (r["id_a"], r["id_b"], r["jaccard"])
-            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, **kwargs).collect()
-        )
-        assert got == expected
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    )
+    assert got == expected
 
 
 def test_minhash_dedup_converges_on_long_chain(spark):
