@@ -305,12 +305,15 @@ def minhash_lsh_pairs(
             .select("id_a", "id_b", trunc_digits(est, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
-    # shingle sets are needed on both sides of the candidate join: compute
-    # once, cache, alias twice
-    sh_df = (
-        staged_words(df, id_col, text_col)
-        .select("id", shingles_from_words(F.col("words"), n).alias("sh"))
-        .cache()
+    # shingle sets feed both sides of the candidate join but are NOT
+    # cached: the build is pure codegen that pipelines into each join
+    # branch (measured faster than a persist at sf0.1 — 2.24s vs 2.70s —
+    # and the shingle table is text-sized, the one thing never to pin at
+    # 100 TB).  The signature cache above is different: 128 longs per doc,
+    # ~1000× smaller than the text, and its recompute is the whole
+    # explode+128-aggregate pipeline.
+    sh_df = staged_words(df, id_col, text_col).select(
+        "id", shingles_from_words(F.col("words"), n).alias("sh")
     )
     ta = sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     tb = sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
