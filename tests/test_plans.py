@@ -236,6 +236,10 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         assert "Exchange" not in plan
         assert "SelectedBucketsCount" in plan  # scan is bucket-aware
         assert joined.count() == 1000
+        # aggregation on the bucket key rides the same layout: no Exchange
+        agg = spark.table("bt_facts").groupBy("k").agg(F.sum("v").alias("s"))
+        assert "Exchange" not in plan_of(agg)
+        assert agg.count() == 50
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_facts")
