@@ -416,9 +416,12 @@ def s7_checkpoint_lifecycle(spark, sf_dir):
     then re-reads the aborted phase's on-disk checkpoint and returns its
     row-level classification: original row numbers survive phase 1's drops
     (gaps, never renumbered) and each under-minimum row carries its
-    collected error marker.  The working dir is a throwaway under /tmp;
-    the returned DataFrame reads the checkpoint lazily (no driver-side
-    materialization)."""
+    collected error marker.  The working dir is a DETERMINISTIC path under
+    the system temp dir, wiped at the start of each invocation — repeated
+    driver runs reuse one directory instead of leaking a fresh mkdtemp per
+    run; the returned DataFrame reads the checkpoint lazily (no
+    driver-side materialization)."""
+    import shutil
     import tempfile
 
     from phaser_spark import Pipeline
@@ -428,7 +431,8 @@ def s7_checkpoint_lifecycle(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders", spread=False).select(
         "o_orderkey", "o_totalprice"
     )
-    workdir = tempfile.mkdtemp(prefix="phaser_ckpt_lifecycle_")
+    workdir = os.path.join(tempfile.gettempdir(), "phaser_ckpt_lifecycle")
+    shutil.rmtree(workdir, ignore_errors=True)
     pipe = Pipeline(
         working_dir=workdir,
         spark=spark,
@@ -458,6 +462,88 @@ def s7_checkpoint_lifecycle(spark, sf_dir):
         F.col(PHASER_ROW_NUM).alias("row_num"),
         F.col(ERROR_COL).isNotNull().alias("has_error"),
         F.col(ERROR_COL)["column"].alias("err_column"),
+    )
+
+
+def bucketed_checkpoint_agg(spark, sf_dir):
+    """Bucketed-checkpoint pipeline (S7 + the 100 TB co-location path):
+    phase 1 filters orders and materializes its checkpoint as a parquet
+    table BUCKETED on ``o_custkey`` (``Phase(checkpoint_bucket_by=...)`` →
+    ``io.save_parquet_bucketed``); phase 2's per-customer aggregation then
+    reads the pre-shuffled layout and runs with zero Exchange
+    (plan-asserted in tests/test_plans.py::
+    test_bucketed_checkpoint_phase2_agg_zero_exchange).  Working dir is a
+    deterministic path under /tmp, wiped per invocation."""
+    import shutil
+    import tempfile
+
+    from phaser_spark import Pipeline, dataframe_step
+
+    orders = _t(spark, sf_dir, "orders", spread=False).select(
+        "o_custkey", "o_totalprice"
+    )
+
+    @dataframe_step
+    def per_customer(df, context=None):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money(F.col("o_totalprice")).alias("total_price"),
+        )
+
+    workdir = os.path.join(tempfile.gettempdir(), "phaser_bucketed_ckpt")
+    shutil.rmtree(workdir, ignore_errors=True)
+    pipe = Pipeline(
+        name="bucketed_agg_demo",
+        working_dir=workdir,
+        spark=spark,
+        phases=[
+            Phase(
+                name="prep",
+                steps=[filter_rows(F.col("o_totalprice") >= 1000.0)],
+                checkpoint_bucket_by=["o_custkey"],
+                checkpoint_num_buckets=8,
+            ),
+            Phase(name="rollup", steps=[per_customer]),
+        ],
+    )
+    out = pipe.run(orders)
+    return out.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("n_orders"),
+        F.col("total_price"),
+    )
+
+
+def salted_hotkey_join(spark, sf_dir):
+    """Skew-safe join under the oracle discipline: the big side is orders
+    with a deliberately Zipf-headed key (half of all rows collapse onto
+    customer 1 — the hot-key regime where one sort-merge partition would
+    otherwise receive ~50%% of the table); the small-but-unbroadcastable
+    side is customer.  ``ops.relational.salted_join`` spreads the hot key
+    over 16 deterministic salts before the shuffle; the oracle is the
+    equivalent PLAIN SQL join, so the hash match IS the salted-vs-plain
+    equivalence proof.  Plan shape (salt in the join key, hot key spread)
+    is asserted in tests/test_plans.py::test_salted_join_spreads_hot_key."""
+    from phaser_spark.ops.relational import salted_join
+
+    orders = _t(spark, sf_dir, "orders", spread=False)
+    cust = _t(spark, sf_dir, "customer", spread=False).select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    big = orders.select(
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .cast("long")
+        .alias("k"),
+        "o_totalprice",
+    )
+    joined = salted_join(big, cust, on=["k"], n_salts=16)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money(F.col("o_totalprice")).alias("total_price"),
+        )
     )
 
 
@@ -1444,6 +1530,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_customers_without_orders": j2_customers_without_orders,
         "split_train_val_test": split_train_val_test,
         "embedding_quantize": embedding_quantize,
+        # ---- past-cap, round 5: scale-path variants of in-window ops
+        # (S7 checkpoint via bucketed table; J1-family join via salting) —
+        # verified by tests/oracle_parity.py, see tests/test_driver_contract.py
+        "bucketed_checkpoint_agg": bucketed_checkpoint_agg,
+        "salted_hotkey_join": salted_hotkey_join,
     }
 
 
@@ -2347,5 +2438,27 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "bucketed_checkpoint_agg": """
+            SELECT o_custkey,
+                   COUNT(*) AS n_orders,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_price
+            FROM orders
+            WHERE o_totalprice >= 1000.0
+            GROUP BY o_custkey
+        """,
+        # The oracle joins PLAIN (no salt): a hash match proves salting is
+        # result-invariant on a half-the-table hot key.
+        "salted_hotkey_join": """
+            WITH big AS (
+                SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE o_custkey END AS k,
+                       o_totalprice
+                FROM orders
+            )
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_price
+            FROM big JOIN customer ON big.k = customer.c_custkey
+            GROUP BY c_mktsegment
         """,
     }

@@ -295,8 +295,23 @@ def salted_join(
     if how not in ("inner", "left", "left_outer"):
         raise PhaserError(f"salted_join supports inner/left joins, got {how!r}")
     salt_cols = salt_source or [c for c in big.columns if c not in on]
-    if not salt_cols:
-        salt_cols = on  # degenerate: key-only rows still need a stable salt
+    if not salt_cols or set(salt_cols) == set(on):
+        # Degenerate: with only the join keys to hash, every row of a hot
+        # key gets the SAME salt — the join still returns correct results
+        # but the skew mitigation is a no-op while still paying the
+        # n_salts× replication of `small`.  Warn loudly rather than fail
+        # (the result is correct); callers should provide a per-row-diverse
+        # salt_source or use a plain join.
+        import warnings
+
+        warnings.warn(
+            "salted_join: salt_source reduces to the join keys, so each hot "
+            "key maps to ONE salt and the skew mitigation does nothing "
+            "(while still replicating the small side). Provide salt_source "
+            "columns with per-row diversity, or use a plain join.",
+            stacklevel=2,
+        )
+        salt_cols = on  # key-only rows still need a stable salt
     SALT = "__phaser_salt__"
     big_salted = big.withColumn(
         SALT, F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts))

@@ -114,6 +114,8 @@ class Phase:
         extra_outputs: list | None = None,
         error_policy: str | None = None,
         lineage_cache: bool | None = None,
+        checkpoint_bucket_by: list[str] | None = None,
+        checkpoint_num_buckets: int = 32,
     ):
         self.name = name or type(self).__name__
         self.steps = list(steps if steps is not None else type(self).steps)
@@ -133,6 +135,22 @@ class Phase:
         # scan (see lineage._is_deterministic_narrow_plan); a .cache() of a
         # 100 TB file source is itself a scale problem.  True/False force.
         self.lineage_cache = lineage_cache
+        # checkpoint_bucket_by: when set, the Pipeline materializes this
+        # phase's checkpoint as a BUCKETED parquet table on these columns
+        # (io.save_parquet_bucketed) instead of a plain directory — every
+        # later phase's join/aggregation on the bucketed key then reads a
+        # pre-shuffled layout and skips its Exchange entirely.  This is the
+        # 100 TB answer for the repeated-same-key pipeline idiom (the
+        # reference's families pipelines re-join on `family_id` phase after
+        # phase and would otherwise pay a full shuffle per phase).  Size
+        # checkpoint_num_buckets >= the cluster's core count so the
+        # bucketed read keeps full scan parallelism.
+        self.checkpoint_bucket_by = (
+            list(checkpoint_bucket_by)
+            if checkpoint_bucket_by is not None
+            else list(getattr(type(self), "checkpoint_bucket_by", None) or [])
+        ) or None
+        self.checkpoint_num_buckets = checkpoint_num_buckets
         for c in self.columns:
             if not isinstance(c, Column):
                 raise PhaserError(f"Phase {self.name}: {c!r} is not a Column")

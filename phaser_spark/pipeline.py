@@ -43,7 +43,13 @@ from .constants import (
 )
 from .context import EVENT_SCHEMA, Context
 from .exceptions import DataException, PhaserError
-from .io import SavableObject, load_any, normalize_event_time, save_any
+from .io import (
+    SavableObject,
+    load_any,
+    normalize_event_time,
+    save_any,
+    save_parquet_bucketed,
+)
 from .lineage import with_row_numbers
 from .phase import Phase
 
@@ -193,11 +199,43 @@ class Pipeline:
             df = self.run_phase(ph, df)
         return df
 
+    def _checkpoint_table_name(self, ph: Phase) -> str:
+        raw = f"phaser_ckpt_{self.name}_{ph.name}".lower()
+        return "".join(c if c.isalnum() or c == "_" else "_" for c in raw)
+
     def run_phase(self, ph: Phase, df: DataFrame) -> DataFrame:
         out = ph.run(df)
         # Materialize exactly once: the internal parquet checkpoint.
         internal_path = None
-        if self.working_dir:
+        if ph.checkpoint_bucket_by:
+            # Bucketed checkpoint: write a catalog-registered bucketed
+            # table so downstream joins/aggs on the bucket key read a
+            # pre-shuffled layout (zero Exchange — see
+            # tests/test_plans.py::test_bucketed_checkpoint_*).  The
+            # catalog entry is what carries the bucketing metadata; a
+            # plain .parquet() re-read would forget it.
+            missing = [c for c in ph.checkpoint_bucket_by if c not in out.columns]
+            if missing:
+                raise PhaserError(
+                    f"Phase {ph.name}: checkpoint_bucket_by columns {missing} "
+                    f"not in phase output {sorted(set(out.columns) - set(INTERNAL_COLS))}"
+                )
+            table = self._checkpoint_table_name(ph)
+            internal_path = (
+                os.path.join(self.working_dir, f".{ph.name}_state.bucketed")
+                if self.working_dir
+                else None
+            )
+            save_parquet_bucketed(
+                out,
+                table,
+                bucket_cols=ph.checkpoint_bucket_by,
+                num_buckets=ph.checkpoint_num_buckets,
+                sort_cols=ph.checkpoint_bucket_by,
+                path=internal_path,
+            )
+            out = self.spark.table(table)
+        elif self.working_dir:
             internal_path = os.path.join(self.working_dir, f".{ph.name}_state.parquet")
             out.write.mode("overwrite").parquet(internal_path)
             out = self.spark.read.parquet(internal_path)

@@ -256,3 +256,140 @@ def test_simhash_signature_build_has_no_join(spark):
     plan = plan_of(dedup.simhash(docs, "doc_id", "text"))
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2  # map-side partials survive
+
+
+def test_bucketed_checkpoint_phase2_agg_zero_exchange(spark, tmp_path):
+    # Phase(checkpoint_bucket_by=...) materializes the phase checkpoint as
+    # a bucketed catalog table, so a LATER phase's aggregation on the
+    # bucketed key reads a pre-shuffled layout and skips its Exchange —
+    # the families-pipeline idiom (re-join/re-agg on one key phase after
+    # phase) pays its shuffle once at checkpoint write, never at read.
+    from phaser_spark import Phase, Pipeline
+    from phaser_spark.steps import dataframe_step
+
+    data = spark.range(0, 2000).select(
+        (F.col("id") % 10).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    captured = {}
+
+    @dataframe_step
+    def agg_on_k(df, context=None):
+        out = df.groupBy("k").agg(F.sum("v").alias("total"))
+        captured["plan"] = plan_of(out)
+        return out
+
+    p1 = Phase(name="bucketstage", checkpoint_bucket_by=["k"], checkpoint_num_buckets=4)
+    p2 = Phase(name="aggstage", steps=[agg_on_k])
+    wd = str(tmp_path / "wd")
+    try:
+        result = Pipeline(
+            working_dir=wd, source=data, phases=[p1, p2], spark=spark
+        ).run()
+        assert "Exchange" not in captured["plan"]
+        assert "SelectedBucketsCount" in captured["plan"]  # bucket-aware scan
+        got = {(r["k"], r["total"]) for r in result.select("k", "total").collect()}
+        exp = {
+            (r["k"], r["total"])
+            for r in data.groupBy("k").agg(F.sum("v").alias("total")).collect()
+        }
+        assert got == exp
+    finally:
+        spark.sql("DROP TABLE IF EXISTS phaser_ckpt_pipeline_bucketstage")
+        spark.sql("DROP TABLE IF EXISTS phaser_ckpt_pipeline_aggstage")
+
+
+def test_bucketed_checkpoint_phase2_join_zero_exchange(spark, tmp_path):
+    # Same contract for a join: the bucketed checkpoint side arrives
+    # pre-shuffled, so only the OTHER side exchanges.
+    from phaser_spark import Phase, Pipeline
+    from phaser_spark.io import save_parquet_bucketed
+    from phaser_spark.steps import dataframe_step
+
+    data = spark.range(0, 1000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+    )
+    dims = spark.range(0, 50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    captured = {}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        save_parquet_bucketed(
+            dims, "bt_ckpt_dims", ["k"], num_buckets=4, sort_cols=["k"],
+            path=str(tmp_path / "dims"),
+        )
+
+        @dataframe_step
+        def join_on_k(df, context=None):
+            out = df.join(spark.table("bt_ckpt_dims"), "k")
+            captured["plan"] = plan_of(out)
+            return out
+
+        p1 = Phase(name="bucketsrc", checkpoint_bucket_by=["k"], checkpoint_num_buckets=4)
+        p2 = Phase(name="joinstage", steps=[join_on_k])
+        result = Pipeline(
+            working_dir=str(tmp_path / "wd"), source=data,
+            phases=[p1, p2], spark=spark,
+        ).run()
+        assert "SortMergeJoin" in captured["plan"]
+        assert "Exchange" not in captured["plan"]
+        assert result.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_ckpt_dims")
+        spark.sql("DROP TABLE IF EXISTS phaser_ckpt_pipeline_bucketsrc")
+        spark.sql("DROP TABLE IF EXISTS phaser_ckpt_pipeline_joinstage")
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # The salted plan must shuffle on (key, salt) — never on the key alone
+    # — so a key holding half the table fans out over n_salts partitions
+    # instead of landing on one sort-merge task.
+    from phaser_spark.ops.relational import salted_join
+
+    orders = spark.read.parquet(SF + "/orders.parquet")
+    cust = spark.read.parquet(SF + "/customer.parquet").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    big = orders.select(
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .cast("long")
+        .alias("k"),
+        "o_totalprice",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = salted_join(big, cust, on=["k"], n_salts=16)
+        plan = plan_of(joined, "simple")
+        assert "__phaser_salt__" in plan  # salt participates in the join key
+        assert "xxhash64" in plan  # deterministic (retry-safe) salt, not rand()
+        parts = [ln for ln in plan.splitlines() if "hashpartitioning(" in ln]
+        assert parts and all("__phaser_salt__" in ln for ln in parts)
+        # empirically: the hot key occupies every one of the 16 salt buckets
+        # (same expression salted_join uses: xxhash64 over non-key columns)
+        n_buckets = (
+            big.filter(F.col("k") == 1)
+            .select(F.pmod(F.xxhash64("o_totalprice"), F.lit(16)).alias("s"))
+            .distinct()
+            .count()
+        )
+        assert n_buckets == 16
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_key_only_warns(spark):
+    # Degenerate salt_source (keys only) cannot spread a hot key — the
+    # engine must say so instead of silently doing nothing.
+    import warnings
+
+    from phaser_spark.ops.relational import salted_join
+
+    big = spark.range(0, 100).select((F.col("id") % 3).alias("k"))
+    small = spark.range(0, 3).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = salted_join(big, small, on=["k"], n_salts=4)
+        assert any("skew mitigation does nothing" in str(w.message) for w in caught)
+    assert out.count() == 100
