@@ -1307,10 +1307,18 @@ def _events_stream(spark: SparkSession, sf_dir: str):
 
     _events(spark, sf_dir)  # sets the nanosAsLong conf
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream_dir = tempfile.mkdtemp(prefix="phaser_stream_src_")
+    # deterministic per-sf dir (reused across invocations, no mkdtemp leak)
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"phaser_stream_src_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
+    target = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    if os.path.islink(link) and os.readlink(link) != target:
+        os.unlink(link)  # sf_dir changed since the last run
     if not os.path.exists(link):
-        os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")), link)
+        os.symlink(target, link)
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
     return _normalize_event_ts(stream)
 

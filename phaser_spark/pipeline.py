@@ -278,6 +278,18 @@ class Pipeline:
         return visible
 
     # -- streaming (engine addition; the reference is strictly batch) --------
+    #: state-store backends for stateful streaming (providerClass values)
+    STATE_STORE_PROVIDERS = {
+        "rocksdb": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "hdfs": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider"
+        ),
+    }
+
     def run_stream(
         self,
         stream_df: DataFrame,
@@ -287,6 +299,8 @@ class Pipeline:
         events_path: str | None = None,
         event_time: str | None = None,
         watermark_delay: str | None = None,
+        event_time_unit: str = "nanos",
+        state_store: str | None = None,
     ):
         """Run the SAME declarative phase pipeline over a streaming source.
 
@@ -327,12 +341,45 @@ class Pipeline:
         encodings, and ``withWatermark`` hard-rejects NTZ), and — when
         ``watermark_delay`` is also given (e.g. ``"10 minutes"``) — a
         watermark is applied before the phases run, bounding state for
-        any stateful operators downstream.
+        any stateful operators downstream.  ``event_time_unit``
+        (``nanos``/``micros``/``millis``/``seconds``, default ``nanos``)
+        names the epoch unit when the source column is a ``bigint`` —
+        millis silently read as nanos would collapse every instant to
+        ~1970 and the watermark would then drop all rows.
+
+        ``state_store`` selects the state-store backend for stateful
+        operators in the streaming plan: ``"rocksdb"`` (off-heap,
+        disk-spilling — keyed state is bounded by local disk instead of
+        executor heap, the 100 TB setting), ``"hdfs"`` (Spark's default
+        in-memory provider), a fully-qualified provider class name, or
+        ``None`` to leave the session's configuration untouched.  The
+        provider is pinned on the session conf just before ``start()``
+        (Structured Streaming snapshots session confs into the query at
+        start) and the previous value is restored afterwards.
         """
         from pyspark.sql import functions as SF
 
         if event_time is not None:
-            stream_df = normalize_event_time(stream_df, event_time)
+            # NTZ/string/date event times are cast THROUGH the session
+            # timezone: on a non-UTC session the normalized instants (and
+            # the watermark) silently shift vs the writer's wall clock.
+            dt = dict(stream_df.dtypes).get(event_time)
+            if dt in ("timestamp_ntz", "string", "date"):
+                tz = self.spark.conf.get("spark.sql.session.timeZone", "")
+                if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+                    import warnings
+
+                    warnings.warn(
+                        f"run_stream: event-time column '{event_time}' is "
+                        f"{dt} and the session timezone is '{tz}' (not UTC) "
+                        "— wall-clock values will be interpreted in that "
+                        "zone; pin spark.sql.session.timeZone to the "
+                        "writer's zone (usually UTC) for stable instants.",
+                        stacklevel=2,
+                    )
+            stream_df = normalize_event_time(
+                stream_df, event_time, long_unit=event_time_unit
+            )
             if watermark_delay is not None:
                 stream_df = stream_df.withWatermark(event_time, watermark_delay)
         elif watermark_delay is not None:
@@ -422,11 +469,36 @@ class Pipeline:
         writer = stream_df.writeStream.foreachBatch(process)
         if checkpoint_dir:
             writer = writer.option("checkpointLocation", checkpoint_dir)
-        if available_now:
-            q = writer.trigger(availableNow=True).start()
-            q.awaitTermination()
-            return q
-        return writer.start()
+
+        _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+        prev_provider = _UNSET = object()
+        if state_store is not None:
+            provider = self.STATE_STORE_PROVIDERS.get(state_store, state_store)
+            if "." not in provider:
+                raise PhaserError(
+                    f"run_stream: unknown state_store '{state_store}' "
+                    f"(expected {sorted(self.STATE_STORE_PROVIDERS)} or a "
+                    "fully-qualified provider class)"
+                )
+            # get(key, None) distinguishes "explicitly set" from "Spark
+            # default" — get(key) would return the built-in default and the
+            # restore below would then pin it explicitly
+            prev_provider = self.spark.conf.get(_PROVIDER_KEY, None)
+            self.spark.conf.set(_PROVIDER_KEY, provider)
+        try:
+            if available_now:
+                q = writer.trigger(availableNow=True).start()
+                q.awaitTermination()
+                return q
+            return writer.start()
+        finally:
+            # the started query has already snapshotted the session confs;
+            # restore so later queries on this session are unaffected
+            if state_store is not None:
+                if prev_provider in (None, _UNSET):
+                    self.spark.conf.unset(_PROVIDER_KEY)
+                else:
+                    self.spark.conf.set(_PROVIDER_KEY, prev_provider)
 
     # -- outputs & reporting -------------------------------------------------
     def save_extra_outputs(self) -> None:

@@ -254,3 +254,197 @@ def test_normalize_event_time_value_sweep(spark):
     for shaped in (ntz, nanos):
         got = sorted((r.id, str(r.ts)) for r in normalize_event_time(shaped, "ts").collect())
         assert got == expected
+
+
+def _stage_file(spark, tmp_path, src_dir, df, name):
+    import glob
+    import shutil
+
+    stage = os.path.join(str(tmp_path), f"stage_{name}")
+    df.coalesce(1).write.parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(src_dir, f"{name}.parquet"))
+
+
+def test_run_stream_stateful_dedup_under_rocksdb(spark, tmp_path):
+    # A watermarked dropDuplicates (keyed state) upstream of the phase
+    # pipeline, with state_store="rocksdb": keyed state lives in RocksDB
+    # (local disk), not executor heap — the 100 TB keyed-state setting.
+    # The query's progress metrics prove the provider actually engaged.
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00", 5.0), (1, "2024-03-01 10:00:30", 6.0),
+         (2, "2024-03-01 10:01:00", 7.0), (3, "2024-03-01 10:02:00", 0.5)],
+        "id long, raw string, score double",
+    ).select("id", F.col("raw").cast("timestamp").alias("ts"), "score")
+    _stage_file(spark, tmp_path, src_dir, raw, "b1")
+
+    class Clean(Phase):
+        name = "Clean"
+        columns = [FloatColumn("score")]
+        steps = [filter_rows(F.col("score") >= 1.0)]
+
+    out_dir = os.path.join(str(tmp_path), "out")
+    pipe = Pipeline(phases=[Clean], spark=spark)
+    stream = (
+        spark.readStream.schema(raw.schema).parquet(src_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["id"])
+    )
+    q = pipe.run_stream(
+        stream, out_dir,
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        state_store="rocksdb",
+    )
+    got = spark.read.parquet(out_dir)
+    # dedup kept one row per id; the phase then dropped id=3 (score 0.5)
+    assert sorted(r.id for r in got.collect()) == [1, 2]
+    prog = q.lastProgress
+    assert prog and prog["stateOperators"], "stateful operator must report progress"
+    metrics = prog["stateOperators"][0].get("customMetrics", {})
+    assert any("rocksdb" in k.lower() for k in metrics), metrics
+    # session conf restored after the run
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        is None
+    )
+
+
+def test_run_stream_event_time_unit_millis(spark, tmp_path):
+    # A bigint event-time column holding epoch MILLIS must not be read as
+    # nanos (that collapses instants to ~1970 and the watermark then drops
+    # every row): event_time_unit plumbs through to normalize_event_time.
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base_ms = 1709287200000  # 2024-03-01 10:00:00 UTC
+    raw = spark.createDataFrame(
+        [(1, base_ms, 5.0), (2, base_ms + 60_000, 7.0)],
+        "id long, ts long, score double",
+    )
+    _stage_file(spark, tmp_path, src_dir, raw, "b1")
+
+    class Clean(Phase):
+        name = "Clean"
+        columns = [FloatColumn("score")]
+
+    out_dir = os.path.join(str(tmp_path), "out")
+    pipe = Pipeline(phases=[Clean], spark=spark)
+    stream = spark.readStream.schema(raw.schema).parquet(src_dir)
+    pipe.run_stream(
+        stream, out_dir,
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        event_time="ts",
+        watermark_delay="10 minutes",
+        event_time_unit="millis",
+    )
+    got = spark.read.parquet(out_dir)
+    assert dict(got.dtypes)["ts"] == "timestamp"
+    stamps = sorted(str(r.ts) for r in got.collect())
+    assert stamps == ["2024-03-01 10:00:00", "2024-03-01 10:01:00"]
+
+
+def test_run_stream_warns_on_non_utc_session_for_ntz(spark, tmp_path):
+    # NTZ wall-clock values are cast through the session timezone; a
+    # non-UTC session silently shifts instants — run_stream must say so.
+    import warnings
+
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir)
+    raw = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00", 5.0)], "id long, raw string, score double"
+    ).select("id", F.col("raw").cast("timestamp_ntz").alias("ts"), "score")
+    _stage_file(spark, tmp_path, src_dir, raw, "b1")
+
+    class Clean(Phase):
+        name = "Clean"
+        columns = [FloatColumn("score")]
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        pipe = Pipeline(phases=[Clean], spark=spark)
+        stream = spark.readStream.schema(raw.schema).parquet(src_dir)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            pipe.run_stream(
+                stream, os.path.join(str(tmp_path), "out"),
+                checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+                event_time="ts",
+                watermark_delay="10 minutes",
+            )
+        assert any("not UTC" in str(w.message) for w in caught)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_run_stream_continuous_soak_with_restart(spark, tmp_path):
+    # Continuous mode (available_now=False) across >=3 micro-batches with
+    # files arriving BETWEEN triggers and a restart after batch 2:
+    # row numbers stay globally unique, no batch's rows are duplicated
+    # (each batch overwrites only its own __phaser_batch_id__ partition),
+    # and per-batch events keep flushing to events_path after the restart.
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir)
+    schema = "id long, score double"
+    out_dir = os.path.join(str(tmp_path), "out")
+    ev_dir = os.path.join(str(tmp_path), "events")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    class Clean(Phase):
+        name = "Clean"
+        columns = [FloatColumn("score")]
+        steps = [filter_rows(F.col("score") >= 1.0)]
+
+    def mk_stream():
+        return (
+            spark.readStream.schema(spark.createDataFrame([], schema).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+    # run 1: two files arriving between triggers -> batches 0 and 1
+    _stage_file(spark, tmp_path, src_dir,
+                spark.createDataFrame([(1, 5.0), (2, 6.0)], schema), "b1")
+    pipe1 = Pipeline(phases=[Clean], spark=spark)
+    q1 = pipe1.run_stream(mk_stream(), out_dir, checkpoint_dir=ckpt,
+                          events_path=ev_dir, available_now=False)
+    try:
+        q1.processAllAvailable()
+        _stage_file(spark, tmp_path, src_dir,
+                    spark.createDataFrame([(3, 7.0), (4, 0.2)], schema), "b2")
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    # restart with FRESH driver state; third file arrives before the run
+    _stage_file(spark, tmp_path, src_dir,
+                spark.createDataFrame([(5, 9.0), (6, 8.0)], schema), "b3")
+    pipe2 = Pipeline(phases=[Clean], spark=spark)
+    q2 = pipe2.run_stream(mk_stream(), out_dir, checkpoint_dir=ckpt,
+                          events_path=ev_dir, available_now=False)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = spark.read.parquet(out_dir)
+    rows = got.collect()
+    # exactly-once: every surviving input row appears exactly once (id=4
+    # dropped by the phase filter)
+    assert sorted(r.id for r in rows) == [1, 2, 3, 5, 6]
+    nums = [r[PHASER_ROW_NUM] for r in rows]
+    assert len(nums) == len(set(nums)), f"duplicate row numbers: {sorted(nums)}"
+    # numbering continued across the restart (batch 3 rows > batch 1-2 max)
+    by_batch = {r["__phaser_batch_id__"]: [] for r in rows}
+    for r in rows:
+        by_batch[r["__phaser_batch_id__"]].append(r[PHASER_ROW_NUM])
+    assert len(by_batch) == 3  # three distinct micro-batch partitions
+    b_sorted = sorted(by_batch)
+    assert min(by_batch[b_sorted[2]]) > max(by_batch[b_sorted[1]])
+    # events flushed per batch, including after the restart (b2's drop)
+    evs = spark.read.parquet(ev_dir)
+    assert evs.filter(F.col("message").contains("filter_rows")).count() >= 1
+    assert len({r["__phaser_batch_id__"] for r in evs.select("__phaser_batch_id__").collect()}) >= 1
