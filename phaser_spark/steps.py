@@ -197,12 +197,32 @@ def _merge_schemas(in_schema: T.StructType, declared) -> T.StructType:
     return T.StructType(out)
 
 
+#: step functions already warned about (one warning per step per process)
+_INFER_WARNED: set = set()
+
+
 def infer_row_step_schema(df: DataFrame, fn, extra_kwargs: dict) -> T.StructType:
     """Sample-based output-schema inference for steps that add columns.
 
     One tiny driver job (``limit(10)``) — documented cost of the dynamic
-    dict API; declare ``output_schema=`` to skip it.
+    dict API; declare ``output_schema=`` to skip it.  Bounded, but a
+    silent driver action and a sampling hazard (a column the first 10
+    rows never populate is missed, and a type the sample under-represents
+    is guessed wrong), so it warns once per step.
     """
+    key = (getattr(fn, "__module__", ""), getattr(fn, "__qualname__", repr(fn)))
+    if key not in _INFER_WARNED:
+        _INFER_WARNED.add(key)
+        import warnings
+
+        warnings.warn(
+            f"row_step {getattr(fn, '__name__', fn)!r} declares no "
+            "output_schema: inferring added columns from a 10-row driver-"
+            "side sample. Columns/types the sample misses are dropped or "
+            "mistyped — declare output_schema=\"col type, ...\" for "
+            "deterministic schemas (and to skip the sampling job).",
+            stacklevel=3,
+        )
     visible = df.drop(*[c for c in INTERNAL_COLS if c in df.columns])
     sample = [r.asDict(recursive=True) for r in visible.limit(10).collect()]
     new_fields: dict[str, T.DataType] = {}

@@ -59,6 +59,16 @@ def norm_rows(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    n_pass, n_fail, n_noracle = run(sf_dir, only)
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    return 1 if n_fail else 0
+
+
+def run(sf_dir: str = "/root/testdata/sf0.001", only=()) -> tuple[int, int, int]:
+    """Run the parity comparison; importable so pytest can gate subsets
+    (the past-cap queries() entries are never hash-checked by the driver
+    — tests/test_driver_contract.py keeps their parity mandatory here)."""
+    only = set(only)
     spark = get_spark(app_name="oracle_parity")
     con = duckdb.connect()
     for t in TABLES:
@@ -130,8 +140,7 @@ def main():
             continue
         print(f"PASS  {name}: {len(sr)} rows [{time.time()-t0:.1f}s]")
         n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
-    return 1 if n_fail else 0
+    return n_pass, n_fail, n_noracle
 
 
 if __name__ == "__main__":

@@ -43,3 +43,17 @@ def test_first_50_cover_every_operator_family():
 def test_queries_are_callable_and_named():
     for name, fn in entrymod.queries().items():
         assert callable(fn), name
+
+
+def test_past_cap_entries_pass_oracle_parity(spark):
+    # Entries past the driver's 50-query cap lose external hash-checking
+    # entirely; this keeps their oracle parity MANDATORY in the local
+    # suite (the compensating control the cap curation relies on).
+    import oracle_parity
+
+    past_cap = list(entrymod.queries())[CAP:]
+    assert past_cap, "expected entries past the cap"
+    n_pass, n_fail, n_noracle = oracle_parity.run(only=past_cap)
+    assert n_fail == 0, f"past-cap parity failures (see stdout above)"
+    assert n_pass == len(past_cap) - n_noracle
+    assert n_pass >= 8  # the redundant-coverage set must stay covered

@@ -28,14 +28,38 @@ def ctx(spark, **kw):
 
 
 def test_row_step_adds_column_with_inference(spark):
+    import warnings
+
     @row_step
     def add(row):
         row["total"] = int(row["a"]) + int(row["b"])
         return row
 
     ph = Phase(name="T", steps=[add], context=ctx(spark))
-    out = ph.run(spark.createDataFrame([("1", "2"), ("3", "4")], ["a", "b"]))
-    assert sorted(r["total"] for r in out.collect()) == [3, 7]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = ph.run(spark.createDataFrame([("1", "2"), ("3", "4")], ["a", "b"]))
+        collected = sorted(r["total"] for r in out.collect())
+    assert collected == [3, 7]
+    # schema inference is a silent driver collect + sampling hazard: it
+    # must announce itself (once per step) and point at output_schema=
+    assert any("output_schema" in str(w.message) for w in caught)
+
+
+def test_row_step_declared_schema_does_not_warn(spark):
+    import warnings
+
+    @row_step(output_schema="tripled long")
+    def add3(row):
+        row["tripled"] = int(row["a"]) * 3
+        return row
+
+    ph = Phase(name="T3", steps=[add3], context=ctx(spark))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = ph.run(spark.createDataFrame([("1", "2")], ["a", "b"]))
+        out.collect()
+    assert not any("output_schema" in str(w.message) for w in caught)
 
 
 def test_row_step_declared_schema(spark):
