@@ -1063,6 +1063,30 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-5 characteristic terms by TF-IDF
+    (``ops.text.tfidf_top_terms``): BM25-rational idf (division only — no
+    libm ``ln``), so the DuckDB oracle reproduces scores bit-for-bit;
+    ties break on the term string."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
+def dedup_incremental_minhash(spark, sf_dir):
+    """Incremental ingest dedup: every 5th doc plays the 'newly arrived'
+    delta, the rest the already-deduped corpus; only pairs touching a new
+    doc are produced (``ops.dedup.minhash_lsh_incremental`` — signing and
+    candidate generation scale with the delta, never corpus×corpus).  The
+    oracle is the full exact-Jaccard pair set restricted to pairs with a
+    new side."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.minhash_lsh_incremental(
+        new, corpus, "doc_id", "text", threshold=0.8
+    )
+
+
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k on the plain double path: Spark's
     F.aggregate is an ordered left-fold, and the oracle folds with
@@ -1543,6 +1567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified by tests/oracle_parity.py, see tests/test_driver_contract.py
         "bucketed_checkpoint_agg": bucketed_checkpoint_agg,
         "salted_hotkey_join": salted_hotkey_join,
+        "dedup_incremental_minhash": dedup_incremental_minhash,
+        "text_tfidf_top_terms": text_tfidf_top_terms,
     }
 
 
@@ -2468,5 +2494,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_price
             FROM big JOIN customer ON big.k = customer.c_custkey
             GROUP BY c_mktsegment
+        """,
+        # full exact-Jaccard pair set restricted to pairs touching the
+        # "newly ingested" delta (doc_id % 5 == 0)
+        "dedup_incremental_minhash": (
+            "SELECT id_a, id_b, jaccard FROM (\n"
+            + _NGRAM_SHINGLE_SQL.format(threshold=0.8)
+            + "\n) t WHERE id_a % 5 = 0 OR id_b % 5 = 0"
+        ),
+        # BM25-rational idf: only IEEE divisions/multiplies, so scores are
+        # bit-identical across engines (a log-based idf would differ in the
+        # last ulp between libm implementations)
+        "text_tfidf_top_terms": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                           '\\s+', ' ', 'g')) AS nt
+                FROM documents
+            ), w AS (
+                SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM norm
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM w WHERE term <> '' GROUP BY doc_id, term
+            ), dfq AS (
+                SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), n AS (
+                SELECT COUNT(*) AS n_docs FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       CAST(tf.tf AS DOUBLE) *
+                       ((CAST(n.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+                        / (CAST(dfq.df AS DOUBLE) + 0.5)) AS score
+                FROM tf JOIN dfq USING (term) CROSS JOIN n
+            ), ranked AS (
+                SELECT doc_id, term, tf, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term ASC) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, tf,
+                   CAST(floor(score * 1000000) AS DOUBLE) AS score_e6,
+                   rank
+            FROM ranked WHERE rank <= 5
         """,
     }

@@ -356,6 +356,96 @@ def save_parquet(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _list_data_files(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of data files under ``path``, via the Hadoop
+    FileSystem API — works on local, HDFS, and object stores alike."""
+    fs, jpath = _hadoop_fs(spark, path)
+    it = fs.listFiles(jpath, True)
+    n = total = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        n += 1
+        total += st.getLen()
+    return n, total
+
+
+def compact_parquet_output(
+    spark: SparkSession,
+    path: str,
+    partition_col: str | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files,
+    preserving rows and (optionally) the hive partition layout.
+
+    The 100 TB failure mode this exists for: a continuously running
+    micro-batch sink (``Pipeline.run_stream``) writes one directory per
+    batch, each holding up to ``shuffle.partitions`` files — a day of
+    1-minute triggers on a 32-way session is ~46k files, and both the
+    namenode/object-store listing and every downstream scan's task
+    scheduling degrade linearly in file count.  Periodic compaction is
+    the standard answer (every table format does this; here it is explicit
+    maintenance for a plain parquet layout).
+
+    Rows are hashed into ``ceil(total_bytes / target_file_bytes)`` output
+    tasks — on ``(partition_col, xxhash64(row))`` when partitioned, so
+    each hive partition's rows stay together per task while the hot ones
+    still spread.  The rewrite lands in a sibling temp dir, is row-count
+    verified, and then swapped in; the swap (delete + rename) is NOT
+    atomic — pause writers of ``path`` for the swap window.  Readers of
+    the streaming output table are unaffected semantically: row numbers
+    and the partition column survive byte-identical, so a restarted
+    stream's max+1 numbering reads the same values.
+
+    Returns ``{"files_before", "files_after", "bytes", "rows"}``.
+    """
+    from .exceptions import PhaserError
+
+    df = spark.read.parquet(path)
+    n_before, total = _list_data_files(spark, path)
+    n_rows = df.count()
+    n_out = max(1, -(-total // max(1, target_file_bytes)))
+    if partition_col is not None:
+        if partition_col not in df.columns:
+            raise PhaserError(
+                f"compact_parquet_output: no partition column '{partition_col}'"
+                f" in {df.columns}"
+            )
+        others = [F.col(f"`{c}`") for c in df.columns if c != partition_col]
+        spread = F.xxhash64(*others) if others else F.lit(0)
+        repart = df.repartition(int(n_out), F.col(f"`{partition_col}`"), spread)
+        writer = repart.write.mode("overwrite").partitionBy(partition_col)
+    else:
+        writer = df.repartition(int(n_out)).write.mode("overwrite")
+    tmp = path.rstrip("/") + "__compacting"
+    writer.parquet(tmp)
+    n_new_rows = spark.read.parquet(tmp).count()
+    fs, jpath = _hadoop_fs(spark, path)
+    if n_new_rows != n_rows:
+        fs.delete(spark._jvm.org.apache.hadoop.fs.Path(tmp), True)
+        raise PhaserError(
+            f"compact_parquet_output: rewrite row count {n_new_rows} != "
+            f"original {n_rows}; original left untouched"
+        )
+    fs.delete(jpath, True)
+    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), jpath)
+    n_after, _ = _list_data_files(spark, path)
+    return {
+        "files_before": n_before,
+        "files_after": n_after,
+        "bytes": total,
+        "rows": n_rows,
+    }
+
+
 def load_any(spark: SparkSession, source: str, save_format: str | None = None) -> DataFrame:
     """Extension-based format dispatch (reference ``Pipeline.load``,
     phaser/pipeline.py:244-252)."""

@@ -249,6 +249,34 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    sigs: DataFrame, num_bands: int = 32, num_perm: int = 128
+) -> DataFrame:
+    """Banding table ``(id, band, bucket)`` from a signature table
+    ``(id, sig array<bigint>)`` — ``num_bands`` hashes of
+    ``num_perm/num_bands``-row signature slices.
+
+    This is the table worth PERSISTING between pipeline runs (32 longs per
+    doc): an incremental ingest joins new docs' bands against the stored
+    corpus bands instead of re-signing the corpus (see
+    :func:`minhash_lsh_incremental`)."""
+    rows_per_band = num_perm // num_bands
+    return sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -264,25 +292,11 @@ def minhash_lsh_pairs(
 
     Returns ``(id_a, id_b, jaccard)`` (estimated signature similarity when
     ``verify=False``)."""
-    rows_per_band = num_perm // num_bands
     sig = minhash_signatures(df, id_col, text_col, num_perm, n)
     # the banding table is consumed by both sides of a self-join: pin it so
     # signatures are computed once, not once per join branch
     sig = sig.cache()
-    bands = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda band: F.struct(
-                    band.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = minhash_bands(sig, num_bands, num_perm)
     cand = (
         bands.alias("x")
         .join(
@@ -386,6 +400,96 @@ def minhash_dedup(
     # doesn't recompute the whole propagation when the caller executes it
     keep = labels.filter(F.col("id") == F.col("root")).select(F.col("id").alias(id_col))
     return df.join(keep, id_col, "left_semi")
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    num_bands: int = 32,
+    n: int = 3,
+    corpus_sigs: DataFrame | None = None,
+    verify: bool = True,
+) -> DataFrame:
+    """Incremental near-dup detection: pairs ``(id_a, id_b, jaccard)``
+    where at least ONE side is a new document — new×corpus and new×new,
+    never corpus×corpus (those were found when the corpus was ingested).
+
+    This is the repeated-ingest idiom of a training-data pipeline: the
+    corpus is re-fed daily with a small delta, and re-running the full
+    self-join re-pays O(corpus) signature work plus a corpus×corpus
+    candidate join for pairs that are already known.  Incremental cost
+    instead scales with the DELTA:
+
+    * only ``new_docs`` are shingled and signed this run — pass
+      ``corpus_sigs`` (the persisted ``(id, sig)`` table from prior runs,
+      128 longs/doc, ~1000× smaller than the text) and the corpus text is
+      never re-read for signing; without it the corpus is re-signed once
+      (correct, just not incremental on that leg);
+    * the candidate join probes new bands against corpus∪new bands — an
+      equi-join on (band, bucket) whose left side is delta-sized;
+    * exact-Jaccard verification re-reads text only for docs that appear
+      in some candidate pair (the join against the shingle table is
+      candidate-driven, and column pruning keeps the scan to id+text).
+
+    Band/bucket layout matches :func:`minhash_lsh_pairs` exactly (same
+    shingling, same signature family, same banding), so a bands table
+    persisted from a full run (``minhash_bands``) is directly reusable.
+    Ids must be unique across corpus∪new.
+    """
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, num_perm, n)
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(corpus, id_col, text_col, num_perm, n)
+    # pin only the delta-sized side; corpus bands stream through the join
+    new_sigs = new_sigs.cache()
+    new_bands = minhash_bands(new_sigs, num_bands, num_perm)
+    all_bands = minhash_bands(corpus_sigs, num_bands, num_perm).unionByName(new_bands)
+    cand = (
+        new_bands.alias("x")
+        .join(
+            all_bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") != F.col("y.id")),
+        )
+        .select(
+            F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
+            F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    if not verify:
+        sig_all = corpus_sigs.unionByName(new_sigs)
+        sig_a = sig_all.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+        sig_b = sig_all.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+        est = F.size(F.array_intersect("sig_a", "sig_b")).cast("double") / F.lit(
+            float(num_perm)
+        )
+        return (
+            cand.join(sig_a, "id_a").join(sig_b, "id_b")
+            .select("id_a", "id_b", trunc_digits(est, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    docs_all = corpus.select(
+        F.col(id_col), F.col(text_col)
+    ).unionByName(new_docs.select(F.col(id_col), F.col(text_col)))
+    sh_df = staged_words(docs_all, id_col, text_col).select(
+        "id", shingles_from_words(F.col("words"), n).alias("sh")
+    )
+    ta = sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    tb = sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", trunc_digits(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -8,7 +8,7 @@ operator whole-stage-codegens and scales linearly with executors.
 from __future__ import annotations
 
 from pyspark.sql import Column as SparkCol
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Top English stopwords used by the n-gram/stopword language heuristic.
@@ -214,6 +214,65 @@ def repetition_signals(
         )
     )
     return out
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-``k`` characteristic terms by TF-IDF
+    (engine addition; topic/quality analysis over a training corpus).
+
+    Returns ``(doc_id, term, tf, score, rank)``.  The idf is the BM25
+    rational form ``(N - df + 0.5) / (df + 0.5)`` rather than a
+    logarithm: every arithmetic step is an IEEE-deterministic
+    division/multiply, so an external SQL oracle (DuckDB) reproduces the
+    scores bit-for-bit — ``ln`` is libm-dependent and may differ in the
+    last ulp across engines.  Ranking ties break on the term string, so
+    top-``k`` membership is deterministic.
+
+    Scale shape: tf is one (doc, term) aggregate (map-side combine); df
+    is one (term) aggregate over the tf table (rows, not text, shuffle on
+    the term key — unavoidable: a 100 TB corpus's vocabulary is billions
+    of terms, never broadcastable); the final per-document window
+    partitions on doc_id — no global window, no driver state.
+    """
+    from .dedup import staged_words
+
+    words = staged_words(df, id_col, text_col).select(
+        "id", F.explode("words").alias("term")
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (
+                (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5))
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            "tf",
+            F.floor(F.col("score") * 1e6).cast("double").alias("score_e6"),
+            "rank",
+        )
+    )
 
 
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -54,6 +54,10 @@ from .lineage import with_row_numbers
 from .phase import Phase
 
 
+#: partition column of run_stream's per-micro-batch output layout
+STREAM_BATCH_COL = "__phaser_batch_id__"
+
+
 def extract_events(df: DataFrame, phase_name: str) -> DataFrame:
     """Derive the events DataFrame from a phase's internal checkpoint:
     errors from ``__phaser_error__``, warnings + dropped-row events from
@@ -385,7 +389,7 @@ class Pipeline:
         elif watermark_delay is not None:
             raise PhaserError("run_stream: watermark_delay requires event_time")
 
-        BATCH_COL = "__phaser_batch_id__"
+        BATCH_COL = STREAM_BATCH_COL
         state: dict = {"next_start": None, "last_batch": None}
 
         def start_for(batch_id: int) -> int:
@@ -499,6 +503,23 @@ class Pipeline:
                     self.spark.conf.unset(_PROVIDER_KEY)
                 else:
                     self.spark.conf.set(_PROVIDER_KEY, prev_provider)
+
+    def compact_stream_output(
+        self, output_path: str, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> dict:
+        """Compact a ``run_stream`` output table's per-micro-batch small
+        files into ~target-sized ones (see
+        :func:`phaser_spark.io.compact_parquet_output`).  Run while the
+        stream is stopped/paused; numbering and batch partitions are
+        preserved, so the stream resumes cleanly afterwards."""
+        from .io import compact_parquet_output
+
+        return compact_parquet_output(
+            self.spark,
+            output_path,
+            partition_col=STREAM_BATCH_COL,
+            target_file_bytes=target_file_bytes,
+        )
 
     # -- outputs & reporting -------------------------------------------------
     def save_extra_outputs(self) -> None:

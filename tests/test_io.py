@@ -125,3 +125,46 @@ def test_format_dispatch_parquet_and_orc(spark, tmp_path):
         save_any(df, path, fmt)
         back = load_any(spark, path)
         assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_compact_parquet_output_partitioned(spark, tmp_path):
+    # 3 hive partitions x 8 files each -> compaction collapses the file
+    # count while preserving every row and the partition layout
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from phaser_spark.io import compact_parquet_output
+
+    path = os.path.join(str(tmp_path), "frag")
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).alias("b"), F.col("id").alias("v")
+    )
+    df.repartition(8).write.partitionBy("b").parquet(path)
+    before = glob.glob(os.path.join(path, "b=*", "*.parquet"))
+    assert len(before) >= 12  # genuinely fragmented
+    orig = sorted((r["b"], r["v"]) for r in spark.read.parquet(path).collect())
+
+    stats = compact_parquet_output(spark, path, partition_col="b")
+    after = glob.glob(os.path.join(path, "b=*", "*.parquet"))
+    assert stats["files_before"] == len(before)
+    assert stats["files_after"] == len(after)
+    assert len(after) < len(before)
+    assert len({os.path.dirname(p).split("b=")[-1] for p in after}) == 3
+    assert sorted((r["b"], r["v"]) for r in spark.read.parquet(path).collect()) == orig
+
+
+def test_compact_parquet_output_unpartitioned(spark, tmp_path):
+    import glob
+    import os
+
+    from phaser_spark.io import compact_parquet_output
+
+    path = os.path.join(str(tmp_path), "flat")
+    spark.range(0, 1000).repartition(16).write.parquet(path)
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) >= 16
+    stats = compact_parquet_output(spark, path)
+    assert stats["rows"] == 1000
+    assert stats["files_after"] < stats["files_before"]
+    assert spark.read.parquet(path).count() == 1000

@@ -568,3 +568,60 @@ def test_embedding_summary_checksum(spark, vecs):
     assert rows[1]["norm"] == 1.0 and rows[1]["q_scale"] == 1.0
     # vec 2 = [.9,.1,0]: q = [127, floor(.1/.9*127+.5), 0] = [127, 14]
     assert rows[2]["q_sum"] == 127 + 14
+
+
+def test_minhash_incremental_matches_full_restricted(spark):
+    # incremental(new, corpus) must equal the FULL self-join pair set
+    # restricted to pairs touching a new doc — including new x new — and
+    # must never emit corpus x corpus pairs
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # dup of 1 (corpus)
+        (10, "the quick brown fox jumps over the lazy dog"),  # new, dup of 1+4
+        (11, "the quick brown fox jumps over the lazy cat "), # new, ~dup of 2
+        (12, "unrelated new material entirely its own text"),
+        (13, "unrelated new material entirely its own text"), # new x new dup
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus = docs.filter(F.col("doc_id") < 10)
+    new = docs.filter(F.col("doc_id") >= 10)
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    expected = {k: v for k, v in full.items() if k[0] >= 10 or k[1] >= 10}
+    inc = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_incremental(new, corpus, threshold=0.8).collect()
+    }
+    assert inc == expected
+    assert (1, 4) in full and (1, 4) not in inc  # corpus pairs stay out
+    assert any(a >= 10 and b >= 10 for a, b in inc)  # new x new found
+
+
+def test_minhash_incremental_reuses_stored_signatures(spark):
+    # the persisted corpus signature table must be a drop-in replacement
+    # for re-signing the corpus (bit-identical band layout)
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (20, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus = docs.filter(F.col("doc_id") < 20)
+    new = docs.filter(F.col("doc_id") >= 20)
+    stored = dedup.minhash_signatures(corpus, "doc_id", "text")
+    with_stored = sorted(
+        tuple(r)
+        for r in dedup.minhash_lsh_incremental(
+            new, corpus, threshold=0.8, corpus_sigs=stored
+        ).collect()
+    )
+    without = sorted(
+        tuple(r)
+        for r in dedup.minhash_lsh_incremental(new, corpus, threshold=0.8).collect()
+    )
+    assert with_stored == without
+    assert with_stored and with_stored[0][:2] == (1, 20)

@@ -393,3 +393,21 @@ def test_salted_join_key_only_warns(spark):
         out = salted_join(big, small, on=["k"], n_salts=4)
         assert any("skew mitigation does nothing" in str(w.message) for w in caught)
     assert out.count() == 100
+
+
+def test_tfidf_partitioned_window_and_partial_aggs(spark):
+    # tf and df aggregates must map-side combine; the ranking window is
+    # partitioned per document — a global (empty-partition) window would
+    # be a single-task bottleneck at corpus scale
+    from phaser_spark.ops import text as text_ops
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    plan = plan_of(text_ops.tfidf_top_terms(docs, "doc_id", "text", k=5))
+    assert plan.count("HashAggregate") >= 2
+    # ranking window is keyed on the document id (first windowspec arg);
+    # a global window would show an empty/other partition spec
+    assert "windowspecdefinition(id#" in plan
+    # rank<=k pushed into the shuffle as WindowGroupLimit (partial top-k
+    # before the exchange — the plan we want at corpus scale)
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -448,3 +448,48 @@ def test_run_stream_continuous_soak_with_restart(spark, tmp_path):
     evs = spark.read.parquet(ev_dir)
     assert evs.filter(F.col("message").contains("filter_rows")).count() >= 1
     assert len({r["__phaser_batch_id__"] for r in evs.select("__phaser_batch_id__").collect()}) >= 1
+
+
+def test_stream_output_compaction_then_resume(spark, tmp_path):
+    # compaction between runs must not disturb exactly-once or numbering:
+    # the resumed stream reads the same max row number from the compacted
+    # table and continues without duplicates
+    import glob
+
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir)
+    schema = "id long, score double"
+    out_dir = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    class Clean(Phase):
+        name = "Clean"
+        columns = [FloatColumn("score")]
+
+    def mk_stream():
+        return (
+            spark.readStream.schema(spark.createDataFrame([], schema).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+    _stage_file(spark, tmp_path, src_dir,
+                spark.createDataFrame([(i, float(i)) for i in range(1, 5)], schema), "b1")
+    _stage_file(spark, tmp_path, src_dir,
+                spark.createDataFrame([(i, float(i)) for i in range(5, 9)], schema), "b2")
+    pipe = Pipeline(phases=[Clean], spark=spark)
+    pipe.run_stream(mk_stream(), out_dir, checkpoint_dir=ckpt)
+
+    n_before = len(glob.glob(os.path.join(out_dir, "*", "*.parquet")))
+    stats = pipe.compact_stream_output(out_dir)
+    assert stats["rows"] == 8 and stats["files_after"] <= n_before
+
+    _stage_file(spark, tmp_path, src_dir,
+                spark.createDataFrame([(9, 9.0), (10, 10.0)], schema), "b3")
+    pipe2 = Pipeline(phases=[Clean], spark=spark)
+    pipe2.run_stream(mk_stream(), out_dir, checkpoint_dir=ckpt)
+
+    got = spark.read.parquet(out_dir)
+    assert sorted(r.id for r in got.collect()) == list(range(1, 11))
+    nums = sorted(r[PHASER_ROW_NUM] for r in got.collect())
+    assert nums == list(range(1, 11))  # numbering continued across compaction
