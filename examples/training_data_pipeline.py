@@ -144,6 +144,26 @@ def main():
     )
     print(pipe.report_errors_and_warnings())
 
+    # --- day 2: incremental ingest ------------------------------------
+    # Persist the curated corpus's MinHash signatures once (128 longs per
+    # doc); tomorrow's delta is deduped against the corpus WITHOUT
+    # re-reading or re-signing it — cost scales with the delta.
+    corpus = out.select("doc_id", "text")
+    sig_path = os.path.join(wd, "corpus_minhash_sigs")
+    dedup.minhash_signatures(corpus, "doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(sig_path)
+    delta = docs.orderBy(F.rand(seed=7)).limit(20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )  # stand-in for newly crawled docs (some duplicate the corpus)
+    new_pairs = dedup.minhash_lsh_incremental(
+        delta, corpus, "doc_id", "text",
+        threshold=0.85,
+        corpus_sigs=spark.read.parquet(sig_path),
+    )
+    print(f"incremental ingest: {new_pairs.count()} near-dup pairs "
+          f"touching the {delta.count()}-doc delta")
+
 
 if __name__ == "__main__":
     main()

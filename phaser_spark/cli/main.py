@@ -158,11 +158,47 @@ def cmd_debug(argv: list[str]) -> int:
     return 0
 
 
+def cmd_compact(argv: list[str]) -> int:
+    """Maintenance: compact a fragmented parquet output directory
+    (engine addition — see io.compact_parquet_output; typically run
+    against a paused run_stream output table)."""
+    parser = argparse.ArgumentParser(prog="phaser_spark compact")
+    parser.add_argument("path")
+    parser.add_argument(
+        "--partition-col",
+        default="__phaser_batch_id__",
+        help="hive partition column to preserve ('' for unpartitioned)",
+    )
+    parser.add_argument(
+        "--target-file-mb", type=int, default=128, help="target output file size"
+    )
+    parser.add_argument("--master", default=None)
+    args = parser.parse_args(argv)
+
+    from ..io import compact_parquet_output
+    from ..session import get_spark
+
+    spark = get_spark(master=args.master)
+    stats = compact_parquet_output(
+        spark,
+        args.path,
+        partition_col=args.partition_col or None,
+        target_file_bytes=args.target_file_mb * 1024 * 1024,
+    )
+    print(
+        f"compacted {args.path}: {stats['files_before']} -> "
+        f"{stats['files_after']} files ({stats['rows']} rows, "
+        f"{stats['bytes']} bytes)"
+    )
+    return 0
+
+
 COMMANDS = {
     "run": cmd_run,
     "diff": cmd_diff,
     "describe": cmd_describe,
     "debug": cmd_debug,
+    "compact": cmd_compact,
 }
 
 

@@ -60,3 +60,17 @@ def test_cli_run_and_diff_and_describe(workdir, capsys):
     rc = main(["debug", "demo"])
     assert rc == 0
     assert "not yet implemented" in capsys.readouterr().out
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    import os
+
+    from phaser_spark.cli.main import main
+
+    path = os.path.join(str(tmp_path), "frag")
+    spark.range(0, 500).repartition(12).write.parquet(path)
+    rc = main(["compact", path, "--partition-col", ""])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "compacted" in out and "500 rows" in out
+    assert spark.read.parquet(path).count() == 500
