@@ -460,6 +460,10 @@ def minhash_lsh_incremental(
             F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),
         )
         .distinct()
+        # candidate pairs are delta-sized; pinned because three consumers
+        # (the id restriction below and both verify join branches) would
+        # otherwise each re-run the band join
+        .cache()
     )
     if not verify:
         sig_all = corpus_sigs.unionByName(new_sigs)
@@ -476,6 +480,16 @@ def minhash_lsh_incremental(
     docs_all = corpus.select(
         F.col(id_col), F.col(text_col)
     ).unionByName(new_docs.select(F.col(id_col), F.col(text_col)))
+    # restrict BEFORE shingling: without the semi-join the shingle
+    # projection sits below the pair join and is evaluated for every
+    # corpus row; with it, only docs that appear in some candidate pair
+    # (delta-scaled) pay normalization+shingling
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs_all = docs_all.join(cand_ids, id_col, "left_semi")
     sh_df = staged_words(docs_all, id_col, text_col).select(
         "id", shingles_from_words(F.col("words"), n).alias("sh")
     )
