@@ -305,6 +305,7 @@ class Pipeline:
         watermark_delay: str | None = None,
         event_time_unit: str = "nanos",
         state_store: str | None = None,
+        state_store_confs: dict | None = None,
     ):
         """Run the SAME declarative phase pipeline over a streaming source.
 
@@ -360,6 +361,15 @@ class Pipeline:
         provider is pinned on the session conf just before ``start()``
         (Structured Streaming snapshots session confs into the query at
         start) and the previous value is restored afterwards.
+
+        ``state_store_confs`` pins additional state-store confs for the
+        query the same way (set before start, restored after).  The one
+        that matters first at scale:
+        ``{"spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+        "true"}`` — with plain RocksDB checkpointing every commit uploads
+        a full state snapshot; changelog checkpointing uploads only the
+        batch's delta, turning per-batch checkpoint cost from
+        O(state size) into O(batch writes).
         """
         from pyspark.sql import functions as SF
 
@@ -475,7 +485,7 @@ class Pipeline:
             writer = writer.option("checkpointLocation", checkpoint_dir)
 
         _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
-        prev_provider = _UNSET = object()
+        pinned: dict[str, str] = {}
         if state_store is not None:
             provider = self.STATE_STORE_PROVIDERS.get(state_store, state_store)
             if "." not in provider:
@@ -484,11 +494,14 @@ class Pipeline:
                     f"(expected {sorted(self.STATE_STORE_PROVIDERS)} or a "
                     "fully-qualified provider class)"
                 )
-            # get(key, None) distinguishes "explicitly set" from "Spark
-            # default" — get(key) would return the built-in default and the
-            # restore below would then pin it explicitly
-            prev_provider = self.spark.conf.get(_PROVIDER_KEY, None)
-            self.spark.conf.set(_PROVIDER_KEY, provider)
+            pinned[_PROVIDER_KEY] = provider
+        pinned.update(state_store_confs or {})
+        # get(key, None) distinguishes "explicitly set" from "Spark
+        # default" — get(key) would return the built-in default and the
+        # restore below would then pin it explicitly
+        previous = {k: self.spark.conf.get(k, None) for k in pinned}
+        for k, v in pinned.items():
+            self.spark.conf.set(k, v)
         try:
             if available_now:
                 q = writer.trigger(availableNow=True).start()
@@ -498,11 +511,11 @@ class Pipeline:
         finally:
             # the started query has already snapshotted the session confs;
             # restore so later queries on this session are unaffected
-            if state_store is not None:
-                if prev_provider in (None, _UNSET):
-                    self.spark.conf.unset(_PROVIDER_KEY)
+            for k, old in previous.items():
+                if old is None:
+                    self.spark.conf.unset(k)
                 else:
-                    self.spark.conf.set(_PROVIDER_KEY, prev_provider)
+                    self.spark.conf.set(k, old)
 
     def compact_stream_output(
         self, output_path: str, target_file_bytes: int = 128 * 1024 * 1024

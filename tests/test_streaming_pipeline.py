@@ -493,3 +493,48 @@ def test_stream_output_compaction_then_resume(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == list(range(1, 11))
     nums = sorted(r[PHASER_ROW_NUM] for r in got.collect())
     assert nums == list(range(1, 11))  # numbering continued across compaction
+
+
+def test_run_stream_rocksdb_changelog_checkpointing(spark, tmp_path):
+    # changelog checkpointing uploads per-batch deltas instead of full
+    # RocksDB snapshots — per-batch checkpoint cost O(batch), not O(state);
+    # both confs must be pinned for the query and restored afterwards
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00", 5.0), (1, "2024-03-01 10:00:30", 6.0),
+         (2, "2024-03-01 10:01:00", 7.0)],
+        "id long, raw string, score double",
+    ).select("id", F.col("raw").cast("timestamp").alias("ts"), "score")
+    _stage_file(spark, tmp_path, src_dir, raw, "b1")
+
+    class Clean(Phase):
+        name = "Clean"
+        columns = [FloatColumn("score")]
+
+    chg_key = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
+    pipe = Pipeline(phases=[Clean], spark=spark)
+    stream = (
+        spark.readStream.schema(raw.schema).parquet(src_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["id"])
+    )
+    q = pipe.run_stream(
+        stream, os.path.join(str(tmp_path), "out"),
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        state_store="rocksdb",
+        state_store_confs={chg_key: "true"},
+    )
+    got = spark.read.parquet(os.path.join(str(tmp_path), "out"))
+    assert sorted(r.id for r in got.collect()) == [1, 2]
+    metrics = q.lastProgress["stateOperators"][0].get("customMetrics", {})
+    assert any("rocksdb" in k.lower() for k in metrics)
+    # both pinned confs restored to unset
+    assert spark.conf.get(chg_key, None) is None
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        is None
+    )
