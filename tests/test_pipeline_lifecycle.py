@@ -47,3 +47,39 @@ def test_working_dir_rotation_on_rerun(spark, tmp_path):
     # S10: first run's outputs moved into a timestamped subdir
     assert any(os.listdir(os.path.join(wd, d)) for d in stamped)
     assert any(f.startswith("Ok_output") for f in entries)
+
+
+def test_bucketed_checkpoint_missing_column_fails_clearly(spark, tmp_path):
+    from phaser_spark import PhaserError, Phase, Pipeline
+
+    class Ok(Phase):
+        name = "Ok"
+        columns = [FloatColumn("score")]
+        checkpoint_bucket_by = ["no_such_column"]
+
+    src = _write_csv(tmp_path, "src.csv", "id,score\n1,5.0\n")
+    pipe = Pipeline(working_dir=os.path.join(str(tmp_path), "out"),
+                    source=src, phases=[Ok], spark=spark)
+    with pytest.raises(PhaserError, match="no_such_column"):
+        pipe.run()
+
+
+def test_bucketed_checkpoint_without_working_dir(spark, tmp_path):
+    # no working dir -> the bucketed checkpoint lands as a managed table
+    # under the warehouse dir; the pipeline result is unaffected
+    from phaser_spark import Phase, Pipeline
+
+    class Ok(Phase):
+        name = "OkMngd"
+        columns = [FloatColumn("score")]
+
+    data = spark.createDataFrame([(1, 5.0), (2, 6.0)], "id long, score double")
+    try:
+        out = Pipeline(
+            phases=[Phase(name="b", checkpoint_bucket_by=["id"],
+                          checkpoint_num_buckets=2)],
+            spark=spark,
+        ).run(data)
+        assert sorted(r.id for r in out.collect()) == [1, 2]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS phaser_ckpt_pipeline_b")
