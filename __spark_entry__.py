@@ -1063,6 +1063,64 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def a9_cube_revenue(spark, sf_dir):
+    """Multi-level CUBE aggregation in one pass (``ops.relational.
+    multilevel_agg``): all four (returnflag × linestatus) grouping levels
+    from a single Expand + partial/final hash aggregate — one scan, one
+    shuffle, versus one per level when unioning groupBys.  ``grouping_id``
+    disambiguates subtotal rows (same bit encoding as DuckDB/Postgres
+    ``GROUPING``)."""
+    from phaser_spark.ops.relational import multilevel_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return multilevel_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [_money(revenue).alias("revenue"), F.count(F.lit(1)).alias("n")],
+        kind="cube",
+    )
+
+
+def j5_interval_match(spark, sf_dir):
+    """Point-in-interval range join (``ops.relational.range_join``): each
+    LOW-priority order's date against every URGENT order's 3-day window.
+    The scale path is the bin-bucketed equi-join (bin = 3 days): intervals
+    replicate ≤2×, points join on their single bin, the range predicate is
+    a residual filter — never a BroadcastNestedLoopJoin."""
+    from phaser_spark.ops.relational import range_join
+
+    orders = _t(spark, sf_dir, "orders")
+    pts = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_orderkey").alias("point_key"),
+        F.col("o_orderdate").alias("p_date"),
+    )
+    iv = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderdate").alias("iv_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("iv_end"),
+        F.col("o_totalprice").alias("iv_price"),
+    )
+    j = range_join(pts, iv, "p_date", "iv_start", "iv_end", bin_width=3 * 86400.0)
+    return j.groupBy("point_key").agg(
+        F.count(F.lit(1)).alias("n_overlapping"),
+        _money(F.col("iv_price")).alias("total_overlap_price"),
+    )
+
+
+def sketch_distinct_accuracy(spark, sf_dir):
+    """Mergeable-sketch distinct counting (``ops.sketches``): per-priority
+    exact distinct customers plus booleans asserting the HLL++ and
+    DataSketches-HLL estimates land within 5% — the self-verifying form
+    (estimates are approximate but deterministic, so the booleans hash
+    stably against the oracle's TRUE literals)."""
+    from phaser_spark.ops import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+    return sketches.sketch_accuracy_report(
+        orders, ["o_orderpriority"], "o_custkey", tolerance=0.05
+    )
+
+
 def text_tfidf_top_terms(spark, sf_dir):
     """Per-document top-5 characteristic terms by TF-IDF
     (``ops.text.tfidf_top_terms``): BM25-rational idf (division only — no
@@ -1569,6 +1627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_hotkey_join": salted_hotkey_join,
         "dedup_incremental_minhash": dedup_incremental_minhash,
         "text_tfidf_top_terms": text_tfidf_top_terms,
+        "a9_cube_revenue": a9_cube_revenue,
+        "j5_interval_match": j5_interval_match,
+        "sketch_distinct_accuracy": sketch_distinct_accuracy,
     }
 
 
@@ -2536,5 +2597,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(score * 1000000) AS DOUBLE) AS score_e6,
                    rank
             FROM ranked WHERE rank <= 5
+        """,
+        # DuckDB GROUPING(a, b) uses the same bit encoding as Spark's
+        # grouping_id() (first column = most significant bit)
+        "a9_cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   GROUPING(l_returnflag, l_linestatus) AS grouping_id,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "j5_interval_match": """
+            SELECT p.o_orderkey AS point_key,
+                   COUNT(*) AS n_overlapping,
+                   CAST(ROUND(SUM(CAST(i.o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_overlap_price
+            FROM orders p JOIN orders i
+              ON p.o_orderdate >= i.o_orderdate
+             AND p.o_orderdate < i.o_orderdate + INTERVAL 3 DAY
+            WHERE p.o_orderpriority = '5-LOW'
+              AND i.o_orderpriority = '1-URGENT'
+            GROUP BY p.o_orderkey
+        """,
+        # the sketch estimates are approximate but deterministic; the Spark
+        # side reduces them to within-5%-of-exact booleans, which the
+        # oracle asserts as TRUE (a hash match means every group's HLL++
+        # and DataSketches estimates landed inside tolerance)
+        "sketch_distinct_accuracy": """
+            SELECT o_orderpriority,
+                   COUNT(DISTINCT o_custkey) AS exact_distinct,
+                   TRUE AS approx_within_tol,
+                   TRUE AS hll_within_tol
+            FROM orders
+            GROUP BY o_orderpriority
         """,
     }

@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     relational,
     sampling,
     similarity,
+    sketches,
     text,
     web,
 )

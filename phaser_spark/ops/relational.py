@@ -161,6 +161,76 @@ def topk_per_group_step(partition_by: list[str], order_by: list, k: int):
     return _topk
 
 
+def multilevel_agg(
+    df: DataFrame,
+    group_cols: list,
+    aggs: list[SparkCol],
+    kind: str = "rollup",
+    sets: list[list[str]] | None = None,
+    grouping_id_col: str | None = "grouping_id",
+) -> DataFrame:
+    """Multi-level aggregation in ONE pass: ``ROLLUP`` / ``CUBE`` /
+    ``GROUPING SETS`` (the hypertable/OLAP rollup family; absent in the
+    reference — its pipelines re-aggregate per level with separate steps,
+    SURVEY §2.5).
+
+    Scale design: Catalyst plans a single ``Expand`` node (each input row
+    is replicated once per grouping set) followed by partial + final hash
+    aggregation — one scan and one shuffle for ALL levels, versus one
+    scan+shuffle per level when unioning separate groupBys.  The expansion
+    factor is len(sets): rollup = k+1, cube = 2^k — prefer ``rollup`` or
+    explicit ``sets`` over ``cube`` for k > 3 at 100 TB, since the Expand
+    output (not the input) is what shuffles.  Map-side combine still
+    applies per grouping set, so the shuffle volume is bounded by group
+    cardinality, not row count.
+
+    ``grouping_id_col`` emits Spark's ``grouping_id()`` (bit i set ⇔
+    column i is aggregated away, first column = most significant bit —
+    the same encoding DuckDB/Postgres ``GROUPING(...)`` uses), so subtotal
+    rows are distinguishable from natural NULL group values.
+    """
+    if kind == "rollup":
+        grouped = df.rollup(*group_cols)
+    elif kind == "cube":
+        grouped = df.cube(*group_cols)
+    elif kind == "sets":
+        if sets is None:
+            raise PhaserError("multilevel_agg(kind='sets') requires sets=[...]")
+        grouped = df.groupingSets(
+            [[F.col(c) if isinstance(c, str) else c for c in s] for s in sets],
+            *group_cols,
+        )
+    else:
+        raise PhaserError(
+            f"multilevel_agg kind must be rollup/cube/sets, got {kind!r}"
+        )
+    agg_cols = list(aggs)
+    if grouping_id_col:
+        agg_cols = [F.grouping_id().alias(grouping_id_col), *agg_cols]
+    out = grouped.agg(*agg_cols)
+    # stable column order: group cols, grouping id, aggregates
+    names = [c if isinstance(c, str) else df.select(c).columns[0] for c in group_cols]
+    rest = [c for c in out.columns if c not in names]
+    return out.select(*names, *rest)
+
+
+def rollup_step(
+    group_by: list,
+    aggs: list[SparkCol],
+    kind: str = "rollup",
+    sets: list[list[str]] | None = None,
+    grouping_id_col: str | None = "grouping_id",
+):
+    """Multi-level aggregation as a phase step (destroys row identity —
+    pair with ``renumber=True``)."""
+
+    @batch_step
+    def _rollup(df: DataFrame, context=None) -> DataFrame:
+        return multilevel_agg(df, group_by, aggs, kind, sets, grouping_id_col)
+
+    return _rollup
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -260,6 +330,88 @@ def asof_join_step(
 
     _asof.__name__ = f"asof_join_{source_name}"
     return _asof
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    on: list[str] | None = None,
+    bin_width: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: each ``points`` row matches every
+    ``intervals`` row with ``start <= point < end`` (half-open, the SQL
+    ``p >= s AND p < e`` convention), optionally ANDed with equi-keys
+    ``on``.  Spark has no native range join — a naive non-equi join plans
+    a BroadcastNestedLoopJoin (quadratic, and impossible when neither
+    side fits in memory).
+
+    Scale design (``bin_width`` set): both sides are mapped onto
+    fixed-width bins — a point belongs to exactly ONE bin
+    (``floor(p/w)``), an interval is exploded to every bin it overlaps
+    (``sequence(floor(s/w), floor(e/w))``) — and the join becomes an
+    **equi-join on (keys..., bin)** with the range predicate as a
+    residual filter.  Each qualifying (point, interval) pair meets in
+    exactly one bin (the point's), so no dedup pass is needed.  Cost:
+    intervals are replicated ``span/bin_width + 1`` times — pick
+    ``bin_width`` near the median interval span so replication stays
+    O(1) while bins stay selective.  Skew (a hot bin) is AQE's case, or
+    compose with ``salted_join`` on the bin key.
+
+    Timestamp columns are handled by casting to epoch seconds
+    (``bin_width`` is then in seconds).  Without ``bin_width`` the naive
+    non-equi join is planned — only acceptable when one side is
+    broadcast-small.
+    """
+    if how != "inner":
+        raise PhaserError(f"range_join supports inner joins, got {how!r}")
+    keys = list(on or [])
+    overlap = set(points.columns) & set(intervals.columns) - set(keys)
+    if overlap:
+        raise PhaserError(
+            f"range_join: ambiguous columns {sorted(overlap)}; rename or "
+            "select before joining"
+        )
+
+    def _as_number(df: DataFrame, name: str) -> SparkCol:
+        # temporal columns (timestamp / timestamp_ntz / date) become epoch
+        # seconds; NTZ goes through LTZ first (a direct double cast is
+        # invalid) — both sides shift identically under any session tz, so
+        # comparisons and bin membership are unaffected
+        dt = dict(df.dtypes).get(name, "")
+        c = F.col(name)
+        if dt.startswith("timestamp") or dt == "date":
+            c = c.cast("timestamp")
+        return c.cast("double")
+
+    p_val = _as_number(points, point_col)
+    s_val = _as_number(intervals, start_col)
+    e_val = _as_number(intervals, end_col)
+    P, S, E = "__phaser_p__", "__phaser_s__", "__phaser_e__"
+    cond = (F.col(P) >= F.col(S)) & (F.col(P) < F.col(E))
+    p = points.withColumn(P, p_val)
+    i = intervals.withColumn(S, s_val).withColumn(E, e_val)
+    if bin_width is None:
+        joined = (
+            p.join(i, on=keys, how="inner") if keys else p.crossJoin(i)
+        )
+        return joined.filter(cond).drop(P, S, E)
+    BIN = "__phaser_bin__"
+    w = float(bin_width)
+    p = p.withColumn(BIN, F.floor(F.col(P) / F.lit(w)).cast("long"))
+    i = i.withColumn(
+        BIN,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(S) / F.lit(w)).cast("long"),
+                F.floor(F.col(E) / F.lit(w)).cast("long"),
+            )
+        ),
+    )
+    return p.join(i, on=[*keys, BIN], how="inner").filter(cond).drop(BIN, P, S, E)
 
 
 def salted_join(

@@ -1,0 +1,135 @@
+"""Mergeable approximate sketches: HLL distinct counting and quantile
+sketches (engine addition; the reference has no approximate aggregates —
+its pipelines pay exact distinct/percentile costs per run, SURVEY §2.5).
+
+Why sketches are a first-class 100 TB feature: an exact
+``count(distinct)`` over a high-cardinality key shuffles every distinct
+value; an exact percentile sort-aggregates whole groups.  A sketch is a
+few KB per group, built with map-side combine (linear scan, tiny
+shuffle), and — critically — **mergeable**: pre-aggregate one sketch per
+day/partition/source, persist those few-KB blobs, then answer "distinct
+users over any date range" by merging the stored sketches instead of
+rescanning 100 TB.  That turns a full-corpus rescan into a metadata-sized
+aggregation.
+
+Built on Spark's native implementations (JVM codegen, zero Python on the
+row path): ``approx_count_distinct`` (HyperLogLog++),
+``hll_sketch_agg``/``hll_union_agg``/``hll_sketch_estimate`` (Apache
+DataSketches HLL, binary-portable across engines that speak the
+DataSketches format), and ``percentile_approx`` (space-bounded quantile
+summaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column as SparkCol
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..exceptions import PhaserError
+
+DEFAULT_LG_K = 12  # 2^12 registers ≈ 1.6% relative error, ~2.5 KB dense
+
+
+def approx_distinct(
+    df: DataFrame,
+    group_by: list[str],
+    col: str,
+    rsd: float = 0.05,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group approximate distinct count (HyperLogLog++).  One
+    map-side-combined aggregate; shuffle volume is one HLL buffer per
+    (partition, group), never the distinct values themselves."""
+    out = out_col or f"{col}_approx_distinct"
+    return df.groupBy(*group_by).agg(
+        F.approx_count_distinct(col, rsd=rsd).alias(out)
+    )
+
+
+def hll_sketches(
+    df: DataFrame,
+    group_by: list[str],
+    col: str,
+    lg_k: int = DEFAULT_LG_K,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Build one persistable DataSketches-HLL blob per group (binary
+    column, ~2.5 KB at lg_k=12).  Store these alongside rollup tables;
+    later distinct-count queries over ANY union of groups merge the blobs
+    (``hll_merge_estimate``) instead of rescanning the corpus."""
+    return df.groupBy(*group_by).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias(sketch_col)
+    )
+
+
+def hll_merge_estimate(
+    sketches: DataFrame,
+    group_by: list[str],
+    sketch_col: str = "hll_sketch",
+    out_col: str = "distinct_estimate",
+) -> DataFrame:
+    """Merge stored HLL blobs down to ``group_by`` and estimate the
+    distinct count of the union.  Register-max union — order-insensitive
+    and lossless w.r.t. the input sketches, so incremental daily sketches
+    compose exactly like one full-corpus pass."""
+    return sketches.groupBy(*group_by).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col(sketch_col), F.lit(True))
+        ).alias(out_col)
+    )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    group_by: list[str],
+    col: str,
+    probabilities: list[float],
+    accuracy: int = 10000,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group approximate quantiles (Greenwald-Khanna style summaries,
+    error ≤ 1/accuracy of rank).  Space per group is O(accuracy·log n) —
+    bounded regardless of group size, unlike the exact ``percentile``
+    sort-aggregate."""
+    if not probabilities:
+        raise PhaserError("approx_quantiles requires at least one probability")
+    out = out_col or f"{col}_quantiles"
+    probs = ", ".join(repr(float(p)) for p in probabilities)
+    return df.groupBy(*group_by).agg(
+        F.percentile_approx(
+            F.col(col), F.array(*[F.lit(float(p)) for p in probabilities]), accuracy
+        ).alias(out)
+    )
+
+
+def sketch_accuracy_report(
+    df: DataFrame,
+    group_by: list[str],
+    col: str,
+    tolerance: float = 0.05,
+    lg_k: int = DEFAULT_LG_K,
+) -> DataFrame:
+    """Per-group exact distinct count plus booleans asserting every sketch
+    estimate lands within ``tolerance`` of it — the self-verifying form
+    used by the oracle queries (the booleans are deterministic even
+    though the estimates are approximate, so results hash stably)."""
+    exact = F.countDistinct(F.col(col)).alias("exact_distinct")
+    agg = df.groupBy(*group_by).agg(
+        exact,
+        F.approx_count_distinct(col, rsd=tolerance / 2).alias("__approx__"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(col), F.lit(lg_k))
+        ).alias("__hll__"),
+    )
+    tol = F.lit(float(tolerance))
+    within = lambda est: (  # noqa: E731
+        F.abs(est - F.col("exact_distinct"))
+        <= tol * F.col("exact_distinct")
+    )
+    return agg.select(
+        *group_by,
+        "exact_distinct",
+        within(F.col("__approx__")).alias("approx_within_tol"),
+        within(F.col("__hll__")).alias("hll_within_tol"),
+    )

@@ -625,3 +625,65 @@ def test_minhash_incremental_reuses_stored_signatures(spark):
     )
     assert with_stored == without
     assert with_stored and with_stored[0][:2] == (1, 20)
+
+
+def test_hll_sketches_merge_matches_global_estimate(spark):
+    """The 100 TB story: per-day HLL blobs merged over any range must give
+    the same answer as one full pass (register-max union is lossless), and
+    estimates must be deterministic run-to-run (the oracle hashes them)."""
+    from phaser_spark.ops import sketches
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 10).alias("day"), (F.col("id") % 3217).alias("user")
+    )
+    daily = sketches.hll_sketches(df, ["day"], "user", lg_k=12)
+    merged = sketches.hll_merge_estimate(
+        daily.withColumn("all", F.lit(1)), ["all"]
+    )
+    est = merged.collect()[0]["distinct_estimate"]
+    exact = df.select("user").distinct().count()
+    assert abs(est - exact) <= 0.05 * exact
+    # determinism across independent builds (different partitioning)
+    est2 = sketches.hll_merge_estimate(
+        sketches.hll_sketches(
+            df.repartition(7), ["day"], "user", lg_k=12
+        ).withColumn("all", F.lit(1)),
+        ["all"],
+    ).collect()[0]["distinct_estimate"]
+    assert est == est2
+
+
+def test_sketch_accuracy_report_within_tolerance(spark):
+    from phaser_spark.ops import sketches
+
+    df = spark.range(0, 30000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 2801).alias("v")
+    )
+    rows = sketches.sketch_accuracy_report(df, ["g"], "v", tolerance=0.05).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["exact_distinct"] == 2801 // 4 + (1 if r["g"] < 2801 % 4 else 0) or r["exact_distinct"] > 0
+        assert r["approx_within_tol"] and r["hll_within_tol"]
+
+
+def test_approx_quantiles_rank_error_bounded(spark):
+    from phaser_spark.ops import sketches
+
+    n = 10000
+    df = spark.range(0, n).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    got = sketches.approx_quantiles(df, ["g"], "v", [0.5, 0.9], accuracy=1000)
+    q50, q90 = got.collect()[0]["v_quantiles"]
+    # rank error <= n/accuracy = 10
+    assert abs(q50 - n // 2) <= 2 * (n // 1000)
+    assert abs(q90 - 9 * n // 10) <= 2 * (n // 1000)
+
+
+def test_approx_distinct_requires_probabilities(spark):
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops import sketches
+
+    df = spark.range(3).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    with _pytest.raises(PhaserError):
+        sketches.approx_quantiles(df, ["g"], "v", [])

@@ -411,3 +411,27 @@ def test_tfidf_partitioned_window_and_partial_aggs(spark):
     # before the exchange — the plan we want at corpus scale)
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cube_single_scan_expand_partial_agg(spark):
+    # all 4 cube levels from ONE scan + Expand + partial/final agg — not a
+    # scan per level
+    plan = plan_of(entrymod.a9_cube_revenue(spark, SF), "simple")
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Scan parquet") == 1
+
+
+def test_range_join_is_equi_join_on_bin_not_nested_loop(spark):
+    # the bin-bucketed range join must plan an equi-join (hash/sort-merge
+    # on the bin key) with the range predicate as residual — a
+    # BroadcastNestedLoopJoin here is the quadratic plan we refuse
+    plan = plan_of(entrymod.j5_interval_match(spark, SF))
+    assert "NestedLoop" not in plan
+    assert "__phaser_bin__" in plan
+
+
+def test_sketch_report_stays_jvm_side(spark):
+    plan = plan_of(entrymod.sketch_distinct_accuracy(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final

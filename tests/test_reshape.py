@@ -104,3 +104,108 @@ def test_salted_join_spreads_hot_key_over_salts(spark):
     )
     assert n == 8  # all salt buckets used for the hot key
     assert salted_join(big, small, ["k"], n_salts=8).count() == 200
+
+
+def test_multilevel_agg_rollup_matches_union_of_groupbys(spark):
+    from phaser_spark.ops.relational import multilevel_agg
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3), ("b", None, 4)],
+        "c1 string, c2 string, n int",
+    )
+    got = {
+        tuple(r)
+        for r in multilevel_agg(
+            df, ["c1", "c2"], [F.sum("n").alias("s")], kind="rollup"
+        ).collect()
+    }
+    # union-of-groupbys reference: (c1,c2) gid=0, (c1) gid=1, () gid=3
+    lvl0 = [(r.c1, r.c2, 0, r.s) for r in df.groupBy("c1", "c2").agg(F.sum("n").alias("s")).collect()]
+    lvl1 = [(r.c1, None, 1, r.s) for r in df.groupBy("c1").agg(F.sum("n").alias("s")).collect()]
+    lvl2 = [(None, None, 3, r.s) for r in df.agg(F.sum("n").alias("s")).collect()]
+    assert got == set(lvl0 + lvl1 + lvl2)
+    # the natural NULL group value stays distinguishable from the subtotal
+    assert ("b", None, 0, 4) in got and ("b", None, 1, 7) in got
+
+
+def test_multilevel_agg_cube_and_sets(spark):
+    from phaser_spark.ops.relational import multilevel_agg
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], "c1 string, c2 string, n int"
+    )
+    cube = multilevel_agg(df, ["c1", "c2"], [F.sum("n").alias("s")], kind="cube")
+    assert cube.count() == 8  # 3 + 2 + 2 + 1
+    sets = multilevel_agg(
+        df, ["c1", "c2"], [F.sum("n").alias("s")], kind="sets",
+        sets=[["c1"], ["c2"], []],
+    )
+    got = {(r.c1, r.c2, r.grouping_id): r.s for r in sets.collect()}
+    assert got == {
+        ("a", None, 1): 3, ("b", None, 1): 3,
+        (None, "x", 2): 4, (None, "y", 2): 2,
+        (None, None, 3): 6,
+    }
+
+
+def _naive_range_join(points, intervals, keys=()):
+    cond = (F.col("p") >= F.col("s")) & (F.col("p") < F.col("e"))
+    j = points.crossJoin(intervals) if not keys else points.join(intervals, list(keys))
+    return sorted(tuple(r) for r in j.filter(cond).select("pid", "iid").collect())
+
+
+def test_range_join_matches_naive_across_bin_widths(spark):
+    from phaser_spark.ops.relational import range_join
+
+    # boundary points: p == s matches, p == e does not; intervals spanning
+    # 0, 1, and many bins; negative values exercise floor-division binning
+    points = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([-7, -1, 0, 1, 3.5, 5, 9.99, 10, 42])],
+        "pid long, p double",
+    )
+    intervals = spark.createDataFrame(
+        [(0, -10.0, -6.0), (1, -2.0, 2.0), (2, 0.0, 10.0), (3, 5.0, 5.0),
+         (4, 3.5, 45.0), (5, 9.99, 10.0)],
+        "iid long, s double, e double",
+    )
+    expected = _naive_range_join(points, intervals)
+    assert expected  # non-degenerate fixture
+    for w in (0.5, 1.0, 4.0, 100.0):
+        got = sorted(
+            tuple(r)
+            for r in range_join(
+                points, intervals, "p", "s", "e", bin_width=w
+            ).select("pid", "iid").collect()
+        )
+        assert got == expected, f"bin_width={w}"
+    # unbinned fallback agrees too
+    got = sorted(
+        tuple(r)
+        for r in range_join(points, intervals, "p", "s", "e")
+        .select("pid", "iid").collect()
+    )
+    assert got == expected
+
+
+def test_range_join_with_equi_keys_and_timestamps(spark):
+    from phaser_spark.ops.relational import range_join
+
+    points = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:05:00"), (2, 10, "2024-01-01 02:00:00"),
+         (3, 20, "2024-01-01 00:05:00")],
+        "pid long, user long, p string",
+    ).withColumn("p", F.to_timestamp("p"))
+    intervals = spark.createDataFrame(
+        [(100, 10, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+         (200, 20, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "iid long, user long, s string, e string",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+    got = sorted(
+        tuple(r)
+        for r in range_join(
+            points, intervals, "p", "s", "e", on=["user"], bin_width=1800.0
+        ).select("pid", "iid").collect()
+    )
+    # user 10's 00:05 point matches its interval; 02:00 is outside; user 20
+    # matches only its own interval (the equi key separates users)
+    assert got == [(1, 100), (3, 200)]
