@@ -356,6 +356,48 @@ def save_parquet(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def save_parquet_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Range-clustered parquet sink for data skipping (engine addition).
+
+    ``repartitionByRange(sort_cols)`` + ``sortWithinPartitions`` lays rows
+    out so each file — and each parquet row group inside it — covers a
+    narrow, near-disjoint range of ``sort_cols``.  Parquet stores min/max
+    statistics per row group; a pushed-down predicate on the sort column
+    then skips whole row groups at read time (and engines with file-level
+    stats skip whole files).  On an unsorted layout every row group's
+    min/max spans the full domain and nothing can be skipped — at 100 TB
+    the difference between a point query touching a few hundred MB versus
+    scanning the table.  The classic fit: time-ordered event/fact tables
+    queried by time range.
+
+    The one-time cost is a single range shuffle at write (sampling pass +
+    exchange — same price as any repartition).  ``num_files`` bounds the
+    output file count (range partitioning keeps files near-equal-sized by
+    row count); ``partition_by`` composes hive-style directory partitions
+    (coarse pruning at planning time) with in-file range clustering (fine
+    row-group pruning at scan time).
+
+    Row-group skipping is verified from the written footers in
+    ``tests/test_io.py::test_sorted_parquet_row_groups_are_skippable``.
+    """
+    cols = [F.col(c) for c in sort_cols]
+    if num_files:
+        clustered = df.repartitionByRange(num_files, *cols)
+    else:
+        clustered = df.repartitionByRange(*cols)
+    clustered = clustered.sortWithinPartitions(*cols)
+    writer = clustered.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath

@@ -168,3 +168,57 @@ def test_compact_parquet_output_unpartitioned(spark, tmp_path):
     assert stats["rows"] == 1000
     assert stats["files_after"] < stats["files_before"]
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_sorted_parquet_row_groups_are_skippable(spark, tmp_path):
+    """save_parquet_sorted must produce a layout whose parquet min/max
+    statistics actually enable skipping: for a narrow predicate window,
+    only a small fraction of row groups may intersect — on the unsorted
+    layout every row group spans the full domain and none can be skipped."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from phaser_spark.io import save_parquet_sorted
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sorted_dir, plain_dir = str(tmp_path / "sorted"), str(tmp_path / "plain")
+    save_parquet_sorted(li, sorted_dir, ["l_shipdate"], num_files=8)
+    li.repartition(8).write.mode("overwrite").parquet(plain_dir)
+
+    def groups(d):
+        out = []
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                col = next(
+                    md.row_group(g).column(i)
+                    for i in range(md.row_group(g).num_columns)
+                    if md.row_group(g).column(i).path_in_schema == "l_shipdate"
+                )
+                out.append((col.statistics.min, col.statistics.max))
+        return out
+
+    s_groups, p_groups = groups(sorted_dir), groups(plain_dir)
+    assert len(s_groups) >= 8 and len(p_groups) >= 8
+
+    import datetime
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 3, 1)
+    hits = lambda gs: sum(1 for mn, mx in gs if mx >= lo and mn <= hi)  # noqa: E731
+    # sorted layout: the 2-month window lives in ~1 of 8 range slices
+    assert hits(s_groups) <= len(s_groups) // 3
+    # unsorted layout: every row group spans the domain — nothing skippable
+    assert hits(p_groups) == len(p_groups)
+
+    # rows survive the rewrite intact
+    assert (
+        spark.read.parquet(sorted_dir).filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1996-03-01")
+        ).count()
+        == li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1996-03-01")
+        ).count()
+    )
