@@ -116,6 +116,8 @@ class Phase:
         lineage_cache: bool | None = None,
         checkpoint_bucket_by: list[str] | None = None,
         checkpoint_num_buckets: int = 32,
+        checkpoint_sort_by: list[str] | None = None,
+        checkpoint_num_files: int | None = None,
     ):
         self.name = name or type(self).__name__
         self.steps = list(steps if steps is not None else type(self).steps)
@@ -151,6 +153,23 @@ class Phase:
             else list(getattr(type(self), "checkpoint_bucket_by", None) or [])
         ) or None
         self.checkpoint_num_buckets = checkpoint_num_buckets
+        # checkpoint_sort_by: range-cluster this phase's checkpoint on
+        # these columns (io.save_parquet_sorted) so later phases' and
+        # consumers' predicates on them skip parquet row groups via
+        # min/max stats — the time-ordered-checkpoint analogue of
+        # checkpoint_bucket_by (which targets join/agg keys instead).
+        self.checkpoint_sort_by = (
+            list(checkpoint_sort_by)
+            if checkpoint_sort_by is not None
+            else list(getattr(type(self), "checkpoint_sort_by", None) or [])
+        ) or None
+        self.checkpoint_num_files = checkpoint_num_files
+        if self.checkpoint_sort_by and self.checkpoint_bucket_by:
+            raise PhaserError(
+                f"Phase {self.name}: checkpoint_sort_by and "
+                "checkpoint_bucket_by are mutually exclusive (a bucketed "
+                "checkpoint already sorts within buckets on the bucket key)"
+            )
         for c in self.columns:
             if not isinstance(c, Column):
                 raise PhaserError(f"Phase {self.name}: {c!r} is not a Column")

@@ -49,6 +49,7 @@ from .io import (
     normalize_event_time,
     save_any,
     save_parquet_bucketed,
+    save_parquet_sorted,
 )
 from .lineage import with_row_numbers
 from .phase import Phase
@@ -241,7 +242,27 @@ class Pipeline:
             out = self.spark.table(table)
         elif self.working_dir:
             internal_path = os.path.join(self.working_dir, f".{ph.name}_state.parquet")
-            out.write.mode("overwrite").parquet(internal_path)
+            if ph.checkpoint_sort_by:
+                missing = [
+                    c for c in ph.checkpoint_sort_by if c not in out.columns
+                ]
+                if missing:
+                    raise PhaserError(
+                        f"Phase {ph.name}: checkpoint_sort_by columns "
+                        f"{missing} not in phase output "
+                        f"{sorted(set(out.columns) - set(INTERNAL_COLS))}"
+                    )
+                # range-clustered checkpoint: row groups carry near-disjoint
+                # min/max ranges on the sort columns, so downstream
+                # predicates on them skip row groups at scan time
+                save_parquet_sorted(
+                    out,
+                    internal_path,
+                    sort_cols=ph.checkpoint_sort_by,
+                    num_files=ph.checkpoint_num_files,
+                )
+            else:
+                out.write.mode("overwrite").parquet(internal_path)
             out = self.spark.read.parquet(internal_path)
         else:
             out = out.cache()

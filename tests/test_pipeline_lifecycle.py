@@ -4,6 +4,7 @@ policy (E6), and prior outputs rotate into a timestamped dir on re-run
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from phaser_spark import DataException, FloatColumn, Phase, Pipeline
 
@@ -83,3 +84,49 @@ def test_bucketed_checkpoint_without_working_dir(spark, tmp_path):
         assert sorted(r.id for r in out.collect()) == [1, 2]
     finally:
         spark.sql("DROP TABLE IF EXISTS phaser_ckpt_pipeline_b")
+
+
+def test_sorted_checkpoint_row_groups_skippable_and_rows_intact(spark, tmp_path):
+    """Phase(checkpoint_sort_by=...) range-clusters the phase checkpoint:
+    the written row groups carry near-disjoint min/max ranges on the sort
+    column (downstream time-window predicates skip at scan time), and the
+    pipeline result is unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from phaser_spark import Phase, Pipeline
+
+    data = spark.range(0, 4000).select(
+        F.col("id").alias("v"),
+        F.shiftleft(F.xxhash64("id"), 1).alias("scrambled"),
+    ).orderBy("scrambled").drop("scrambled")
+    p1 = Phase(name="sortedstage", checkpoint_sort_by=["v"], checkpoint_num_files=8)
+    wd = str(tmp_path / "wd")
+    result = Pipeline(working_dir=wd, source=data, phases=[p1], spark=spark).run()
+    assert sorted(r["v"] for r in result.collect()) == list(range(4000))
+
+    ranges = []
+    for f in glob.glob(f"{wd}/.sortedstage_state.parquet/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for g in range(md.num_row_groups):
+            col = next(
+                md.row_group(g).column(i)
+                for i in range(md.row_group(g).num_columns)
+                if md.row_group(g).column(i).path_in_schema == "v"
+            )
+            ranges.append((col.statistics.min, col.statistics.max))
+    assert len(ranges) >= 8
+    # near-disjoint: a 10%-of-domain window intersects ~1 of 8 range slices
+    hits = sum(1 for mn, mx in ranges if mx >= 1000 and mn <= 1400)
+    assert hits <= len(ranges) // 3
+
+
+def test_sorted_and_bucketed_checkpoint_mutually_exclusive(spark):
+    import pytest as _pytest
+
+    from phaser_spark import Phase
+    from phaser_spark.exceptions import PhaserError
+
+    with _pytest.raises(PhaserError):
+        Phase(name="x", checkpoint_sort_by=["a"], checkpoint_bucket_by=["a"])
