@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "text_stats",
     "multimodal_binary",
+    "a9_cube_revenue",
+    "j5_interval_match",
+    "sketch_distinct_accuracy",
     "streaming_event_window",
     "streaming_session_window",
 ]

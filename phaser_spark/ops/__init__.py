@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     sampling,
     similarity,
     sketches,
+    streamjoin,
     text,
     web,
 )

@@ -538,3 +538,75 @@ def test_run_stream_rocksdb_changelog_checkpointing(spark, tmp_path):
         spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
         is None
     )
+
+
+def test_interval_join_streams_matches_static_join(spark, tmp_path):
+    """Watermarked stream-stream interval join (ops.streamjoin): clicks
+    within [0, 30 min] after a same-user purchase.  Batch parity: the
+    streaming result must equal the static join's, and the plan must be a
+    stateful stream-stream join (bounded state), not a full buffer."""
+    import uuid
+
+    from phaser_spark.ops.streamjoin import interval_join_streams
+
+    clicks = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:05:00"), (2, 10, "2024-01-01 00:40:00"),
+         (3, 20, "2024-01-01 00:10:00"), (4, 30, "2024-01-01 00:10:00")],
+        "click_id long, user long, click_ts string",
+    ).withColumn("click_ts", F.to_timestamp("click_ts"))
+    purchases = spark.createDataFrame(
+        [(100, 10, "2024-01-01 00:00:00"),   # matches click 1 (5m), not 2 (40m)
+         (200, 20, "2024-01-01 00:00:00"),   # matches click 3 (10m)
+         (300, 40, "2024-01-01 00:00:00")],  # no clicks for user 40
+        "purchase_id long, user long, p_ts string",
+    ).withColumn("p_ts", F.to_timestamp("p_ts"))
+
+    c_dir, p_dir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks.coalesce(1).write.parquet(c_dir)
+    purchases.coalesce(1).write.parquet(p_dir)
+
+    cs = spark.readStream.schema(clicks.schema).parquet(c_dir)
+    ps = spark.readStream.schema(purchases.schema).parquet(p_dir)
+    joined = interval_join_streams(
+        cs, ps, "click_ts", "p_ts", on=["user"],
+        lower="0 seconds", upper="30 minutes", watermark="1 minute",
+    )
+    name = f"ij_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.table(name).select("click_id", "purchase_id").collect()
+    }
+    static = {
+        (r.click_id, r.purchase_id)
+        for r in clicks.join(
+            purchases,
+            (clicks.user == purchases.user)
+            & (clicks.click_ts >= purchases.p_ts)
+            & (clicks.click_ts <= purchases.p_ts + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == static == {(1, 100), (3, 200)}
+
+
+def test_interval_join_streams_rejects_bad_shapes(spark):
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops.streamjoin import interval_join_streams
+
+    a = spark.createDataFrame([], "k long, ts timestamp, v long")
+    b = spark.createDataFrame([], "k long, ts timestamp, w long")
+    with _pytest.raises(PhaserError):          # same ts name both sides
+        interval_join_streams(a, b, "ts", "ts", on=["k"])
+    b2 = b.withColumnRenamed("ts", "ts2").withColumnRenamed("w", "v")
+    with _pytest.raises(PhaserError):          # ambiguous non-key column v
+        interval_join_streams(a, b2, "ts", "ts2", on=["k"])
+    with _pytest.raises(PhaserError):          # unsupported how
+        interval_join_streams(
+            a, b.withColumnRenamed("ts", "ts2"), "ts", "ts2", on=["k"], how="full"
+        )
