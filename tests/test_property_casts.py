@@ -142,3 +142,47 @@ def test_date_cast_parity(spark, values):
             assert err is not None, f"{v!r} should error, got {got!r}"
         else:
             assert err is None and got == expect, f"{v!r}: want {expect} got {got} err={err}"
+
+
+# --------------------------------------------------------------------------
+# range_join property: the bin-bucketed equi-join must equal the naive
+# quadratic join for ANY interval configuration and ANY bin width
+# --------------------------------------------------------------------------
+
+FINITE = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(FINITE, min_size=1, max_size=15),
+    st.lists(st.tuples(FINITE, st.floats(min_value=0, max_value=1e4,
+                                         allow_nan=False)), min_size=1, max_size=12),
+    st.sampled_from([0.7, 13.0, 1000.0]),
+)
+def test_range_join_equals_naive_on_random_intervals(spark, points, spans, width):
+    from pyspark.sql import functions as F
+
+    from phaser_spark.ops.relational import range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(points)], "pid long, p double"
+    )
+    ivs = spark.createDataFrame(
+        [(i, float(s), float(s) + float(w)) for i, (s, w) in enumerate(spans)],
+        "iid long, s double, e double",
+    )
+    naive = {
+        (r.pid, r.iid)
+        for r in pts.crossJoin(ivs)
+        .filter((F.col("p") >= F.col("s")) & (F.col("p") < F.col("e")))
+        .collect()
+    }
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(pts, ivs, "p", "s", "e", bin_width=width)
+        .select("pid", "iid")
+        .collect()
+    }
+    assert got == naive
