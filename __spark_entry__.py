@@ -1063,6 +1063,27 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def dedup_minhash_clusters(spark, sf_dir):
+    """Full cluster assignment: MinHash-LSH pair graph →
+    ``ops.graph.connected_components`` (fixpoint min-label propagation
+    with pointer-jumping; localCheckpoint lineage truncation per round).
+    Every doc maps to the min doc_id of its near-dup cluster (singletons
+    to themselves); the oracle recomputes components from the exact
+    Jaccard pair set with a recursive transitive closure."""
+    from phaser_spark.ops.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    return connected_components(
+        pairs.select("id_a", "id_b"),
+        src="id_a",
+        dst="id_b",
+        vertices=docs.select("doc_id"),
+        id_col="doc_id",
+        component_col="component",
+    )
+
+
 def a9_cube_revenue(spark, sf_dir):
     """Multi-level CUBE aggregation in one pass (``ops.relational.
     multilevel_agg``): all four (returnflag × linestatus) grouping levels
@@ -1630,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_cube_revenue": a9_cube_revenue,
         "j5_interval_match": j5_interval_match,
         "sketch_distinct_accuracy": sketch_distinct_accuracy,
+        "dedup_minhash_clusters": dedup_minhash_clusters,
     }
 
 
@@ -2631,4 +2653,26 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderpriority
         """,
+        # components of the exact-Jaccard pair graph via recursive
+        # transitive closure (clusters are tiny, so the closure is cheap);
+        # min reachable id == the engine's min-label fixpoint
+        "dedup_minhash_clusters": (
+            "WITH RECURSIVE exact_pairs AS (\n"
+            + _NGRAM_SHINGLE_SQL.format(threshold=0.8)
+            + """
+            ), edges AS (
+                SELECT id_a AS s, id_b AS d FROM exact_pairs
+                UNION
+                SELECT id_b, id_a FROM exact_pairs
+            ), reach(id, r) AS (
+                SELECT DISTINCT s, s FROM edges
+                UNION
+                SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
+            ), comp AS (
+                SELECT id, MIN(r) AS component FROM reach GROUP BY id
+            )
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        """
+        ),
     }

@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     cleaning,
     dedup,
     embeddings,
+    graph,
     multimodal,
     pii,
     relational,

@@ -350,55 +350,25 @@ def minhash_dedup(
     **kw,
 ) -> DataFrame:
     """Drop near-duplicates, keeping the smallest id of each dup cluster
-    (single-link via the pair list; greedy union by min-id propagation)."""
+    (single-link via the pair list).  Clustering is
+    ``ops.graph.connected_components`` — fixpoint min-label propagation
+    with pointer-jumping, O(log diameter) rounds, per-round cache
+    discipline (see that module's docstring for the 100 TB rationale)."""
+    from .graph import connected_components
+
     pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, **kw)
-    # connected components via min-label propagation, iterated to
-    # FIXPOINT: each round a node adopts the smallest root among its
-    # neighbors' roots, so the minimum label advances one hop per round
-    # and labels strictly decrease until stable.  A fixed round count (the
-    # obvious shortcut) silently mis-clusters chains longer than its hop
-    # budget; instead check the changed-label count per round (one small
-    # driver-side long) and stop at zero, with a bounded max_iters safety
-    # (dup clusters are dense and small-diameter in practice; 50 hops is
-    # far beyond any realistic near-dup chain).
-    labels = df.select(F.col(id_col).alias("id")).withColumn("root", F.col("id"))
-    edges = pairs.select("id_a", "id_b").cache()
-    prev_cached = None
-    max_iters = 50
-    for _ in range(max_iters):
-        nbr_min = (
-            edges.select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr"))
-            .union(edges.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr")))
-            .join(labels.select(F.col("id").alias("nbr"), F.col("root").alias("nbr_root")), "nbr")
-            .groupBy("id")
-            .agg(F.min("nbr_root").alias("min_nbr_root"))
-        )
-        # cache each round's labels: truncates the exponentially deepening
-        # lineage and is materialized by the changed-count action; the
-        # previous round's cache is released once the new one is live
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.col("root").alias("old_root"),
-                F.least(
-                    F.col("root"), F.coalesce(F.col("min_nbr_root"), F.col("root"))
-                ).alias("root"),
-            )
-            .cache()
-        )
-        changed = new_labels.filter(F.col("old_root") != F.col("root")).count()
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = new_labels
-        labels = new_labels.select("id", "root")
-        if changed == 0:
-            break
-    edges.unpersist()
-    # the final labels cache stays pinned (one (id, root) row per doc —
-    # driver-small relative to the corpus) so the returned lazy join
-    # doesn't recompute the whole propagation when the caller executes it
-    keep = labels.filter(F.col("id") == F.col("root")).select(F.col("id").alias(id_col))
+    labels = connected_components(
+        pairs.select("id_a", "id_b"),
+        src="id_a",
+        dst="id_b",
+        vertices=df.select(id_col),
+        id_col=id_col,
+        component_col="__root__",
+    )
+    # the final labels frame is cached by connected_components (one
+    # (id, root) row per doc) so this lazy semi-join doesn't re-run the
+    # propagation when the caller executes it
+    keep = labels.filter(F.col(id_col) == F.col("__root__")).select(id_col)
     return df.join(keep, id_col, "left_semi")
 
 

@@ -687,3 +687,54 @@ def test_approx_distinct_requires_probabilities(spark):
     df = spark.range(3).select(F.lit("g").alias("g"), F.col("id").alias("v"))
     with _pytest.raises(PhaserError):
         sketches.approx_quantiles(df, ["g"], "v", [])
+
+
+def test_connected_components_chain_star_isolated(spark):
+    """Path + star + isolated vertices, with expected clusters from a
+    driver-side union-find; pointer-jumping must converge a 120-hop chain
+    well inside the 50-round budget."""
+    from phaser_spark.ops.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(1000, 1120)]      # 121-vertex path
+    star = [(5000, x) for x in (5001, 5002, 5003)]
+    cycle = [(7000, 7001), (7001, 7002), (7002, 7000)]
+    edges = spark.createDataFrame(chain + star + cycle, "src long, dst long")
+    verts = spark.createDataFrame([(9999,)] + [(v,) for v in range(1000, 1121)]
+                                  + [(v,) for v in range(5000, 5004)]
+                                  + [(v,) for v in range(7000, 7003)], "id long")
+    got = {
+        (r.id, r.component)
+        for r in connected_components(edges, vertices=verts).collect()
+    }
+    expect = {(v, 1000) for v in range(1000, 1121)}
+    expect |= {(v, 5000) for v in range(5000, 5004)}
+    expect |= {(v, 7000) for v in range(7000, 7003)}
+    expect.add((9999, 9999))  # isolated vertex keeps itself
+    assert got == expect
+
+
+def test_connected_components_matches_plain_propagation(spark):
+    from phaser_spark.ops.graph import connected_components
+
+    import random
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(30)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    fast = {(r.id, r.component) for r in connected_components(e).collect()}
+    slow = {
+        (r.id, r.component)
+        for r in connected_components(e, path_compression=False).collect()
+    }
+    assert fast == slow
+
+
+def test_connected_components_warns_when_budget_too_small(spark):
+    import warnings as _w
+
+    from phaser_spark.ops.graph import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(20)], "src long, dst long")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        connected_components(chain, max_iters=2, path_compression=False).collect()
+    assert any("no fixpoint" in str(r.message) for r in rec)

@@ -209,3 +209,34 @@ def test_range_join_with_equi_keys_and_timestamps(spark):
     # user 10's 00:05 point matches its interval; 02:00 is outside; user 20
     # matches only its own interval (the equi key separates users)
     assert got == [(1, 100), (3, 200)]
+
+
+def test_rollup_step_in_phase_with_expression_columns(spark):
+    """rollup_step as a phase step, with an EXPRESSION grouping column
+    (aliased date_trunc) — the column-ordering logic must resolve aliases,
+    and the phase renumbers the multi-level output."""
+    from phaser_spark import Phase
+    from phaser_spark.context import Context
+    from phaser_spark.ops.relational import rollup_step
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "a", 1.0), ("2024-01-01 11:00:00", "a", 2.0),
+         ("2024-01-02 09:00:00", "b", 3.0)],
+        "ts string, kind string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    step = rollup_step(
+        [F.date_trunc("day", F.col("ts")).alias("day"), "kind"],
+        [F.sum("v").alias("total")],
+    )
+    ph = Phase(name="R", steps=[step], renumber=True, context=Context(spark=spark))
+    out = ph.run(df)
+    assert set(out.columns) >= {"day", "kind", "grouping_id", "total"}
+    rows = {(str(r.day), r.kind, r.grouping_id): r.total for r in out.collect()}
+    assert rows[("2024-01-01 00:00:00", "a", 0)] == 3.0
+    assert rows[("2024-01-01 00:00:00", None, 1)] == 3.0
+    assert rows[("2024-01-02 00:00:00", None, 1)] == 3.0
+    assert rows[(str(None), None, 3)] == 6.0 or rows.get((None, None, 3)) == 6.0
+    # row numbers renumbered from 1
+    from phaser_spark.constants import PHASER_ROW_NUM
+    nums = sorted(r[PHASER_ROW_NUM] for r in out.collect())
+    assert nums == list(range(1, len(rows) + 1))
