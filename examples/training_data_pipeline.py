@@ -164,6 +164,33 @@ def main():
     print(f"incremental ingest: {new_pairs.count()} near-dup pairs "
           f"touching the {delta.count()}-doc delta")
 
+    # --- corpus reporting: one pass for every rollup level + sketches --
+    # All (lang × source) aggregation levels from a single Expand +
+    # partial agg — not one scan per level — and a persistable ~2.5 KB
+    # HLL blob per language: tomorrow "distinct sources over any language
+    # subset" is a merge of blobs, not a corpus rescan.
+    from phaser_spark.ops import relational, sketches
+
+    report = relational.multilevel_agg(
+        out,
+        ["lang", "source"],
+        [F.count(F.lit(1)).alias("n_docs"),
+         F.sum("n_tokens").alias("sum_tokens")],
+        kind="rollup",
+    )
+    grand = report.filter(F.col("grouping_id") == 3).collect()[0]
+    print(f"rollup report: {report.count()} rows across 3 levels; "
+          f"grand total {grand['n_docs']} docs / {grand['sum_tokens']} tokens")
+    lang_sketches = sketches.hll_sketches(out, ["lang"], "source")
+    lang_sketches.write.mode("overwrite").parquet(
+        os.path.join(wd, "lang_source_sketches")
+    )
+    est = sketches.hll_merge_estimate(
+        spark.read.parquet(os.path.join(wd, "lang_source_sketches")),
+        [],  # merge ALL languages' blobs
+    ).collect()[0]["distinct_estimate"]
+    print(f"distinct sources corpus-wide (merged from stored sketches): {est}")
+
 
 if __name__ == "__main__":
     main()
