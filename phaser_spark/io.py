@@ -398,6 +398,82 @@ def save_parquet_sorted(
     writer.parquet(path)
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
+    """Z-order (Morton) key over numeric/temporal columns: each column is
+    linearly bucketed into ``2^bits`` cells between its min and max (two
+    tiny driver-side scalars per column), and the bucket bits are
+    interleaved into one long.  Sorting by this key clusters rows so that
+    a predicate on ANY of the columns — not just the leading one — maps
+    to a contiguous-ish set of files/row groups (the multi-dimensional
+    data-skipping layout; a plain compound sort only skips on its prefix).
+
+    Pure codegen: ``bits × len(cols)`` shift/or terms, no UDF, no extra
+    shuffle beyond the range repartition of the write.  Linear bucketing
+    is skew-sensitive (a heavy hitter collapses buckets); for Zipf-heavy
+    columns, pre-transform (e.g. ``F.log1p``) before z-ordering.
+    Returns the key Column; compose with ``save_parquet_zordered``.
+    """
+    if not cols or len(cols) > 4:
+        raise PhaserError("zorder_key takes 1-4 columns")
+    if bits * len(cols) > 60:
+        raise PhaserError("zorder_key: bits * len(cols) must be <= 60")
+    stats = df.select(
+        *[
+            f
+            for c in cols
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+            )
+        ]
+    ).collect()[0]
+    n_cells = (1 << bits) - 1
+    bucketed = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        b = F.least(
+            F.lit(n_cells),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(n_cells + 1)
+                ).cast("long"),
+            ),
+        )
+        bucketed.append(b)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(bucketed):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * len(cols) + j)
+            )
+    return key
+
+
+def save_parquet_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    num_files: int | None = None,
+) -> None:
+    """Z-order-clustered parquet sink: multi-column data skipping (see
+    ``zorder_key``).  Row-group min/max stats then prune for predicates
+    on any of ``cols``; the single-column case degenerates to
+    ``save_parquet_sorted``."""
+    ZKEY = "__phaser_zorder__"
+    keyed = df.withColumn(ZKEY, zorder_key(df, cols, bits))
+    clustered = (
+        keyed.repartitionByRange(num_files, ZKEY)
+        if num_files
+        else keyed.repartitionByRange(ZKEY)
+    )
+    clustered.sortWithinPartitions(ZKEY).drop(ZKEY).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath

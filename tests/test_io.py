@@ -222,3 +222,55 @@ def test_sorted_parquet_row_groups_are_skippable(spark, tmp_path):
             (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1996-03-01")
         ).count()
     )
+
+
+def test_zordered_parquet_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order layout: a narrow predicate on EITHER dimension must prune
+    most row groups; a single-column sort can only prune on its prefix
+    (the y-filter hits 100% of its row groups)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from phaser_spark.io import save_parquet_sorted, save_parquet_zordered
+
+    grid = spark.range(0, 40000).select(
+        (F.col("id") % 200).alias("x"),
+        (F.col("id") / F.lit(200)).cast("long").alias("y"),
+        F.col("id").alias("v"),
+    ).orderBy(F.xxhash64("id"))  # destroy incidental order
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    save_parquet_zordered(grid, zdir, ["x", "y"], bits=8, num_files=16)
+    save_parquet_sorted(grid, sdir, ["x"], num_files=16)
+
+    def ranges(d, col):
+        out = []
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                c = next(
+                    md.row_group(g).column(i)
+                    for i in range(md.row_group(g).num_columns)
+                    if md.row_group(g).column(i).path_in_schema == col
+                )
+                out.append((c.statistics.min, c.statistics.max))
+        return out
+
+    def hit_frac(rs, lo, hi):
+        return sum(1 for mn, mx in rs if mx >= lo and mn <= hi) / len(rs)
+
+    # narrow windows: 10% of each domain (x in [0,19] of 200; y in [0,19])
+    zx, zy = ranges(zdir, "x"), ranges(zdir, "y")
+    assert len(zx) >= 16
+    assert hit_frac(zx, 0, 19) <= 0.5   # both dims prune under z-order
+    assert hit_frac(zy, 0, 19) <= 0.5
+    sx, sy = ranges(sdir, "x"), ranges(sdir, "y")
+    assert hit_frac(sx, 0, 19) <= 0.25  # sorted dim prunes hard...
+    assert hit_frac(sy, 0, 19) == 1.0   # ...the other dim cannot prune at all
+
+    # rows intact
+    assert (
+        spark.read.parquet(zdir).filter("x < 20").count()
+        == grid.filter("x < 20").count()
+    )
