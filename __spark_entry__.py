@@ -1063,6 +1063,52 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def sketch_set_overlap(spark, sf_dir):
+    """Theta-sketch set algebra (``ops.sketches.theta_overlap``): the
+    URGENT and LOW customer sets' sizes, intersection, and union estimated
+    from two ~KB sketch blobs — never a join of the underlying sets —
+    reduced to within-5%-of-exact booleans (at these cardinalities the
+    sketches run in exact mode, so the booleans are deterministic)."""
+    from phaser_spark.ops import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    sa = sketches.theta_sketches(a.withColumn("g", F.lit(1)), ["g"], "o_custkey")
+    sb = sketches.theta_sketches(
+        b.withColumn("g", F.lit(1)), ["g"], "o_custkey",
+        sketch_col="theta_sketch_r",
+    )
+    ov = sketches.theta_overlap(sa, sb, on=["g"]).drop("g")
+    ad, bd = a.distinct(), b.distinct()
+    exact = (
+        ad.agg(F.count(F.lit(1)).alias("n_left_exact"))
+        .crossJoin(bd.agg(F.count(F.lit(1)).alias("n_right_exact")))
+        .crossJoin(
+            ad.join(bd, "o_custkey").agg(
+                F.count(F.lit(1)).alias("n_intersection_exact")
+            )
+        )
+    )
+    ok = lambda est, ex: F.abs(est - ex) <= 0.05 * ex  # noqa: E731
+    return exact.crossJoin(ov).select(
+        "n_left_exact",
+        "n_right_exact",
+        "n_intersection_exact",
+        ok(F.col("n_left"), F.col("n_left_exact")).alias("left_ok"),
+        ok(F.col("n_right"), F.col("n_right_exact")).alias("right_ok"),
+        ok(F.col("n_intersection"), F.col("n_intersection_exact")).alias(
+            "intersection_ok"
+        ),
+        ok(
+            F.col("n_union"),
+            F.col("n_left_exact")
+            + F.col("n_right_exact")
+            - F.col("n_intersection_exact"),
+        ).alias("union_ok"),
+    )
+
+
 def dedup_minhash_clusters(spark, sf_dir):
     """Full cluster assignment: MinHash-LSH pair graph →
     ``ops.graph.connected_components`` (fixpoint min-label propagation
@@ -1652,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_interval_match": j5_interval_match,
         "sketch_distinct_accuracy": sketch_distinct_accuracy,
         "dedup_minhash_clusters": dedup_minhash_clusters,
+        "sketch_set_overlap": sketch_set_overlap,
     }
 
 
@@ -2652,6 +2699,15 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS hll_within_tol
             FROM orders
             GROUP BY o_orderpriority
+        """,
+        "sketch_set_overlap": """
+            WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+                 b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+            SELECT (SELECT COUNT(*) FROM a) AS n_left_exact,
+                   (SELECT COUNT(*) FROM b) AS n_right_exact,
+                   (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_intersection_exact,
+                   TRUE AS left_ok, TRUE AS right_ok,
+                   TRUE AS intersection_ok, TRUE AS union_ok
         """,
         # components of the exact-Jaccard pair graph via recursive
         # transitive closure (clusters are tiny, so the closure is cheap);

@@ -103,6 +103,99 @@ def approx_quantiles(
     )
 
 
+def kll_quantile_sketches(
+    df: DataFrame,
+    group_by: list[str],
+    col: str,
+    k: int = 200,
+    sketch_col: str = "kll_sketch",
+) -> DataFrame:
+    """Per-group mergeable KLL quantile sketch over a double column
+    (~constant size per group, rank error ~1.7%/k·200).  Persist daily
+    blobs; any-range quantiles later come from ``kll_merge_quantiles``
+    instead of re-sorting the corpus — the quantile analogue of the HLL
+    distinct story."""
+    return df.groupBy(*group_by).agg(
+        F.kll_sketch_agg_double(F.col(col).cast("double"), F.lit(k)).alias(
+            sketch_col
+        )
+    )
+
+
+def kll_merge_quantiles(
+    sketches: DataFrame,
+    group_by: list[str],
+    probabilities: list[float],
+    sketch_col: str = "kll_sketch",
+    out_col: str = "quantiles",
+) -> DataFrame:
+    """Merge stored KLL blobs down to ``group_by`` and evaluate quantiles
+    of the union — merge is lossless w.r.t. the sketches' guarantees."""
+    if not probabilities:
+        raise PhaserError("kll_merge_quantiles requires at least one probability")
+    merged = sketches.groupBy(*group_by).agg(
+        F.kll_merge_agg_double(F.col(sketch_col)).alias("__merged__")
+    )
+    return merged.select(
+        *group_by,
+        F.array(
+            *[
+                F.kll_sketch_get_quantile_double(
+                    F.col("__merged__"), F.lit(float(p))
+                )
+                for p in probabilities
+            ]
+        ).alias(out_col),
+    )
+
+
+def theta_sketches(
+    df: DataFrame,
+    group_by: list[str],
+    col: str,
+    lg_nom_entries: int = 12,
+    sketch_col: str = "theta_sketch",
+) -> DataFrame:
+    """Per-group DataSketches Theta blob — like HLL it estimates distinct
+    counts, but Theta sketches support SET ALGEBRA: union, intersection,
+    and difference between sketches (``theta_overlap``).  The 100 TB use:
+    persist one blob per corpus slice, then answer "how many users/URLs
+    do slices A and B share" without joining the corpora."""
+    return df.groupBy(*group_by).agg(
+        F.theta_sketch_agg(F.col(col), F.lit(lg_nom_entries)).alias(sketch_col)
+    )
+
+
+def theta_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | None = None,
+    left_col: str = "theta_sketch",
+    right_col: str = "theta_sketch_r",
+) -> DataFrame:
+    """Estimate |A|, |B|, |A∩B|, |A∪B|, |A∖B| from two (keyed) theta-sketch
+    tables — a broadcast-sized join of blobs, never a join of the
+    underlying sets.  With ``on=None`` both inputs must be single-row
+    (pre-merged) sketch frames, cross-joined."""
+    keys = list(on or [])
+    j = left.join(right, on=keys) if keys else left.crossJoin(right)
+    a, b = F.col(left_col), F.col(right_col)
+    return j.select(
+        *keys,
+        F.round(F.theta_sketch_estimate(a)).cast("long").alias("n_left"),
+        F.round(F.theta_sketch_estimate(b)).cast("long").alias("n_right"),
+        F.round(F.theta_sketch_estimate(F.theta_intersection(a, b)))
+        .cast("long")
+        .alias("n_intersection"),
+        F.round(F.theta_sketch_estimate(F.theta_union(a, b)))
+        .cast("long")
+        .alias("n_union"),
+        F.round(F.theta_sketch_estimate(F.theta_difference(a, b)))
+        .cast("long")
+        .alias("n_left_only"),
+    )
+
+
 def sketch_accuracy_report(
     df: DataFrame,
     group_by: list[str],

@@ -738,3 +738,33 @@ def test_connected_components_warns_when_budget_too_small(spark):
         _w.simplefilter("always")
         connected_components(chain, max_iters=2, path_compression=False).collect()
     assert any("no fixpoint" in str(r.message) for r in rec)
+
+
+def test_kll_daily_sketches_merge_close_to_exact_quantiles(spark):
+    from phaser_spark.ops import sketches
+
+    n = 40000
+    df = spark.range(0, n).select(
+        (F.col("id") % 8).alias("day"), F.col("id").alias("v")
+    )
+    daily = sketches.kll_quantile_sketches(df, ["day"], "v", k=200)
+    q = sketches.kll_merge_quantiles(
+        daily.withColumn("all", F.lit(1)), ["all"], [0.5, 0.99]
+    ).collect()[0]["quantiles"]
+    # KLL rank error at k=200 is ~1.7%; allow 2.5% of n
+    assert abs(q[0] - n / 2) <= 0.025 * n
+    assert abs(q[1] - 0.99 * n) <= 0.025 * n
+
+
+def test_theta_overlap_close_to_exact_set_algebra(spark):
+    from phaser_spark.ops import sketches
+
+    a = spark.range(0, 6000).select(F.lit(1).alias("g"), F.col("id").alias("u"))
+    b = spark.range(4000, 9000).select(F.lit(1).alias("g"), F.col("id").alias("u"))
+    sa = sketches.theta_sketches(a, ["g"], "u")
+    sb = sketches.theta_sketches(b, ["g"], "u", sketch_col="theta_sketch_r")
+    ov = sketches.theta_overlap(sa, sb, on=["g"]).collect()[0]
+    for got, exact in [(ov.n_left, 6000), (ov.n_right, 5000),
+                       (ov.n_intersection, 2000), (ov.n_union, 9000),
+                       (ov.n_left_only, 4000)]:
+        assert abs(got - exact) <= 0.05 * exact, (got, exact)
