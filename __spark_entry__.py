@@ -1063,6 +1063,25 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def a10_unpivot_metrics(spark, sf_dir):
+    """Wide→long unpivot (``ops.relational.unpivot_step`` surface; the
+    inverse of A1's pivot): three measure columns melt into (metric, val)
+    rows — a zero-shuffle projection+explode — then aggregate per
+    (returnflag, metric)."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    ).unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        _money(F.col("val")).alias("total"), F.count(F.lit(1)).alias("n")
+    )
+
+
 def sketch_set_overlap(spark, sf_dir):
     """Theta-sketch set algebra (``ops.sketches.theta_overlap``): the
     URGENT and LOW customer sets' sizes, intersection, and union estimated
@@ -1699,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_accuracy": sketch_distinct_accuracy,
         "dedup_minhash_clusters": dedup_minhash_clusters,
         "sketch_set_overlap": sketch_set_overlap,
+        "a10_unpivot_metrics": a10_unpivot_metrics,
     }
 
 
@@ -2708,6 +2728,19 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_intersection_exact,
                    TRUE AS left_ok, TRUE AS right_ok,
                    TRUE AS intersection_ok, TRUE AS union_ok
+        """,
+        "a10_unpivot_metrics": """
+            WITH long AS (
+                SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+            )
+            SELECT l_returnflag, metric,
+                   CAST(ROUND(SUM(CAST(val AS DECIMAL(28,8))), 2) AS DOUBLE) AS total,
+                   COUNT(*) AS n
+            FROM long GROUP BY l_returnflag, metric
         """,
         # components of the exact-Jaccard pair graph via recursive
         # transitive closure (clusters are tiny, so the closure is cheap);

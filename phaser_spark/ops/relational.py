@@ -122,6 +122,53 @@ def explode_step(col: str, into: str, delimiter: str = ","):
     return _explode
 
 
+def unpivot_step(
+    ids: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+):
+    """Wide→long unpivot/melt (the inverse of ``pivot_step``, Spark's
+    native ``DataFrame.unpivot`` — a zero-shuffle projection+explode; one
+    output row per (row, value column)).  Destroys row identity — pair
+    with ``renumber=True``."""
+
+    @batch_step
+    def _unpivot(df: DataFrame, context=None) -> DataFrame:
+        return df.unpivot(ids, value_cols, var_name, value_name)
+
+    return _unpivot
+
+
+def intersect_step(source_name: str, all_rows: bool = False):
+    """SQL INTERSECT [ALL] against a named extra source (hash aggregate
+    on all columns — the standard distributed set op)."""
+
+    @batch_step(extra_sources=[source_name])
+    def _intersect(df: DataFrame, context=None, **kwargs) -> DataFrame:
+        other = kwargs[source_name]
+        d = df.drop(PHASER_ROW_NUM)
+        o = other.select(*d.columns)
+        return d.intersectAll(o) if all_rows else d.intersect(o)
+
+    _intersect.__name__ = f"intersect_{source_name}"
+    return _intersect
+
+
+def except_step(source_name: str, all_rows: bool = False):
+    """SQL EXCEPT [ALL] against a named extra source."""
+
+    @batch_step(extra_sources=[source_name])
+    def _except(df: DataFrame, context=None, **kwargs) -> DataFrame:
+        other = kwargs[source_name]
+        d = df.drop(PHASER_ROW_NUM)
+        o = other.select(*d.columns)
+        return d.exceptAll(o) if all_rows else d.subtract(o)
+
+    _except.__name__ = f"except_{source_name}"
+    return _except
+
+
 def union_step(source_name: str):
     @batch_step(extra_sources=[source_name])
     def _union(df: DataFrame, context=None, **kwargs) -> DataFrame:

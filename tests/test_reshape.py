@@ -240,3 +240,35 @@ def test_rollup_step_in_phase_with_expression_columns(spark):
     from phaser_spark.constants import PHASER_ROW_NUM
     nums = sorted(r[PHASER_ROW_NUM] for r in out.collect())
     assert nums == list(range(1, len(rows) + 1))
+
+
+def test_unpivot_intersect_except_steps(spark):
+    from phaser_spark.ops.relational import except_step, intersect_step, unpivot_step
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 100.0), (2, 20.0, 200.0)], "id long, a double, b double"
+    )
+    step = unpivot_step(["id"], ["a", "b"], "metric", "val")
+    ph = Phase(name="U", steps=[step], renumber=True, context=Context(spark=spark))
+    out = ph.run(df)
+    got = {(r.id, r.metric): r.val for r in out.collect()}
+    assert got == {(1, "a"): 10.0, (1, "b"): 100.0, (2, "a"): 20.0, (2, "b"): 200.0}
+
+    from phaser_spark import ExtraRecords
+
+    left = spark.createDataFrame([(1, "x"), (2, "y"), (2, "y"), (3, "z")], "k long, v string")
+    right = spark.createDataFrame([(2, "y"), (3, "z"), (4, "w")], "k long, v string")
+    ctx = Context(spark=spark)
+    ctx.set_source(ExtraRecords("other", right))
+    inter = Phase(
+        name="I", steps=[intersect_step("other")], renumber=True, context=ctx,
+        extra_sources=["other"],
+    ).run(left)
+    assert sorted((r.k, r.v) for r in inter.collect()) == [(2, "y"), (3, "z")]
+    ctx2 = Context(spark=spark)
+    ctx2.set_source(ExtraRecords("other", right))
+    exc = Phase(
+        name="X", steps=[except_step("other", all_rows=True)], renumber=True,
+        context=ctx2, extra_sources=["other"],
+    ).run(left)
+    assert sorted((r.k, r.v) for r in exc.collect()) == [(1, "x"), (2, "y")]
