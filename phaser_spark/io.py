@@ -431,6 +431,8 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
     bucketed = []
     for c in cols:
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None:  # empty input / all-null column
+            mn, mx = 0.0, 0.0
         span = (mx - mn) or 1.0
         b = F.least(
             F.lit(n_cells),
