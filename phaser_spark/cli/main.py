@@ -172,6 +172,16 @@ def cmd_compact(argv: list[str]) -> int:
     parser.add_argument(
         "--target-file-mb", type=int, default=128, help="target output file size"
     )
+    parser.add_argument(
+        "--sort-by",
+        default="",
+        help="comma-separated columns: re-cluster by range while compacting",
+    )
+    parser.add_argument(
+        "--zorder-by",
+        default="",
+        help="comma-separated columns: z-order re-cluster while compacting",
+    )
     parser.add_argument("--master", default=None)
     args = parser.parse_args(argv)
 
@@ -184,6 +194,8 @@ def cmd_compact(argv: list[str]) -> int:
         args.path,
         partition_col=args.partition_col or None,
         target_file_bytes=args.target_file_mb * 1024 * 1024,
+        sort_by=[c for c in args.sort_by.split(",") if c] or None,
+        zorder_by=[c for c in args.zorder_by.split(",") if c] or None,
     )
     print(
         f"compacted {args.path}: {stats['files_before']} -> "

@@ -502,6 +502,8 @@ def compact_parquet_output(
     path: str,
     partition_col: str | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Rewrite a parquet directory into ~``target_file_bytes`` files,
     preserving rows and (optionally) the hive partition layout.
@@ -525,24 +527,56 @@ def compact_parquet_output(
     and the partition column survive byte-identical, so a restarted
     stream's max+1 numbering reads the same values.
 
+    ``sort_by`` / ``zorder_by`` (mutually exclusive) turn the rewrite
+    into a re-CLUSTERING pass as well — the ``OPTIMIZE ... ZORDER BY``
+    maintenance idiom: since compaction already pays a full rewrite, the
+    same pass can restore range/z-order locality that a streaming or
+    append workload destroyed, re-enabling row-group skipping
+    (``save_parquet_sorted`` / ``save_parquet_zordered`` rationale).
+
     Returns ``{"files_before", "files_after", "bytes", "rows"}``.
     """
     from .exceptions import PhaserError
 
+    if sort_by and zorder_by:
+        raise PhaserError(
+            "compact_parquet_output: sort_by and zorder_by are mutually exclusive"
+        )
     df = spark.read.parquet(path)
     n_before, total = _list_data_files(spark, path)
     n_rows = df.count()
     n_out = max(1, -(-total // max(1, target_file_bytes)))
+    cluster_cols: list = []
+    drop_after: list[str] = []
+    if sort_by:
+        cluster_cols = [F.col(c) for c in sort_by]
+    elif zorder_by:
+        ZKEY = "__phaser_zorder__"
+        df = df.withColumn(ZKEY, zorder_key(df, zorder_by))
+        cluster_cols = [F.col(ZKEY)]
+        drop_after = [ZKEY]
     if partition_col is not None:
         if partition_col not in df.columns:
             raise PhaserError(
                 f"compact_parquet_output: no partition column '{partition_col}'"
                 f" in {df.columns}"
             )
-        others = [F.col(f"`{c}`") for c in df.columns if c != partition_col]
-        spread = F.xxhash64(*others) if others else F.lit(0)
-        repart = df.repartition(int(n_out), F.col(f"`{partition_col}`"), spread)
+        if cluster_cols:
+            repart = df.repartitionByRange(
+                int(n_out), F.col(f"`{partition_col}`"), *cluster_cols
+            ).sortWithinPartitions(F.col(f"`{partition_col}`"), *cluster_cols)
+        else:
+            others = [F.col(f"`{c}`") for c in df.columns if c != partition_col]
+            spread = F.xxhash64(*others) if others else F.lit(0)
+            repart = df.repartition(int(n_out), F.col(f"`{partition_col}`"), spread)
+        repart = repart.drop(*drop_after) if drop_after else repart
         writer = repart.write.mode("overwrite").partitionBy(partition_col)
+    elif cluster_cols:
+        repart = df.repartitionByRange(int(n_out), *cluster_cols).sortWithinPartitions(
+            *cluster_cols
+        )
+        repart = repart.drop(*drop_after) if drop_after else repart
+        writer = repart.write.mode("overwrite")
     else:
         writer = df.repartition(int(n_out)).write.mode("overwrite")
     tmp = path.rstrip("/") + "__compacting"

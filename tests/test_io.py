@@ -274,3 +274,48 @@ def test_zordered_parquet_skips_on_both_dimensions(spark, tmp_path):
         spark.read.parquet(zdir).filter("x < 20").count()
         == grid.filter("x < 20").count()
     )
+
+
+def test_compact_with_sort_restores_clustering(spark, tmp_path):
+    """compact(sort_by=...) is the OPTIMIZE-style maintenance pass: the
+    rewrite both collapses the file count and restores range locality a
+    fragmented append workload destroyed."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from phaser_spark.io import compact_parquet_output
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 20000).select(F.col("id").alias("v")).orderBy(F.xxhash64("id"))
+    df.repartition(16).write.parquet(path)  # fragmented, unclustered
+
+    stats = compact_parquet_output(
+        spark, path, target_file_bytes=64 * 1024, sort_by=["v"]
+    )
+    assert stats["rows"] == 20000 and stats["files_after"] >= 2
+
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for g in range(md.num_row_groups):
+            c = next(
+                md.row_group(g).column(i)
+                for i in range(md.row_group(g).num_columns)
+                if md.row_group(g).column(i).path_in_schema == "v"
+            )
+            ranges.append((c.statistics.min, c.statistics.max))
+    hits = sum(1 for mn, mx in ranges if mx >= 0 and mn <= 1999)  # 10% window
+    assert hits <= max(1, len(ranges) // 3)
+    assert spark.read.parquet(path).count() == 20000
+
+
+def test_compact_sort_and_zorder_mutually_exclusive(spark, tmp_path):
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.io import compact_parquet_output
+
+    path = str(tmp_path / "t")
+    spark.range(10).write.parquet(path)
+    with pytest.raises(PhaserError):
+        compact_parquet_output(spark, path, sort_by=["id"], zorder_by=["id"])
