@@ -63,7 +63,12 @@ def compute(spark) -> dict[str, dict[str, int]]:
     for name, fn in entrymod.queries().items():
         if name in SKIP:
             continue
+        # fingerprint the PRISTINE plan: frames cached by earlier queries
+        # or tests would otherwise splice InMemoryRelations in (whose
+        # printed form embeds the cached child plan, inflating counts)
+        spark.catalog.clearCache()
         out[name] = fingerprint(fn(spark, SF))
+    spark.catalog.clearCache()
     return out
 
 
