@@ -186,3 +186,67 @@ def test_range_join_equals_naive_on_random_intervals(spark, points, spans, width
         .collect()
     }
     assert got == naive
+
+
+# --------------------------------------------------------------------------
+# multilevel_agg property: rollup == union of per-level groupBys, with
+# NULL group values present (the grouping_id disambiguation must hold)
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.sampled_from(["x", "y", None]),
+            st.integers(-100, 100),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_rollup_equals_union_of_groupbys_on_random_data(spark, rows):
+    from pyspark.sql import functions as F
+
+    from phaser_spark.ops.relational import multilevel_agg
+
+    df = spark.createDataFrame(rows, "c1 string, c2 string, n int")
+    got = {
+        tuple(r)
+        for r in multilevel_agg(
+            df, ["c1", "c2"], [F.sum("n").alias("s")], kind="rollup"
+        ).collect()
+    }
+    agg = lambda *cols: df.groupBy(*cols).agg(F.sum("n").alias("s")).collect()  # noqa: E731
+    expect = {(r.c1, r.c2, 0, r.s) for r in agg("c1", "c2")}
+    expect |= {(r.c1, None, 1, r.s) for r in agg("c1")}
+    expect |= {(None, None, 3, r.s) for r in df.agg(F.sum("n").alias("s")).collect()}
+    assert got == expect
+
+
+# --------------------------------------------------------------------------
+# salted_join property: identical to the plain join under any skew shape
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 1000)),
+             min_size=1, max_size=40),
+    st.lists(st.integers(0, 7), min_size=1, max_size=8, unique=True),
+    st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_equals_plain_join_on_random_skew(spark, big_rows, small_keys, how):
+    from phaser_spark.ops.relational import salted_join
+
+    big = spark.createDataFrame(big_rows, "k long, v long")
+    small = spark.createDataFrame([(k, f"s{k}") for k in small_keys], "k long, name string")
+    expect = sorted(
+        (r.k, r.v, r.name) for r in big.join(small, ["k"], how).collect()
+    )
+    got = sorted(
+        (r.k, r.v, r.name)
+        for r in salted_join(big, small, ["k"], n_salts=4, how=how).collect()
+    )
+    assert got == expect
