@@ -1063,6 +1063,21 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def temperature_rebalance(spark, sf_dir):
+    """Temperature resampling toward uniform language shares
+    (``ops.sampling.temperature_resample``, alpha=0.6): the smallest
+    language keeps everything, larger ones downsample to
+    ``share^alpha``-proportional mass via the deterministic md5-bucket
+    predicate — zero shuffle, broadcast thresholds, engine-reproducible
+    (the DuckDB oracle recomputes the identical kept set)."""
+    from phaser_spark.ops.sampling import temperature_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_resample(
+        docs.select("doc_id", "lang"), "doc_id", "lang", alpha=0.6
+    )
+
+
 def a10_unpivot_metrics(spark, sf_dir):
     """Wide→long unpivot (``ops.relational.unpivot_step`` surface; the
     inverse of A1's pivot): three measure columns melt into (metric, val)
@@ -1719,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_clusters": dedup_minhash_clusters,
         "sketch_set_overlap": sketch_set_overlap,
         "a10_unpivot_metrics": a10_unpivot_metrics,
+        "temperature_rebalance": temperature_rebalance,
     }
 
 
@@ -2741,6 +2757,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(CAST(val AS DECIMAL(28,8))), 2) AS DOUBLE) AS total,
                    COUNT(*) AS n
             FROM long GROUP BY l_returnflag, metric
+        """,
+        "temperature_rebalance": """
+            WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+                 weights AS (SELECT lang, pow(CAST(n AS DOUBLE), -0.4) AS w FROM counts),
+                 mx AS (SELECT MAX(w) AS wmax FROM weights),
+                 thr AS (SELECT lang,
+                                CAST(floor(floor(w / wmax * 1000000) / 1000000 * 10000) AS BIGINT) AS kb
+                         FROM weights, mx)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr USING (lang)
+            WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < kb
         """,
         # components of the exact-Jaccard pair graph via recursive
         # transitive closure (clusters are tiny, so the closure is cheap);

@@ -136,3 +136,47 @@ def stratified_sample_by_hash(
         else F.lit(round(default_fraction * _BUCKETS))
     )
     return df.filter(hash_bucket(F.col(key_col)) < threshold)
+
+
+def temperature_resample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-based group rebalancing (the multilingual-corpus
+    resampling scheme: sample groups proportional to ``share^alpha``
+    instead of their raw share, pulling the distribution toward uniform
+    as ``alpha`` drops below 1).
+
+    Per group g with row count ``n_g``, the kept fraction is
+    ``f_g = w_g / max_h(w_h)`` with ``w_g = n_g^(alpha-1)`` — the
+    smallest group keeps everything (f=1) and larger groups downsample
+    toward the temperature-flattened shares, which preserves as much
+    data as possible for the given temperature (no group is upsampled;
+    duplicate-based upsampling is a training-loop concern, not a corpus
+    transform).  Selection is the deterministic md5-bucket predicate
+    (``hash_bucket``): reproducible across runs/engines, and a row's
+    fate never changes when other groups grow.
+
+    Scale: one tiny group-count aggregate (map-side combined), a
+    broadcast join of the per-group thresholds, and a pure filter — no
+    shuffle of the data, no sampling state.  Fractions are truncated to
+    6 digits so the oracle (and any external reimplementation) computes
+    bit-identical thresholds.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n__"))
+    w = F.pow(F.col("__n__").cast("double"), F.lit(float(alpha) - 1.0))
+    weights = counts.select(group_col, w.alias("__w__"))
+    wmax = weights.agg(F.max("__w__").alias("__wmax__"))
+    thresholds = weights.crossJoin(F.broadcast(wmax)).select(
+        group_col,
+        F.floor(
+            F.floor(F.col("__w__") / F.col("__wmax__") * 1e6) / 1e6 * _BUCKETS
+        ).cast("long").alias("__keep_buckets__"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(hash_bucket(F.col(key_col)) < F.col("__keep_buckets__"))
+        .drop("__keep_buckets__")
+    )

@@ -768,3 +768,35 @@ def test_theta_overlap_close_to_exact_set_algebra(spark):
                        (ov.n_intersection, 2000), (ov.n_union, 9000),
                        (ov.n_left_only, 4000)]:
         assert abs(got - exact) <= 0.05 * exact, (got, exact)
+
+
+def test_temperature_resample_rebalances_toward_uniform(spark):
+    from phaser_spark.ops.sampling import temperature_resample
+
+    rows = (
+        [(i, "big") for i in range(4000)]
+        + [(i + 10000, "mid") for i in range(1000)]
+        + [(i + 20000, "small") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = temperature_resample(df, "id", "g", alpha=0.5)
+    got = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # the smallest group keeps everything
+    assert got["small"] == 100
+    # kept fraction ~ (n_small/n_g)^0.5: big ~ 4000*sqrt(100/4000)=632
+    assert abs(got["big"] - 4000 * (100 / 4000) ** 0.5) < 80
+    assert abs(got["mid"] - 1000 * (100 / 1000) ** 0.5) < 60
+    # shares are now far flatter than 40:10:1
+    assert max(got.values()) / min(got.values()) < 8
+    # deterministic: same kept set on re-run
+    again = {r["id"] for r in temperature_resample(df, "id", "g", alpha=0.5).collect()}
+    assert again == {r["id"] for r in out.collect()}
+
+
+def test_temperature_resample_alpha_one_keeps_everything(spark):
+    from phaser_spark.ops.sampling import temperature_resample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(300)], "id long, g string"
+    )
+    assert temperature_resample(df, "id", "g", alpha=1.0).count() == 300
