@@ -1,0 +1,82 @@
+"""Physical-plan introspection for scale gating (engine addition).
+
+The test suite holds this engine's own queries to committed plan
+fingerprints (``tests/plan_budget.json``); this module exposes the same
+capability to USERS, so a pipeline owner can gate their CI on the plan
+shape that matters at 100 TB — "my nightly query must not gain an
+Exchange or fall off the JVM-side path" — instead of discovering it as a
+10× wall-clock regression in production.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+from .exceptions import PhaserError
+
+
+def plan_text(df: DataFrame, mode: str = "simple") -> str:
+    """The ``explain`` output as a string."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def plan_summary(df: DataFrame) -> dict:
+    """Counts of the plan features that decide scale behavior:
+
+    - ``exchanges``       — shuffles (each is a full network pass)
+    - ``scans``           — file-source scans (should match distinct inputs;
+      more means lost reuse, fewer may mean a cached splice)
+    - ``python_evals``    — row/Arrow Python eval nodes (off the codegen path)
+    - ``nested_loops``    — BroadcastNestedLoopJoin (quadratic join shape)
+    - ``sort_merge_joins`` / ``broadcast_joins`` / ``hash_aggregates``
+    - ``pushed_filters``  — True if any scan carries a pushed predicate
+    """
+    p = plan_text(df)
+    return {
+        "exchanges": p.count("Exchange"),
+        "scans": len(re.findall(r"Scan (?:parquet|orc|csv|json|text)", p)),
+        "python_evals": p.count("EvalPython"),
+        "nested_loops": p.count("NestedLoop"),
+        "sort_merge_joins": p.count("SortMergeJoin"),
+        "broadcast_joins": p.count("BroadcastHashJoin"),
+        "hash_aggregates": p.count("HashAggregate"),
+        "pushed_filters": bool(
+            re.search(r"PushedFilters: \[[^\]]", plan_text(df, "formatted"))
+        ),
+    }
+
+
+def assert_scalable(
+    df: DataFrame,
+    max_exchanges: int | None = None,
+    max_scans: int | None = None,
+    forbid_python: bool = True,
+    forbid_nested_loop: bool = True,
+) -> dict:
+    """Raise ``PhaserError`` when the plan violates the stated budget;
+    returns the ``plan_summary`` otherwise.  Designed for CI: call it on
+    the DataFrame right before the action that would execute it."""
+    s = plan_summary(df)
+    problems = []
+    if max_exchanges is not None and s["exchanges"] > max_exchanges:
+        problems.append(f"{s['exchanges']} exchanges > budget {max_exchanges}")
+    if max_scans is not None and s["scans"] > max_scans:
+        problems.append(f"{s['scans']} scans > budget {max_scans}")
+    if forbid_python and s["python_evals"]:
+        problems.append(f"{s['python_evals']} Python eval node(s) in the plan")
+    if forbid_nested_loop and s["nested_loops"]:
+        problems.append(
+            f"{s['nested_loops']} BroadcastNestedLoopJoin node(s) (quadratic)"
+        )
+    if problems:
+        raise PhaserError(
+            "plan violates scale budget: " + "; ".join(problems) + "\n" + plan_text(df)
+        )
+    return s

@@ -435,3 +435,31 @@ def test_sketch_report_stays_jvm_side(spark):
     plan = plan_of(entrymod.sketch_distinct_accuracy(spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+
+def test_plan_summary_and_assert_scalable(spark):
+    from pyspark.sql import functions as F
+
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.plan import assert_scalable, plan_summary
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    agg = li.filter(F.col("l_quantity") > 10).groupBy("l_returnflag").count()
+    s = plan_summary(agg)
+    assert s["exchanges"] == 1 and s["scans"] == 1
+    assert s["python_evals"] == 0 and s["nested_loops"] == 0
+    assert s["hash_aggregates"] >= 2 and s["pushed_filters"]
+    assert assert_scalable(agg, max_exchanges=1) == s
+
+    # over-budget: one exchange against a zero-exchange budget
+    import pytest as _pytest
+
+    with _pytest.raises(PhaserError, match="exchanges"):
+        assert_scalable(agg, max_exchanges=0)
+
+    # quadratic join shape is flagged
+    other = spark.range(3).withColumnRenamed("id", "r")
+    nested = li.join(other, li.l_quantity > other.r)
+    with _pytest.raises(PhaserError, match="NestedLoop"):
+        assert_scalable(nested)
