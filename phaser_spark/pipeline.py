@@ -265,6 +265,16 @@ class Pipeline:
                 out.write.mode("overwrite").parquet(internal_path)
             out = self.spark.read.parquet(internal_path)
         else:
+            if ph.checkpoint_sort_by:
+                import warnings
+
+                warnings.warn(
+                    f"Phase {ph.name}: checkpoint_sort_by is set but the "
+                    "pipeline has no working_dir — nothing is materialized, "
+                    "so no sorted layout is written (set working_dir to get "
+                    "the range-clustered checkpoint)",
+                    stacklevel=2,
+                )
             out = out.cache()
 
         events = extract_events(out, ph.name)

@@ -130,3 +130,16 @@ def test_sorted_and_bucketed_checkpoint_mutually_exclusive(spark):
 
     with _pytest.raises(PhaserError):
         Phase(name="x", checkpoint_sort_by=["a"], checkpoint_bucket_by=["a"])
+
+
+def test_sorted_checkpoint_without_working_dir_warns(spark):
+    import warnings as _w
+
+    from phaser_spark import Phase, Pipeline
+
+    data = spark.range(5).withColumnRenamed("id", "v")
+    p = Phase(name="s", checkpoint_sort_by=["v"])
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        Pipeline(phases=[p], spark=spark).run(data)
+    assert any("no working_dir" in str(r.message) for r in rec)
