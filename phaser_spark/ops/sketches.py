@@ -196,6 +196,31 @@ def theta_overlap(
     )
 
 
+def theta_merge_estimate(
+    sketches: DataFrame,
+    group_by: list[str],
+    mode: str = "union",
+    sketch_col: str = "theta_sketch",
+    out_col: str = "distinct_estimate",
+) -> DataFrame:
+    """Merge MANY stored theta blobs down to ``group_by`` and estimate
+    the distinct count of their union or intersection — the n-ary
+    companion to pairwise ``theta_overlap`` (e.g. "users present in
+    EVERY daily slice this week" is one intersection-merge over seven
+    KB-sized blobs)."""
+    if mode == "union":
+        merged = F.theta_union_agg(F.col(sketch_col))
+    elif mode == "intersection":
+        merged = F.theta_intersection_agg(F.col(sketch_col))
+    else:
+        raise PhaserError(
+            f"theta_merge_estimate mode must be union/intersection, got {mode!r}"
+        )
+    return sketches.groupBy(*group_by).agg(
+        F.round(F.theta_sketch_estimate(merged)).cast("long").alias(out_col)
+    )
+
+
 def sketch_accuracy_report(
     df: DataFrame,
     group_by: list[str],

@@ -800,3 +800,24 @@ def test_temperature_resample_alpha_one_keeps_everything(spark):
         [(i, "a" if i % 3 else "b") for i in range(300)], "id long, g string"
     )
     assert temperature_resample(df, "id", "g", alpha=1.0).count() == 300
+
+
+def test_theta_merge_estimate_union_and_intersection(spark):
+    from phaser_spark.ops import sketches
+
+    # 3 daily slices: users 0..999 every day, plus 1000 day-unique users/day
+    days = []
+    for d in range(3):
+        days.append(
+            spark.range(0, 1000).select(F.lit(d).alias("day"), F.col("id").alias("u"))
+            .union(
+                spark.range(10000 + d * 1000, 10000 + (d + 1) * 1000)
+                .select(F.lit(d).alias("day"), F.col("id").alias("u"))
+            )
+        )
+    df = days[0].union(days[1]).union(days[2])
+    blobs = sketches.theta_sketches(df, ["day"], "u").withColumn("all", F.lit(1))
+    uni = sketches.theta_merge_estimate(blobs, ["all"], "union").collect()[0]
+    inter = sketches.theta_merge_estimate(blobs, ["all"], "intersection").collect()[0]
+    assert abs(uni["distinct_estimate"] - 4000) <= 200    # 1000 shared + 3*1000 unique
+    assert abs(inter["distinct_estimate"] - 1000) <= 50   # the shared core
