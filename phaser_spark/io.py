@@ -417,13 +417,34 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
         raise PhaserError("zorder_key takes 1-4 columns")
     if bits * len(cols) > 60:
         raise PhaserError("zorder_key: bits * len(cols) must be <= 60")
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        dt = dtypes.get(c, "")
+        ok = dt in ("date", "boolean") or dt.startswith(
+            ("int", "bigint", "smallint", "tinyint", "float", "double",
+             "decimal", "timestamp")
+        )
+        if not ok:
+            # an ANSI-mode cast("double") on e.g. a string column would
+            # throw mid-job with an opaque error; fail at build time instead
+            raise PhaserError(
+                f"zorder_key: column '{c}' has non-numeric/temporal type "
+                f"{dt!r} — z-order needs an orderable numeric domain"
+            )
+    def _as_double(c: str):
+        # NTZ/date go through LTZ (a direct double cast is invalid)
+        e = F.col(c)
+        if dtypes.get(c, "").startswith("timestamp") or dtypes.get(c) == "date":
+            e = e.cast("timestamp")
+        return e.cast("double")
+
     stats = df.select(
         *[
             f
             for c in cols
             for f in (
-                F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
-                F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+                F.min(_as_double(c)).alias(f"mn_{c}"),
+                F.max(_as_double(c)).alias(f"mx_{c}"),
             )
         ]
     ).collect()[0]
@@ -439,7 +460,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
             F.greatest(
                 F.lit(0),
                 F.floor(
-                    (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(n_cells + 1)
+                    (_as_double(c) - F.lit(mn)) / F.lit(span) * F.lit(n_cells + 1)
                 ).cast("long"),
             ),
         )

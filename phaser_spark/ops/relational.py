@@ -415,6 +415,8 @@ def range_join(
     """
     if how != "inner":
         raise PhaserError(f"range_join supports inner joins, got {how!r}")
+    if bin_width is not None and bin_width <= 0:
+        raise PhaserError(f"range_join: bin_width must be > 0, got {bin_width}")
     keys = list(on or [])
     overlap = set(points.columns) & set(intervals.columns) - set(keys)
     if overlap:

@@ -170,13 +170,18 @@ def temperature_resample(
     weights = counts.select(group_col, w.alias("__w__"))
     wmax = weights.agg(F.max("__w__").alias("__wmax__"))
     thresholds = weights.crossJoin(F.broadcast(wmax)).select(
-        group_col,
+        F.col(group_col).alias("__tr_group__"),
         F.floor(
             F.floor(F.col("__w__") / F.col("__wmax__") * 1e6) / 1e6 * _BUCKETS
         ).cast("long").alias("__keep_buckets__"),
     )
+    # null-safe equality: a NULL group value is a real group (the groupBy
+    # above counts it) — a plain equi-join would silently drop its rows
     return (
-        df.join(F.broadcast(thresholds), group_col)
+        df.join(
+            F.broadcast(thresholds),
+            F.col(group_col).eqNullSafe(F.col("__tr_group__")),
+        )
         .filter(hash_bucket(F.col(key_col)) < F.col("__keep_buckets__"))
-        .drop("__keep_buckets__")
+        .drop("__tr_group__", "__keep_buckets__")
     )

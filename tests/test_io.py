@@ -319,3 +319,22 @@ def test_compact_sort_and_zorder_mutually_exclusive(spark, tmp_path):
     spark.range(10).write.parquet(path)
     with pytest.raises(PhaserError):
         compact_parquet_output(spark, path, sort_by=["id"], zorder_by=["id"])
+
+
+def test_zorder_key_rejects_strings_and_accepts_timestamps(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.io import save_parquet_zordered, zorder_key
+
+    df = spark.createDataFrame([(1, "a")], "x long, s string")
+    with pytest.raises(PhaserError, match="non-numeric"):
+        zorder_key(df, ["s"])
+
+    ts = spark.range(0, 200).select(
+        F.col("id").alias("v"),
+        F.timestamp_seconds(F.col("id") * 3600).cast("timestamp_ntz").alias("t"),
+    )
+    out = str(tmp_path / "znt")
+    save_parquet_zordered(ts, out, ["v", "t"], bits=6, num_files=4)
+    assert spark.read.parquet(out).count() == 200

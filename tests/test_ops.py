@@ -821,3 +821,15 @@ def test_theta_merge_estimate_union_and_intersection(spark):
     inter = sketches.theta_merge_estimate(blobs, ["all"], "intersection").collect()[0]
     assert abs(uni["distinct_estimate"] - 4000) <= 200    # 1000 shared + 3*1000 unique
     assert abs(inter["distinct_estimate"] - 1000) <= 50   # the shared core
+
+
+def test_temperature_resample_keeps_null_group(spark):
+    from phaser_spark.ops.sampling import temperature_resample
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(500)] + [(i + 1000, None) for i in range(20)],
+        "id long, g string",
+    )
+    got = temperature_resample(df, "id", "g", alpha=0.5)
+    kept_null = got.filter(F.col("g").isNull()).count()
+    assert kept_null == 20  # smallest group (NULL) keeps everything
