@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "a9_cube_revenue",
     "j5_interval_match",
     "sketch_distinct_accuracy",
+    "a10_unpivot_metrics",
+    "temperature_rebalance",
     "streaming_event_window",
     "streaming_session_window",
 ]
