@@ -166,8 +166,10 @@ def cmd_compact(argv: list[str]) -> int:
     parser.add_argument("path")
     parser.add_argument(
         "--partition-col",
-        default="__phaser_batch_id__",
-        help="hive partition column to preserve ('' for unpartitioned)",
+        default="auto",
+        help="hive partition column to preserve; 'auto' (default) uses "
+        "__phaser_batch_id__ when present, else unpartitioned; '' forces "
+        "unpartitioned",
     )
     parser.add_argument(
         "--target-file-mb", type=int, default=128, help="target output file size"
@@ -189,10 +191,14 @@ def cmd_compact(argv: list[str]) -> int:
     from ..session import get_spark
 
     spark = get_spark(master=args.master)
+    part = args.partition_col or None
+    if part == "auto":
+        cols = spark.read.parquet(args.path).columns
+        part = "__phaser_batch_id__" if "__phaser_batch_id__" in cols else None
     stats = compact_parquet_output(
         spark,
         args.path,
-        partition_col=args.partition_col or None,
+        partition_col=part,
         target_file_bytes=args.target_file_mb * 1024 * 1024,
         sort_by=[c for c in args.sort_by.split(",") if c] or None,
         zorder_by=[c for c in args.zorder_by.split(",") if c] or None,

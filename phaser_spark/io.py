@@ -610,8 +610,20 @@ def compact_parquet_output(
             f"compact_parquet_output: rewrite row count {n_new_rows} != "
             f"original {n_rows}; original left untouched"
         )
-    fs.delete(jpath, True)
-    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), jpath)
+    # Hadoop FileSystem.delete/rename report many failures by RETURNING
+    # false rather than throwing (object-store rename quirks, existing
+    # destination on some implementations); an unchecked swap could delete
+    # the original and report success while the rows sit in the temp dir.
+    if not fs.delete(jpath, True):
+        raise PhaserError(
+            f"compact_parquet_output: could not delete {path} for the swap; "
+            f"rewritten data is intact at {tmp}"
+        )
+    if not fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), jpath):
+        raise PhaserError(
+            f"compact_parquet_output: rename {tmp} -> {path} failed AFTER "
+            f"the original was removed; recover the rewritten table from {tmp}"
+        )
     n_after, _ = _list_data_files(spark, path)
     return {
         "files_before": n_before,

@@ -58,14 +58,23 @@ def connected_components(
             f"has {edges.columns}"
         )
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    endpoint_ids = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
     if vertices is not None:
-        verts = vertices.select(F.col(id_col).alias("id"))
-    else:
+        # UNION with the edge endpoints, never replace them: the label
+        # propagation inner-joins neighbor labels against the vertex set,
+        # so a vertices= frame missing an edge endpoint would silently
+        # split that component instead of erroring
         verts = (
-            e.select(F.col("src").alias("id"))
-            .union(e.select(F.col("dst").alias("id")))
+            vertices.select(F.col(id_col).alias("id"))
+            .union(endpoint_ids)
             .distinct()
         )
+    else:
+        verts = endpoint_ids
     labels = verts.withColumn("root", F.col("id"))
     e = e.localCheckpoint(eager=False)
     converged = False
@@ -107,6 +116,15 @@ def connected_components(
         new_labels = stepped.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("old_root") != F.col("root")).count()
         labels = new_labels.select("id", "root")
+        # prior rounds' checkpoint blocks are freed by the ContextCleaner
+        # once their Python/JVM references drop; rebinding `labels` above
+        # drops ours, and a driver-side gc.collect() makes the py4j
+        # detach (and hence the executor-block cleanup) prompt instead of
+        # waiting for an incidental GC — tens of rounds of O(|V|) blocks
+        # would otherwise accumulate on a large graph
+        import gc
+
+        gc.collect()
         if changed == 0:
             converged = True
             break

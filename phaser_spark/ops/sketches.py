@@ -95,7 +95,6 @@ def approx_quantiles(
     if not probabilities:
         raise PhaserError("approx_quantiles requires at least one probability")
     out = out_col or f"{col}_quantiles"
-    probs = ", ".join(repr(float(p)) for p in probabilities)
     return df.groupBy(*group_by).agg(
         F.percentile_approx(
             F.col(col), F.array(*[F.lit(float(p)) for p in probabilities]), accuracy
@@ -178,6 +177,10 @@ def theta_overlap(
     underlying sets.  With ``on=None`` both inputs must be single-row
     (pre-merged) sketch frames, cross-joined."""
     keys = list(on or [])
+    if right_col not in right.columns and left_col in right.columns:
+        # natural composition: both sides built with theta_sketches'
+        # default sketch_col — disambiguate the right side automatically
+        right = right.withColumnRenamed(left_col, right_col)
     j = left.join(right, on=keys) if keys else left.crossJoin(right)
     a, b = F.col(left_col), F.col(right_col)
     return j.select(

@@ -225,7 +225,9 @@ def tfidf_top_terms(
     """Per-document top-``k`` characteristic terms by TF-IDF
     (engine addition; topic/quality analysis over a training corpus).
 
-    Returns ``(doc_id, term, tf, score, rank)``.  The idf is the BM25
+    Returns ``(doc_id, term, tf, score_e6, rank)`` — ``score_e6``
+    is ``floor(score * 1e6)`` (truncated so cross-engine comparison is
+    exact at 6 digits).  The idf is the BM25
     rational form ``(N - df + 0.5) / (df + 0.5)`` rather than a
     logarithm: every arithmetic step is an IEEE-deterministic
     division/multiply, so an external SQL oracle (DuckDB) reproduces the

@@ -115,7 +115,7 @@ class Phase:
         error_policy: str | None = None,
         lineage_cache: bool | None = None,
         checkpoint_bucket_by: list[str] | None = None,
-        checkpoint_num_buckets: int = 32,
+        checkpoint_num_buckets: int | None = None,
         checkpoint_sort_by: list[str] | None = None,
         checkpoint_num_files: int | None = None,
     ):
@@ -152,7 +152,14 @@ class Phase:
             if checkpoint_bucket_by is not None
             else list(getattr(type(self), "checkpoint_bucket_by", None) or [])
         ) or None
-        self.checkpoint_num_buckets = checkpoint_num_buckets
+        # class-attribute fallback, same as checkpoint_bucket_by — a
+        # subclass declaring `checkpoint_num_buckets = 512` next to its
+        # bucket columns must not silently get the default
+        self.checkpoint_num_buckets = (
+            checkpoint_num_buckets
+            if checkpoint_num_buckets is not None
+            else getattr(type(self), "checkpoint_num_buckets", None) or 32
+        )
         # checkpoint_sort_by: range-cluster this phase's checkpoint on
         # these columns (io.save_parquet_sorted) so later phases' and
         # consumers' predicates on them skip parquet row groups via
@@ -163,7 +170,11 @@ class Phase:
             if checkpoint_sort_by is not None
             else list(getattr(type(self), "checkpoint_sort_by", None) or [])
         ) or None
-        self.checkpoint_num_files = checkpoint_num_files
+        self.checkpoint_num_files = (
+            checkpoint_num_files
+            if checkpoint_num_files is not None
+            else getattr(type(self), "checkpoint_num_files", None)
+        )
         if self.checkpoint_sort_by and self.checkpoint_bucket_by:
             raise PhaserError(
                 f"Phase {self.name}: checkpoint_sort_by and "

@@ -38,6 +38,9 @@ def plan_summary(df: DataFrame) -> dict:
     - ``sort_merge_joins`` / ``broadcast_joins`` / ``hash_aggregates``
     - ``pushed_filters``  — True if any scan carries a pushed predicate
     """
+    # one explain pass serves every count: simple mode prints each node
+    # once (formatted prints tree + detail, double-counting) and its
+    # FileScan line already carries the PushedFilters list
     p = plan_text(df)
     return {
         "exchanges": p.count("Exchange"),
@@ -47,9 +50,7 @@ def plan_summary(df: DataFrame) -> dict:
         "sort_merge_joins": p.count("SortMergeJoin"),
         "broadcast_joins": p.count("BroadcastHashJoin"),
         "hash_aggregates": p.count("HashAggregate"),
-        "pushed_filters": bool(
-            re.search(r"PushedFilters: \[[^\]]", plan_text(df, "formatted"))
-        ),
+        "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", p)),
     }
 
 

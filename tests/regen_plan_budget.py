@@ -13,8 +13,6 @@ and review the diff like source code.
 """
 from __future__ import annotations
 
-import contextlib
-import io
 import json
 import os
 import sys
@@ -22,6 +20,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from phaser_spark.plan import plan_summary  # noqa: E402
 from phaser_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
@@ -46,15 +45,15 @@ SKIP = {
 
 
 def fingerprint(df) -> dict[str, int]:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("simple")
-    p = buf.getvalue()
+    # single source of truth for node counting: the user-facing gate
+    # (phaser_spark.plan) — a divergent private copy here would let the
+    # committed budget drift from what assert_scalable enforces
+    s = plan_summary(df)
     return {
-        "exchange": p.count("Exchange"),
-        "scan": p.count("Scan parquet"),
-        "python": p.count("EvalPython"),
-        "nestedloop": p.count("NestedLoop"),
+        "exchange": s["exchanges"],
+        "scan": s["scans"],
+        "python": s["python_evals"],
+        "nestedloop": s["nested_loops"],
     }
 
 

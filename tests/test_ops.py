@@ -833,3 +833,31 @@ def test_temperature_resample_keeps_null_group(spark):
     got = temperature_resample(df, "id", "g", alpha=0.5)
     kept_null = got.filter(F.col("g").isNull()).count()
     assert kept_null == 20  # smallest group (NULL) keeps everything
+
+
+def test_connected_components_vertices_union_edge_endpoints(spark):
+    # vertices= must UNION with edge endpoints, not replace them: passing a
+    # frame missing a chain's middle vertex must not split the component
+    from phaser_spark.ops.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    only_ends = spark.createDataFrame([(1,), (3,), (99,)], "id long")
+    got = {
+        (r.id, r.component)
+        for r in connected_components(edges, vertices=only_ends).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (99, 99)}
+
+
+def test_theta_overlap_composes_with_default_sketch_col(spark):
+    # both sides built with theta_sketches' defaults must compose
+    from phaser_spark.ops import sketches
+
+    a = spark.range(0, 100).select(F.lit(1).alias("g"), F.col("id").alias("u"))
+    b = spark.range(50, 150).select(F.lit(1).alias("g"), F.col("id").alias("u"))
+    ov = sketches.theta_overlap(
+        sketches.theta_sketches(a, ["g"], "u"),
+        sketches.theta_sketches(b, ["g"], "u"),
+        on=["g"],
+    ).collect()[0]
+    assert ov.n_intersection == 50 and ov.n_union == 150  # exact mode

@@ -143,3 +143,20 @@ def test_sorted_checkpoint_without_working_dir_warns(spark):
         _w.simplefilter("always")
         Pipeline(phases=[p], spark=spark).run(data)
     assert any("no working_dir" in str(r.message) for r in rec)
+
+
+def test_checkpoint_tuning_class_attributes_respected(spark):
+    from phaser_spark import Phase
+
+    class Tuned(Phase):
+        checkpoint_bucket_by = ["k"]
+        checkpoint_num_buckets = 512
+
+    class Sorted(Phase):
+        checkpoint_sort_by = ["ts"]
+        checkpoint_num_files = 7
+
+    assert Tuned(name="t").checkpoint_num_buckets == 512
+    assert Sorted(name="s").checkpoint_num_files == 7
+    # explicit argument still wins
+    assert Tuned(name="t2", checkpoint_num_buckets=64).checkpoint_num_buckets == 64
