@@ -1578,11 +1578,18 @@ def streaming_session_window(spark, sf_dir):
 
 
 def streaming_dedup_keys(spark, sf_dir):
-    """Watermarked streaming deduplication (``dropDuplicates`` keyed
-    state): each (user_id, event_type) key is emitted exactly once across
-    micro-batches, with watermark-bounded state — the streaming analogue
-    of the batch exact-dedup operator.  The emitted key SET is
-    order-independent, so the batch oracle is a plain DISTINCT."""
+    """Streaming deduplication (``dropDuplicates`` keyed state): each
+    (user_id, event_type) key is emitted exactly once across ALL
+    micro-batches — the streaming analogue of the batch exact-dedup
+    operator, and the form whose emitted key SET a batch DISTINCT oracle
+    can check.  Note the state bound: because the dedup keys exclude the
+    event-time column, the watermark does NOT evict this state — global
+    exactly-once-per-key costs O(distinct keys) state by definition.
+    For unbounded streams, ``Pipeline.run_stream(dedup_within_watermark=
+    [...])`` is the bounded-state setting (dropDuplicatesWithinWatermark:
+    exactly-once per key within the watermark horizon, state evicted as
+    the watermark passes — proven by re-emission in
+    tests/test_streaming_pipeline.py)."""
     stream = _events_stream(spark, sf_dir)
     dd = (
         stream.withWatermark("ts", "10 minutes")

@@ -335,6 +335,7 @@ class Pipeline:
         event_time: str | None = None,
         watermark_delay: str | None = None,
         event_time_unit: str = "nanos",
+        dedup_within_watermark: list[str] | None = None,
         state_store: str | None = None,
         state_store_confs: dict | None = None,
     ):
@@ -383,6 +384,19 @@ class Pipeline:
         millis silently read as nanos would collapse every instant to
         ~1970 and the watermark would then drop all rows.
 
+        ``dedup_within_watermark`` deduplicates arriving rows on the given
+        key columns BEFORE the phases run, with state that the watermark
+        actually evicts (``dropDuplicatesWithinWatermark``).  This is the
+        100 TB streaming-dedup setting: a plain ``dropDuplicates(keys)``
+        whose keys exclude the event-time column keeps every key it has
+        ever seen in the state store forever — the watermark does not
+        bound that state, only window/event-time-keyed state.  The
+        trade-off is semantic: a duplicate arriving more than
+        ``watermark_delay`` after its first occurrence is emitted again
+        (state for the key was already evicted), so this is
+        exactly-once-per-key *within the watermark horizon*, not
+        globally.  Requires ``event_time`` and ``watermark_delay``.
+
         ``state_store`` selects the state-store backend for stateful
         operators in the streaming plan: ``"rocksdb"`` (off-heap,
         disk-spilling — keyed state is bounded by local disk instead of
@@ -429,6 +443,16 @@ class Pipeline:
                 stream_df = stream_df.withWatermark(event_time, watermark_delay)
         elif watermark_delay is not None:
             raise PhaserError("run_stream: watermark_delay requires event_time")
+        if dedup_within_watermark is not None:
+            if event_time is None or watermark_delay is None:
+                raise PhaserError(
+                    "run_stream: dedup_within_watermark requires event_time "
+                    "and watermark_delay (the watermark is what bounds and "
+                    "evicts the dedup state)"
+                )
+            stream_df = stream_df.dropDuplicatesWithinWatermark(
+                list(dedup_within_watermark)
+            )
 
         BATCH_COL = STREAM_BATCH_COL
         state: dict = {"next_start": None, "last_batch": None}

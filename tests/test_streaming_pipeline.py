@@ -610,3 +610,105 @@ def test_interval_join_streams_rejects_bad_shapes(spark):
         interval_join_streams(
             a, b.withColumnRenamed("ts", "ts2"), "ts", "ts2", on=["k"], how="full"
         )
+
+
+def test_run_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
+    # dedup_within_watermark: duplicates inside the watermark horizon are
+    # suppressed, AND a key arriving after its state's watermark expiry is
+    # emitted AGAIN — the re-emission is the observable proof that the
+    # watermark actually evicted the key's state (a plain
+    # dropDuplicates(keys) would keep the key forever and suppress it).
+    from datetime import datetime
+
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir)
+    out_dir = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    schema = "id long, k string, ts timestamp"
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return datetime(2024, 1, 1, minutes // 60, minutes % 60, 0)
+
+    class Keep(Phase):
+        name = "Keep"
+        columns = []
+        steps = []
+
+    def mk_stream():
+        return (
+            spark.readStream.schema(spark.createDataFrame([], schema).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+    pipe = Pipeline(phases=[Keep], spark=spark)
+    # batch 1: A twice (in-batch dup) + B; watermark after = t0+1m - 10m
+    _stage_file(
+        spark, tmp_path, src_dir,
+        spark.createDataFrame(
+            [(1, "A", t0), (2, "A", at(1)), (3, "B", t0)], schema
+        ),
+        "b1",
+    )
+    q = pipe.run_stream(
+        mk_stream(), out_dir, checkpoint_dir=ckpt, available_now=False,
+        event_time="ts", watermark_delay="10 minutes",
+        dedup_within_watermark=["k"],
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: A again at t0+2m (state live -> suppressed) + C at
+        # t0+60m, which advances the watermark to t0+50m, past A's
+        # expiry (~t0+12m) -> A's state is evicted at batch end
+        _stage_file(
+            spark, tmp_path, src_dir,
+            spark.createDataFrame([(4, "A", at(2)), (5, "C", at(60))], schema),
+            "b2",
+        )
+        q.processAllAvailable()
+        # batch 3: A at t0+2h -> re-emitted, proving bounded state
+        _stage_file(
+            spark, tmp_path, src_dir,
+            spark.createDataFrame([(6, "A", at(120))], schema),
+            "b3",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out_dir).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r.k, []).append(r)
+    assert len(by_key["B"]) == 1 and len(by_key["C"]) == 1
+    # A: exactly the batch-1 first occurrence and the batch-3 revival —
+    # the in-batch (id=2) and in-watermark (id=4) duplicates suppressed
+    assert sorted(r.id for r in by_key["A"]) == [1, 6]
+    a_batches = {r["__phaser_batch_id__"] for r in by_key["A"]}
+    assert len(a_batches) == 2
+
+
+def test_run_stream_dedup_within_watermark_requires_watermark(spark, tmp_path):
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+
+    class Keep(Phase):
+        name = "Keep"
+        columns = []
+        steps = []
+
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir)
+    stream = (
+        spark.readStream.schema("id long, k string, ts timestamp")
+        .parquet(src_dir)
+    )
+    pipe = Pipeline(phases=[Keep], spark=spark)
+    with _pytest.raises(PhaserError):
+        pipe.run_stream(
+            stream, os.path.join(str(tmp_path), "out"),
+            dedup_within_watermark=["k"],
+        )
