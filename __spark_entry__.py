@@ -1097,6 +1097,35 @@ def a10_unpivot_metrics(spark, sf_dir):
     )
 
 
+def heavy_hitters_users(spark, sf_dir):
+    """Exact global heavy hitters (``ops.frequency.heavy_hitters``): the
+    20 most active users by event count with a deterministic tiebreak
+    (count desc, user_id asc).  Map-side-combined count into
+    ``TakeOrderedAndProject`` — a per-partition k-row heap merged on the
+    driver, never a full sort, so the plan holds at corpus cardinality.
+    The top-k list is also the hot-key input to ``salted_join``."""
+    from phaser_spark.ops.frequency import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev.select("user_id"), ["user_id"], k=20)
+
+
+def heavy_hitters_by_type(spark, sf_dir):
+    """Per-group exact heavy hitters
+    (``ops.frequency.heavy_hitters_per_group``): top-5 users per
+    event_type via a count aggregate plus a rank window partitioned by
+    the group — per-group state only, both shuffles hash on the same
+    key.  ``rank`` is cast to long to match the oracle's BIGINT
+    row_number."""
+    from phaser_spark.ops.frequency import heavy_hitters_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    out = heavy_hitters_per_group(
+        ev.select("event_type", "user_id"), ["event_type"], ["user_id"], k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def sketch_set_overlap(spark, sf_dir):
     """Theta-sketch set algebra (``ops.sketches.theta_overlap``): the
     URGENT and LOW customer sets' sizes, intersection, and union estimated
@@ -1742,6 +1771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_set_overlap": sketch_set_overlap,
         "a10_unpivot_metrics": a10_unpivot_metrics,
         "temperature_rebalance": temperature_rebalance,
+        "heavy_hitters_users": heavy_hitters_users,
+        "heavy_hitters_by_type": heavy_hitters_by_type,
     }
 
 
@@ -2798,4 +2829,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
         """
         ),
+        "heavy_hitters_users": """
+            SELECT user_id, COUNT(*) AS n
+            FROM events GROUP BY user_id
+            ORDER BY n DESC, user_id ASC LIMIT 20
+        """,
+        "heavy_hitters_by_type": """
+            SELECT event_type, user_id, n, rank FROM (
+                SELECT event_type, user_id, COUNT(*) AS n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY COUNT(*) DESC, user_id ASC
+                       ) AS rank
+                FROM events GROUP BY event_type, user_id
+            ) WHERE rank <= 5
+        """,
     }

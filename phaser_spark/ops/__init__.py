@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     cleaning,
     dedup,
     embeddings,
+    frequency,
     graph,
     multimodal,
     pii,

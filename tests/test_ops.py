@@ -861,3 +861,92 @@ def test_theta_overlap_composes_with_default_sketch_col(spark):
         on=["g"],
     ).collect()[0]
     assert ov.n_intersection == 50 and ov.n_union == 150  # exact mode
+
+
+def test_heavy_hitters_exact_topk_deterministic(spark):
+    from phaser_spark.ops import frequency
+
+    rows = (
+        [("a",)] * 5 + [("b",)] * 5 + [("c",)] * 3 + [("d",)] * 1
+    )
+    df = spark.createDataFrame(rows, "k string")
+    got = frequency.heavy_hitters(df, ["k"], k=3).collect()
+    # a and b tie at 5 -> key-ascending breaks the tie deterministically
+    assert [(r.k, r.n) for r in got] == [("a", 5), ("b", 5), ("c", 3)]
+    # min_count prunes the tail before the top-k
+    got2 = frequency.heavy_hitters(df, ["k"], k=10, min_count=3).collect()
+    assert sorted(r.k for r in got2) == ["a", "b", "c"]
+
+
+def test_heavy_hitters_plans_as_take_ordered(spark):
+    from phaser_spark.ops import frequency
+
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "k long")
+    plan = frequency.heavy_hitters(df, ["k"], k=5)._jdf.queryExecution().executedPlan().toString()
+    # global top-k must be the heap-merge operator, not a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_heavy_hitters_per_group(spark):
+    from phaser_spark.ops import frequency
+
+    rows = []
+    for g, vals in [("x", "aab"), ("y", "bbbc")]:
+        rows += [(g, ch) for ch in vals]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = frequency.heavy_hitters_per_group(df, ["g"], ["v"], k=1).collect()
+    top = {r.g: (r.v, r.n, r.rank) for r in got}
+    assert top == {"x": ("a", 2, 1), "y": ("b", 3, 1)}
+
+
+def test_count_min_sketch_estimate_and_merge(spark):
+    from phaser_spark.ops import frequency
+
+    # two "daily" slices with known exact counts
+    day1 = [("d1", "apple")] * 30 + [("d1", "pear")] * 10
+    day2 = [("d2", "apple")] * 5 + [("d2", "plum")] * 20
+    df = spark.createDataFrame(day1 + day2, "day string, item string")
+    blobs = {
+        r.day: bytes(r.cms_sketch)
+        for r in frequency.count_min_sketches(
+            df, ["day"], "item", eps=0.001, confidence=0.99, seed=7
+        ).collect()
+    }
+    est1 = frequency.cms_estimate(spark, blobs["d1"], ["apple", "pear", "absent"])
+    # CMS never undershoots; at this eps/total the estimate is exact
+    assert est1["apple"] == 30 and est1["pear"] == 10 and est1["absent"] == 0
+    merged = frequency.cms_merge(spark, [blobs["d1"], blobs["d2"]])
+    est = frequency.cms_estimate(spark, merged, ["apple", "pear", "plum"])
+    assert est == {"apple": 35, "pear": 10, "plum": 20}
+
+
+def test_count_min_sketch_long_items(spark):
+    from phaser_spark.ops import frequency
+
+    df = spark.createDataFrame(
+        [(1, 1001)] * 8 + [(1, 1002)] * 3, "g long, item long"
+    )
+    blob = bytes(
+        frequency.count_min_sketches(df, ["g"], "item").collect()[0].cms_sketch
+    )
+    est = frequency.cms_estimate(spark, blob, [1001, 1002])
+    assert est[1001] == 8 and est[1002] == 3
+
+
+def test_cms_merge_rejects_incompatible(spark):
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops import frequency
+
+    df = spark.createDataFrame([(1, "a")], "g long, item string")
+    a = bytes(
+        frequency.count_min_sketches(df, ["g"], "item", eps=0.01).collect()[0].cms_sketch
+    )
+    b = bytes(
+        frequency.count_min_sketches(df, ["g"], "item", eps=0.001).collect()[0].cms_sketch
+    )
+    with _pytest.raises(PhaserError):
+        frequency.cms_merge(spark, [a, b])
+    with _pytest.raises(PhaserError):
+        frequency.cms_merge(spark, [])
