@@ -1126,6 +1126,32 @@ def heavy_hitters_by_type(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def bloom_decontaminate(spark, sf_dir):
+    """Bloom-pruned EXACT anti join (``ops.bloom.bloom_anti_join``) — the
+    decontamination shape at 100 TB: drop every lineitem whose order is
+    in the URGENT set without shuffling the whole fact table.  A
+    broadcast bitmap (built distributed, one blob to the driver) filters
+    the big side first — rows failing the bloom pass through with ZERO
+    shuffle (no false negatives), and only the matches + fpp sliver pay
+    the exact anti join — so the result is exactly the plain anti join,
+    which is what the oracle checks."""
+    from phaser_spark.ops.bloom import bloom_anti_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    clean = bloom_anti_join(li, urgent, "l_orderkey", fpp=0.01)
+    return clean.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        _money(F.col("l_quantity")).alias("qty_total"),
+    )
+
+
 def sketch_set_overlap(spark, sf_dir):
     """Theta-sketch set algebra (``ops.sketches.theta_overlap``): the
     URGENT and LOW customer sets' sizes, intersection, and union estimated
@@ -1773,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_rebalance": temperature_rebalance,
         "heavy_hitters_users": heavy_hitters_users,
         "heavy_hitters_by_type": heavy_hitters_by_type,
+        "bloom_decontaminate": bloom_decontaminate,
     }
 
 
@@ -2843,5 +2870,18 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM events GROUP BY event_type, user_id
             ) WHERE rank <= 5
+        """,
+        "bloom_decontaminate": """
+            SELECT l_returnflag,
+                   COUNT(*) AS n_clean,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 2) AS DOUBLE)
+                       AS qty_total
+            FROM lineitem l
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_orderkey = l.l_orderkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
+            GROUP BY l_returnflag
         """,
     }

@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "sketch_distinct_accuracy",
     "a10_unpivot_metrics",
     "temperature_rebalance",
+    "heavy_hitters_users",
+    "bloom_decontaminate",
     "streaming_event_window",
     "streaming_session_window",
 ]

@@ -950,3 +950,86 @@ def test_cms_merge_rejects_incompatible(spark):
         frequency.cms_merge(spark, [a, b])
     with _pytest.raises(PhaserError):
         frequency.cms_merge(spark, [])
+
+
+def test_bloom_semi_join_matches_plain_semi(spark):
+    from phaser_spark.ops import bloom
+
+    big = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(2000)], "k long, v string"
+    )
+    keys = spark.createDataFrame([(i,) for i in range(0, 2000, 7)], "k long")
+    got = bloom.bloom_semi_join(big, keys, "k", fpp=0.05).collect()
+    want = big.join(keys, "k", "left_semi").collect()
+    assert sorted((r.k, r.v) for r in got) == sorted((r.k, r.v) for r in want)
+
+
+def test_bloom_anti_join_matches_plain_anti_with_nulls(spark):
+    from phaser_spark.ops import bloom
+
+    rows = [(i, f"v{i}") for i in range(500)] + [(None, "null1"), (None, "null2")]
+    big = spark.createDataFrame(rows, "k long, v string")
+    keys = spark.createDataFrame([(i,) for i in range(0, 500, 3)], "k long")
+    got = bloom.bloom_anti_join(big, keys, "k", fpp=0.05).collect()
+    want = big.join(keys, "k", "left_anti").collect()
+    key = lambda r: (r.k is None, r.k or 0, r.v)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    # null-key rows survive (null never matches a join condition)
+    assert sorted(r.v for r in got if r.k is None) == ["null1", "null2"]
+
+
+def test_bloom_composite_key_and_prebuilt_filter(spark):
+    from phaser_spark.ops import bloom
+
+    big = spark.createDataFrame(
+        [(i % 10, f"t{i % 7}", i) for i in range(1000)], "a long, b string, x long"
+    )
+    keys = spark.createDataFrame(
+        [(1, "t1"), (2, "t2"), (3, "t3")], "a long, b string"
+    )
+    bf = bloom.build_bloom(keys, ["a", "b"], fpp=0.01)
+    got = bloom.bloom_semi_join(big, keys, ["a", "b"], bloom=bf).collect()
+    want = big.join(keys, ["a", "b"], "left_semi").collect()
+    assert sorted((r.a, r.b, r.x) for r in got) == sorted(
+        (r.a, r.b, r.x) for r in want
+    )
+
+
+def test_bloom_no_false_negatives_and_bounded_fpp(spark):
+    from phaser_spark.ops import bloom
+
+    member = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    bf = bloom.build_bloom(member, "k", fpp=0.01)
+    # every member passes (no false negatives)
+    hits = member.filter(bloom.might_contain(member, "k", bf)).count()
+    assert hits == 1000
+    # non-members pass at ~fpp; allow generous slack over 5000 probes
+    non = spark.createDataFrame([(i,) for i in range(10_000, 15_000)], "k long")
+    fp = non.filter(bloom.might_contain(non, "k", bf)).count()
+    assert fp <= 5000 * 0.05, f"false-positive rate too high: {fp}/5000"
+
+
+def test_bloom_empty_keys(spark):
+    from phaser_spark.ops import bloom
+
+    big = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    empty = spark.createDataFrame([], "k long")
+    assert bloom.bloom_semi_join(big, empty, "k").count() == 0
+    assert bloom.bloom_anti_join(big, empty, "k").count() == 2
+
+
+def test_bloom_positions_are_jvm_side(spark):
+    # the k probe positions must be codegen expressions, not Python —
+    # only the bitmap test itself is an ArrowEvalPython stage
+    from phaser_spark.ops import bloom
+
+    keys = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    bf = bloom.build_bloom(keys, "k", fpp=0.01)
+    big = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    plan = (
+        big.filter(bloom.might_contain(big, "k", bf))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "xxhash64" in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
