@@ -81,3 +81,43 @@ def assert_scalable(
             "plan violates scale budget: " + "; ".join(problems) + "\n" + plan_text(df)
         )
     return s
+
+
+def skew_report(
+    df: DataFrame,
+    cols: list[str],
+    top: int = 10,
+    shuffle_partitions: int | None = None,
+    hot_factor: float = 4.0,
+) -> DataFrame:
+    """Measure key skew BEFORE a join/agg shuffles on ``cols``: the top
+    keys by row count, each key's share of the table, and a ``hot`` flag
+    marking keys whose share exceeds ``hot_factor / shuffle_partitions``
+    — i.e. keys that would land one shuffle partition with more than
+    ``hot_factor``× its fair share of rows (the straggler-task shape AQE
+    skew handling and :func:`phaser_spark.ops.relational.salted_join`
+    exist for).
+
+    Cost: one map-side-combined count per distinct key plus a global
+    count — a metadata-sized diagnostic, not a corpus copy.  The flagged
+    keys are exactly the ``hot`` input you hand to ``salted_join`` (or
+    the evidence that plain AQE skew-join suffices)."""
+    from pyspark.sql import functions as F
+
+    from .ops.frequency import heavy_hitters
+
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    total = df.count()
+    if total == 0:
+        raise PhaserError("skew_report: empty input")
+    threshold = hot_factor / max(1, shuffle_partitions)
+    topk = heavy_hitters(df.select(*cols), cols, k=top)
+    return topk.select(
+        *cols,
+        "n",
+        (F.col("n") / F.lit(float(total))).alias("share"),
+        (F.col("n") / F.lit(float(total)) > threshold).alias("hot"),
+    )

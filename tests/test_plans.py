@@ -463,3 +463,22 @@ def test_plan_summary_and_assert_scalable(spark):
     nested = li.join(other, li.l_quantity > other.r)
     with _pytest.raises(PhaserError, match="NestedLoop"):
         assert_scalable(nested)
+
+
+def test_skew_report_flags_hot_key(spark):
+    from phaser_spark.plan import skew_report
+
+    rows = [("hot",)] * 900 + [(f"k{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string")
+    rep = skew_report(df, ["k"], top=5, shuffle_partitions=32).collect()
+    by_key = {r.k: r for r in rep}
+    assert by_key["hot"].hot and abs(by_key["hot"].share - 0.9) < 1e-9
+    # uniform tail keys are not hot
+    assert not any(r.hot for r in rep if r.k != "hot")
+
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+
+    with _pytest.raises(PhaserError):
+        skew_report(spark.createDataFrame([], "k string"), ["k"])
