@@ -1126,6 +1126,29 @@ def heavy_hitters_by_type(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def quality_checks_orders(spark, sf_dir):
+    """Declarative data-quality suite (``ops.quality``): five constraints
+    — completeness, key uniqueness, value range, format regex, row count
+    — ALL evaluated in one aggregation pass over one scan (plan-asserted
+    in tests/test_ops.py), generalizing the reference's single-purpose
+    ``check_unique``/``check_size`` validators (phaser/builtin_steps.py)
+    into a Deequ-style gate.  Metrics are exact double ratios, so the
+    oracle recomputes them bit-identically."""
+    from phaser_spark.ops import quality as Q
+
+    orders = _t(spark, sf_dir, "orders")
+    return Q.run_checks(
+        orders,
+        [
+            Q.completeness("o_custkey"),
+            Q.uniqueness("o_orderkey"),
+            Q.in_range("o_totalprice", 0, 600000, min_ratio=0.95),
+            Q.matches_pattern("o_orderpriority", "[1-5]-[A-Z]+"),
+            Q.row_count(at_least=1),
+        ],
+    )
+
+
 def bloom_decontaminate(spark, sf_dir):
     """Bloom-pruned EXACT anti join (``ops.bloom.bloom_anti_join``) — the
     decontamination shape at 100 TB: drop every lineitem whose order is
@@ -1800,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_users": heavy_hitters_users,
         "heavy_hitters_by_type": heavy_hitters_by_type,
         "bloom_decontaminate": bloom_decontaminate,
+        "quality_checks_orders": quality_checks_orders,
     }
 
 
@@ -2883,5 +2907,40 @@ def oracle_sql() -> dict[str, str]:
                   AND o.o_orderpriority = '1-URGENT'
             )
             GROUP BY l_returnflag
+        """,
+        "quality_checks_orders": """
+            SELECT CAST(0 AS INTEGER) AS check_order,
+                   'completeness(o_custkey)' AS "check",
+                   AVG(CASE WHEN o_custkey IS NOT NULL
+                       THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS metric,
+                   AVG(CASE WHEN o_custkey IS NOT NULL
+                       THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) >= 1.0 AS passed
+            FROM orders
+            UNION ALL
+            SELECT 1, 'uniqueness(o_orderkey)',
+                   CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+                       / CAST(GREATEST(COUNT(*), 1) AS DOUBLE),
+                   CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+                       / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) >= 1.0
+            FROM orders
+            UNION ALL
+            SELECT 2, 'in_range(o_totalprice)',
+                   AVG(CASE WHEN o_totalprice BETWEEN 0 AND 600000
+                       THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END),
+                   AVG(CASE WHEN o_totalprice BETWEEN 0 AND 600000
+                       THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) >= 0.95
+            FROM orders
+            UNION ALL
+            SELECT 3, 'matches_pattern(o_orderpriority)',
+                   AVG(CASE WHEN regexp_matches(o_orderpriority, '[1-5]-[A-Z]+')
+                       THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END),
+                   AVG(CASE WHEN regexp_matches(o_orderpriority, '[1-5]-[A-Z]+')
+                       THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) >= 1.0
+            FROM orders
+            UNION ALL
+            SELECT 4, 'row_count',
+                   CAST(COUNT(*) AS DOUBLE),
+                   COUNT(*) >= 1
+            FROM orders
         """,
     }

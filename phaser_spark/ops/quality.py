@@ -1,0 +1,177 @@
+"""Declarative data-quality check suites (engine addition; generalizes
+the reference's single-purpose validators — ``check_unique``,
+``check_size``, column ``required``/``null_blank`` flags,
+phaser/builtin_steps.py and phaser/column.py — into a constraint suite
+evaluated in ONE pass).
+
+Why one pass matters at 100 TB: each quality rule naively run as its own
+job re-scans the table; a suite of ten rules is ten scans.  Here every
+check contributes aggregate expressions to a single ``agg`` over one
+scan, the combined row is exploded into one row per check, and all
+metric arithmetic is JVM-side Catalyst (no Python on the row path).
+Checks with distinct-aggregates (uniqueness) plan through Spark's
+standard distinct rewrite; everything else is map-side combined.
+
+Results are a small DataFrame (check, metric, threshold, passed) — cheap
+to persist per run, diff across runs, or gate a pipeline on
+(``fail_on_violation``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column as SparkCol
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..exceptions import PhaserError
+
+
+class Check:
+    """One quality rule: named aggregate metric + pass predicate.
+
+    ``metric`` is an aggregate Column (evaluated in the shared single
+    pass); ``passed`` maps the computed metric Column to a boolean."""
+
+    def __init__(self, name: str, metric: SparkCol, passed, description: str = ""):
+        self.name = name
+        self.metric = metric
+        self.passed = passed
+        self.description = description
+
+
+def _ratio(cond: SparkCol) -> SparkCol:
+    """Exact fraction of rows satisfying ``cond`` (0.0 on empty input)."""
+    return F.coalesce(F.avg(cond.cast("double")), F.lit(0.0))
+
+
+def completeness(col: str, min_ratio: float = 1.0) -> Check:
+    """Fraction of rows with a non-null ``col`` >= min_ratio."""
+    return Check(
+        f"completeness({col})",
+        _ratio(F.col(col).isNotNull()),
+        lambda m: m >= min_ratio,
+        f"non-null ratio >= {min_ratio}",
+    )
+
+
+def uniqueness(cols: list[str] | str, min_ratio: float = 1.0) -> Check:
+    """distinct(cols)/count >= min_ratio (1.0 = fully unique key).
+    Null-bearing keys count as rows but never as distinct matches of
+    each other in SQL semantics; countDistinct skips full-null keys."""
+    cs = [cols] if isinstance(cols, str) else list(cols)
+    label = ",".join(cs)
+    return Check(
+        f"uniqueness({label})",
+        (
+            F.countDistinct(*[F.col(c) for c in cs]).cast("double")
+            / F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double")
+        ),
+        lambda m: m >= min_ratio,
+        f"distinct/count >= {min_ratio}",
+    )
+
+
+def in_range(
+    col: str, lo, hi, min_ratio: float = 1.0, null_ok: bool = False
+) -> Check:
+    """Fraction of rows with ``lo <= col <= hi`` >= min_ratio.  With
+    ``null_ok`` nulls satisfy the rule; otherwise they violate it."""
+    ok = F.col(col).between(F.lit(lo), F.lit(hi))
+    ok = (ok | F.col(col).isNull()) if null_ok else (ok & F.col(col).isNotNull())
+    return Check(
+        f"in_range({col})",
+        _ratio(ok),
+        lambda m: m >= min_ratio,
+        f"in [{lo}, {hi}] ratio >= {min_ratio}",
+    )
+
+
+def matches_pattern(col: str, regex: str, min_ratio: float = 1.0) -> Check:
+    """Fraction of rows whose ``col`` fully matches ``regex`` (nulls
+    fail) >= min_ratio."""
+    return Check(
+        f"matches_pattern({col})",
+        _ratio(F.coalesce(F.col(col).rlike(regex), F.lit(False))),
+        lambda m: m >= min_ratio,
+        f"rlike {regex!r} ratio >= {min_ratio}",
+    )
+
+
+def row_count(at_least: int = 0, at_most: int | None = None) -> Check:
+    """Total row count within [at_least, at_most]."""
+    hi = float("inf") if at_most is None else at_most
+    return Check(
+        "row_count",
+        F.count(F.lit(1)).cast("double"),
+        lambda m: (m >= at_least) & (m <= F.lit(float(hi))),
+        f"count in [{at_least}, {at_most}]",
+    )
+
+
+def min_of(col: str, at_least) -> Check:
+    return Check(
+        f"min_of({col})",
+        F.min(F.col(col)).cast("double"),
+        lambda m: m >= at_least,
+        f"min >= {at_least}",
+    )
+
+
+def max_of(col: str, at_most) -> Check:
+    return Check(
+        f"max_of({col})",
+        F.max(F.col(col)).cast("double"),
+        lambda m: m <= at_most,
+        f"max <= {at_most}",
+    )
+
+
+def satisfies(name: str, cond: SparkCol, min_ratio: float = 1.0) -> Check:
+    """Custom row predicate: fraction of rows where ``cond`` holds
+    (nulls fail) >= min_ratio."""
+    return Check(
+        name,
+        _ratio(F.coalesce(cond, F.lit(False))),
+        lambda m: m >= min_ratio,
+        f"predicate ratio >= {min_ratio}",
+    )
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate every check in ONE aggregation pass over one scan and
+    return a row per check: (check, metric double, passed boolean).
+    Output order is the declaration order made explicit via an index so
+    results hash deterministically."""
+    if not checks:
+        raise PhaserError("run_checks requires at least one check")
+    names = [c.name for c in checks]
+    if len(set(names)) != len(names):
+        raise PhaserError(f"run_checks: duplicate check names in {names}")
+    agg_row = df.agg(
+        *[c.metric.cast("double").alias(f"__m{i}__") for i, c in enumerate(checks)]
+    )
+    entries = [
+        F.struct(
+            F.lit(i).cast("int").alias("check_order"),
+            F.lit(c.name).alias("check"),
+            F.col(f"__m{i}__").alias("metric"),
+            c.passed(F.col(f"__m{i}__")).alias("passed"),
+        )
+        for i, c in enumerate(checks)
+    ]
+    return agg_row.select(
+        F.explode(F.array(*entries)).alias("r")
+    ).select("r.check_order", "r.check", "r.metric", "r.passed")
+
+
+def fail_on_violation(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Run the suite and raise ``PhaserError`` listing every failed
+    check (with its metric); returns the results frame when all pass.
+    The gate form for pipelines: one scan, then proceed or stop."""
+    results = run_checks(df, checks)
+    rows = results.collect()
+    failed = [r for r in rows if not r.passed]
+    if failed:
+        detail = "; ".join(f"{r.check} (metric={r.metric})" for r in failed)
+        raise PhaserError(f"quality checks failed: {detail}")
+    return results

@@ -1033,3 +1033,88 @@ def test_bloom_positions_are_jvm_side(spark):
     assert "xxhash64" in plan
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_quality_checks_single_pass_and_results(spark):
+    from phaser_spark.ops import quality as Q
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.com", 10.0),
+            (2, "b@y.org", 55.0),
+            (3, None, 110.0),
+            (3, "not-an-email", 40.0),
+        ],
+        "id long, email string, score double",
+    )
+    checks = [
+        Q.completeness("email", min_ratio=0.9),          # 0.75 -> fail
+        Q.uniqueness("id"),                               # 0.75 -> fail
+        Q.in_range("score", 0, 100, min_ratio=0.75),      # 0.75 -> pass
+        Q.matches_pattern("email", r"[^@]+@[^@]+\.[a-z]+", min_ratio=0.5),
+        Q.row_count(at_least=2, at_most=10),
+        Q.min_of("score", at_least=0),
+        Q.max_of("score", at_most=100),                   # 110 -> fail
+        Q.satisfies("even_ids", F.col("id") % 2 == 0, min_ratio=0.4),
+    ]
+    rows = {r.check: r for r in Q.run_checks(df, checks).collect()}
+    assert rows["completeness(email)"].metric == 0.75
+    assert not rows["completeness(email)"].passed
+    assert rows["uniqueness(id)"].metric == 0.75 and not rows["uniqueness(id)"].passed
+    assert rows["in_range(score)"].passed
+    assert rows["matches_pattern(email)"].metric == 0.5
+    assert rows["row_count"].metric == 4.0 and rows["row_count"].passed
+    assert rows["min_of(score)"].passed
+    assert not rows["max_of(score)"].passed
+    assert rows["even_ids"].metric == 0.25 and not rows["even_ids"].passed
+    # declaration order preserved via check_order
+    ordered = [r.check for r in sorted(rows.values(), key=lambda r: r.check_order)]
+    assert ordered[0] == "completeness(email)" and ordered[-1] == "even_ids"
+
+
+def test_quality_checks_one_scan_no_python(spark, tmp_path):
+    # the whole suite must evaluate as ONE scan of the input and stay
+    # JVM-side (uniqueness adds the distinct-rewrite Expand, not a scan)
+    from phaser_spark.ops import quality as Q
+    from phaser_spark.plan import plan_summary
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).withColumn("v", F.col("id") % 7).write.parquet(p)
+    df = spark.read.parquet(p)
+    res = Q.run_checks(
+        df,
+        [Q.completeness("v"), Q.uniqueness("id"), Q.in_range("v", 0, 6),
+         Q.row_count(at_least=1)],
+    )
+    s = plan_summary(res)
+    assert s["scans"] == 1, s
+    assert s["python_evals"] == 0, s
+
+
+def test_quality_fail_on_violation(spark):
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops import quality as Q
+
+    df = spark.createDataFrame([(1,), (1,)], "id long")
+    with _pytest.raises(PhaserError, match="uniqueness"):
+        Q.fail_on_violation(df, [Q.uniqueness("id")])
+    ok = Q.fail_on_violation(df, [Q.completeness("id")])
+    assert ok.collect()[0].passed
+    with _pytest.raises(PhaserError):
+        Q.run_checks(df, [])
+    with _pytest.raises(PhaserError):
+        Q.run_checks(df, [Q.completeness("id"), Q.completeness("id")])
+
+
+def test_quality_checks_empty_input(spark):
+    from phaser_spark.ops import quality as Q
+
+    df = spark.createDataFrame([], "id long")
+    rows = {r.check: r for r in Q.run_checks(
+        df, [Q.completeness("id"), Q.row_count(at_least=1)]
+    ).collect()}
+    # ratio checks degrade to 0.0 on empty input (not null/crash)
+    assert rows["completeness(id)"].metric == 0.0
+    assert not rows["row_count"].passed
