@@ -120,6 +120,27 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     wd = sys.argv[2] if len(sys.argv) > 2 else "/tmp/phaser_training_pipeline"
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    # --- day 0: gate the raw input before paying for the pipeline ------
+    # Every rule evaluates in ONE scan; a violation stops the run here
+    # with the failing metrics instead of three phases later.
+    from phaser_spark.ops import quality as Q
+
+    Q.fail_on_violation(docs, [
+        Q.completeness("doc_id"),
+        Q.uniqueness("doc_id"),
+        Q.completeness("text", min_ratio=0.95),
+        Q.row_count(at_least=10),
+    ])
+
+    # ID-level takedown list (DMCA/opt-out): a bloom bitmap prunes the
+    # corpus BEFORE any shuffle; only the matches + fpp sliver pay the
+    # exact anti join, and results are exactly the plain anti join.
+    from phaser_spark.ops import bloom
+
+    takedown = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    docs = bloom.bloom_anti_join(docs, takedown, on="doc_id", fpp=0.01)
+
     pipe = Pipeline(
         working_dir=wd,
         phases=[QualityFilter, ExactDedup, NearDedup, CurateAndPack],
@@ -190,6 +211,17 @@ def main():
         [],  # merge ALL languages' blobs
     ).collect()[0]["distinct_estimate"]
     print(f"distinct sources corpus-wide (merged from stored sketches): {est}")
+
+    # hottest sources (exact top-k, heap-merged — no full sort) and the
+    # skew verdict for any later join/agg keyed on source: keys flagged
+    # `hot` are the ones to hand to relational.salted_join
+    from phaser_spark.ops.frequency import heavy_hitters
+    from phaser_spark.plan import skew_report
+
+    top_sources = heavy_hitters(out, ["source"], k=5).collect()
+    print("top sources:", [(r.source, r.n) for r in top_sources])
+    hot = [r.source for r in skew_report(out, ["source"], top=5).collect() if r.hot]
+    print(f"skew check on 'source': {len(hot)} hot key(s) {hot or ''}")
 
 
 if __name__ == "__main__":
