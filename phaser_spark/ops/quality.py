@@ -137,19 +137,28 @@ def satisfies(name: str, cond: SparkCol, min_ratio: float = 1.0) -> Check:
     )
 
 
-def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+def run_checks(
+    df: DataFrame, checks: list[Check], group_by: list[str] | None = None
+) -> DataFrame:
     """Evaluate every check in ONE aggregation pass over one scan and
     return a row per check: (check, metric double, passed boolean).
     Output order is the declaration order made explicit via an index so
-    results hash deterministically."""
+    results hash deterministically.
+
+    With ``group_by`` the suite evaluates PER GROUP (one row per
+    group × check) in the same single pass — "completeness per day",
+    "uniqueness per source" — the partitioned-quality form that catches
+    a bad slice a whole-table average would hide."""
     if not checks:
         raise PhaserError("run_checks requires at least one check")
     names = [c.name for c in checks]
     if len(set(names)) != len(names):
         raise PhaserError(f"run_checks: duplicate check names in {names}")
-    agg_row = df.agg(
-        *[c.metric.cast("double").alias(f"__m{i}__") for i, c in enumerate(checks)]
-    )
+    metrics = [
+        c.metric.cast("double").alias(f"__m{i}__") for i, c in enumerate(checks)
+    ]
+    keys = list(group_by or [])
+    agg_row = df.groupBy(*keys).agg(*metrics) if keys else df.agg(*metrics)
     entries = [
         F.struct(
             F.lit(i).cast("int").alias("check_order"),
@@ -160,8 +169,8 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
         for i, c in enumerate(checks)
     ]
     return agg_row.select(
-        F.explode(F.array(*entries)).alias("r")
-    ).select("r.check_order", "r.check", "r.metric", "r.passed")
+        *keys, F.explode(F.array(*entries)).alias("r")
+    ).select(*keys, "r.check_order", "r.check", "r.metric", "r.passed")
 
 
 def fail_on_violation(df: DataFrame, checks: list[Check]) -> DataFrame:
@@ -175,3 +184,41 @@ def fail_on_violation(df: DataFrame, checks: list[Check]) -> DataFrame:
         detail = "; ".join(f"{r.check} (metric={r.metric})" for r in failed)
         raise PhaserError(f"quality checks failed: {detail}")
     return results
+
+
+def quality_gate_step(checks: list[Check], group_by: list[str] | None = None):
+    """Phase-step form of :func:`fail_on_violation`: drop it into a
+    ``Phase.steps`` list and the pipeline stops at this step (standard
+    error-policy path) when the suite fails on the phase's current
+    frame — one scan, rows pass through untouched.  With ``group_by``
+    every group must pass."""
+    from ..steps import batch_step
+
+    @batch_step(internal=True)
+    def quality_gate(df: DataFrame, context=None) -> DataFrame:
+        from ..constants import DROP_COL
+
+        # judge only rows still alive in the phase: quarantined/dropped
+        # rows are already accounted for by the error policy
+        live = df.filter(~F.col(DROP_COL)) if DROP_COL in df.columns else df
+        results = run_checks(live, checks, group_by=group_by)
+        rows = results.collect()
+        failed = [r for r in rows if not r.passed]
+        if failed:
+            detail = "; ".join(
+                (
+                    f"{r.check} (metric={r.metric}"
+                    + (
+                        ", group="
+                        + ",".join(str(r[g]) for g in group_by)
+                        if group_by
+                        else ""
+                    )
+                    + ")"
+                )
+                for r in failed
+            )
+            raise PhaserError(f"quality checks failed: {detail}")
+        return df
+
+    return quality_gate

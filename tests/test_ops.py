@@ -1118,3 +1118,57 @@ def test_quality_checks_empty_input(spark):
     # ratio checks degrade to 0.0 on empty input (not null/crash)
     assert rows["completeness(id)"].metric == 0.0
     assert not rows["row_count"].passed
+
+
+def test_quality_checks_per_group(spark):
+    from phaser_spark.ops import quality as Q
+
+    df = spark.createDataFrame(
+        [("d1", 1), ("d1", 2), ("d2", None), ("d2", 4), ("d2", 4)],
+        "day string, v long",
+    )
+    rows = Q.run_checks(
+        df, [Q.completeness("v"), Q.row_count(at_least=2)], group_by=["day"]
+    ).collect()
+    got = {(r.day, r.check): (r.metric, r.passed) for r in rows}
+    assert got[("d1", "completeness(v)")] == (1.0, True)
+    # d2: 2/3 non-null -> fails the default min_ratio=1.0
+    m, p = got[("d2", "completeness(v)")]
+    assert abs(m - 2 / 3) < 1e-12 and not p
+    assert got[("d1", "row_count")] == (2.0, True)
+    assert got[("d2", "row_count")] == (3.0, True)
+
+
+def test_quality_gate_step_in_phase(spark):
+    import pytest as _pytest
+
+    from phaser_spark import Phase, filter_rows
+    from phaser_spark.context import Context
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, 50.0), (2, 70.0), (3, -5.0)], "id long, score double"
+    )
+    # gate AFTER a filter: the quarantined/dropped rows must not count —
+    # dropping the negative row first makes in_range pass
+    ok_phase = Phase(
+        name="gated",
+        steps=[
+            filter_rows(F.col("score") >= 0),
+            Q.quality_gate_step([Q.in_range("score", 0, 100), Q.row_count(at_least=2)]),
+        ],
+        context=Context(spark=spark),
+        lineage_cache=False,
+    )
+    out = ok_phase.run(df)
+    assert out.filter("NOT __phaser_drop__").count() == 2
+
+    bad_phase = Phase(
+        name="gated_bad",
+        steps=[Q.quality_gate_step([Q.in_range("score", 0, 100)])],
+        context=Context(spark=spark),
+        lineage_cache=False,
+    )
+    with _pytest.raises(PhaserError, match="in_range"):
+        bad_phase.run(df)

@@ -250,3 +250,45 @@ def test_salted_join_equals_plain_join_on_random_skew(spark, big_rows, small_key
         for r in salted_join(big, small, ["k"], n_salts=4, how=how).collect()
     )
     assert got == expect
+
+
+# --- bloom join equivalence on arbitrary keys ---------------------------
+
+KEY = st.one_of(
+    st.integers(-(2**62), 2**62),
+    st.text(min_size=0, max_size=12),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    big=st.lists(KEY, min_size=1, max_size=60),
+    keys=st.lists(KEY, min_size=0, max_size=25),
+)
+def test_bloom_joins_equal_plain_joins(spark, big, keys):
+    """bloom_semi_join / bloom_anti_join must be EXACTLY the plain
+    semi/anti join for any mix of int and string keys (keys are
+    stringified to keep one column type; collisions/dups welcome)."""
+    from phaser_spark.ops import bloom
+
+    big_df = spark.createDataFrame([(str(k), i) for i, k in enumerate(big)],
+                                   "k string, idx long")
+    keys_df = spark.createDataFrame(
+        [(str(k),) for k in keys] or [("never-present-sentinel",)], "k string"
+    )
+    semi = sorted(
+        (r.k, r.idx)
+        for r in bloom.bloom_semi_join(big_df, keys_df, "k", fpp=0.05).collect()
+    )
+    want_semi = sorted(
+        (r.k, r.idx) for r in big_df.join(keys_df, "k", "left_semi").collect()
+    )
+    assert semi == want_semi
+    anti = sorted(
+        (r.k, r.idx)
+        for r in bloom.bloom_anti_join(big_df, keys_df, "k", fpp=0.05).collect()
+    )
+    want_anti = sorted(
+        (r.k, r.idx) for r in big_df.join(keys_df, "k", "left_anti").collect()
+    )
+    assert anti == want_anti
