@@ -1726,6 +1726,75 @@ def streaming_stateful_user_stats(spark, sf_dir):
     return spark.table(name)
 
 
+def token_budget_mix(spark, sf_dir):
+    """Token-budget mix assembly (``ops.sampling.token_budget_select``):
+    per-language char budgets filled in deterministic md5 order via
+    two-level bucketed prefix selection — a tiny per-(lang, bucket)
+    aggregate routes whole buckets with a pure filter and only the one
+    straddling bucket per group pays a fine window, so no language ever
+    needs a single-task sort.  The oracle recomputes the identical kept
+    set with one SQL window over the same (bucket, md5, id) order."""
+    from phaser_spark.ops.sampling import token_budget_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_select(
+        docs.select("doc_id", "lang", "n_chars"),
+        "doc_id",
+        "n_chars",
+        "lang",
+        budgets={"en": 30000, "zh": 10000, "es": 12000},
+        default_budget=8000,
+        buckets=64,
+    )
+
+
+def dedup_best_of_cluster(spark, sf_dir):
+    """Quality-aware near-dedup (``ops.dedup.minhash_dedup_keep_best``):
+    MinHash-LSH pair graph → connected components → keep each cluster's
+    BEST doc (max n_chars, ties → greater id) instead of the min id —
+    the form a training pipeline wants (drop the truncated mirror, keep
+    the full original).  One extra shuffle over plain minhash_dedup
+    (the per-cluster rank window).  Oracle: recursive transitive closure
+    over the exact-Jaccard pair graph + per-component argmax."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.minhash_dedup_keep_best(
+        docs.select("doc_id", "text", "n_chars"),
+        "doc_id",
+        "text",
+        "n_chars",
+        threshold=0.8,
+    )
+    return out.select("doc_id", "n_chars")
+
+
+def winsorize_prices(spark, sf_dir):
+    """Per-group outlier clamping (``ops.quality.winsorize``): every
+    lineitem price clipped into its returnflag group's exact
+    [p05, p95] — one tiny bounds aggregate (Catalyst ``percentile``,
+    same interpolation as DuckDB ``quantile_cont``) broadcast back onto
+    the fact table; the clamp itself is a pure projection.  Bounds are
+    truncated to 6 digits so both engines clamp identically."""
+    from phaser_spark.ops import quality as Q
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    out = Q.winsorize(
+        li,
+        "l_extendedprice",
+        lower=0.05,
+        upper=0.95,
+        group_by=["l_returnflag"],
+        suffix="_w",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_extendedprice_w").alias("price_w"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1824,6 +1893,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_by_type": heavy_hitters_by_type,
         "bloom_decontaminate": bloom_decontaminate,
         "quality_checks_orders": quality_checks_orders,
+        "token_budget_mix": token_budget_mix,
+        "dedup_best_of_cluster": dedup_best_of_cluster,
+        "winsorize_prices": winsorize_prices,
     }
 
 
@@ -2942,5 +3014,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS DOUBLE),
                    COUNT(*) >= 1
             FROM orders
+        """,
+        # same total order as the engine's two-level selection: group docs
+        # by (md5-bucket, md5, id) and keep while the EXCLUSIVE running
+        # total of n_chars is below the group's budget
+        "token_budget_mix": """
+            WITH b(lang, bud) AS (
+                VALUES ('en', 30000), ('zh', 10000), ('es', 12000)
+            ), budgeted AS (
+                SELECT d.doc_id, d.lang, d.n_chars,
+                       COALESCE(b.bud, 8000) AS bud,
+                       CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bkt,
+                       md5(CAST(d.doc_id AS VARCHAR)) AS h
+                FROM documents d LEFT JOIN b ON d.lang = b.lang
+            ), runs AS (
+                SELECT doc_id, lang, n_chars, bud,
+                       COALESCE(SUM(n_chars) OVER (
+                           PARTITION BY lang ORDER BY bkt, h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS strt
+                FROM budgeted
+            )
+            SELECT doc_id, lang, n_chars FROM runs WHERE strt < bud
+        """,
+        # components of the exact-Jaccard pair graph (as in
+        # dedup_minhash_clusters), then each component's argmax by
+        # (n_chars, doc_id) — the engine's keep-best representative rule
+        "dedup_best_of_cluster": (
+            "WITH RECURSIVE exact_pairs AS (\n"
+            + _NGRAM_SHINGLE_SQL.format(threshold=0.8)
+            + """
+            ), edges AS (
+                SELECT id_a AS s, id_b AS d FROM exact_pairs
+                UNION
+                SELECT id_b, id_a FROM exact_pairs
+            ), reach(id, r) AS (
+                SELECT DISTINCT s, s FROM edges
+                UNION
+                SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
+            ), comp AS (
+                SELECT id, MIN(r) AS component FROM reach GROUP BY id
+            ), labeled AS (
+                SELECT d.doc_id, d.n_chars,
+                       COALESCE(c.component, d.doc_id) AS comp
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+            )
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY comp
+                           ORDER BY n_chars DESC, doc_id DESC
+                       ) AS rn
+                FROM labeled
+            ) WHERE rn = 1
+        """
+        ),
+        "winsorize_prices": """
+            WITH bounds AS (
+                SELECT l_returnflag,
+                       floor(quantile_cont(l_extendedprice, 0.05) * 1000000) / 1000000 AS lo,
+                       floor(quantile_cont(l_extendedprice, 0.95) * 1000000) / 1000000 AS hi
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                   LEAST(GREATEST(CAST(l.l_extendedprice AS DOUBLE), b.lo), b.hi) AS price_w
+            FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
         """,
     }

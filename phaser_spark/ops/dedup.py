@@ -372,6 +372,60 @@ def minhash_dedup(
     return df.join(keep, id_col, "left_semi")
 
 
+def pick_cluster_representative(
+    df: DataFrame,
+    cluster_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Keep ONE row per cluster: the highest ``score_col``, ties broken
+    by the greater ``id_col`` (a total order, so the pick is
+    deterministic on any engine).
+
+    One shuffle on ``cluster_col`` + a per-cluster sort (dup clusters
+    are small by construction), vs. the groupBy-argmax-then-join form
+    which pays the aggregation shuffle AND a second join shuffle over
+    the full frame."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).desc()
+    )
+    rn = "__rep_rn__"
+    return df.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) == 1).drop(rn)
+
+
+def minhash_dedup_keep_best(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "quality",
+    threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Near-dedup that keeps the BEST document of each dup cluster
+    instead of the smallest id — the form a training-data pipeline
+    actually wants (drop the low-quality mirror, keep the clean
+    original).  Same LSH candidate generation + connected components as
+    :func:`minhash_dedup`; the representative is the cluster's max
+    ``score_col`` (ties → greater id, deterministic)."""
+    from .graph import connected_components
+
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, **kw)
+    labels = connected_components(
+        pairs.select("id_a", "id_b"),
+        src="id_a",
+        dst="id_b",
+        vertices=df.select(id_col),
+        id_col=id_col,
+        component_col="__root__",
+    )
+    labeled = df.join(labels, id_col)
+    return pick_cluster_representative(
+        labeled, "__root__", score_col, id_col
+    ).drop("__root__")
+
+
 def minhash_lsh_incremental(
     new_docs: DataFrame,
     corpus: DataFrame,

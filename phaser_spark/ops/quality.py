@@ -186,6 +186,82 @@ def fail_on_violation(df: DataFrame, checks: list[Check]) -> DataFrame:
     return results
 
 
+def winsorize(
+    df: DataFrame,
+    cols: list[str] | str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    group_by: list[str] | None = None,
+    exact: bool = True,
+    suffix: str = "",
+) -> DataFrame:
+    """Clamp outliers to per-group percentile bounds (winsorization):
+    each column in ``cols`` is clipped into its ``[p_lower, p_upper]``
+    range, computed per ``group_by`` group (or globally).  The standard
+    repair for heavy-tailed quality metrics — a 10^9-token "document"
+    or a negative length stops dominating downstream means without
+    dropping the row.
+
+    ``exact=True`` uses Spark's exact interpolated ``percentile`` (one
+    shuffle of (group, value) pairs; per-group state holds the group's
+    values — fine for bounded groups).  ``exact=False`` switches to
+    ``percentile_approx`` (mergeable sketch state, the 100 TB setting
+    for huge groups — bounds then differ from the exact ones within
+    sketch accuracy).  Bounds are truncated to 6 digits so any engine
+    (and the DuckDB oracle) computes identical clamps.
+
+    One bounds-aggregate (tiny result: one row per group) broadcast back
+    onto the data; the clamp itself is a pure projection.  With
+    ``suffix`` the clamped values land in new ``col+suffix`` columns
+    instead of replacing the originals.
+    """
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if not cols:
+        raise PhaserError("winsorize requires at least one column")
+    if not 0.0 <= lower < upper <= 1.0:
+        raise PhaserError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    keys = list(group_by or [])
+
+    def pct(c: str, p: float) -> SparkCol:
+        v = F.col(c).cast("double")
+        agg = (
+            F.percentile(v, F.lit(p))
+            if exact
+            else F.percentile_approx(v, F.lit(p), F.lit(10000))
+        )
+        # 6-digit truncation: engine-reproducible bounds
+        return F.floor(agg * 1e6) / 1e6
+
+    bounds = [pct(c, lower).alias(f"__lo_{c}__") for c in cols] + [
+        pct(c, upper).alias(f"__hi_{c}__") for c in cols
+    ]
+    if keys:
+        btab = df.groupBy(*keys).agg(*bounds)
+        btab = btab.select(
+            *[F.col(k).alias(f"__wz_{k}__") for k in keys],
+            *[f"__lo_{c}__" for c in cols],
+            *[f"__hi_{c}__" for c in cols],
+        )
+        on = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__wz_{k}__"))
+            on = c if on is None else on & c
+        out = df.join(F.broadcast(btab), on)
+    else:
+        out = df.crossJoin(F.broadcast(df.agg(*bounds)))
+    for c in cols:
+        clamped = F.least(
+            F.greatest(F.col(c).cast("double"), F.col(f"__lo_{c}__")),
+            F.col(f"__hi_{c}__"),
+        )
+        out = out.withColumn(c + suffix if suffix else c, clamped)
+    return out.drop(
+        *[f"__wz_{k}__" for k in keys],
+        *[f"__lo_{c}__" for c in cols],
+        *[f"__hi_{c}__" for c in cols],
+    )
+
+
 def quality_gate_step(checks: list[Check], group_by: list[str] | None = None):
     """Phase-step form of :func:`fail_on_violation`: drop it into a
     ``Phase.steps`` list and the pipeline stops at this step (standard

@@ -138,6 +138,107 @@ def stratified_sample_by_hash(
     return df.filter(hash_bucket(F.col(key_col)) < threshold)
 
 
+def token_budget_select(
+    df: DataFrame,
+    key_col: str,
+    len_col: str,
+    group_col: str,
+    budgets: dict | int,
+    default_budget: int | None = None,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Assemble a training mix by TOKEN BUDGET: per group (language,
+    domain, source…), keep documents — in a deterministic pseudo-random
+    order — until the group's token budget is reached.
+
+    The selection rule: order each group's docs by
+    ``(hash_bucket(key, buckets), md5(key), key)`` and keep a doc iff its
+    *exclusive* running total of ``len_col`` is still below the group's
+    budget — so the doc that crosses the budget line is the last one
+    kept, and the kept total overshoots by less than one document.
+    Adding new docs to the corpus can displace old ones only within the
+    ordering (the order itself is stable per key).
+
+    ``budgets`` maps group value → token budget (or a single int applied
+    to every group).  Groups absent from the mapping use
+    ``default_budget``; with ``default_budget=None`` they are dropped —
+    an explicit mix lists what it wants.
+
+    Scale: the naive form is one window per group — which puts every
+    group in ONE sort task (a 10 TB language = one executor).  Instead
+    this runs two levels: a tiny per-(group, bucket) length aggregate
+    (``G × buckets`` rows, map-side combined) finds each bucket's start
+    offset; buckets wholly inside the budget are kept with a pure
+    filter, buckets wholly past it are dropped, and only the ONE
+    straddling bucket per group (~1/buckets of the group) pays a fine
+    window.  Equivalent to the single-window form on the same total
+    order, verified property-style in tests.
+    """
+    from pyspark.sql import Window
+
+    if isinstance(budgets, dict):
+        budget_expr = None
+        for name, b in budgets.items():
+            cond = F.col(group_col).eqNullSafe(F.lit(name))
+            budget_expr = (
+                F.when(cond, int(b))
+                if budget_expr is None
+                else budget_expr.when(cond, int(b))
+            )
+        if budget_expr is None:
+            budget_expr = F.lit(default_budget)
+        elif default_budget is not None:
+            budget_expr = budget_expr.otherwise(int(default_budget))
+    else:
+        budget_expr = F.lit(int(budgets))
+    BKT, START, BSUM, BUD = "__tb_bkt__", "__tb_start__", "__tb_sum__", "__tb_budget__"
+    key = F.col(key_col)
+    with_bkt = df.withColumn(BKT, hash_bucket(key, buckets)).withColumn(
+        BUD, budget_expr.cast("long")
+    )
+    coarse = (
+        with_bkt.filter(F.col(BUD).isNotNull())
+        .groupBy(group_col, BKT)
+        .agg(F.sum(F.col(len_col).cast("long")).alias(BSUM))
+    )
+    cw = (
+        Window.partitionBy(group_col)
+        .orderBy(BKT)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    coarse = coarse.withColumn(
+        START, F.coalesce(F.sum(BSUM).over(cw), F.lit(0).cast("long"))
+    ).select(
+        F.col(group_col).alias("__tb_group__"),
+        F.col(BKT).alias("__tb_cbkt__"),
+        START,
+        BSUM,
+    )
+    joined = with_bkt.filter(F.col(BUD).isNotNull()).join(
+        F.broadcast(coarse),
+        F.col(group_col).eqNullSafe(F.col("__tb_group__"))
+        & (F.col(BKT) == F.col("__tb_cbkt__")),
+    )
+    end = F.col(START) + F.col(BSUM)
+    full = joined.filter(end <= F.col(BUD))
+    straddle = joined.filter((F.col(START) < F.col(BUD)) & (end > F.col(BUD)))
+    fw = (
+        Window.partitionBy(group_col, BKT)
+        .orderBy(F.md5(key.cast("string")), key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fine_start = F.col(START) + F.coalesce(
+        F.sum(F.col(len_col).cast("long")).over(fw), F.lit(0).cast("long")
+    )
+    picked = (
+        straddle.withColumn("__tb_fstart__", fine_start)
+        .filter(F.col("__tb_fstart__") < F.col(BUD))
+        .drop("__tb_fstart__")
+    )
+    drop_cols = [BKT, BUD, "__tb_group__", "__tb_cbkt__", START, BSUM]
+    return full.unionByName(picked).drop(*drop_cols)
+
+
 def temperature_resample(
     df: DataFrame,
     key_col: str,

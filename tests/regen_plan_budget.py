@@ -41,6 +41,7 @@ SKIP = {
     "bucketed_checkpoint_agg",
     "dedup_minhash_clusters",   # iterative: executes during construction
     "dedup_incremental_minhash",  # materializes candidate caches eagerly
+    "dedup_best_of_cluster",    # iterative: connected components inside
 }
 
 

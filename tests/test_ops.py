@@ -1172,3 +1172,137 @@ def test_quality_gate_step_in_phase(spark):
     )
     with _pytest.raises(PhaserError, match="in_range"):
         bad_phase.run(df)
+
+
+# --- token budget mix ----------------------------------------------------
+
+
+def _naive_budget_select(rows, budgets, default_budget, buckets=1024):
+    """Single-order reference: sort each group by (bucket, md5, key),
+    keep while exclusive cumsum < budget."""
+    import hashlib
+
+    def bkt(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % buckets
+
+    def md5(k):
+        return hashlib.md5(str(k).encode()).hexdigest()
+
+    by_group = {}
+    for k, n, g in rows:
+        by_group.setdefault(g, []).append((k, n))
+    keep = set()
+    for g, docs in by_group.items():
+        b = budgets.get(g, default_budget)
+        if b is None:
+            continue
+        run = 0
+        for k, n in sorted(docs, key=lambda d: (bkt(d[0]), md5(d[0]), d[0])):
+            if run < b:
+                keep.add(k)
+            run += n
+    return keep
+
+
+def test_token_budget_select_matches_naive(spark):
+    from phaser_spark.ops import sampling
+
+    rows = [(f"doc{i}", (i * 37) % 90 + 10, ["en", "fr", "de"][i % 3]) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long, lang string")
+    budgets = {"en": 500, "fr": 120, "de": 0}
+    out = sampling.token_budget_select(
+        df, "doc_id", "n_tokens", "lang", budgets, buckets=8
+    )
+    got = {r.doc_id for r in out.collect()}
+    assert got == _naive_budget_select(rows, budgets, None, buckets=8)
+    # de budget 0 -> nothing kept from de
+    assert not any(k.startswith("doc") and int(k[3:]) % 3 == 2 for k in got)
+    # overshoot bounded by < one doc: kept en total < 500 + max doc len
+    kept_en = out.filter("lang = 'en'").agg(F.sum("n_tokens")).first()[0]
+    assert 500 <= kept_en < 500 + 100
+
+
+def test_token_budget_select_default_and_scalar(spark):
+    from phaser_spark.ops import sampling
+
+    rows = [(f"d{i}", 10, "g" + str(i % 2)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long, lang string")
+    # groups without a budget and no default are dropped entirely
+    out = sampling.token_budget_select(df, "doc_id", "n_tokens", "lang", {"g0": 1000})
+    assert {r.lang for r in out.collect()} == {"g0"}
+    assert out.count() == 10  # budget covers everything
+    # scalar budget applies to every group; default_budget fills gaps
+    out2 = sampling.token_budget_select(df, "doc_id", "n_tokens", "lang", 25)
+    counts = {r.lang: r.c for r in out2.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"g0": 3, "g1": 3}  # 10+10 < 25 -> third doc starts at 20 < 25
+
+
+# --- cluster representative / keep-best dedup ----------------------------
+
+
+def test_pick_cluster_representative(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 0.5),
+            (2, "a", 0.9),
+            (3, "a", 0.9),   # tie with 2 -> greater id wins
+            (4, "b", 0.1),
+            (5, None, 0.2),  # null cluster is its own group
+        ],
+        "id long, cluster string, score double",
+    )
+    out = dedup.pick_cluster_representative(df, "cluster", "score", "id")
+    assert {r.id for r in out.collect()} == {3, 4, 5}
+
+
+def test_minhash_dedup_keep_best(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today", 0.2),
+        (2, "the quick brown fox jumps over the lazy dog today", 0.8),  # dup of 1, better
+        (3, "completely different content about spark engines here", 0.5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, quality double")
+    out = dedup.minhash_dedup_keep_best(df, "doc_id", "text", "quality", threshold=0.8)
+    assert {r.doc_id for r in out.collect()} == {2, 3}
+    assert set(out.columns) == {"doc_id", "text", "quality"}
+
+
+# --- winsorize -----------------------------------------------------------
+
+
+def test_winsorize_global_and_grouped(spark):
+    from phaser_spark.ops import quality as Q
+
+    vals = [float(v) for v in range(1, 100)] + [10_000.0]  # one huge outlier
+    df = spark.createDataFrame([(i, v, "g") for i, v in enumerate(vals)],
+                               "id long, v double, g string")
+    out = Q.winsorize(df, "v", lower=0.01, upper=0.99)
+    got = {r.id: r.v for r in out.collect()}
+    assert max(got.values()) < 10_000.0           # outlier clamped
+    assert got[0] > 1.0                           # low tail clamped up
+    assert got[50] == vals[50]                    # middle untouched
+    assert out.count() == 100
+
+    # grouped: each group clamps to its own bounds
+    df2 = spark.createDataFrame(
+        [(1, 1.0, "a"), (2, 2.0, "a"), (3, 3.0, "a"), (4, 1000.0, "a"),
+         (5, 5.0, "b"), (6, 6.0, "b")],
+        "id long, v double, g string",
+    )
+    out2 = Q.winsorize(df2, "v", lower=0.0, upper=0.5, group_by=["g"], suffix="_w")
+    got2 = {r.id: r.v_w for r in out2.collect()}
+    # group a median of (1,2,3,1000) = 2.5 -> 1000 clamps to 2.5
+    assert got2[4] == 2.5 and got2[1] == 1.0
+    assert got2[6] == 5.5  # group b upper = median(5,6)
+    assert "v" in out2.columns  # originals preserved with suffix
+
+
+def test_winsorize_validation(spark):
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops import quality as Q
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(PhaserError):
+        Q.winsorize(df, [], 0.1, 0.9)
+    with pytest.raises(PhaserError):
+        Q.winsorize(df, "v", 0.9, 0.1)
