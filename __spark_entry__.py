@@ -1767,6 +1767,24 @@ def dedup_best_of_cluster(spark, sf_dir):
     return out.select("doc_id", "n_chars")
 
 
+def repeated_span_scrub(spark, sf_dir):
+    """Cross-document repeated-span removal
+    (``ops.cleaning.remove_repeated_spans`` — the ExactSubstr rule of
+    Lee et al. 2022 at word granularity): any 8-word n-gram occurring in
+    ≥2 distinct documents is cut from every document containing it,
+    keeping each document's unique remainder.  One linear n-gram
+    explode, one exact doc-frequency aggregate, one hot-sliver join —
+    no all-pairs stage, no global sort.  The oracle recomputes the
+    identical rebuilt texts in SQL."""
+    from phaser_spark.ops.cleaning import remove_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_repeated_spans(
+        docs.select("doc_id", "text"), n=8, min_doc_freq=2
+    )
+    return out.select("doc_id", "text", "n_words_removed")
+
+
 def winsorize_prices(spark, sf_dir):
     """Per-group outlier clamping (``ops.quality.winsorize``): every
     lineitem price clipped into its returnflag group's exact
@@ -1896,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": token_budget_mix,
         "dedup_best_of_cluster": dedup_best_of_cluster,
         "winsorize_prices": winsorize_prices,
+        "repeated_span_scrub": repeated_span_scrub,
     }
 
 
@@ -3069,6 +3088,37 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """
         ),
+        "repeated_span_scrub": """
+            WITH w AS (
+                SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ow
+                FROM documents
+            ), nw AS (
+                SELECT doc_id, ow,
+                       list_transform(ow, x -> regexp_replace(lower(x), '[^a-z0-9]', '', 'g')) AS nv
+                FROM w
+            ), grams AS (
+                SELECT doc_id, i AS pos, array_to_string(nv[i:i+7], ' ') AS g
+                FROM nw, UNNEST(generate_series(1, len(nv) - 7)) AS t(i)
+                WHERE len(nv) >= 8
+            ), hot AS (
+                SELECT g FROM (SELECT DISTINCT g, doc_id FROM grams)
+                GROUP BY g HAVING COUNT(*) >= 2
+            ), cov AS (
+                SELECT doc_id,
+                       list_distinct(flatten(list(generate_series(pos, pos + 7)))) AS covered
+                FROM grams JOIN hot USING (g) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN w.ow IS NULL THEN NULL
+                        ELSE COALESCE(array_to_string(
+                            list_filter(w.ow, (x, i) ->
+                                NOT list_contains(COALESCE(c.covered, CAST([] AS BIGINT[])), i)),
+                            ' '), '') END AS text,
+                   CAST(len(COALESCE(c.covered, CAST([] AS BIGINT[]))) AS BIGINT) AS n_words_removed
+            FROM documents d
+            JOIN w ON w.doc_id = d.doc_id
+            LEFT JOIN cov c ON c.doc_id = d.doc_id
+        """,
         "winsorize_prices": """
             WITH bounds AS (
                 SELECT l_returnflag,

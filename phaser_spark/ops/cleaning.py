@@ -102,6 +102,98 @@ def remove_boilerplate_lines(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span removal (the ExactSubstr rule of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", adapted to word granularity): any word ``n``-gram occurring
+    in ``min_doc_freq`` or more distinct documents marks its ``n`` words
+    as repeated in EVERY document containing it; marked words are cut and
+    each document reassembled from its surviving words.  Unlike whole-doc
+    dedup this removes the duplicated PASSAGE (quoted licenses, templated
+    paragraphs, syndicated intros) while keeping each document's unique
+    remainder.
+
+    Matching is on per-word normalized forms (lowercase, alphanumerics
+    only) so punctuation/case variants of the same passage co-match, but
+    the CUT applies to the original words — per-word normalization keeps
+    indexes aligned with the raw token stream.  The rebuilt text is the
+    surviving original words joined by single spaces (original
+    whitespace is not preserved).
+
+    Returns the input columns with ``text_col`` rebuilt, plus
+    ``n_words_removed``.
+
+    Scale: one explode of n× word count (linear, no all-pairs), one
+    exact distinct-doc-frequency aggregate shuffled on the gram (partial
+    aggs combine map-side; cardinality grows with the corpus so the key
+    space spreads), one join back of the hot-gram sliver, and a per-doc
+    ``collect_set`` of start positions (bounded by the doc's own
+    length).  Never a global sort, never a driver collect.
+    """
+    words_raw = F.split(F.col(text_col), r"\s+")
+    norm = F.transform(
+        words_raw, lambda w: F.regexp_replace(F.lower(w), "[^a-z0-9]", "")
+    )
+    sz = F.size(norm)
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - n + 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(F.slice(norm, i, n), " ").alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+    exploded = df.select(
+        F.col(id_col).alias("__rs_id"), F.explode(grams).alias("e")
+    ).select("__rs_id", "e.pos", "e.g")
+    # exact distinct-doc frequency (approx would break oracle checking)
+    hot = (
+        exploded.select("g", "__rs_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= F.lit(min_doc_freq))
+        .select("g")
+    )
+    covered = (
+        exploded.join(hot, "g")
+        .groupBy("__rs_id")
+        .agg(F.collect_set("pos").alias("__rs_starts"))
+        .select(
+            "__rs_id",
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.col("__rs_starts"),
+                        lambda p: F.sequence(p, p + n - 1),
+                    )
+                )
+            ).alias("__rs_covered"),
+        )
+    )
+    joined = df.join(covered, df[id_col] == covered["__rs_id"], "left")
+    cov = F.coalesce(F.col("__rs_covered"), F.array().cast("array<int>"))
+    # F.filter's index is 0-based; covered positions are 1-based
+    kept = F.filter(
+        words_raw, lambda w, i: ~F.array_contains(cov, (i + 1).cast("int"))
+    )
+    out_cols = [
+        (F.array_join(kept, " ").alias(text_col) if c == text_col else F.col(c))
+        for c in df.columns
+    ]
+    return joined.select(
+        *out_cols, F.size(cov).cast("long").alias("n_words_removed")
+    )
+
+
 def _shingles(text_col: SparkCol, n: int) -> SparkCol:
     words = F.split(normalize_text(text_col), " ")
     return F.when(

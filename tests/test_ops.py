@@ -1306,3 +1306,42 @@ def test_winsorize_validation(spark):
         Q.winsorize(df, [], 0.1, 0.9)
     with pytest.raises(PhaserError):
         Q.winsorize(df, "v", 0.9, 0.1)
+
+
+# --- repeated-span removal (ExactSubstr-style) ---------------------------
+
+
+def test_remove_repeated_spans(spark):
+    from phaser_spark.ops import cleaning
+
+    shared = "one two three four five six seven eight"  # 8-word shared span
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"{shared} epsilon zeta eta theta"),
+        (3, "totally unique words nothing repeated here at all"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cleaning.remove_repeated_spans(df, n=8, min_doc_freq=2)
+    got = {r.doc_id: (r.text, r.n_words_removed) for r in out.collect()}
+    assert got[1] == ("alpha beta gamma delta", 8)
+    assert got[2] == ("epsilon zeta eta theta", 8)
+    assert got[3] == ("totally unique words nothing repeated here at all", 0)
+    assert got[4] == ("", 0)
+
+
+def test_remove_repeated_spans_overlapping_and_case(spark):
+    from phaser_spark.ops import cleaning
+
+    # 9 shared words -> two overlapping hot 8-grams covering all 9; doc 2
+    # differs only in case/punctuation (normalized match, original cut)
+    span = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    rows = [
+        (1, f"{span} tail1"),
+        (2, f"{span.upper().replace(' ', ', ')} tail2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cleaning.remove_repeated_spans(df, n=8, min_doc_freq=2)
+    got = {r.doc_id: (r.text, r.n_words_removed) for r in out.collect()}
+    assert got[1] == ("tail1", 9)
+    assert got[2] == ("tail2", 9)
