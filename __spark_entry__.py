@@ -1785,6 +1785,26 @@ def repeated_span_scrub(spark, sf_dir):
     return out.select("doc_id", "text", "n_words_removed")
 
 
+def semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup (``ops.dedup.semantic_dedup``, Abbas et al. 2023):
+    coarse-quantize embeddings into 16 deterministic medoid cells
+    (Catalyst-literal assignment, no Python), compare cosines only
+    within a cell, and drop every vector with a lower-id near-dup at
+    cos ≥ 0.3.  Pair work is Σ|cell|² — bounded by cell granularity,
+    never all-pairs — and the whole computation (cells, ordered double
+    folds, 6-digit truncation) replays bit-identically in the SQL
+    oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(
+        emb.select("vec_id", "embedding"),
+        "vec_id",
+        "embedding",
+        n_cells=16,
+        threshold=0.3,
+        cell_out="cell",
+    ).select("vec_id", "cell")
+
+
 def winsorize_prices(spark, sf_dir):
     """Per-group outlier clamping (``ops.quality.winsorize``): every
     lineitem price clipped into its returnflag group's exact
@@ -1915,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_best_of_cluster": dedup_best_of_cluster,
         "winsorize_prices": winsorize_prices,
         "repeated_span_scrub": repeated_span_scrub,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
     }
 
 
@@ -3088,6 +3109,39 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """
         ),
+        "semantic_dedup_embeddings": f"""
+            WITH cents AS (
+                SELECT cell, CAST(embedding AS DOUBLE[]) AS cv FROM (
+                    SELECT vec_id, embedding,
+                           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
+                    FROM embeddings
+                ) WHERE cell <= 16
+            ), v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+            ), cd AS (
+                SELECT vec_id, cell, {_sqdist_sql('vv', 'cv')} AS dist
+                FROM v, cents
+            ), assign AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                    FROM cd
+                ) WHERE rn = 1
+            ), pairs AS (
+                SELECT a.vec_id AS ida,
+                       floor(({_dot_sql('va.vv', 'vb.vv')}
+                              / (sqrt({_nsq_sql('va.vv')}) * sqrt({_nsq_sql('vb.vv')})))
+                             * 1000000) / 1000000 AS cos
+                FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+                JOIN v va ON va.vec_id = a.vec_id
+                JOIN v vb ON vb.vec_id = b.vec_id
+            ), dropped AS (
+                SELECT DISTINCT ida FROM pairs WHERE cos >= 0.3
+            )
+            SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell
+            FROM assign a
+            WHERE a.vec_id NOT IN (SELECT ida FROM dropped)
+        """,
         "repeated_span_scrub": """
             WITH w AS (
                 SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ow

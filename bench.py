@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "temperature_rebalance",
     "heavy_hitters_users",
     "bloom_decontaminate",
+    "token_budget_mix",
+    "winsorize_prices",
+    "repeated_span_scrub",
     "streaming_event_window",
     "streaming_session_window",
 ]

@@ -136,24 +136,38 @@ def remove_repeated_spans(
     ``collect_set`` of start positions (bounded by the doc's own
     length).  Never a global sort, never a driver collect.
     """
+    from ..lineage import spread_for_compute
+
     words_raw = F.split(F.col(text_col), r"\s+")
-    norm = F.transform(
-        words_raw, lambda w: F.regexp_replace(F.lower(w), "[^a-z0-9]", "")
+    # stage the normalized word array behind an exchange (CollapseProject
+    # barrier) so the gram lambda below slices a plain ATTRIBUTE — an
+    # inline transform(...) child would be re-evaluated at every gram
+    # position, turning the explode O(words² · regex) (same trap as
+    # dedup.staged_words; measured 8× there, ~20× here at sf0.1)
+    staged = spread_for_compute(
+        df.select(
+            F.col(id_col).alias("__rs_id"),
+            F.transform(
+                words_raw,
+                lambda w: F.regexp_replace(F.lower(w), "[^a-z0-9]", ""),
+            ).alias("__rs_nv"),
+        )
     )
-    sz = F.size(norm)
+    nv = F.col("__rs_nv")
+    sz = F.size(nv)
     grams = F.when(
         sz >= n,
         F.transform(
             F.sequence(F.lit(1), sz - n + 1),
             lambda i: F.struct(
                 i.alias("pos"),
-                F.array_join(F.slice(norm, i, n), " ").alias("g"),
+                F.array_join(F.slice(nv, i, n), " ").alias("g"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
-    exploded = df.select(
-        F.col(id_col).alias("__rs_id"), F.explode(grams).alias("e")
-    ).select("__rs_id", "e.pos", "e.g")
+    exploded = staged.select("__rs_id", F.explode(grams).alias("e")).select(
+        "__rs_id", "e.pos", "e.g"
+    )
     # exact distinct-doc frequency (approx would break oracle checking)
     hot = (
         exploded.select("g", "__rs_id")

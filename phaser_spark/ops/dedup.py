@@ -722,3 +722,81 @@ def embedding_dup_pairs(
     return cand.select("id_a", "id_b", trunc_digits(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    cell_out: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings
+    with a coarse quantizer, compare pairs only WITHIN a cluster, and
+    drop every vector that has a better-ranked semantic near-duplicate
+    (cosine ≥ ``threshold``) in its cluster — smaller id wins, the same
+    keep-min rule as :func:`minhash_dedup`, so the survivor set is
+    deterministic with no connected-components pass (if a < b < c form a
+    chain, b and c both see a lower-id near-dup and only a survives in
+    that chain's cluster).
+
+    ``centroids`` defaults to :func:`similarity.medoid_centroids` —
+    deterministic, engine-reproducible (an external SQL oracle can
+    replay cell assignment exactly).  Pass
+    ``similarity.train_centroids`` output for better-balanced cells.
+
+    Returns the surviving rows of ``df``; with ``cell_out`` the assigned
+    cell id is appended (cast long).
+
+    Scale: cell assignment is a pure Catalyst projection against
+    centroid literals (no Python, no shuffle); the in-cell self-join is
+    an equi-join on the cell id, so pair work is Σ|cell|² — choose
+    ``n_cells`` ∝ corpus size (the IVF rule) to bound it, or use the
+    hyperplane-LSH variant (:func:`embedding_dup_pairs`) whose bucket
+    count grows exponentially with planes.  Never all-pairs across
+    cells."""
+    from .similarity import assign_cells, medoid_centroids
+
+    if centroids is None:
+        centroids = medoid_centroids(df, id_col, vec_col, n_cells)
+    sel = df.select(
+        F.col(id_col).alias("__sd_id"),
+        F.col(vec_col).cast("array<double>").alias("__sd_v"),
+    )
+    cells = assign_cells(sel, centroids, "__sd_v", out_col="__sd_cell")
+    x = cells.select(
+        F.col("__sd_id").alias("ida"),
+        F.col("__sd_v").alias("va"),
+        F.col("__sd_cell").alias("cell"),
+    )
+    y = cells.select(
+        F.col("__sd_id").alias("idb"),
+        F.col("__sd_v").alias("vb"),
+        F.col("__sd_cell").alias("cell"),
+    )
+    cos = trunc_digits(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+    )
+    dropped = (
+        x.join(y, "cell")
+        .filter(F.col("idb") < F.col("ida"))
+        .withColumn("__sd_cos", cos)
+        .filter(F.col("__sd_cos") >= threshold)
+        .select(F.col("ida").alias(id_col))
+        .distinct()
+    )
+    kept = df.join(dropped, id_col, "left_anti")
+    if cell_out:
+        assigned = assign_cells(
+            kept.withColumn("__sd_v", F.col(vec_col).cast("array<double>")),
+            centroids,
+            "__sd_v",
+            out_col=cell_out,
+        )
+        return assigned.withColumn(cell_out, F.col(cell_out).cast("long")).drop(
+            "__sd_v"
+        )
+    return kept

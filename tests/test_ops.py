@@ -1345,3 +1345,38 @@ def test_remove_repeated_spans_overlapping_and_case(spark):
     got = {r.doc_id: (r.text, r.n_words_removed) for r in out.collect()}
     assert got[1] == ("tail1", 9)
     assert got[2] == ("tail2", 9)
+
+
+# --- semantic dedup (SemDeDup) -------------------------------------------
+
+
+def test_semantic_dedup_drops_in_cell_near_dups(spark):
+    # two tight pairs + two isolated vectors; fixed centroids make the
+    # cells explicit: cell 1 ~ x-axis, cell 2 ~ y-axis
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1 -> dropped (1 < 2)
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.01, 0.999, 0.0]),   # near-dup of 3 -> dropped
+        (5, [0.7, 0.7, 0.1]),      # same cell as 1/2 but not a dup at 0.99
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.semantic_dedup(
+        df, centroids=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], threshold=0.99,
+        cell_out="cell",
+    )
+    got = {r.vec_id: r.cell for r in out.collect()}
+    assert set(got) == {1, 3, 5}
+    assert got[1] == 1 and got[3] == 2
+
+
+def test_semantic_dedup_chain_keeps_only_min(spark):
+    # a < b < c chain: b dups a, c dups b (and a) -> only a survives
+    rows = [
+        (10, [1.0, 0.0]),
+        (11, [0.9999, 0.0001]),
+        (12, [0.9998, 0.0002]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.semantic_dedup(df, centroids=[[1.0, 0.0]], threshold=0.999)
+    assert {r.vec_id for r in out.collect()} == {10}
