@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "token_budget_mix",
     "winsorize_prices",
     "repeated_span_scrub",
+    "semantic_dedup_embeddings",
     "streaming_event_window",
     "streaming_session_window",
 ]

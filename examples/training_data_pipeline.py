@@ -8,11 +8,16 @@ the same Pipeline/Phase API, but that scales to a 100 TB corpus:
      quality score) as pure Catalyst expressions; drop short/low-quality
      and non-English docs with summarized DROPPED_ROW events.
   2. ExactDedup — normalize+hash fingerprint, keep the first copy.
-  3. NearDedup — MinHash+LSH banding; drop every doc whose near-dup
-     cluster keeper is a different doc.
+  3. NearDedup — MinHash+LSH banding + connected components; keep each
+     cluster's BEST doc by quality score.
   4. CurateAndPack — PII redaction, domain blocklist, benchmark
-     decontamination, stratified language rebalancing, and sequence
+     decontamination, repeated-span scrubbing (ExactSubstr), stratified
+     language rebalancing, per-language token budgets, and sequence
      packing into fixed-capacity training bins.
+
+Post-pipeline: bucketed persistence, incremental delta dedup, rollup +
+sketch reporting, skew audit, per-language winsorized quality checks,
+and SemDeDup over the embeddings table.
 
 Run:  python examples/training_data_pipeline.py [sf_dir] [working_dir]
 """
@@ -63,10 +68,12 @@ def drop_exact_dups(df, context=None):
 
 @dataframe_step(check_size=False)
 def drop_near_dups(df, context=None):
-    pairs = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.85)
-    # a doc is dropped if it appears as the larger id of any surviving pair
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    return df.join(losers, "doc_id", "left_anti")
+    # keep the BEST doc of each near-dup cluster by the quality score
+    # computed in QualityFilter (not an arbitrary id winner): drop the
+    # low-quality mirror, keep the clean original
+    return dedup.minhash_dedup_keep_best(
+        df, "doc_id", "text", score_col="quality", threshold=0.85
+    )
 
 
 class QualityFilter(Phase):
@@ -101,10 +108,21 @@ def curate_and_pack(df, context=None):
     # lowest doc_ids play the role of an eval set loaded from elsewhere
     bench = df.filter(F.col("doc_id") < 10).select("doc_id", "text")
     out = cleaning.decontaminate(out, bench, n=8)
-    # rebalance: keep half of English, all of everything else, then pack
-    # into 4096-token training bins per language
+    # cut cross-document repeated passages (quoted licenses, templated
+    # intros) from the redacted text — passage-level, not whole-doc, dedup
+    out = cleaning.remove_repeated_spans(
+        out, "doc_id", "text_clean", n=8, min_doc_freq=2
+    )
+    # rebalance: keep half of English, all of everything else; then fill
+    # per-language TOKEN BUDGETS in deterministic order (unlisted
+    # languages fall back to the default budget), and pack into
+    # 4096-token training bins per language
     out = sampling.stratified_sample_by_hash(
         out, "doc_id", "lang", {"en": 0.5}, default_fraction=1.0
+    )
+    out = sampling.token_budget_select(
+        out, "doc_id", "n_tokens", "lang",
+        budgets={"en": 4000}, default_budget=2500, buckets=64,
     )
     return sampling.pack_sequences(
         out, "n_tokens", 4096, order_col="doc_id", partition_col="lang"
@@ -222,6 +240,34 @@ def main():
     print("top sources:", [(r.source, r.n) for r in top_sources])
     hot = [r.source for r in skew_report(out, ["source"], top=5).collect() if r.hot]
     print(f"skew check on 'source': {len(hot)} hot key(s) {hot or ''}")
+
+    # per-language quality audit on the CURATED corpus: winsorize the
+    # token counts (a 10⁹-token "document" stops dominating the means)
+    # and verify every language slice passes the suite — a bad slice a
+    # whole-corpus average would hide
+    wz = Q.winsorize(out, ["n_tokens"], 0.01, 0.99, group_by=["lang"])
+    bad = [
+        (r.lang, r.check, r.metric)
+        for r in Q.run_checks(
+            wz,
+            [Q.completeness("text_clean"), Q.row_count(at_least=1)],
+            group_by=["lang"],
+        ).collect()
+        if not r.passed
+    ]
+    print(f"per-language quality audit: {len(bad)} failing check(s) {bad or ''}")
+
+    # --- semantic dedup over the embedding table (SemDeDup) ------------
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(emb_path):
+        emb = spark.read.parquet(emb_path)
+        kept = dedup.semantic_dedup(
+            emb, "vec_id", "embedding", n_cells=16, threshold=0.3
+        )
+        print(
+            f"semantic dedup: {emb.count()} embeddings -> {kept.count()} "
+            "after dropping within-cell semantic near-dups"
+        )
 
 
 if __name__ == "__main__":

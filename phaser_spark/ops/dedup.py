@@ -785,18 +785,22 @@ def semantic_dedup(
         .filter(F.col("idb") < F.col("ida"))
         .withColumn("__sd_cos", cos)
         .filter(F.col("__sd_cos") >= threshold)
-        .select(F.col("ida").alias(id_col))
+        .select(F.col("ida").alias("__sd_id"))
         .distinct()
     )
-    kept = df.join(dropped, id_col, "left_anti")
+    # reuse the single cell assignment for the output instead of
+    # re-assigning survivors — the 1024-literal centroid expression tree
+    # is the dominant (constant) analysis cost of this plan; one copy
+    # per consumer, not two
+    survivors = cells.select("__sd_id", "__sd_cell").join(
+        dropped, "__sd_id", "left_anti"
+    )
     if cell_out:
-        assigned = assign_cells(
-            kept.withColumn("__sd_v", F.col(vec_col).cast("array<double>")),
-            centroids,
-            "__sd_v",
-            out_col=cell_out,
+        keyed = survivors.select(
+            F.col("__sd_id").alias(id_col),
+            F.col("__sd_cell").cast("long").alias(cell_out),
         )
-        return assigned.withColumn(cell_out, F.col(cell_out).cast("long")).drop(
-            "__sd_v"
-        )
-    return kept
+        return df.join(keyed, id_col)
+    return df.join(
+        survivors.select(F.col("__sd_id").alias(id_col)), id_col, "left_semi"
+    )
