@@ -1380,3 +1380,20 @@ def test_semantic_dedup_chain_keeps_only_min(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = dedup.semantic_dedup(df, centroids=[[1.0, 0.0]], threshold=0.999)
     assert {r.vec_id for r in out.collect()} == {10}
+
+
+def test_winsorize_approx_bounds(spark):
+    # exact=False switches to percentile_approx: bounds are actual data
+    # values (the sketch does not interpolate), so the outlier clamps to
+    # the highest in-range observation rather than an interpolated bound
+    from phaser_spark.ops import quality as Q
+
+    vals = [float(v) for v in range(1, 100)] + [10_000.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    approx = {r.id: r.v for r in Q.winsorize(df, "v", 0.01, 0.99, exact=False).collect()}
+    assert approx[99] == 99.0        # outlier clamped to the p99 data value
+    assert approx[0] == 1.0          # p01 data value on this input is 1.0
+    assert approx[50] == vals[50]    # middle untouched
+    assert len(approx) == 100

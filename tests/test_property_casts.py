@@ -292,3 +292,68 @@ def test_bloom_joins_equal_plain_joins(spark, big, keys):
         (r.k, r.idx) for r in big_df.join(keys_df, "k", "left_anti").collect()
     )
     assert anti == want_anti
+
+
+# --- token-budget selection equals the single-order naive form -----------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 500),          # doc key (dups collapse below)
+            st.integers(1, 200),          # length
+            st.sampled_from(["en", "fr", None]),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    b_en=st.integers(0, 3000),
+    b_fr=st.one_of(st.none(), st.integers(0, 3000)),
+    default=st.one_of(st.none(), st.integers(0, 3000)),
+    buckets=st.sampled_from([1, 4, 16]),
+)
+def test_token_budget_select_property(spark, docs, b_en, b_fr, default, buckets):
+    """For ANY corpus, budgets, and bucket count, the two-level bucketed
+    selection must keep EXACTLY the docs the naive single-window rule
+    keeps: order each group by (md5-bucket, md5(key), key), keep while
+    the exclusive running total is below the group's budget.  NULL group
+    is a real group served by default_budget."""
+    import hashlib
+
+    from phaser_spark.ops.sampling import token_budget_select
+
+    rows = {k: (n, g) for k, n, g in docs}  # unique keys
+    data = [(f"k{k}", n, g) for k, (n, g) in rows.items()]
+    budgets = {"en": b_en}
+    if b_fr is not None:
+        budgets["fr"] = b_fr
+    df = spark.createDataFrame(data, "doc_id string, n long, lang string")
+    got = {
+        r.doc_id
+        for r in token_budget_select(
+            df, "doc_id", "n", "lang", budgets, default_budget=default,
+            buckets=buckets,
+        ).collect()
+    }
+
+    def bkt(k):
+        return int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % buckets
+
+    def h(k):
+        return hashlib.md5(k.encode()).hexdigest()
+
+    by_group = {}
+    for k, n, g in data:
+        by_group.setdefault(g, []).append((k, n))
+    want = set()
+    for g, ds in by_group.items():
+        bud = budgets.get(g, default) if g is not None else default
+        if bud is None:
+            continue
+        run = 0
+        for k, n in sorted(ds, key=lambda d: (bkt(d[0]), h(d[0]), d[0])):
+            if run < bud:
+                want.add(k)
+            run += n
+    assert got == want
