@@ -1805,6 +1805,22 @@ def semantic_dedup_embeddings(spark, sf_dir):
     ).select("vec_id", "cell")
 
 
+def profile_orders(spark, sf_dir):
+    """One-pass column profiler (``ops.profile.profile``): null counts,
+    exact distincts, min/max, and decimal-exact means for five orders
+    columns — ALL from one aggregation over one scan (ten columns
+    profiled is one job, not ten).  Means accumulate in decimal(38,8)
+    so the value is independent of partitioning/sum order and the
+    oracle recomputes it bit-identically."""
+    from phaser_spark.ops.profile import profile
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    )
+
+
 def winsorize_prices(spark, sf_dir):
     """Per-group outlier clamping (``ops.quality.winsorize``): every
     lineitem price clipped into its returnflag group's exact
@@ -1936,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_prices": winsorize_prices,
         "repeated_span_scrub": repeated_span_scrub,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "profile_orders": profile_orders,
     }
 
 
@@ -3172,6 +3189,73 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN w ON w.doc_id = d.doc_id
             LEFT JOIN cov c ON c.doc_id = d.doc_id
+        """,
+        "profile_orders": """
+            SELECT 0 AS ord, 'o_orderkey' AS "column", 'n_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM orders
+            UNION ALL
+            SELECT 1, 'o_orderkey', 'n_nulls', CAST(COUNT(*) - COUNT(o_orderkey) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 2, 'o_orderkey', 'null_ratio', CAST(COUNT(*) - COUNT(o_orderkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 3, 'o_orderkey', 'n_distinct', CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 4, 'o_orderkey', 'min', CAST(MIN(o_orderkey) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 5, 'o_orderkey', 'max', CAST(MAX(o_orderkey) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 6, 'o_orderkey', 'mean', CAST(SUM(CAST(o_orderkey AS DECIMAL(38,8))) AS DOUBLE) / CAST(COUNT(o_orderkey) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 100 AS ord, 'o_custkey' AS "column", 'n_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM orders
+            UNION ALL
+            SELECT 101, 'o_custkey', 'n_nulls', CAST(COUNT(*) - COUNT(o_custkey) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 102, 'o_custkey', 'null_ratio', CAST(COUNT(*) - COUNT(o_custkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 103, 'o_custkey', 'n_distinct', CAST(COUNT(DISTINCT o_custkey) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 104, 'o_custkey', 'min', CAST(MIN(o_custkey) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 105, 'o_custkey', 'max', CAST(MAX(o_custkey) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 106, 'o_custkey', 'mean', CAST(SUM(CAST(o_custkey AS DECIMAL(38,8))) AS DOUBLE) / CAST(COUNT(o_custkey) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 200 AS ord, 'o_orderstatus' AS "column", 'n_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM orders
+            UNION ALL
+            SELECT 201, 'o_orderstatus', 'n_nulls', CAST(COUNT(*) - COUNT(o_orderstatus) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 202, 'o_orderstatus', 'null_ratio', CAST(COUNT(*) - COUNT(o_orderstatus) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 203, 'o_orderstatus', 'n_distinct', CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 204, 'o_orderstatus', 'min', NULL, CAST(MIN(o_orderstatus) AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 205, 'o_orderstatus', 'max', NULL, CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 300 AS ord, 'o_totalprice' AS "column", 'n_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM orders
+            UNION ALL
+            SELECT 301, 'o_totalprice', 'n_nulls', CAST(COUNT(*) - COUNT(o_totalprice) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 302, 'o_totalprice', 'null_ratio', CAST(COUNT(*) - COUNT(o_totalprice) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 303, 'o_totalprice', 'n_distinct', CAST(COUNT(DISTINCT o_totalprice) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 304, 'o_totalprice', 'min', CAST(MIN(o_totalprice) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 305, 'o_totalprice', 'max', CAST(MAX(o_totalprice) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 306, 'o_totalprice', 'mean', CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) / CAST(COUNT(o_totalprice) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 400 AS ord, 'o_orderdate' AS "column", 'n_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM orders
+            UNION ALL
+            SELECT 401, 'o_orderdate', 'n_nulls', CAST(COUNT(*) - COUNT(o_orderdate) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 402, 'o_orderdate', 'null_ratio', CAST(COUNT(*) - COUNT(o_orderdate) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 403, 'o_orderdate', 'n_distinct', CAST(COUNT(DISTINCT o_orderdate) AS DOUBLE), NULL FROM orders
+            UNION ALL
+            SELECT 404, 'o_orderdate', 'min', NULL, CAST(MIN(o_orderdate) AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 405, 'o_orderdate', 'max', NULL, CAST(MAX(o_orderdate) AS VARCHAR) FROM orders
         """,
         "winsorize_prices": """
             WITH bounds AS (

@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     graph,
     multimodal,
     pii,
+    profile,
     quality,
     relational,
     sampling,

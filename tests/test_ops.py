@@ -1397,3 +1397,54 @@ def test_winsorize_approx_bounds(spark):
     assert approx[0] == 1.0          # p01 data value on this input is 1.0
     assert approx[50] == vals[50]    # middle untouched
     assert len(approx) == 100
+
+
+# --- one-pass column profiler --------------------------------------------
+
+
+def test_profile_shapes_and_values(spark):
+    import datetime
+
+    from phaser_spark.ops import profile as P
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "a", True, datetime.date(2024, 1, 1)),
+            (2, 20.0, "b", False, datetime.date(2024, 6, 1)),
+            (3, None, "a", True, None),
+        ],
+        "id long, v double, s string, flag boolean, d date",
+    )
+    rows = P.profile(df).collect()
+    got = {(r.column, r.metric): (r.value_num, r.value_str) for r in rows}
+    assert got[("id", "n_rows")] == (3.0, None)
+    assert got[("v", "n_nulls")] == (1.0, None)
+    assert abs(got[("v", "null_ratio")][0] - 1 / 3) < 1e-12
+    assert got[("v", "n_distinct")] == (2.0, None)
+    assert got[("v", "mean")] == (15.0, None)
+    assert got[("s", "min")] == (None, "a")
+    assert got[("s", "max")] == (None, "b")
+    assert got[("flag", "n_true")] == (2.0, None)
+    assert got[("d", "min")] == (None, "2024-01-01")
+    # ordering is deterministic: by declaration, column-major
+    ords = [r.ord for r in rows]
+    assert ords == sorted(ords)
+    # ONE aggregation pass over one scan, no Python on the row path
+    from phaser_spark.plan import plan_summary
+
+    s = plan_summary(P.profile(df, ["id", "v", "s"]))
+    assert s["python_evals"] == 0
+
+
+def test_profile_validation_and_approx(spark):
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops import profile as P
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(PhaserError):
+        P.profile(df, ["nope"])
+    rows = P.profile(df, approx_distinct=True).collect()
+    got = {(r.column, r.metric): r.value_num for r in rows}
+    assert got[("id", "n_distinct")] == 1.0
