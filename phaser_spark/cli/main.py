@@ -211,12 +211,45 @@ def cmd_compact(argv: list[str]) -> int:
     return 0
 
 
+def cmd_profile(argv: list[str]) -> int:
+    """Profile a table in one aggregation pass (engine addition — see
+    ops.profile.profile): null counts, exact distincts, min/max,
+    decimal-exact means per column, printed long-form."""
+    parser = argparse.ArgumentParser(prog="phaser_spark profile")
+    parser.add_argument("path", help="parquet/CSV/JSON table to profile")
+    parser.add_argument(
+        "--columns", default="", help="comma-separated subset (default: all)"
+    )
+    parser.add_argument(
+        "--approx-distinct",
+        action="store_true",
+        help="HLL distinct counts instead of exact (the huge-table setting)",
+    )
+    parser.add_argument("--master", default=None)
+    args = parser.parse_args(argv)
+
+    from ..io import load_any
+    from ..ops.profile import profile
+    from ..session import get_spark
+
+    spark = get_spark(master=args.master)
+    df = load_any(spark, args.path, None)
+    cols = [c for c in args.columns.split(",") if c] or None
+    rows = profile(df, cols, approx_distinct=args.approx_distinct).collect()
+    width = max(len(r.column) for r in rows)
+    for r in rows:
+        val = r.value_str if r.value_str is not None else r.value_num
+        print(f"{r.column:<{width}}  {r.metric:<12} {val}")
+    return 0
+
+
 COMMANDS = {
     "run": cmd_run,
     "diff": cmd_diff,
     "describe": cmd_describe,
     "debug": cmd_debug,
     "compact": cmd_compact,
+    "profile": cmd_profile,
 }
 
 

@@ -74,3 +74,22 @@ def test_cli_compact(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "compacted" in out and "500 rows" in out
     assert spark.read.parquet(path).count() == 500
+
+
+def test_cli_profile(spark, tmp_path, capsys):
+    import os
+
+    from phaser_spark.cli.main import main
+
+    path = os.path.join(str(tmp_path), "t.parquet")
+    spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y")], "id long, s string"
+    ).write.parquet(path)
+    rc = main(["profile", path])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "n_rows" in out and "n_distinct" in out
+    rc = main(["profile", path, "--columns", "s", "--approx-distinct"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "id" not in out.split() and "null_ratio" in out
