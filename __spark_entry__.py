@@ -1805,6 +1805,26 @@ def semantic_dedup_embeddings(spark, sf_dir):
     ).select("vec_id", "cell")
 
 
+def kmeans_embedding_cells(spark, sf_dir):
+    """Fully distributed Lloyd's k-means (``ops.similarity.kmeans_fit``,
+    k=8, 2 rounds): per round, assignment is a Catalyst projection
+    against centroid literals and the update is per-(cell, dim)
+    decimal-exact means (posexplode, map-side combine) — only the 8
+    centroid vectors visit the driver each round, never the corpus.
+    The oracle replays BOTH unrolled rounds (medoid init, ordered-fold
+    distances, decimal means, empty-cell carry-over) and checks the
+    final per-vector assignment."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+    out = similarity.assign_cells(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        cents,
+        "v",
+        out_col="cell",
+    )
+    return out.select("vec_id", F.col("cell").cast("long").alias("cell"))
+
+
 def profile_orders(spark, sf_dir):
     """One-pass column profiler (``ops.profile.profile``): null counts,
     exact distincts, min/max, and decimal-exact means for five orders
@@ -1953,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_span_scrub": repeated_span_scrub,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "profile_orders": profile_orders,
+        "kmeans_embedding_cells": kmeans_embedding_cells,
     }
 
 
@@ -2020,6 +2041,48 @@ JOIN sizes sa ON sa.doc_id = p.id_a
 JOIN sizes sb ON sb.doc_id = p.id_b
 WHERE floor(CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) * 1000000) / 1000000 >= {threshold}
 """
+
+
+def _kmeans_unrolled_sql(k: int, iters: int, dim: int) -> str:
+    """Unrolled Lloyd's iterations in SQL mirroring similarity.kmeans_fit:
+    medoid init, first-min argmin assignment (ordered double-fold
+    distances), per-(cell, dim) decimal(28,12) means, empty-cell
+    carry-over — one CTE pair per round."""
+    parts = [
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings)",
+        f"""c0 AS (
+            SELECT cell, CAST(embedding AS DOUBLE[]) AS cv FROM (
+                SELECT vec_id, embedding,
+                       row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
+                FROM embeddings
+            ) WHERE cell <= {k})""",
+    ]
+    for r in range(iters):
+        parts.append(f"""a{r} AS (
+            SELECT vec_id, cell FROM (
+                SELECT v.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_sqdist_sql('v.vv', 'c.cv')}, c.cell) AS rn
+                FROM v, c{r} c
+            ) WHERE rn = 1)""")
+        parts.append(f"""m{r + 1} AS (
+            SELECT a.cell, i AS pos,
+                   CAST(SUM(CAST(v.vv[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mv
+            FROM a{r} a JOIN v USING (vec_id), UNNEST(generate_series(1, {dim})) AS t(i)
+            GROUP BY a.cell, i)""")
+        parts.append(f"""c{r + 1} AS (
+            SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
+            FROM c{r} p LEFT JOIN (
+                SELECT cell, list(mv ORDER BY pos) AS cv FROM m{r + 1} GROUP BY cell
+            ) u ON u.cell = p.cell)""")
+    final = f"""
+            SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
+                SELECT v.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_sqdist_sql('v.vv', 'c.cv')}, c.cell) AS rn
+                FROM v, c{iters} c
+            ) WHERE rn = 1"""
+    return ",\n".join(parts) + final
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3190,6 +3253,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN w ON w.doc_id = d.doc_id
             LEFT JOIN cov c ON c.doc_id = d.doc_id
         """,
+        "kmeans_embedding_cells": _kmeans_unrolled_sql(8, 2, 64),
         "profile_orders": """
             SELECT 0 AS ord, 'o_orderkey' AS "column", 'n_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM orders
             UNION ALL

@@ -354,3 +354,47 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 4,
+    init_centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Fully distributed Lloyd's k-means over the WHOLE corpus (contrast
+    :func:`train_centroids`, which trains on a driver-side sample —
+    right when a few thousand vectors approximate the distribution;
+    this is right when you need the exact corpus-wide fixpoint of each
+    round, e.g. for reproducible IVF cells or SemDeDup clusters shared
+    across runs).
+
+    Per round: assignment is a pure Catalyst projection against the
+    k×dim centroid literals (no Python, no shuffle), and the update is
+    :func:`phaser_spark.ops.embeddings.group_centroids` — posexplode +
+    per-(cell, dim) decimal means with map-side combine.  Only the k
+    centroid vectors visit the driver each round; the corpus never
+    does.  A cell that loses all members keeps its previous centroid
+    (deterministic; no re-seeding).
+
+    Deterministic end to end: medoid init (md5-ordered — same draw on
+    any engine/partitioning), first-min argmin assignment, decimal
+    means — so the full iteration is replayable by an external SQL
+    oracle.  Returns the centroid list after ``iters`` rounds; assign
+    with :func:`assign_cells`.
+    """
+    from .embeddings import group_centroids
+
+    cents = init_centroids or medoid_centroids(corpus, id_col, vec_col, k)
+    base = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(iters):
+        assigned = assign_cells(base, cents, "v", out_col="cell")
+        updated = {
+            int(r["cell"]): [float(x) for x in r["centroid"]]
+            for r in group_centroids(assigned, "cell", "v").collect()
+        }
+        # cells are 1-based (array_position); empty cells carry over
+        cents = [updated.get(i + 1, c) for i, c in enumerate(cents)]
+    return cents

@@ -42,6 +42,7 @@ SKIP = {
     "dedup_minhash_clusters",   # iterative: executes during construction
     "dedup_incremental_minhash",  # materializes candidate caches eagerly
     "dedup_best_of_cluster",    # iterative: connected components inside
+    "kmeans_embedding_cells",   # iterative: per-round centroid collect
 }
 
 

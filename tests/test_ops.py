@@ -1448,3 +1448,39 @@ def test_profile_validation_and_approx(spark):
     rows = P.profile(df, approx_distinct=True).collect()
     got = {(r.column, r.metric): r.value_num for r in rows}
     assert got[("id", "n_distinct")] == 1.0
+
+
+# --- distributed k-means -------------------------------------------------
+
+
+def test_kmeans_fit_separates_clusters(spark):
+    # two tight blobs; k=2 from ANY reasonable init must converge so each
+    # centroid sits on a blob mean and assignment separates the blobs
+    rows = [(i, [10.0 + (i % 3) * 0.1, 0.0]) for i in range(6)] + [
+        (i, [0.0, 5.0 + (i % 3) * 0.1]) for i in range(6, 12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_fit(df, k=2, iters=3)
+    assert len(cents) == 2
+    assigned = similarity.assign_cells(
+        df.withColumn("v", F.col("embedding")), cents, "v", out_col="cell"
+    )
+    got = {r.vec_id: r.cell for r in assigned.collect()}
+    blob_a = {got[i] for i in range(6)}
+    blob_b = {got[i] for i in range(6, 12)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    # centroid of the x-blob is the decimal-exact mean 10.1
+    xc = [c for c in cents if c[0] > 5][0]
+    assert abs(xc[0] - 10.1) < 1e-9 and xc[1] == 0.0
+
+
+def test_kmeans_fit_empty_cell_carries_over(spark):
+    # k=3 over 2 distinct points: one centroid never gets members and
+    # must keep its init value (no re-seeding, deterministic)
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    init = [[0.0, 0.0], [1.0, 1.0], [50.0, 50.0]]
+    cents = similarity.kmeans_fit(df, k=3, iters=2, init_centroids=init)
+    assert cents[2] == [50.0, 50.0]
+    assert cents[0] == [0.0, 0.0] and cents[1] == [1.0, 1.0]
