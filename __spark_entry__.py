@@ -1805,6 +1805,26 @@ def semantic_dedup_embeddings(spark, sf_dir):
     ).select("vec_id", "cell")
 
 
+def web_canonical_urls(spark, sf_dir):
+    """URL canonicalization (``ops.web.canonicalize_url``): mixed-case
+    host, default port, unsorted query with tracking params, and a
+    fragment — all normalized to one dedup key per URL in a pure
+    Catalyst projection (regex + array filter/sort, zero shuffle).  The
+    oracle replays the IDENTICAL regex pipeline in SQL over the same
+    injected inputs (RE2∩Java subset, no single quotes)."""
+    from phaser_spark.ops import web
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://Site"), (did % 7).cast("string"),
+        F.lit(".Example.COM:443/p/"), did.cast("string"),
+        F.lit("?utm_source=x&b="), (did % 3).cast("string"),
+        F.lit("&a=1#f"),
+    )
+    return docs.select("doc_id", web.canonicalize_url(url).alias("url_canon"))
+
+
 def kmeans_embedding_cells(spark, sf_dir):
     """Fully distributed Lloyd's k-means (``ops.similarity.kmeans_fit``,
     k=8, 2 rounds): per round, assignment is a Catalyst projection
@@ -1974,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "profile_orders": profile_orders,
         "kmeans_embedding_cells": kmeans_embedding_cells,
+        "web_canonical_urls": web_canonical_urls,
     }
 
 
@@ -2087,6 +2108,7 @@ def _kmeans_unrolled_sql(k: int, iters: int, dim: int) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from phaser_spark.ops.web import DOMAIN_PATTERN as _WEB_DOMAIN_PATTERN
+    from phaser_spark.ops.web import TRACKING_PARAM_PATTERN as _TRACKING_SQL
     from phaser_spark.ops.web import URL_PATTERN as _WEB_URL_PATTERN
 
     stop_list = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
@@ -3254,6 +3276,41 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN cov c ON c.doc_id = d.doc_id
         """,
         "kmeans_embedding_cells": _kmeans_unrolled_sql(8, 2, 64),
+        "web_canonical_urls": f"""
+            WITH u AS (
+                SELECT doc_id,
+                       'https://Site' || CAST(doc_id % 7 AS VARCHAR) ||
+                       '.Example.COM:443/p/' || CAST(doc_id AS VARCHAR) ||
+                       '?utm_source=x&b=' || CAST(doc_id % 3 AS VARCHAR) ||
+                       '&a=1#f' AS url
+                FROM documents
+            ), parts AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(url, '(?i)^(https?)://', 1)) AS scheme,
+                       lower(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1)) AS host,
+                       regexp_extract(url, '(?i)^https?://[^/:?#]+(:[0-9]+)', 1) AS rawport,
+                       regexp_replace(regexp_replace(url, '(?i)^https?://[^/?#]*', ''), '#.*$', '') AS rest
+                FROM u
+            ), comp AS (
+                SELECT doc_id, url, scheme, host,
+                       CASE WHEN (scheme = 'http' AND rawport = ':80')
+                                 OR (scheme = 'https' AND rawport = ':443')
+                            THEN '' ELSE rawport END AS port,
+                       regexp_extract(rest, '^([^?]*)', 1) AS path,
+                       array_to_string(
+                           list_sort(list_filter(
+                               string_split(regexp_replace(rest, '^[^?]*\\??', ''), '&'),
+                               p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_SQL}')
+                           )), '&') AS q
+                FROM parts
+            )
+            SELECT doc_id,
+                   CASE WHEN scheme <> ''
+                        THEN scheme || '://' || host || port || path ||
+                             CASE WHEN q <> '' THEN '?' || q ELSE '' END
+                        ELSE url END AS url_canon
+            FROM comp
+        """,
         "profile_orders": """
             SELECT 0 AS ord, 'o_orderkey' AS "column", 'n_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value_num, CAST(NULL AS VARCHAR) AS value_str FROM orders
             UNION ALL

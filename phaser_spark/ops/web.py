@@ -68,3 +68,52 @@ def domain_doc_counts(
         .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+#: query parameters stripped by canonicalize_url: pure tracking state
+#: (regex alternation, RE2-safe, no single quotes — embeddable in SQL)
+TRACKING_PARAM_PATTERN = (
+    r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|igshid|spm)="
+)
+
+
+def canonicalize_url(url: SparkCol) -> SparkCol:
+    """Canonical form of a URL for dedup keying / domain joins:
+    lower-cased scheme and host, default ports stripped (``:80`` for
+    http, ``:443`` for https), fragment removed, tracking query
+    parameters (``utm_*``, ``gclid``, ``fbclid``, …) dropped, and the
+    surviving parameters SORTED so parameter order never splits one
+    logical URL into two keys.
+
+    Pure Catalyst expression (regex extract/replace + array filter/sort
+    — zero shuffle, zero Python), built from the RE2∩Java regex subset
+    so an external SQL oracle replays it verbatim.  Inputs that do not
+    look like a URL pass through unchanged."""
+    scheme = F.lower(F.regexp_extract(url, r"(?i)^(https?)://", 1))
+    host = F.lower(F.regexp_extract(url, r"(?i)^https?://([^/:?#]+)", 1))
+    port = F.regexp_extract(url, r"(?i)^https?://[^/:?#]+(:[0-9]+)", 1)
+    port = F.when(
+        ((scheme == "http") & (port == ":80"))
+        | ((scheme == "https") & (port == ":443")),
+        F.lit(""),
+    ).otherwise(port)
+    # everything after host[:port], fragment stripped
+    rest = F.regexp_replace(
+        F.regexp_replace(url, r"(?i)^https?://[^/?#]*", ""), r"#.*$", ""
+    )
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_replace(rest, r"^[^?]*\??", "")
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
+    )
+    q = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return F.when(scheme != "", rebuilt).otherwise(url)

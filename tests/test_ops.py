@@ -1484,3 +1484,25 @@ def test_kmeans_fit_empty_cell_carries_over(spark):
     cents = similarity.kmeans_fit(df, k=3, iters=2, init_centroids=init)
     assert cents[2] == [50.0, 50.0]
     assert cents[0] == [0.0, 0.0] and cents[1] == [1.0, 1.0]
+
+
+def test_canonicalize_url(spark):
+    from phaser_spark.ops import web
+
+    cases = [
+        # scheme/host lowercased, default port stripped, fragment dropped
+        ("HTTPS://Example.COM:443/Path/X#frag", "https://example.com/Path/X"),
+        # non-default port kept
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        # tracking params dropped, survivors sorted, '?' rebuilt
+        ("http://e.com/p?utm_source=x&b=2&a=1", "http://e.com/p?a=1&b=2"),
+        # all params tracking -> query gone entirely
+        ("http://e.com/p?utm_a=1&gclid=z", "http://e.com/p"),
+        ("http://e.com/p?fbclid=1&z=9#x", "http://e.com/p?z=9"),
+        # no scheme -> passthrough
+        ("not a url", "not a url"),
+        ("http://E.com", "http://e.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r.c for r in df.select(web.canonicalize_url(F.col("u")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
