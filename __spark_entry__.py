@@ -1805,6 +1805,41 @@ def semantic_dedup_embeddings(spark, sf_dir):
     ).select("vec_id", "cell")
 
 
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel progression (``ops.behavior.funnel``): per user,
+    how far through view → click → purchase they got, with strictly
+    increasing timestamps required between stages.  One shuffle on the
+    user key and a Catalyst fold over each user's own sorted events —
+    never the naive k self-joins per stage, no Python.  The oracle
+    computes the equivalent greedy-earliest stage times as sequential
+    strict-inequality mins."""
+    from phaser_spark.ops import behavior
+
+    ev = _events(spark, sf_dir)
+    return behavior.funnel(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+def cohort_retention_weekly(spark, sf_dir):
+    """Weekly cohort retention (``ops.behavior.cohort_retention``):
+    users grouped by the week of their first event; per later week, the
+    fraction of the cohort still active.  Two map-side-combinable
+    aggregates + one user-keyed join; output is cohorts × offsets, never
+    user-sized."""
+    from phaser_spark.ops import behavior
+
+    ev = _events(spark, sf_dir)
+    out = behavior.cohort_retention(ev, "user_id", "ts", period="week")
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "period_offset",
+        "n_active",
+        "n_cohort",
+        "retention",
+    )
+
+
 def web_canonical_urls(spark, sf_dir):
     """URL canonicalization (``ops.web.canonicalize_url``): mixed-case
     host, default port, unsorted query with tracking params, and a
@@ -1995,6 +2030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": profile_orders,
         "kmeans_embedding_cells": kmeans_embedding_cells,
         "web_canonical_urls": web_canonical_urls,
+        "funnel_view_click_purchase": funnel_view_click_purchase,
+        "cohort_retention_weekly": cohort_retention_weekly,
     }
 
 
@@ -3274,6 +3311,55 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN w ON w.doc_id = d.doc_id
             LEFT JOIN cov c ON c.doc_id = d.doc_id
+        """,
+        "funnel_view_click_purchase": """
+            WITH t1 AS (
+                SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), t2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t
+                FROM events e JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.t
+                WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), t3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t
+                FROM events e JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.t
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            ), base AS (
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            )
+            SELECT b.user_id,
+                   CASE WHEN t3.user_id IS NOT NULL THEN 3
+                        WHEN t2.user_id IS NOT NULL THEN 2
+                        WHEN t1.user_id IS NOT NULL THEN 1
+                        ELSE 0 END AS stages_completed,
+                   t3.user_id IS NOT NULL AS completed
+            FROM base b
+            LEFT JOIN t1 ON t1.user_id = b.user_id
+            LEFT JOIN t2 ON t2.user_id = b.user_id
+            LEFT JOIN t3 ON t3.user_id = b.user_id
+        """,
+        "cohort_retention_weekly": """
+            WITH firsts AS (
+                SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+                FROM events GROUP BY user_id
+            ), activity AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                FROM events
+            ), joined AS (
+                SELECT a.user_id, f.cohort,
+                       CAST(date_diff('day', f.cohort, a.wk) / 7 AS INTEGER) AS period_offset
+                FROM activity a JOIN firsts f ON f.user_id = a.user_id
+            ), active AS (
+                SELECT cohort, period_offset, COUNT(*) AS n_active
+                FROM joined GROUP BY cohort, period_offset
+            ), sizes AS (
+                SELECT cohort, COUNT(*) AS n_cohort FROM firsts GROUP BY cohort
+            )
+            SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort_week,
+                   a.period_offset, a.n_active, s.n_cohort,
+                   CAST(a.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention
+            FROM active a JOIN sizes s ON s.cohort = a.cohort
         """,
         "kmeans_embedding_cells": _kmeans_unrolled_sql(8, 2, 64),
         "web_canonical_urls": f"""

@@ -8,6 +8,7 @@ pandas UDFs only where semantics demand Python.
 """
 
 from . import (  # noqa: F401
+    behavior,
     bloom,
     cleaning,
     dedup,

@@ -1506,3 +1506,65 @@ def test_canonicalize_url(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r.c for r in df.select(web.canonicalize_url(F.col("u")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+# --- behavioral analytics: funnel + cohort retention ---------------------
+
+
+def test_funnel_ordered_progression(spark):
+    import datetime as dt
+
+    from phaser_spark.ops import behavior
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 completes in order
+        (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "buy"),
+        # u2 out of order: buy before click -> stops at stage 1... then
+        # a later click advances to 2; no buy AFTER the click
+        (2, T(1), "view"), (2, T(2), "buy"), (2, T(3), "click"),
+        # u3 only views; plus an ignored unrelated type
+        (3, T(1), "view"), (3, T(2), "error"),
+        # u4 same-timestamp tie must NOT advance (strict >)
+        (4, T(5), "view"), (4, T(5), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = behavior.funnel(df, "user_id", "ts", "event_type", ["view", "click", "buy"])
+    got = {r.user_id: (r.stages_completed, r.completed) for r in out.collect()}
+    assert got[1] == (3, True)
+    assert got[2] == (2, False)
+    assert got[3] == (1, False)
+    assert got[4] == (1, False)
+
+    rep = behavior.funnel_report(
+        df, "user_id", "ts", "event_type", ["view", "click", "buy"]
+    )
+    counts = {r.step: (r.step_name, r.n_users) for r in rep.collect()}
+    assert counts[1] == ("view", 4)
+    assert counts[2] == ("click", 2)
+    assert counts[3] == ("buy", 1)
+
+
+def test_cohort_retention_weekly(spark):
+    import datetime as dt
+
+    from phaser_spark.ops import behavior
+
+    rows = [
+        # cohort week of Jan 1 (Monday): u1 active wk0 + wk1, u2 wk0 only
+        (1, dt.datetime(2024, 1, 2, 10)), (1, dt.datetime(2024, 1, 9, 10)),
+        (2, dt.datetime(2024, 1, 3, 10)),
+        # cohort week of Jan 8: u3 active wk0 + wk2
+        (3, dt.datetime(2024, 1, 10, 10)), (3, dt.datetime(2024, 1, 22, 10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = behavior.cohort_retention(df, "user_id", "ts", period="week")
+    got = {
+        (r.cohort.date().isoformat(), r.period_offset): (r.n_active, r.n_cohort, r.retention)
+        for r in out.collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert got[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert got[("2024-01-08", 2)] == (1, 1, 1.0)
+    assert ("2024-01-08", 1) not in got
