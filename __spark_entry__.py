@@ -1805,6 +1805,29 @@ def semantic_dedup_embeddings(spark, sf_dir):
     ).select("vec_id", "cell")
 
 
+def rolling_user_value(spark, sf_dir):
+    """Trailing event-time window statistics
+    (``ops.relational.rolling_time_agg``): per event, the count and
+    decimal-exact sum/mean of ``value`` over the user's events in the
+    closed 3-day interval ending at that event — the rolling-feature
+    shape behavioral models consume.  One shuffle on the user key, a
+    RANGE frame in event time; decimal accumulation makes the sums
+    independent of how either engine associates window additions."""
+    from phaser_spark.ops.relational import rolling_time_agg
+
+    ev = _events(spark, sf_dir)
+    out = rolling_time_agg(
+        ev.select("event_id", "user_id", "ts", "value"),
+        "user_id",
+        "ts",
+        "value",
+        window="3 days",
+    )
+    return out.select(
+        "event_id", "user_id", "rolling_n", "rolling_sum", "rolling_mean"
+    )
+
+
 def funnel_view_click_purchase(spark, sf_dir):
     """Ordered funnel progression (``ops.behavior.funnel``): per user,
     how far through view → click → purchase they got, with strictly
@@ -2032,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_canonical_urls": web_canonical_urls,
         "funnel_view_click_purchase": funnel_view_click_purchase,
         "cohort_retention_weekly": cohort_retention_weekly,
+        "rolling_user_value": rolling_user_value,
     }
 
 
@@ -3311,6 +3335,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN w ON w.doc_id = d.doc_id
             LEFT JOIN cov c ON c.doc_id = d.doc_id
+        """,
+        "rolling_user_value": """
+            SELECT event_id, user_id,
+                   COUNT(value) OVER w AS rolling_n,
+                   CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER w AS DOUBLE) AS rolling_sum,
+                   CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER w AS DOUBLE)
+                       / COUNT(value) OVER w AS rolling_mean
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW)
         """,
         "funnel_view_click_purchase": """
             WITH t1 AS (

@@ -163,3 +163,36 @@ def cohort_retention(
             "retention"
         ),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    order_cols: list[str] | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign gap-based session ids per user: a new session starts when
+    the time since the user's previous event exceeds ``gap_seconds``.
+    Session ids are 1-based and consecutive within the user (lag +
+    running count of session starts — the standard two-window
+    sessionization).  ``order_cols`` breaks timestamp ties
+    deterministically (defaults to the timestamp alone).
+
+    One shuffle on the user key; both windows share the same
+    partitioning, so Catalyst plans a single Exchange + sort.  For
+    STREAMING sessionization use ``session_window`` via
+    ``Pipeline.run_stream`` instead (see the streaming queries) — this
+    batch form assumes the user's history is complete.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    sess = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn(session_col, sess)

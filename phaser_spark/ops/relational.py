@@ -521,3 +521,58 @@ def salted_join(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return big_salted.join(small_rep, on=[*on, SALT], how=how).drop(SALT)
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    partition_col: str,
+    ts_col: str,
+    value_col: str,
+    window: str = "7 days",
+    prefix: str | None = None,
+) -> DataFrame:
+    """Trailing time-window statistics per row: for each event, the
+    count and decimal-exact sum/mean of ``value_col`` over the
+    partition's events in the closed interval ``[ts - window, ts]`` —
+    "revenue in the 7 days up to this order", the rolling feature shape
+    every behavioral model consumes.
+
+    A RANGE window over ``unix_micros(ts)`` (one shuffle on the
+    partition key, frame bounds in event time, per-row state bounded by
+    the window's event count).  The sum accumulates decimal(28,8), so
+    the result is independent of how the window implementation
+    associates additions — double window sums differ in low bits
+    between engines (segment trees vs running sums) and would break
+    external verification.
+
+    Output columns: ``{prefix}n``, ``{prefix}sum``, ``{prefix}mean``
+    (prefix defaults to ``rolling_``).
+    """
+    import re
+
+    from pyspark.sql import Window
+
+    m = re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", window.strip())
+    if not m:
+        raise PhaserError(f"rolling_time_agg: unsupported window {window!r}")
+    unit_us = {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+    }[m.group(2)]
+    span = int(m.group(1)) * unit_us
+    p = prefix if prefix is not None else "rolling_"
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-span, 0)
+    )
+    v = F.col(value_col)
+    s = F.sum(v.cast("decimal(28,8)")).over(w)
+    n = F.count(v).over(w)
+    return (
+        df.withColumn(p + "n", n)
+        .withColumn(p + "sum", s.cast("double"))
+        .withColumn(p + "mean", (s.cast("double") / n))
+    )

@@ -1568,3 +1568,47 @@ def test_cohort_retention_weekly(spark):
     assert got[("2024-01-08", 0)] == (1, 1, 1.0)
     assert got[("2024-01-08", 2)] == (1, 1, 1.0)
     assert ("2024-01-08", 1) not in got
+
+
+def test_sessionize_gap_rule(spark):
+    import datetime as dt
+
+    from phaser_spark.ops import behavior
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base), (1, base + dt.timedelta(minutes=10)),          # session 1
+        (1, base + dt.timedelta(minutes=50)),                     # gap > 30m -> 2
+        (2, base),                                                 # own user
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = behavior.sessionize(df, "user_id", "ts", gap_seconds=1800)
+    got = {(r.user_id, r.ts.minute): r.session_id for r in out.collect()}
+    assert got[(1, 0)] == 1 and got[(1, 10)] == 1 and got[(1, 50)] == 2
+    assert got[(2, 0)] == 1
+
+
+def test_rolling_time_agg(spark):
+    import datetime as dt
+
+    from phaser_spark.ops import relational
+
+    d = lambda n: dt.datetime(2024, 1, 1 + n)  # noqa: E731
+    rows = [
+        (1, d(0), 10.0), (1, d(3), 20.0), (1, d(8), 30.0),  # d8: d3+d8 in 7d
+        (2, d(0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    out = relational.rolling_time_agg(df, "u", "ts", "v", window="7 days")
+    got = {(r.u, r.ts.day): (r.rolling_n, r.rolling_sum, r.rolling_mean) for r in out.collect()}
+    assert got[(1, 1)] == (1, 10.0, 10.0)
+    assert got[(1, 4)] == (2, 30.0, 15.0)
+    assert got[(1, 9)] == (2, 50.0, 25.0)   # day-1 event fell out of the window
+    assert got[(2, 1)] == (1, 5.0, 5.0)
+
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+
+    with _pytest.raises(PhaserError):
+        relational.rolling_time_agg(df, "u", "ts", "v", window="2 fortnights")
