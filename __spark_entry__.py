@@ -1805,6 +1805,33 @@ def semantic_dedup_embeddings(spark, sf_dir):
     ).select("vec_id", "cell")
 
 
+def fuzzy_part_names(spark, sf_dir):
+    """Edit-distance join (``ops.relational.fuzzy_join``): part names
+    matched against a deterministically perturbed copy (one character
+    deleted at ``p_partkey mod len``) within Levenshtein ≤ 2 — the
+    entity-resolution shape.  Sound q-gram blocking + length-band
+    fallback + exact verify, never an all-pairs cross join; the oracle
+    IS the all-pairs form, so the hash check proves the blocking loses
+    no pair.  Aggregated per (name, perturbed) with pair counts to keep
+    the output compact."""
+    from phaser_spark.ops.relational import fuzzy_join
+
+    part = _t(spark, sf_dir, "part")
+    pos = (F.col("p_partkey") % F.length("p_name")) + 1
+    perturbed = F.concat(
+        F.substring(F.col("p_name"), F.lit(1), (pos - 1).cast("int")),
+        F.col("p_name").substr(pos + 1, F.length("p_name")),
+    )
+    left = part.select(F.col("p_partkey").alias("lid"), F.col("p_name").alias("lval"))
+    right = part.select(
+        (F.col("p_partkey") + 1_000_000).alias("rid"), perturbed.alias("rval")
+    )
+    pairs = fuzzy_join(left, right, "lid", "lval", "rid", "rval", max_dist=2)
+    return pairs.groupBy("lval", "rval", "edit_distance").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
 def rolling_user_value(spark, sf_dir):
     """Trailing event-time window statistics
     (``ops.relational.rolling_time_agg``): per event, the count and
@@ -2056,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_view_click_purchase": funnel_view_click_purchase,
         "cohort_retention_weekly": cohort_retention_weekly,
         "rolling_user_value": rolling_user_value,
+        "fuzzy_part_names": fuzzy_part_names,
     }
 
 
@@ -3335,6 +3363,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN w ON w.doc_id = d.doc_id
             LEFT JOIN cov c ON c.doc_id = d.doc_id
+        """,
+        "fuzzy_part_names": """
+            WITH l AS (
+                SELECT p_partkey AS lid, p_name AS lval FROM part
+            ), r AS (
+                SELECT p_partkey + 1000000 AS rid,
+                       substring(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER))
+                       || substring(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
+                           AS rval
+                FROM part
+            )
+            SELECT l.lval, r.rval, levenshtein(l.lval, r.rval) AS edit_distance,
+                   COUNT(*) AS n_pairs
+            FROM l, r
+            WHERE levenshtein(l.lval, r.rval) <= 2
+            GROUP BY l.lval, r.rval, levenshtein(l.lval, r.rval)
         """,
         "rolling_user_value": """
             SELECT event_id, user_id,

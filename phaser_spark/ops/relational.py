@@ -576,3 +576,98 @@ def rolling_time_agg(
         .withColumn(p + "sum", s.cast("double"))
         .withColumn(p + "mean", (s.cast("double") / n))
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_str: str,
+    right_id: str,
+    right_str: str,
+    max_dist: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """Edit-distance join: every pair with
+    ``levenshtein(left_str, right_str) <= max_dist`` — entity
+    resolution / near-key matching — WITHOUT the all-pairs cross join.
+
+    Sound two-path blocking, then exact Levenshtein verification:
+
+    * **q-gram path** — ``max_dist`` edits destroy at most
+      ``max_dist·q`` of a string's ``len−q+1`` character q-grams, so
+      any pair whose SHORTER string has length ≥ ``q·(max_dist+1)``
+      still shares a q-gram: explode distinct grams, equi-join on the
+      gram, distinct pairs.  Linear explode, shuffle keyed on the gram
+      (cardinality grows with the data).  A pathologically hot gram is
+      this path's quadratic risk — same as every similarity join here
+      (cf. ``ngram_jaccard_pairs``) — and the verify step keeps results
+      exact regardless.
+    * **length-band path** — pairs whose shorter string is below that
+      bound both have length < ``q·(max_dist+1)+max_dist``: those
+      short strings equi-join on a banded length key (right side
+      exploded into the ``2·max_dist+1`` admissible lengths).  Bounded
+      by the short-string population, never the corpus.
+
+    Returns ``(left_id, left_str, right_id, right_str,
+    edit_distance)``; candidate paths are unioned, deduped on the id
+    pair, and verified with exact ``levenshtein`` (identical
+    unit-cost semantics in Spark and external SQL engines).
+    """
+    if max_dist < 0 or q < 1:
+        raise PhaserError("fuzzy_join: need max_dist >= 0 and q >= 1")
+    min_long = q * (max_dist + 1)
+    short_bound = min_long + max_dist
+
+    def prep(df, idc, sc, idal, sal):
+        return df.select(F.col(idc).alias(idal), F.col(sc).alias(sal))
+
+    lf = prep(left, left_id, left_str, "__fz_lid", "__fz_ls")
+    rf = prep(right, right_id, right_str, "__fz_rid", "__fz_rs")
+
+    def grams(col):
+        n = F.length(col)
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - q + 1),
+                lambda i: F.substring(col, i, q).alias("g"),
+            )
+        )
+
+    llong = lf.filter(F.length("__fz_ls") >= min_long)
+    rlong = rf.filter(F.length("__fz_rs") >= min_long)
+    lg = llong.select("__fz_lid", "__fz_ls", F.explode(grams(F.col("__fz_ls"))).alias("g"))
+    rg = rlong.select("__fz_rid", "__fz_rs", F.explode(grams(F.col("__fz_rs"))).alias("g"))
+    gram_pairs = (
+        lg.join(rg, "g")
+        .filter(
+            F.abs(F.length("__fz_ls") - F.length("__fz_rs")) <= max_dist
+        )
+        .select("__fz_lid", "__fz_ls", "__fz_rid", "__fz_rs")
+        .distinct()
+    )
+    lshort = lf.filter(F.length("__fz_ls") < short_bound)
+    rshort = rf.filter(F.length("__fz_rs") < short_bound).withColumn(
+        "__fz_band",
+        F.explode(
+            F.sequence(
+                F.length("__fz_rs") - max_dist, F.length("__fz_rs") + max_dist
+            )
+        ),
+    )
+    band_pairs = (
+        lshort.join(rshort, F.length("__fz_ls") == F.col("__fz_band"))
+        .select("__fz_lid", "__fz_ls", "__fz_rid", "__fz_rs")
+        .distinct()
+    )
+    cand = gram_pairs.unionByName(band_pairs).distinct()
+    dist = F.levenshtein(F.col("__fz_ls"), F.col("__fz_rs"))
+    return cand.withColumn("edit_distance", dist).filter(
+        F.col("edit_distance") <= max_dist
+    ).select(
+        F.col("__fz_lid").alias(left_id),
+        F.col("__fz_ls").alias(left_str),
+        F.col("__fz_rid").alias(right_id),
+        F.col("__fz_rs").alias(right_str),
+        "edit_distance",
+    )

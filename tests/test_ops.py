@@ -1612,3 +1612,37 @@ def test_rolling_time_agg(spark):
 
     with _pytest.raises(PhaserError):
         relational.rolling_time_agg(df, "u", "ts", "v", window="2 fortnights")
+
+
+def test_fuzzy_join_matches_all_pairs_reference(spark):
+    import itertools
+
+    from phaser_spark.ops import relational
+
+    words = [
+        "spark", "sparks", "spork", "sprk", "catalyst", "catalist",
+        "ab", "abc", "abd", "xyz", "completely", "completly",
+    ]
+    left = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "lid long, lval string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, w) for i, w in enumerate(words)], "rid long, rval string"
+    )
+    out = relational.fuzzy_join(left, right, "lid", "lval", "rid", "rval", max_dist=2)
+    got = {(r.lid, r.rid): r.edit_distance for r in out.collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (i, 100 + j): lev(a, b)
+        for (i, a), (j, b) in itertools.product(enumerate(words), repeat=2)
+        if lev(a, b) <= 2
+    }
+    assert got == want  # blocking is SOUND: every true pair found, none extra

@@ -357,3 +357,44 @@ def test_token_budget_select_property(spark, docs, b_en, b_fr, default, buckets)
                 want.add(k)
             run += n
     assert got == want
+
+
+# --- fuzzy join equals all-pairs Levenshtein -----------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    ws=st.lists(st.text(alphabet="abcx", min_size=0, max_size=14), min_size=1,
+                max_size=25, unique=True),
+    d=st.sampled_from([0, 1, 2]),
+)
+def test_fuzzy_join_property(spark, ws, d):
+    """For ANY string set and max_dist, blocked fuzzy_join == all-pairs
+    Levenshtein filter (soundness and exactness of the two-path
+    blocking, including empty strings and cross-length pairs)."""
+    import itertools
+
+    from phaser_spark.ops import relational
+
+    left = spark.createDataFrame([(i, w) for i, w in enumerate(ws)],
+                                 "lid long, lval string")
+    right = spark.createDataFrame([(50 + i, w) for i, w in enumerate(ws)],
+                                  "rid long, rval string")
+    out = relational.fuzzy_join(left, right, "lid", "lval", "rid", "rval",
+                                max_dist=d)
+    got = {(r.lid, r.rid): r.edit_distance for r in out.collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (i, 50 + j): lev(a, b)
+        for (i, a), (j, b) in itertools.product(enumerate(ws), repeat=2)
+        if lev(a, b) <= d
+    }
+    assert got == want
