@@ -1812,9 +1812,12 @@ def fuzzy_part_names(spark, sf_dir):
     entity-resolution shape.  Sound q-gram blocking + length-band
     fallback + exact verify, never an all-pairs cross join; the oracle
     IS the all-pairs form, so the hash check proves the blocking loses
-    no pair.  Aggregated per (name, perturbed) with pair counts to keep
-    the output compact."""
-    from phaser_spark.ops.relational import fuzzy_join
+    no pair.  Matching runs on DISTINCT values (duplicate strings are the
+    degenerate hot case of any similarity join — n copies are n²
+    identical candidates; value-dedup collapsed this query 217 s →
+    sub-second at sf0.1) and the row-pair count is n_left·n_right,
+    never materialized."""
+    from phaser_spark.ops.relational import fuzzy_match_values
 
     part = _t(spark, sf_dir, "part")
     pos = (F.col("p_partkey") % F.length("p_name")) + 1
@@ -1826,9 +1829,10 @@ def fuzzy_part_names(spark, sf_dir):
     right = part.select(
         (F.col("p_partkey") + 1_000_000).alias("rid"), perturbed.alias("rval")
     )
-    pairs = fuzzy_join(left, right, "lid", "lval", "rid", "rval", max_dist=2)
-    return pairs.groupBy("lval", "rval", "edit_distance").agg(
-        F.count(F.lit(1)).alias("n_pairs")
+    vals = fuzzy_match_values(left, right, "lval", "rval", max_dist=2)
+    return vals.select(
+        "lval", "rval", "edit_distance",
+        (F.col("n_left") * F.col("n_right")).alias("n_pairs"),
     )
 
 
