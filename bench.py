@@ -56,6 +56,12 @@ BENCH_QUERIES = [
     "winsorize_prices",
     "repeated_span_scrub",
     "semantic_dedup_embeddings",
+    "profile_orders",
+    "kmeans_embedding_cells",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "rolling_user_value",
+    "fuzzy_part_names",
     "streaming_event_window",
     "streaming_session_window",
 ]

@@ -47,7 +47,7 @@ from .builtin_steps import (
     sort_by,
 )
 from .phase import Phase
-from .pipeline import Pipeline
+from .pipeline import DagPipeline, Pipeline
 from .session import get_spark
 from .steps import batch_step, context_step, dataframe_step, row_step
 from .table_diff import FormatterBase, HtmlTableFormat, IndexedTableDiffer
@@ -55,7 +55,7 @@ from .table_diff import FormatterBase, HtmlTableFormat, IndexedTableDiffer
 __version__ = "0.1.0"
 
 __all__ = [
-    "Pipeline", "Phase", "Context", "PHASER_ROW_NUM",
+    "Pipeline", "DagPipeline", "Phase", "Context", "PHASER_ROW_NUM",
     "ON_ERROR_COLLECT", "ON_ERROR_WARN", "ON_ERROR_DROP_ROW", "ON_ERROR_STOP_NOW",
     "JSON_RECORD_FORMAT", "CSV_FORMAT",
     "PhaserError", "DataErrorException", "DataException", "DropRowException",

@@ -620,3 +620,145 @@ class Pipeline:
             ) as f:
                 f.write(text)
         return text
+
+
+class DagPipeline(Pipeline):
+    """DAG-ordered pipeline: phases declare what they DEPEND ON instead
+    of relying on list position (engine addition — the reference's
+    Pipeline is strictly linear, with cross-phase data flow only through
+    extra sources/outputs, phaser/pipeline.py:157-177; this makes that
+    dependency structure first-class and resolves it).
+
+    ``phases`` maps phase name → ``(phase, depends_on)`` where
+    ``depends_on`` lists earlier phase names.  The FIRST dependency's
+    checkpointed output is the phase's main input (phases with no
+    dependencies read the pipeline source); every ADDITIONAL
+    dependency's output is injected as an extra source named after that
+    phase, so a step can declare ``extra_sources=["other_phase"]`` and
+    join against it.  Execution order is a deterministic topological
+    sort (alphabetical among ready phases); cycles and unknown
+    dependencies fail fast at construction.
+
+    Each phase still checkpoints through the standard ``run_phase``
+    path — bucketed/sorted checkpoint options, error policies, events,
+    and empty-result termination all behave exactly as in the linear
+    Pipeline.  ``run`` returns the output of the (single) sink phase —
+    the one no other phase depends on; multiple sinks error (return
+    order would be ambiguous — split the pipeline or add a final join
+    phase).
+    """
+
+    def __init__(
+        self,
+        phases: dict,
+        working_dir: str | None = None,
+        source: str | None = None,
+        verbose: bool = False,
+        error_policy: str | None = None,
+        name: str = "dag_pipeline",
+        spark: SparkSession | None = None,
+    ):
+        if not isinstance(phases, dict) or not phases:
+            raise PhaserError("DagPipeline needs a non-empty {name: (phase, deps)} dict")
+        parsed: dict[str, tuple] = {}
+        for pname, spec in phases.items():
+            if isinstance(spec, Phase) or (
+                isinstance(spec, type) and issubclass(spec, Phase)
+            ):
+                ph, deps = spec, []
+            else:
+                ph, deps = spec[0], list(spec[1])
+            parsed[pname] = (ph, deps)
+        for pname, (_, deps) in parsed.items():
+            unknown = [d for d in deps if d not in parsed]
+            if unknown:
+                raise PhaserError(
+                    f"DagPipeline: phase {pname!r} depends on unknown {unknown}"
+                )
+        order: list[str] = []
+        remaining = {p: set(d) for p, (_, d) in parsed.items()}
+        while remaining:
+            ready = sorted(p for p, d in remaining.items() if not d)
+            if not ready:
+                raise PhaserError(
+                    f"DagPipeline: dependency cycle among {sorted(remaining)}"
+                )
+            for p in ready:
+                order.append(p)
+                del remaining[p]
+            for d in remaining.values():
+                d.difference_update(ready)
+        self._dag_order = order
+        self._dag = parsed
+        super().__init__(
+            working_dir=working_dir,
+            source=source,
+            phases=[parsed[p][0] for p in order],
+            verbose=verbose,
+            error_policy=error_policy,
+            name=name,
+            spark=spark,
+        )
+        consumed = {d for _, (_, deps) in parsed.items() for d in deps}
+        sinks = [p for p in parsed if p not in consumed]
+        if len(sinks) != 1:
+            raise PhaserError(
+                f"DagPipeline: need exactly one sink phase, found {sorted(sinks)}"
+            )
+        self._dag_sink = sinks[0]
+        # phase instances by dag name (super() instantiated classes)
+        self._dag_instances = dict(zip(order, self.phase_instances))
+
+    def validate_sources(self) -> None:
+        # dag outputs satisfy extra-source declarations named after phases
+        produced = set(self._init_paths) | set(self._dag)
+        for ph in self.phase_instances:
+            for spec in ph.extra_sources:
+                n = spec.name if isinstance(spec, SavableObject) else str(spec)
+                if n not in produced and not self.context.has_source(n):
+                    raise PhaserError(
+                        f"Extra source '{n}' needed by phase {ph.name} is neither "
+                        "initialized, produced by a phase, nor a DAG dependency"
+                    )
+        for n, path in self._init_paths.items():
+            obj = SavableObject(n)
+            obj.load(self.spark, path)
+            self.context.set_source(obj)
+
+    def run(self, source: str | DataFrame | None = None) -> DataFrame:
+        self.source = source if source is not None else self.source
+        if self.source is None:
+            raise PhaserError("Pipeline needs a source")
+        if self.working_dir:
+            os.makedirs(self.working_dir, exist_ok=True)
+            self.cleanup_working_dir()
+        self.validate_sources()
+        src = (
+            self.source
+            if isinstance(self.source, DataFrame)
+            else self.load(self.source)
+        )
+        if self.working_dir:
+            save_any(
+                src.drop(PHASER_ROW_NUM),
+                os.path.join(self.working_dir, f"source_copy.{self.save_format}"),
+                self.save_format,
+            )
+        outputs: dict[str, DataFrame] = {}
+        for pname in self._dag_order:
+            ph = self._dag_instances[pname]
+            _, deps = self._dag[pname]
+            main = outputs[deps[0]] if deps else src
+            # later dependencies become named side sources for this run;
+            # side data has no row identity (reference ExtraRecords
+            # semantics) — dropping the lineage column also keeps a join
+            # against it from colliding with the main frame's numbering
+            for extra in deps[1:]:
+                side = outputs[extra]
+                if PHASER_ROW_NUM in side.columns:
+                    side = side.drop(PHASER_ROW_NUM)
+                self.context.set_source(
+                    SavableObject(extra, df=side, to_save=False)
+                )
+            outputs[pname] = self.run_phase(ph, main)
+        return outputs[self._dag_sink]

@@ -160,3 +160,65 @@ def test_checkpoint_tuning_class_attributes_respected(spark):
     assert Sorted(name="s").checkpoint_num_files == 7
     # explicit argument still wins
     assert Tuned(name="t2", checkpoint_num_buckets=64).checkpoint_num_buckets == 64
+
+
+# --- DAG-ordered pipelines -----------------------------------------------
+
+
+def test_dag_pipeline_diamond(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from phaser_spark import Phase, dataframe_step
+    from phaser_spark.pipeline import DagPipeline
+
+    @dataframe_step(check_size=False)
+    def keep_positive(df, context=None):
+        return df.filter(F.col("v") > 0)
+
+    @dataframe_step(check_size=False)
+    def totals_per_key(df, context=None):
+        return df.groupBy("k").agg(F.sum("v").alias("k_total"))
+
+    @dataframe_step(check_size=False, extra_sources=["totals"])
+    def enrich_with_totals(df, context=None, **kw):
+        return df.join(F.broadcast(kw["totals"]), "k")
+
+    dag = DagPipeline(
+        phases={
+            "clean": Phase(name="clean", steps=[keep_positive]),
+            "totals": (Phase(name="totals", steps=[totals_per_key], renumber=True), ["clean"]),
+            "final": (Phase(name="final", steps=[enrich_with_totals]), ["clean", "totals"]),
+        },
+        working_dir=str(tmp_path),
+        spark=spark,
+    )
+    src = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", -9.0)], "k string, v double"
+    )
+    out = dag.run(src)
+    got = {(r.k, r.v): r.k_total for r in out.collect()}
+    # b's negative row was cleaned BEFORE totals (diamond, not source)
+    assert got[("a", 1.0)] == 3.0 and got[("a", 2.0)] == 3.0
+    assert got[("b", 5.0)] == 5.0
+    # execution order was topological
+    assert dag._dag_order == ["clean", "totals", "final"]
+    # every phase checkpointed through the standard path
+    import os
+
+    assert os.path.exists(os.path.join(str(tmp_path), "final_output.csv"))
+
+
+def test_dag_pipeline_validation(spark):
+    import pytest
+
+    from phaser_spark import Phase
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.pipeline import DagPipeline
+
+    p = lambda n: Phase(name=n, steps=[])  # noqa: E731
+    with pytest.raises(PhaserError, match="unknown"):
+        DagPipeline(phases={"a": (p("a"), ["nope"])}, spark=spark)
+    with pytest.raises(PhaserError, match="cycle"):
+        DagPipeline(phases={"a": (p("a"), ["b"]), "b": (p("b"), ["a"])}, spark=spark)
+    with pytest.raises(PhaserError, match="sink"):
+        DagPipeline(phases={"a": p("a"), "b": p("b")}, spark=spark)
