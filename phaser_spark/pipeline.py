@@ -648,9 +648,14 @@ class DagPipeline(Pipeline):
     phase).
     """
 
+    #: subclasses may declare the DAG as a class attribute (the same
+    #: pattern as Pipeline.phases), which also makes DagPipeline
+    #: subclasses runnable from the CLI ``run`` command
+    phases: dict = {}
+
     def __init__(
         self,
-        phases: dict,
+        phases: dict | None = None,
         working_dir: str | None = None,
         source: str | None = None,
         verbose: bool = False,
@@ -658,8 +663,11 @@ class DagPipeline(Pipeline):
         name: str = "dag_pipeline",
         spark: SparkSession | None = None,
     ):
+        phases = phases if phases is not None else type(self).phases
         if not isinstance(phases, dict) or not phases:
             raise PhaserError("DagPipeline needs a non-empty {name: (phase, deps)} dict")
+        if name == "dag_pipeline":
+            name = type(self).__name__ if type(self) is not DagPipeline else name
         parsed: dict[str, tuple] = {}
         for pname, spec in phases.items():
             if isinstance(spec, Phase) or (

@@ -222,3 +222,25 @@ def test_dag_pipeline_validation(spark):
         DagPipeline(phases={"a": (p("a"), ["b"]), "b": (p("b"), ["a"])}, spark=spark)
     with pytest.raises(PhaserError, match="sink"):
         DagPipeline(phases={"a": p("a"), "b": p("b")}, spark=spark)
+
+
+def test_dag_pipeline_class_attr_form(spark):
+    from pyspark.sql import functions as F
+
+    from phaser_spark import Phase, dataframe_step
+    from phaser_spark.pipeline import DagPipeline
+
+    @dataframe_step(check_size=False)
+    def double(df, context=None):
+        return df.withColumn("v", F.col("v") * 2)
+
+    class MyDag(DagPipeline):
+        phases = {
+            "a": Phase(name="a", steps=[double]),
+            "b": (Phase(name="b", steps=[double]), ["a"]),
+        }
+
+    dag = MyDag(spark=spark)
+    out = dag.run(spark.createDataFrame([(1.0,)], "v double"))
+    assert [r.v for r in out.collect()] == [4.0]
+    assert dag.name == "MyDag"
