@@ -1859,6 +1859,30 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def standardize_prices(spark, sf_dir):
+    """Per-group z-score standardization (``ops.quality.standardize``):
+    every order's price scored against its orderstatus group's mean and
+    sample stddev.  Moments accumulate as exact decimal sums of v and
+    v² (partitioning-independent), and the variance/score assemble from
+    those exact sums in one fixed double expression — so the oracle
+    recomputes every score bit-identically; scores truncate to 6 digits
+    only at the output."""
+    from phaser_spark.ops import quality as Q
+
+    orders = _t(spark, sf_dir, "orders")
+    out = Q.standardize(
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        "o_totalprice",
+        group_by=["o_orderstatus"],
+    )
+    z = F.col("o_totalprice_z")
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.floor(z * 1e6) / 1e6).alias("price_z"),
+    )
+
+
 def funnel_view_click_purchase(spark, sf_dir):
     """Ordered funnel progression (``ops.behavior.funnel``): per user,
     how far through view → click → purchase they got, with strictly
@@ -2088,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_weekly": cohort_retention_weekly,
         "rolling_user_value": rolling_user_value,
         "fuzzy_part_names": fuzzy_part_names,
+        "standardize_prices": standardize_prices,
     }
 
 
@@ -3383,6 +3408,21 @@ def oracle_sql() -> dict[str, str]:
             FROM l, r
             WHERE levenshtein(l.lval, r.rval) <= 2
             GROUP BY l.lval, r.rval, levenshtein(l.lval, r.rval)
+        """,
+        "standardize_prices": """
+            WITH m AS (
+                SELECT o_orderstatus,
+                       CAST(COUNT(o_totalprice) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS s,
+                       CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS q
+                FROM orders GROUP BY o_orderstatus
+            )
+            SELECT o.o_orderkey, o.o_orderstatus,
+                   CASE WHEN m.n > 1 AND (m.q - m.s * m.s / m.n) / (m.n - 1.0) > 0
+                        THEN floor(((CAST(o.o_totalprice AS DOUBLE) - m.s / m.n)
+                                    / sqrt((m.q - m.s * m.s / m.n) / (m.n - 1.0))) * 1000000) / 1000000
+                        ELSE NULL END AS price_z
+            FROM orders o JOIN m ON m.o_orderstatus = o.o_orderstatus
         """,
         "rolling_user_value": """
             SELECT event_id, user_id,

@@ -298,3 +298,71 @@ def quality_gate_step(checks: list[Check], group_by: list[str] | None = None):
         return df
 
     return quality_gate
+
+
+def standardize(
+    df: DataFrame,
+    cols: list[str] | str,
+    group_by: list[str] | None = None,
+    suffix: str = "_z",
+    ddof: int = 1,
+) -> DataFrame:
+    """Z-score standardization per group: each column in ``cols`` gets a
+    ``col+suffix`` column ``(v - mean) / stddev`` computed over its
+    ``group_by`` group (or globally) — the feature-normalization step
+    before clustering/quantization, and the basis of z-score outlier
+    flags.
+
+    Moments accumulate EXACTLY: decimal(38,8) sums of ``v`` and ``v²``,
+    with the variance assembled from those two exact sums in one fixed
+    double expression — so the scores are identical on any engine or
+    partitioning (a plain double ``avg``/``stddev`` differs in low bits
+    per shuffle order and breaks external verification).  ``ddof=1`` is
+    the sample variance (``stddev_samp``); groups with ``n <= ddof`` or
+    zero variance yield NULL scores rather than ±inf.
+
+    One tiny moments aggregate broadcast back onto the data; the score
+    itself is a pure projection (same shape as :func:`winsorize`).
+    """
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if not cols:
+        raise PhaserError("standardize requires at least one column")
+    if ddof < 0:
+        raise PhaserError(f"ddof must be >= 0, got {ddof}")
+    keys = list(group_by or [])
+
+    def moments(c: str) -> list[SparkCol]:
+        v = F.col(c).cast("double")
+        return [
+            F.count(v).alias(f"__sz_n_{c}__"),
+            F.sum(v.cast("decimal(38,8)")).cast("double").alias(f"__sz_s_{c}__"),
+            F.sum((v * v).cast("decimal(38,8)")).cast("double").alias(f"__sz_q_{c}__"),
+        ]
+
+    aggs = [m for c in cols for m in moments(c)]
+    if keys:
+        mtab = df.groupBy(*keys).agg(*aggs)
+        mtab = mtab.select(
+            *[F.col(k).alias(f"__sz_{k}__") for k in keys],
+            *[f"__sz_{kind}_{c}__" for c in cols for kind in ("n", "s", "q")],
+        )
+        on = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__sz_{k}__"))
+            on = c if on is None else on & c
+        out = df.join(F.broadcast(mtab), on)
+    else:
+        out = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    drop = [f"__sz_{k}__" for k in keys]
+    for c in cols:
+        n = F.col(f"__sz_n_{c}__").cast("double")
+        s = F.col(f"__sz_s_{c}__")
+        q = F.col(f"__sz_q_{c}__")
+        var = (q - s * s / n) / (n - F.lit(float(ddof)))
+        z = (F.col(c).cast("double") - s / n) / F.sqrt(var)
+        out = out.withColumn(
+            c + suffix,
+            F.when((n > ddof) & (var > 0), z),
+        )
+        drop += [f"__sz_n_{c}__", f"__sz_s_{c}__", f"__sz_q_{c}__"]
+    return out.drop(*drop)

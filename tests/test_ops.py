@@ -1646,3 +1646,21 @@ def test_fuzzy_join_matches_all_pairs_reference(spark):
         if lev(a, b) <= 2
     }
     assert got == want  # blocking is SOUND: every true pair found, none extra
+
+
+def test_standardize_grouped(spark):
+    import statistics
+
+    from phaser_spark.ops import quality as Q
+
+    rows = [(1, 1.0, "a"), (2, 2.0, "a"), (3, 3.0, "a"), (4, 9.0, "b"),
+            (5, 9.0, "b"), (6, 7.0, "c")]
+    df = spark.createDataFrame(rows, "id long, v double, g string")
+    out = Q.standardize(df, "v", group_by=["g"])
+    got = {r.id: r.v_z for r in out.collect()}
+    sd = statistics.stdev([1.0, 2.0, 3.0])
+    assert abs(got[1] - (1.0 - 2.0) / sd) < 1e-12
+    assert abs(got[2]) < 1e-12
+    assert got[4] is None and got[5] is None   # zero variance -> NULL
+    assert got[6] is None                      # n <= ddof -> NULL
+    assert "v" in out.columns and out.count() == 6
