@@ -1859,6 +1859,76 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def scd2_customer_history(spark, sf_dir):
+    """SCD Type-2 dimension maintenance (``ops.scd.scd2_apply``):
+    bootstrap a customer dimension, then land one CDC batch containing
+    changes, a same-value no-op, a two-step chain, and ordering ties —
+    versions chain per business key with validity intervals, exactly
+    one open row per key, and closed history untouched.  The whole
+    merge is the open slice + the batch through per-key windows; the
+    oracle replays the identical chain semantics in SQL."""
+    from phaser_spark.ops import scd
+
+    cust = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    init = cust.select(
+        ck.alias("id"),
+        F.col("c_acctbal").alias("bal"),
+        F.to_timestamp(F.lit("2024-01-01")).alias("ts"),
+    )
+    dim = scd.scd2_apply(None, init, "id", ["bal"], "ts")
+    ups = (
+        cust.filter(ck % 3 == 0)
+        .select(
+            ck.alias("id"),
+            (F.col("c_acctbal") + 100.0).alias("bal"),
+            F.to_timestamp(F.lit("2024-02-01")).alias("ts"),
+        )
+        .unionByName(
+            cust.filter(ck % 9 == 0).select(
+                ck.alias("id"),
+                (F.col("c_acctbal") + 300.0).alias("bal"),
+                F.to_timestamp(F.lit("2024-03-01")).alias("ts"),
+            )
+        )
+        .unionByName(
+            # same-value no-ops: must create no empty versions
+            cust.filter(ck % 5 == 0).select(
+                ck.alias("id"),
+                F.col("c_acctbal").alias("bal"),
+                F.to_timestamp(F.lit("2024-02-15")).alias("ts"),
+            )
+        )
+    )
+    out = scd.scd2_apply(dim, ups, "id", ["bal"], "ts")
+    return out.select(
+        "id",
+        "bal",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
+
+
+def ri_orphan_lineitems(spark, sf_dir):
+    """Cross-table referential-integrity check
+    (``ops.scd.referential_integrity``): lineitems whose order key is
+    missing from a damaged orders table (every 7th order dropped) —
+    the FK constraint the single-frame quality suite cannot express.
+    One anti join on the key; summarized per returnflag."""
+    from phaser_spark.ops import scd
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    parents = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 0)
+    orphans = scd.referential_integrity(li, parents, {"l_orderkey": "o_orderkey"})
+    return orphans.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_orphans"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
 def standardize_prices(spark, sf_dir):
     """Per-group z-score standardization (``ops.quality.standardize``):
     every order's price scored against its orderstatus group's mean and
@@ -2113,6 +2183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_value": rolling_user_value,
         "fuzzy_part_names": fuzzy_part_names,
         "standardize_prices": standardize_prices,
+        "scd2_customer_history": scd2_customer_history,
+        "ri_orphan_lineitems": ri_orphan_lineitems,
     }
 
 
@@ -3408,6 +3480,46 @@ def oracle_sql() -> dict[str, str]:
             FROM l, r
             WHERE levenshtein(l.lval, r.rval) <= 2
             GROUP BY l.lval, r.rval, levenshtein(l.lval, r.rval)
+        """,
+        "scd2_customer_history": """
+            WITH pool AS (
+                SELECT c_custkey AS id, c_acctbal AS bal,
+                       TIMESTAMP '2024-01-01' AS ts, 0 AS origin
+                FROM customer
+                UNION ALL
+                SELECT c_custkey, c_acctbal + 100.0, TIMESTAMP '2024-02-01', 1
+                FROM customer WHERE c_custkey % 3 = 0
+                UNION ALL
+                SELECT c_custkey, c_acctbal + 300.0, TIMESTAMP '2024-03-01', 1
+                FROM customer WHERE c_custkey % 9 = 0
+                UNION ALL
+                SELECT c_custkey, c_acctbal, TIMESTAMP '2024-02-15', 1
+                FROM customer WHERE c_custkey % 5 = 0
+            ), chain AS (
+                SELECT * FROM (
+                    SELECT id, bal, ts, origin,
+                           lag(bal) OVER (PARTITION BY id ORDER BY ts, origin, bal) AS prev
+                    FROM pool
+                ) WHERE prev IS NULL OR prev <> bal
+            )
+            SELECT id, bal,
+                   strftime(ts, '%Y-%m-%d') AS valid_from,
+                   strftime(lead(ts) OVER w, '%Y-%m-%d') AS valid_to,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM chain
+            WINDOW w AS (PARTITION BY id ORDER BY ts, origin)
+        """,
+        "ri_orphan_lineitems": """
+            SELECT l_returnflag,
+                   COUNT(*) AS n_orphans,
+                   COUNT(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 7 <> 0
+            )
+            GROUP BY l_returnflag
         """,
         "standardize_prices": """
             WITH m AS (

@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     quality,
     relational,
     sampling,
+    scd,
     similarity,
     sketches,
     streamjoin,

@@ -1664,3 +1664,63 @@ def test_standardize_grouped(spark):
     assert got[4] is None and got[5] is None   # zero variance -> NULL
     assert got[6] is None                      # n <= ddof -> NULL
     assert "v" in out.columns and out.count() == 6
+
+
+# --- SCD Type 2 + referential integrity ----------------------------------
+
+
+def test_scd2_apply_versions(spark):
+    import datetime as dt
+
+    from phaser_spark.ops import scd
+
+    D = lambda m, d: dt.datetime(2024, m, d)  # noqa: E731
+    # bootstrap from an initial load
+    init = spark.createDataFrame(
+        [(1, "alice", D(1, 1)), (2, "bob", D(1, 1))],
+        "id long, name string, ts timestamp",
+    )
+    dim = scd.scd2_apply(None, init, "id", ["name"], "ts")
+    rows = {(r.id, r.name): (r.valid_to, r.is_current) for r in dim.collect()}
+    assert rows[(1, "alice")] == (None, True) and rows[(2, "bob")] == (None, True)
+
+    # one batch with: a change, a no-op, a two-step chain, and a new key
+    ups = spark.createDataFrame(
+        [
+            (1, "alicia", D(2, 1)),   # change
+            (2, "bob", D(2, 1)),      # no-op (same attrs)
+            (1, "alice2", D(3, 1)),   # second change, same batch
+            (3, "carol", D(2, 15)),   # new key
+        ],
+        "id long, name string, ts timestamp",
+    )
+    dim2 = scd.scd2_apply(dim, ups, "id", ["name"], "ts")
+    got = {
+        (r.id, r.name): (r.valid_from, r.valid_to, r.is_current)
+        for r in dim2.collect()
+    }
+    assert got[(1, "alice")] == (D(1, 1), D(2, 1), False)
+    assert got[(1, "alicia")] == (D(2, 1), D(3, 1), False)
+    assert got[(1, "alice2")] == (D(3, 1), None, True)
+    assert got[(2, "bob")] == (D(1, 1), None, True)       # no empty version
+    assert got[(3, "carol")] == (D(2, 15), None, True)
+    assert len(got) == 5
+
+    # closed history passes through a THIRD merge untouched
+    ups3 = spark.createDataFrame([(3, "carole", D(4, 1))],
+                                 "id long, name string, ts timestamp")
+    dim3 = scd.scd2_apply(dim2, ups3, "id", ["name"], "ts")
+    got3 = {(r.id, r.name): r.is_current for r in dim3.collect()}
+    assert got3[(1, "alice")] is False and got3[(3, "carole")] is True
+    assert len(got3) == 6
+
+
+def test_referential_integrity(spark):
+    from phaser_spark.ops import scd
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    orphans = scd.referential_integrity(child, parent, {"fk": "pk"})
+    assert {r.id for r in orphans.collect()} == {3}  # NULL fk is not an orphan
