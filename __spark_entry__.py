@@ -1859,6 +1859,29 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def mask_customers(spark, sf_dir):
+    """Column masking / pseudonymization (``ops.pii.mask_columns``):
+    salted sha256 tokens for names (equality-preserving — the masked
+    column still joins and groups), last-4 display form for the
+    customer key, constant redaction for the segment.  Pure projection,
+    zero shuffle at any size; the oracle recomputes every token with
+    the same salt."""
+    from phaser_spark.ops import pii
+
+    cust = _t(spark, sf_dir, "customer")
+    out = pii.mask_columns(
+        cust.select(
+            "c_custkey",
+            "c_name",
+            F.col("c_custkey").cast("string").alias("c_display"),
+            "c_mktsegment",
+        ),
+        {"c_name": "sha256", "c_display": "last4", "c_mktsegment": "redact"},
+        salt="phaser",
+    )
+    return out
+
+
 def scd2_customer_history(spark, sf_dir):
     """SCD Type-2 dimension maintenance (``ops.scd.scd2_apply``):
     bootstrap a customer dimension, then land one CDC batch containing
@@ -2185,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardize_prices": standardize_prices,
         "scd2_customer_history": scd2_customer_history,
         "ri_orphan_lineitems": ri_orphan_lineitems,
+        "mask_customers": mask_customers,
     }
 
 
@@ -3480,6 +3504,17 @@ def oracle_sql() -> dict[str, str]:
             FROM l, r
             WHERE levenshtein(l.lval, r.rval) <= 2
             GROUP BY l.lval, r.rval, levenshtein(l.lval, r.rval)
+        """,
+        "mask_customers": """
+            SELECT c_custkey,
+                   sha256('phaser' || c_name) AS c_name,
+                   repeat('*', GREATEST(length(CAST(c_custkey AS VARCHAR)) - 4, 0))
+                       || CASE WHEN length(CAST(c_custkey AS VARCHAR)) <= 4
+                               THEN CAST(c_custkey AS VARCHAR)
+                               ELSE right(CAST(c_custkey AS VARCHAR), 4) END
+                       AS c_display,
+                   CASE WHEN c_mktsegment IS NOT NULL THEN '[MASKED]' END AS c_mktsegment
+            FROM customer
         """,
         "scd2_customer_history": """
             WITH pool AS (

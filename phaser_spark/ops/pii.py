@@ -86,3 +86,54 @@ def redact_pii(
     if with_counts:
         cols.extend(pii_counts(c).values())
     return df.select(*cols)
+
+
+#: masking methods for mask_columns: name -> column transform
+MASK_METHODS = {
+    # keyed pseudonymization: equal values get equal tokens (joins and
+    # groupBys still work on the masked column), irreversible without
+    # the salt
+    "sha256": lambda c, salt: F.sha2(F.concat(F.lit(salt), c.cast("string")), 256),
+    # keep only the trailing 4 characters (card/account display form)
+    "last4": lambda c, salt: F.concat(
+        F.regexp_replace(
+            c.cast("string").substr(
+                F.lit(1), F.greatest(F.length(c.cast("string")) - 4, F.lit(0))
+            ),
+            ".",
+            "*",
+        ),
+        c.cast("string").substr(
+            F.greatest(F.length(c.cast("string")) - 3, F.lit(1)), F.lit(4)
+        ),
+    ),
+    # constant token: no residual signal at all
+    "redact": lambda c, salt: F.when(c.isNotNull(), F.lit("[MASKED]")),
+}
+
+
+def mask_columns(
+    df: DataFrame, methods: dict[str, str], salt: str = ""
+) -> DataFrame:
+    """Column-level masking/pseudonymization: ``methods`` maps column →
+    ``"sha256"`` (salted keyed token — equality-preserving, so the
+    masked column still joins/groups), ``"last4"`` (display form), or
+    ``"redact"`` (constant token).  NULLs stay NULL under every method.
+
+    Pure projection — zero shuffle, zero Python at any size; Catalyst
+    fuses it with the surrounding plan.  ``salt`` hardens sha256
+    tokens against dictionary reversal; the same salt must be used
+    everywhere a token is joined.
+    """
+    out = df
+    for col, method in methods.items():
+        if method not in MASK_METHODS:
+            raise ValueError(
+                f"mask_columns: unknown method {method!r} for {col!r} "
+                f"(expected {sorted(MASK_METHODS)})"
+            )
+        masked = MASK_METHODS[method](F.col(col), salt)
+        out = out.withColumn(
+            col, F.when(F.col(col).isNotNull(), masked)
+        )
+    return out

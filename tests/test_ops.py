@@ -1724,3 +1724,29 @@ def test_referential_integrity(spark):
     parent = spark.createDataFrame([(10,), (20,)], "pk long")
     orphans = scd.referential_integrity(child, parent, {"fk": "pk"})
     assert {r.id for r in orphans.collect()} == {3}  # NULL fk is not an orphan
+
+
+def test_mask_columns(spark):
+    from phaser_spark.ops import pii
+
+    df = spark.createDataFrame(
+        [("alice", "4111222233334444", "x"), ("alice", "99", "y"), (None, None, None)],
+        "name string, card string, note string",
+    )
+    out = pii.mask_columns(
+        df, {"name": "sha256", "card": "last4", "note": "redact"}, salt="s1"
+    )
+    rows = out.collect()
+    a, b, nul = rows[0], rows[1], rows[2]
+    assert len(a.name) == 64 and a.name == b.name        # equality-preserving
+    assert a.card == "************4444"
+    assert b.card == "99"                                # shorter than 4: kept
+    assert a.note == "[MASKED]" and b.note == "[MASKED]"
+    assert nul.name is None and nul.card is None and nul.note is None
+    # different salt -> different token
+    out2 = pii.mask_columns(df, {"name": "sha256"}, salt="s2")
+    assert out2.collect()[0].name != a.name
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pii.mask_columns(df, {"name": "rot13"})
