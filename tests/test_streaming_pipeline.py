@@ -712,3 +712,45 @@ def test_run_stream_dedup_within_watermark_requires_watermark(spark, tmp_path):
             stream, os.path.join(str(tmp_path), "out"),
             dedup_within_watermark=["k"],
         )
+
+
+def test_quality_gate_step_runs_per_micro_batch(spark, tmp_path):
+    # a quality gate inside a phase evaluates on EACH micro-batch: a
+    # healthy batch flows through, then a violating batch stops the query
+    import glob
+    import shutil
+
+    import pytest
+
+    from phaser_spark.ops import quality as Q
+
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir)
+    good = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id long, score double")
+    bad = spark.createDataFrame([(3, -4.0)], "id long, score double")
+    for i, d in enumerate([good, bad], 1):
+        stage = os.path.join(str(tmp_path), f"stage{i}")
+        d.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src_dir, f"b{i}.parquet"))
+
+    class Gated(Phase):
+        name = "Gated"
+        steps = [Q.quality_gate_step([Q.in_range("score", 0, 100)])]
+
+    out_dir = os.path.join(str(tmp_path), "out")
+    pipe = Pipeline(phases=[Gated], spark=spark)
+    stream = (
+        spark.readStream.schema(good.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="in_range"):
+        pipe.run_stream(
+            stream, out_dir, checkpoint_dir=os.path.join(str(tmp_path), "ckpt")
+        )
+    # the healthy batch's rows landed before the gate tripped
+    got = spark.read.parquet(out_dir)
+    assert sorted(r.id for r in got.collect()) == [1, 2]
