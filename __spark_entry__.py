@@ -1859,6 +1859,36 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def quality_budget_mix(spark, sf_dir):
+    """Best-first token-budget fill (``token_budget_select`` with
+    ``score_col``): each language's budget fills in strictly descending
+    score order — keep the best documents up to the budget, not a
+    random draw.  The coarse level buckets on score BANDS (monotone:
+    better score → earlier band), so the same two-level selection
+    applies and no group sorts in one task; the oracle replays the
+    full (band, score desc, md5, id) order in one SQL window."""
+    from phaser_spark.ops.sampling import token_budget_select
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("n_chars").cast("double") / 600.0).alias("q"),
+    )
+    out = token_budget_select(
+        scored,
+        "doc_id",
+        "n_chars",
+        "lang",
+        {"en": 20000},
+        default_budget=6000,
+        buckets=64,
+        score_col="q",
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def mask_customers(spark, sf_dir):
     """Column masking / pseudonymization (``ops.pii.mask_columns``):
     salted sha256 tokens for names (equality-preserving — the masked
@@ -2209,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer_history": scd2_customer_history,
         "ri_orphan_lineitems": ri_orphan_lineitems,
         "mask_customers": mask_customers,
+        "quality_budget_mix": quality_budget_mix,
     }
 
 
@@ -3504,6 +3535,28 @@ def oracle_sql() -> dict[str, str]:
             FROM l, r
             WHERE levenshtein(l.lval, r.rval) <= 2
             GROUP BY l.lval, r.rval, levenshtein(l.lval, r.rval)
+        """,
+        "quality_budget_mix": """
+            WITH b(lang, bud) AS (VALUES ('en', 20000)),
+            scored AS (
+                SELECT d.doc_id, d.lang, d.n_chars,
+                       LEAST(GREATEST(CAST(d.n_chars AS DOUBLE) / 600.0, 0.0), 1.0) AS q,
+                       COALESCE(b.bud, 6000) AS bud
+                FROM documents d LEFT JOIN b ON d.lang = b.lang
+            ), bktd AS (
+                SELECT *,
+                       CAST(LEAST(GREATEST(floor((1.0 - q) / 1.0 * 64), 0), 63) AS BIGINT) AS bkt
+                FROM scored
+            ), runs AS (
+                SELECT doc_id, lang, n_chars, bud,
+                       COALESCE(SUM(n_chars) OVER (
+                           PARTITION BY lang
+                           ORDER BY bkt, q DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS strt
+                FROM bktd
+            )
+            SELECT doc_id, lang, n_chars FROM runs WHERE strt < bud
         """,
         "mask_customers": """
             SELECT c_custkey,

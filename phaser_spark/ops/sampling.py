@@ -146,6 +146,8 @@ def token_budget_select(
     budgets: dict | int,
     default_budget: int | None = None,
     buckets: int = 1024,
+    score_col: str | None = None,
+    score_range: tuple = (0.0, 1.0),
 ) -> DataFrame:
     """Assemble a training mix by TOKEN BUDGET: per group (language,
     domain, source…), keep documents — in a deterministic pseudo-random
@@ -163,6 +165,15 @@ def token_budget_select(
     to every group).  Groups absent from the mapping use
     ``default_budget``; with ``default_budget=None`` they are dropped —
     an explicit mix lists what it wants.
+
+    With ``score_col`` the budget fills BEST-FIRST instead of
+    pseudo-randomly: docs are taken in strictly descending score order
+    (ties by ``(md5(key), key)``) until the budget is reached — "keep
+    each language's highest-quality documents up to its token budget".
+    ``score_range`` bounds the score (values are clamped into it); the
+    coarse level then buckets on score bands instead of hash buckets,
+    so the same two-level selection applies and no group ever needs a
+    single-task sort.
 
     Scale: the naive form is one window per group — which puts every
     group in ONE sort task (a 10 TB language = one executor).  Instead
@@ -193,7 +204,23 @@ def token_budget_select(
         budget_expr = F.lit(int(budgets))
     BKT, START, BSUM, BUD = "__tb_bkt__", "__tb_start__", "__tb_sum__", "__tb_budget__"
     key = F.col(key_col)
-    with_bkt = df.withColumn(BKT, hash_bucket(key, buckets)).withColumn(
+    if score_col is not None:
+        lo, hi = float(score_range[0]), float(score_range[1])
+        if not hi > lo:
+            raise ValueError(f"score_range must be (lo, hi) with hi > lo, got {score_range}")
+        clamped = F.least(
+            F.greatest(F.col(score_col).cast("double"), F.lit(lo)), F.lit(hi)
+        )
+        # monotone: higher score -> lower bucket -> earlier in the order
+        bucket_expr = F.least(
+            F.greatest(
+                F.floor((F.lit(hi) - clamped) / (hi - lo) * buckets), F.lit(0)
+            ),
+            F.lit(buckets - 1),
+        ).cast("long")
+    else:
+        bucket_expr = hash_bucket(key, buckets)
+    with_bkt = df.withColumn(BKT, bucket_expr).withColumn(
         BUD, budget_expr.cast("long")
     )
     coarse = (
@@ -222,9 +249,12 @@ def token_budget_select(
     end = F.col(START) + F.col(BSUM)
     full = joined.filter(end <= F.col(BUD))
     straddle = joined.filter((F.col(START) < F.col(BUD)) & (end > F.col(BUD)))
+    fine_order = (
+        [F.col(score_col).cast("double").desc()] if score_col is not None else []
+    ) + [F.md5(key.cast("string")), key]
     fw = (
         Window.partitionBy(group_col, BKT)
-        .orderBy(F.md5(key.cast("string")), key)
+        .orderBy(*fine_order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     fine_start = F.col(START) + F.coalesce(

@@ -1750,3 +1750,26 @@ def test_mask_columns(spark):
 
     with _pytest.raises(ValueError):
         pii.mask_columns(df, {"name": "rot13"})
+
+
+def test_token_budget_select_best_first(spark):
+    from phaser_spark.ops import sampling
+
+    # scores 0.00..0.99; lengths all 10; budget 50 -> top-5 scores kept
+    rows = [(f"d{i}", 10, "en", i / 100.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long, lang string, q double")
+    out = sampling.token_budget_select(
+        df, "doc_id", "n_tokens", "lang", {"en": 50},
+        buckets=8, score_col="q",
+    )
+    got = {r.doc_id for r in out.collect()}
+    assert got == {f"d{i}" for i in range(95, 100)}  # the five best
+    # out-of-range scores clamp instead of crashing; naive equivalence
+    # across a bucket boundary (scores straddling bands)
+    rows2 = [("a", 30, "x", 1.7), ("b", 30, "x", 0.9), ("c", 30, "x", 0.89),
+             ("d", 30, "x", -4.0)]
+    df2 = spark.createDataFrame(rows2, "doc_id string, n_tokens long, lang string, q double")
+    out2 = sampling.token_budget_select(
+        df2, "doc_id", "n_tokens", "lang", {"x": 70}, buckets=4, score_col="q"
+    )
+    assert {r.doc_id for r in out2.collect()} == {"a", "b", "c"}
