@@ -1859,6 +1859,30 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def correlations_orders(spark, sf_dir):
+    """One-pass Pearson correlation matrix
+    (``ops.profile.correlations``): all column pairs from one
+    aggregation over one scan — decimal-exact sums of v, v², and x·y
+    per pair (pairwise NULL deletion), coefficient assembled in one
+    fixed double expression, so the oracle recomputes each coefficient
+    bit-identically."""
+    from phaser_spark.ops.profile import correlations
+
+    orders = _t(spark, sf_dir, "orders")
+    return correlations(orders, ["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+def histogram_prices(spark, sf_dir):
+    """Fixed-range histogram (``ops.profile.histogram``): order prices
+    into 20 equal-width buckets over [0, 600000) plus under/overflow —
+    one map-side-combinable count keyed on the bin, fixed double bin
+    arithmetic mirrored in SQL."""
+    from phaser_spark.ops.profile import histogram
+
+    orders = _t(spark, sf_dir, "orders")
+    return histogram(orders, "o_totalprice", 20, 0.0, 600000.0)
+
+
 def quality_budget_mix(spark, sf_dir):
     """Best-first token-budget fill (``token_budget_select`` with
     ``score_col``): each language's budget fills in strictly descending
@@ -2240,6 +2264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ri_orphan_lineitems": ri_orphan_lineitems,
         "mask_customers": mask_customers,
         "quality_budget_mix": quality_budget_mix,
+        "correlations_orders": correlations_orders,
+        "histogram_prices": histogram_prices,
     }
 
 
@@ -3535,6 +3561,57 @@ def oracle_sql() -> dict[str, str]:
             FROM l, r
             WHERE levenshtein(l.lval, r.rval) <= 2
             GROUP BY l.lval, r.rval, levenshtein(l.lval, r.rval)
+        """,
+        "correlations_orders": """
+            SELECT 'o_orderkey' AS col_a, 'o_custkey' AS col_b, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n >= 2 AND (qx - sx * sx / n) > 0 AND (qy - sy * sy / n) > 0
+                        THEN (xy - sx * sy / n) / sqrt((qx - sx * sx / n) * (qy - sy * sy / n))
+                        ELSE NULL END AS corr
+            FROM (
+                SELECT CAST(COUNT(CASE WHEN o_orderkey IS NOT NULL AND o_custkey IS NOT NULL THEN 1 END) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(CASE WHEN o_orderkey IS NOT NULL AND o_custkey IS NOT NULL THEN CAST(o_orderkey AS DOUBLE) END AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(CASE WHEN o_orderkey IS NOT NULL AND o_custkey IS NOT NULL THEN CAST(o_custkey AS DOUBLE) END AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(CASE WHEN o_orderkey IS NOT NULL AND o_custkey IS NOT NULL THEN CAST(o_orderkey AS DOUBLE) * CAST(o_orderkey AS DOUBLE) END AS DECIMAL(38,8))) AS DOUBLE) AS qx,
+                       CAST(SUM(CAST(CASE WHEN o_orderkey IS NOT NULL AND o_custkey IS NOT NULL THEN CAST(o_custkey AS DOUBLE) * CAST(o_custkey AS DOUBLE) END AS DECIMAL(38,8))) AS DOUBLE) AS qy,
+                       CAST(SUM(CAST(CASE WHEN o_orderkey IS NOT NULL AND o_custkey IS NOT NULL THEN CAST(o_orderkey AS DOUBLE) * CAST(o_custkey AS DOUBLE) END AS DECIMAL(38,8))) AS DOUBLE) AS xy
+                FROM orders)\n            UNION ALL
+            SELECT 'o_orderkey' AS col_a, 'o_totalprice' AS col_b, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n >= 2 AND (qx - sx * sx / n) > 0 AND (qy - sy * sy / n) > 0
+                        THEN (xy - sx * sy / n) / sqrt((qx - sx * sx / n) * (qy - sy * sy / n))
+                        ELSE NULL END AS corr
+            FROM (
+                SELECT CAST(COUNT(CASE WHEN o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL THEN 1 END) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(CASE WHEN o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL THEN CAST(o_orderkey AS DOUBLE) END AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(CASE WHEN o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL THEN CAST(o_totalprice AS DOUBLE) END AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(CASE WHEN o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL THEN CAST(o_orderkey AS DOUBLE) * CAST(o_orderkey AS DOUBLE) END AS DECIMAL(38,8))) AS DOUBLE) AS qx,
+                       CAST(SUM(CAST(CASE WHEN o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL THEN CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE) END AS DECIMAL(38,8))) AS DOUBLE) AS qy,
+                       CAST(SUM(CAST(CASE WHEN o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL THEN CAST(o_orderkey AS DOUBLE) * CAST(o_totalprice AS DOUBLE) END AS DECIMAL(38,8))) AS DOUBLE) AS xy
+                FROM orders)\n            UNION ALL
+            SELECT 'o_custkey' AS col_a, 'o_totalprice' AS col_b, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n >= 2 AND (qx - sx * sx / n) > 0 AND (qy - sy * sy / n) > 0
+                        THEN (xy - sx * sy / n) / sqrt((qx - sx * sx / n) * (qy - sy * sy / n))
+                        ELSE NULL END AS corr
+            FROM (
+                SELECT CAST(COUNT(CASE WHEN o_custkey IS NOT NULL AND o_totalprice IS NOT NULL THEN 1 END) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(CASE WHEN o_custkey IS NOT NULL AND o_totalprice IS NOT NULL THEN CAST(o_custkey AS DOUBLE) END AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(CASE WHEN o_custkey IS NOT NULL AND o_totalprice IS NOT NULL THEN CAST(o_totalprice AS DOUBLE) END AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(CASE WHEN o_custkey IS NOT NULL AND o_totalprice IS NOT NULL THEN CAST(o_custkey AS DOUBLE) * CAST(o_custkey AS DOUBLE) END AS DECIMAL(38,8))) AS DOUBLE) AS qx,
+                       CAST(SUM(CAST(CASE WHEN o_custkey IS NOT NULL AND o_totalprice IS NOT NULL THEN CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE) END AS DECIMAL(38,8))) AS DOUBLE) AS qy,
+                       CAST(SUM(CAST(CASE WHEN o_custkey IS NOT NULL AND o_totalprice IS NOT NULL THEN CAST(o_custkey AS DOUBLE) * CAST(o_totalprice AS DOUBLE) END AS DECIMAL(38,8))) AS DOUBLE) AS xy
+                FROM orders)
+        """,
+        "histogram_prices": """
+            WITH binned AS (
+                SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) < 0.0 THEN -1
+                            WHEN CAST(o_totalprice AS DOUBLE) >= 600000.0 THEN 20
+                            ELSE LEAST(CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 30000.0) AS INTEGER), 19)
+                       END AS bin
+                FROM orders WHERE o_totalprice IS NOT NULL
+            )
+            SELECT bin, 0.0 + bin * 30000.0 AS bin_lo,
+                   0.0 + (bin + 1) * 30000.0 AS bin_hi,
+                   COUNT(*) AS n
+            FROM binned GROUP BY bin
         """,
         "quality_budget_mix": """
             WITH b(lang, bud) AS (VALUES ('en', 20000)),

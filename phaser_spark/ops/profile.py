@@ -142,3 +142,105 @@ def profile(
     return agg_row.select(F.explode(F.array(*entries)).alias("r")).select(
         "r.ord", "r.column", "r.metric", "r.value_num", "r.value_str"
     )
+
+
+def correlations(
+    df: DataFrame, cols: list[str], min_periods: int = 2
+) -> DataFrame:
+    """Pearson correlation for every pair of ``cols`` in ONE aggregation
+    pass: per-column decimal-exact sums of ``v`` and ``v²`` plus one
+    ``x·y`` sum per pair, all over one scan — n columns is one job, not
+    C(n,2) ``df.corr`` calls.
+
+    Rows with a NULL in either column of a pair are excluded from that
+    pair (pairwise deletion, the pandas ``DataFrame.corr`` rule), which
+    is why each pair carries its own count/sum slots.  The coefficient
+    assembles from the exact sums in one fixed double expression, so
+    results are identical on any engine/partitioning; pairs with fewer
+    than ``min_periods`` complete rows or zero variance yield NULL.
+
+    Returns ``(col_a, col_b, n long, corr double)`` for a < b in
+    declaration order.
+    """
+    if len(cols) < 2:
+        raise PhaserError("correlations needs at least two columns")
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            x = F.col(a).cast("double")
+            y = F.col(b).cast("double")
+            both = x.isNotNull() & y.isNotNull()
+            xs = F.when(both, x)
+            ys = F.when(both, y)
+            tag = f"{i}_{cols.index(b)}"
+            aggs += [
+                F.count(F.when(both, F.lit(1))).alias(f"__c_n_{tag}__"),
+                F.sum(xs.cast("decimal(38,8)")).cast("double").alias(f"__c_sx_{tag}__"),
+                F.sum(ys.cast("decimal(38,8)")).cast("double").alias(f"__c_sy_{tag}__"),
+                F.sum((xs * xs).cast("decimal(38,8)")).cast("double").alias(f"__c_qx_{tag}__"),
+                F.sum((ys * ys).cast("decimal(38,8)")).cast("double").alias(f"__c_qy_{tag}__"),
+                F.sum((xs * ys).cast("decimal(38,8)")).cast("double").alias(f"__c_xy_{tag}__"),
+            ]
+    row = df.agg(*aggs)
+    entries = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            tag = f"{i}_{cols.index(b)}"
+            n = F.col(f"__c_n_{tag}__").cast("double")
+            sx, sy = F.col(f"__c_sx_{tag}__"), F.col(f"__c_sy_{tag}__")
+            qx, qy = F.col(f"__c_qx_{tag}__"), F.col(f"__c_qy_{tag}__")
+            xy = F.col(f"__c_xy_{tag}__")
+            cov = xy - sx * sy / n
+            vx = qx - sx * sx / n
+            vy = qy - sy * sy / n
+            corr = F.when(
+                (n >= min_periods) & (vx > 0) & (vy > 0),
+                cov / F.sqrt(vx * vy),
+            )
+            entries.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col(f"__c_n_{tag}__").alias("n"),
+                    corr.alias("corr"),
+                )
+            )
+    return row.select(F.explode(F.array(*entries)).alias("r")).select(
+        "r.col_a", "r.col_b", "r.n", "r.corr"
+    )
+
+
+def histogram(
+    df: DataFrame, col: str, bins: int, lo: float, hi: float
+) -> DataFrame:
+    """Fixed-range histogram in one pass: ``bins`` equal-width buckets
+    over ``[lo, hi)`` plus underflow (-1) and overflow (``bins``)
+    buckets; NULLs are dropped.  Returns ``(bin int, bin_lo double,
+    bin_hi double, n long)`` for non-empty buckets.
+
+    One map-side-combinable count keyed on the bin — the fixed range
+    keeps it a single pass (a quantile-based adaptive histogram needs a
+    range/quantile pass first; use ``percentile_approx`` for that
+    shape).  The bin rule ``floor((v - lo) / width)`` is fixed double
+    arithmetic, identical on any engine."""
+    if bins < 1 or not hi > lo:
+        raise PhaserError("histogram needs bins >= 1 and hi > lo")
+    width = (float(hi) - float(lo)) / bins
+    v = F.col(col).cast("double")
+    b = F.floor((v - float(lo)) / F.lit(width)).cast("int")
+    b = (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(bins))
+        .otherwise(F.least(b, F.lit(bins - 1)))
+    )
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(float(lo)) + F.col("bin") * width).alias("bin_lo"),
+            (F.lit(float(lo)) + (F.col("bin") + 1) * width).alias("bin_hi"),
+            "n",
+        )
+    )

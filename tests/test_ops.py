@@ -1773,3 +1773,40 @@ def test_token_budget_select_best_first(spark):
         df2, "doc_id", "n_tokens", "lang", {"x": 70}, buckets=4, score_col="q"
     )
     assert {r.doc_id for r in out2.collect()} == {"a", "b", "c"}
+
+
+def test_correlations_one_pass(spark):
+    from phaser_spark.ops import profile as P
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, None), (4.0, 8.0, -4.0)],
+        "x double, y double, z double",
+    )
+    rows = {(r.col_a, r.col_b): (r.n, r.corr) for r in P.correlations(df, ["x", "y", "z"]).collect()}
+    n, c = rows[("x", "y")]
+    assert n == 4 and abs(c - 1.0) < 1e-12          # perfectly linear
+    n, c = rows[("x", "z")]
+    assert n == 3 and abs(c + 1.0) < 1e-12          # pairwise deletion
+    # zero variance -> NULL
+    df2 = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], "x double, y double")
+    r = P.correlations(df2, ["x", "y"]).collect()[0]
+    assert r.corr is None
+    from phaser_spark.plan import plan_summary
+
+    # one aggregation pass: no Python, no joins, a single partial/final
+    # agg exchange pair at most (local relation plans no file scan node)
+    s = plan_summary(P.correlations(df, ["x", "y", "z"]))
+    assert s["python_evals"] == 0 and s["nested_loops"] == 0
+    assert s["exchanges"] <= 1
+
+
+def test_histogram_bins(spark):
+    from phaser_spark.ops import profile as P
+
+    vals = [-5.0, 0.0, 1.0, 5.0, 9.9, 10.0, 42.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = {r.bin: (r.bin_lo, r.bin_hi, r.n) for r in P.histogram(df, "v", 2, 0.0, 10.0).collect()}
+    assert rows[-1][2] == 1                 # underflow
+    assert rows[0] == (0.0, 5.0, 2)         # [0,5): 0.0, 1.0
+    assert rows[1] == (5.0, 10.0, 2)        # [5,10): 5.0, 9.9
+    assert rows[2][2] == 2                  # overflow: 10.0, 42.0
