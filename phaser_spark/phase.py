@@ -118,6 +118,7 @@ class Phase:
         checkpoint_num_buckets: int | None = None,
         checkpoint_sort_by: list[str] | None = None,
         checkpoint_num_files: int | None = None,
+        checkpoint_partition_by: list[str] | None = None,
     ):
         self.name = name or type(self).__name__
         self.steps = list(steps if steps is not None else type(self).steps)
@@ -169,6 +170,19 @@ class Phase:
             list(checkpoint_sort_by)
             if checkpoint_sort_by is not None
             else list(getattr(type(self), "checkpoint_sort_by", None) or [])
+        ) or None
+        # checkpoint_partition_by: hive-partition this phase's checkpoint
+        # directories on these columns — later phases' (and external
+        # consumers') equality/IN filters on them prune whole partitions
+        # at PLANNING time, before any file is opened.  The coarse
+        # complement to checkpoint_sort_by (row-group pruning at scan
+        # time); the two compose (partition dirs outside, range-clustered
+        # files inside).  Pick low-cardinality columns (date, lang,
+        # source) — one directory per value.
+        self.checkpoint_partition_by = (
+            list(checkpoint_partition_by)
+            if checkpoint_partition_by is not None
+            else list(getattr(type(self), "checkpoint_partition_by", None) or [])
         ) or None
         self.checkpoint_num_files = (
             checkpoint_num_files

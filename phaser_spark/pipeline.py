@@ -212,6 +212,21 @@ class Pipeline:
         out = ph.run(df)
         # Materialize exactly once: the internal parquet checkpoint.
         internal_path = None
+        part_by = getattr(ph, "checkpoint_partition_by", None)
+        if part_by:
+            missing = [c for c in part_by if c not in out.columns]
+            if missing:
+                raise PhaserError(
+                    f"Phase {ph.name}: checkpoint_partition_by columns "
+                    f"{missing} not in phase output"
+                )
+            if ph.checkpoint_bucket_by:
+                raise PhaserError(
+                    f"Phase {ph.name}: checkpoint_partition_by and "
+                    "checkpoint_bucket_by cannot combine (the bucketed "
+                    "checkpoint is a catalog table; partition the bucketed "
+                    "table externally if both layouts are needed)"
+                )
         if ph.checkpoint_bucket_by:
             # Bucketed checkpoint: write a catalog-registered bucketed
             # table so downstream joins/aggs on the bucket key read a
@@ -260,6 +275,11 @@ class Pipeline:
                     internal_path,
                     sort_cols=ph.checkpoint_sort_by,
                     num_files=ph.checkpoint_num_files,
+                    partition_by=part_by,
+                )
+            elif part_by:
+                out.write.mode("overwrite").partitionBy(*part_by).parquet(
+                    internal_path
                 )
             else:
                 out.write.mode("overwrite").parquet(internal_path)

@@ -244,3 +244,58 @@ def test_dag_pipeline_class_attr_form(spark):
     out = dag.run(spark.createDataFrame([(1.0,)], "v double"))
     assert [r.v for r in out.collect()] == [4.0]
     assert dag.name == "MyDag"
+
+
+def test_partitioned_checkpoint_prunes(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from phaser_spark import Phase, Pipeline, filter_rows
+
+    src = spark.createDataFrame(
+        [(i, ["en", "fr", "de"][i % 3], float(i)) for i in range(60)],
+        "id long, lang string, v double",
+    )
+    ph = Phase(
+        name="parted",
+        steps=[filter_rows(F.col("v") >= 0)],
+        checkpoint_partition_by=["lang"],
+    )
+    pipe = Pipeline(working_dir=str(tmp_path), phases=[ph], spark=spark)
+    out = pipe.run(src)
+    assert out.count() == 60
+    state = os.path.join(str(tmp_path), ".parted_state.parquet")
+    # hive-style partition directories on disk
+    assert sorted(
+        d for d in os.listdir(state) if d.startswith("lang=")
+    ) == ["lang=de", "lang=en", "lang=fr"]
+    # a filter on the partition column prunes at planning time
+    plan = (
+        spark.read.parquet(state).filter("lang = 'en'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+
+    # partition_by composes with sort_by; rejects combining with buckets
+    import pytest
+
+    from phaser_spark.exceptions import PhaserError
+
+    both = Phase(
+        name="both",
+        steps=[],
+        checkpoint_partition_by=["lang"],
+        checkpoint_bucket_by=["id"],
+    )
+    pipe2 = Pipeline(working_dir=str(tmp_path), phases=[both], spark=spark)
+    with pytest.raises(PhaserError, match="cannot combine"):
+        pipe2.run(src)
+    sorted_ph = Phase(
+        name="sorted_parted",
+        steps=[],
+        checkpoint_partition_by=["lang"],
+        checkpoint_sort_by=["v"],
+    )
+    pipe3 = Pipeline(working_dir=str(tmp_path), phases=[sorted_ph], spark=spark)
+    assert pipe3.run(src).count() == 60
