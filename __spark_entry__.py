@@ -1859,6 +1859,36 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def resample_event_hours(spark, sf_dir):
+    """Fixed-grid resampling with gap fill
+    (``ops.timeseries.resample_time``): hourly event counts + exact
+    value totals per event type, with EMPTY hours materialized between
+    each type's first and last event — the hypertable gap-fill shape
+    ``groupBy(window(...))`` cannot produce.  Integer epoch bucketing
+    (engine-identical), decimal value sums, per-key grids from each
+    key's own span (never a driver-side range)."""
+    from phaser_spark.ops.timeseries import resample_time
+
+    ev = _events(spark, sf_dir)
+    out = resample_time(
+        ev,
+        "ts",
+        "1 hour",
+        "event_type",
+        aggs={
+            "n": F.count(F.lit(1)),
+            "total": F.sum(F.col("value").cast("decimal(18,4)")).cast("double"),
+        },
+        fill="zero",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm").alias("bucket"),
+        "n",
+        F.col("total").cast("double").alias("total"),
+    )
+
+
 def correlations_orders(spark, sf_dir):
     """One-pass Pearson correlation matrix
     (``ops.profile.correlations``): all column pairs from one
@@ -2266,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_budget_mix": quality_budget_mix,
         "correlations_orders": correlations_orders,
         "histogram_prices": histogram_prices,
+        "resample_event_hours": resample_event_hours,
     }
 
 
@@ -3561,6 +3592,27 @@ def oracle_sql() -> dict[str, str]:
             FROM l, r
             WHERE levenshtein(l.lval, r.rval) <= 2
             GROUP BY l.lval, r.rval, levenshtein(l.lval, r.rval)
+        """,
+        "resample_event_hours": """
+            WITH agged AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bkt,
+                       COUNT(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+                FROM events GROUP BY 1, 2
+            ), span AS (
+                SELECT event_type, MIN(bkt) AS lo, MAX(bkt) AS hi
+                FROM agged GROUP BY event_type
+            ), grid AS (
+                SELECT event_type, UNNEST(generate_series(lo, hi, 3600)) AS bkt
+                FROM span
+            )
+            SELECT g.event_type,
+                   strftime(to_timestamp(g.bkt), '%Y-%m-%d %H:%M') AS bucket,
+                   COALESCE(a.n, 0) AS n,
+                   CAST(COALESCE(a.total, 0) AS DOUBLE) AS total
+            FROM grid g
+            LEFT JOIN agged a ON a.event_type = g.event_type AND a.bkt = g.bkt
         """,
         "correlations_orders": """
             SELECT 'o_orderkey' AS col_a, 'o_custkey' AS col_b, CAST(n AS BIGINT) AS n,

@@ -26,5 +26,6 @@ from . import (  # noqa: F401
     sketches,
     streamjoin,
     text,
+    timeseries,
     web,
 )

@@ -1810,3 +1810,46 @@ def test_histogram_bins(spark):
     assert rows[0] == (0.0, 5.0, 2)         # [0,5): 0.0, 1.0
     assert rows[1] == (5.0, 10.0, 2)        # [5,10): 5.0, 9.9
     assert rows[2][2] == 2                  # overflow: 10.0, 42.0
+
+
+# --- time-series resampling with gap fill --------------------------------
+
+
+def test_resample_time_gapfill(spark):
+    import datetime as dt
+
+    from phaser_spark.ops import timeseries
+
+    T = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    rows = [
+        ("a", T(0), 1.0), ("a", T(0), 2.0),   # hour 0: two events
+        ("a", T(3), 5.0),                     # hours 1-2 empty (the gap)
+        ("b", T(2), 9.0),                     # b spans a single hour
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = timeseries.resample_time(
+        df, "ts", "1 hour", "k",
+        aggs={"n": F.count(F.lit(1)), "total": F.sum("v")},
+        fill="zero",
+    )
+    got = {(r.k, r.bucket_ts.hour): (r.n, r.total) for r in out.collect()}
+    assert got[("a", 0)] == (2, 3.0)
+    assert got[("a", 1)] == (0, 0)            # gap materialized
+    assert got[("a", 2)] == (0, 0)
+    assert got[("a", 3)] == (1, 5.0)
+    assert got[("b", 2)] == (1, 9.0)
+    assert len(got) == 5                      # b has no grid outside its span
+
+    # forward fill carries the last gauge value across the gap
+    ff = timeseries.resample_time(
+        df, "ts", "1 hour", "k", aggs={"last_v": F.max("v")}, fill="ffill"
+    )
+    gotf = {(r.k, r.bucket_ts.hour): r.last_v for r in ff.collect()}
+    assert gotf[("a", 1)] == 2.0 and gotf[("a", 2)] == 2.0 and gotf[("a", 3)] == 5.0
+
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+
+    with _pytest.raises(PhaserError):
+        timeseries.resample_time(df, "ts", "2 fortnights", "k")
