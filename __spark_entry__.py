@@ -1859,6 +1859,43 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def j6_asof_forward(spark, sf_dir):
+    """Forward as-of join with tolerance (``ops.relational.asof_join``,
+    ``direction="forward"``, 1-hour bound): each purchase matched to the
+    user's NEXT error event within an hour, or NULL — the
+    incident-attribution shape.  Same single-window union design as the
+    backward form (one shuffle on the key, no range join), traversed in
+    descending time; the oracle replays it with a reversed
+    last_value-ignore-nulls window and the same microsecond tolerance
+    gate."""
+    from phaser_spark.ops.relational import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id")
+    )
+    out = asof_join(
+        left,
+        right,
+        "user_id",
+        "ts",
+        "ts",
+        right_cols=["error_id"],
+        right_tiebreak="error_id",
+        direction="forward",
+        tolerance="1 hour",
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        "error_id",
+    )
+
+
 def resample_event_hours(spark, sf_dir):
     """Fixed-grid resampling with gap fill
     (``ops.timeseries.resample_time``): hourly event counts + exact
@@ -2297,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlations_orders": correlations_orders,
         "histogram_prices": histogram_prices,
         "resample_event_hours": resample_event_hours,
+        "j6_asof_forward": j6_asof_forward,
     }
 
 
@@ -3592,6 +3630,29 @@ def oracle_sql() -> dict[str, str]:
             FROM l, r
             WHERE levenshtein(l.lval, r.rval) <= 2
             GROUP BY l.lval, r.rval, levenshtein(l.lval, r.rval)
+        """,
+        "j6_asof_forward": """
+            WITH u AS (
+                SELECT user_id, ts, 1 AS side, 0 AS tb,
+                       event_id AS purchase_id, CAST(NULL AS BIGINT) AS error_id
+                FROM events WHERE event_type = 'purchase'
+                UNION ALL
+                SELECT user_id, ts, 0, event_id, NULL, event_id
+                FROM events WHERE event_type = 'error'
+            ), c AS (
+                SELECT *,
+                       last_value(error_id IGNORE NULLS) OVER w AS next_error_id,
+                       last_value(CASE WHEN error_id IS NOT NULL THEN ts END IGNORE NULLS)
+                           OVER w AS next_error_ts
+                FROM u
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, side ASC, tb ASC
+                             ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT user_id, purchase_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+                   CASE WHEN epoch_us(next_error_ts) - epoch_us(ts) <= 3600000000
+                        THEN next_error_id END AS error_id
+            FROM c WHERE side = 1
         """,
         "resample_event_hours": """
             WITH agged AS (

@@ -287,6 +287,8 @@ def asof_join(
     right_cols: list[str] | None = None,
     right_tiebreak: str | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single most recent right row with
     ``right_ts <= left_ts`` in the same key group (time-series point
@@ -301,12 +303,36 @@ def asof_join(
     matching DuckDB ``ASOF JOIN`` / pandas ``merge_asof`` semantics.
     ``right_tiebreak`` (a right column, e.g. a unique id) makes the winner
     among equal-``right_ts`` rows deterministic: the greatest value wins.
+
+    ``direction="forward"`` matches the NEAREST LATER right row
+    (``right_ts >= left_ts``) instead — the same single window traversed
+    in descending time.  ``tolerance`` (e.g. ``"30 minutes"``) bounds
+    the match distance: a match farther than that in the joined
+    direction comes back NULL while the left row is kept (pandas
+    ``merge_asof`` semantics); requires timestamp-typed ts columns.
     """
     keys = [on] if isinstance(on, str) else list(on)
     right_cols = right_cols or [
         c for c in right.columns if c not in keys and c != right_ts
     ]
-    payload = F.struct(*[F.col(c) for c in right_cols])
+    if direction not in ("backward", "forward"):
+        raise PhaserError(f"asof_join: direction must be backward/forward, got {direction!r}")
+    tol_us = None
+    if tolerance is not None:
+        import re as _re
+
+        m = _re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", tolerance.strip())
+        if not m:
+            raise PhaserError(f"asof_join: unsupported tolerance {tolerance!r}")
+        tol_us = int(m.group(1)) * {
+            "second": 1_000_000,
+            "minute": 60_000_000,
+            "hour": 3_600_000_000,
+            "day": 86_400_000_000,
+        }[m.group(2)]
+    payload = F.struct(
+        F.col(right_ts).alias("__asof_rts__"), *[F.col(c) for c in right_cols]
+    )
     left_rest = [c for c in left.columns if c not in keys]
     r = right.select(
         *[F.col(k) for k in keys],
@@ -331,10 +357,15 @@ def asof_join(
         .alias("__asof_payload__"),
         *[F.col(c) for c in left_rest],
     )
+    ts_order = (
+        F.col("__asof_ts__").asc()
+        if direction == "backward"
+        else F.col("__asof_ts__").desc()
+    )
     w = (
         Window.partitionBy(*keys)
         .orderBy(
-            F.col("__asof_ts__").asc(),
+            ts_order,
             F.col("__asof_side__").asc(),
             F.col("__asof_tb__").asc(),
         )
@@ -343,14 +374,22 @@ def asof_join(
     carried = r.unionByName(l.select(*r.columns)).withColumn(
         "__asof_match__", F.last("__asof_payload__", ignorenulls=True).over(w)
     )
+    match = F.col("__asof_match__")
+    if tol_us is not None:
+        dist = (
+            F.unix_micros(F.col("__asof_ts__"))
+            - F.unix_micros(match["__asof_rts__"])
+            if direction == "backward"
+            else F.unix_micros(match["__asof_rts__"])
+            - F.unix_micros(F.col("__asof_ts__"))
+        )
+        match = F.when(dist <= tol_us, match)
     return carried.filter(F.col("__asof_side__") == 1).select(
         *[F.col(k) for k in keys],
         F.col("__asof_ts__").alias(left_ts),
         *[F.col(c) for c in left_rest if c != left_ts],
         *[
-            F.col("__asof_match__")[c].alias(
-                c if c not in left.columns else f"{c}{suffix}"
-            )
+            match[c].alias(c if c not in left.columns else f"{c}{suffix}")
             for c in right_cols
         ],
     )

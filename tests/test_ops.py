@@ -1853,3 +1853,39 @@ def test_resample_time_gapfill(spark):
 
     with _pytest.raises(PhaserError):
         timeseries.resample_time(df, "ts", "2 fortnights", "k")
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    import datetime as dt
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, T(10)), (1, T(40)), (2, T(5))], "k long, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, T(12), "a"), (1, T(50), "b"), (2, T(0), "c")],
+        "k long, rt timestamp, tag string",
+    )
+    fwd = relational.asof_join(left, right, "k", "lt", "rt", direction="forward")
+    got = {(r.k, r.lt.minute): r.tag for r in fwd.collect()}
+    assert got[(1, 10)] == "a"      # nearest LATER right row
+    assert got[(1, 40)] == "b"
+    assert got[(2, 5)] is None      # no later row for k=2
+
+    # tolerance: backward match farther than 15 min nulls out, row kept
+    tol = relational.asof_join(
+        left, right, "k", "lt", "rt", direction="backward",
+        tolerance="15 minutes",
+    )
+    gott = {(r.k, r.lt.minute): r.tag for r in tol.collect()}
+    assert gott[(1, 40)] is None    # nearest back is 28 min away > 15 -> NULL
+    assert gott[(1, 10)] is None    # no earlier right row at all
+    assert gott[(2, 5)] == "c"      # 5 min back, within tolerance
+    assert len(gott) == 3           # rows kept either way
+
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+
+    with _pytest.raises(PhaserError):
+        relational.asof_join(left, right, "k", "lt", "rt", direction="sideways")
