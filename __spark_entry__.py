@@ -1859,6 +1859,24 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def merge_user_activity(spark, sf_dir):
+    """Interval coalescing (``ops.relational.merge_intervals``): every
+    event opens a 10-minute activity interval per user; overlapping or
+    touching intervals merge into activity windows (gaps-and-islands).
+    One shuffle on the user key, per-key state is a single running-max
+    — never the interval list; the oracle replays the same island rule
+    in SQL."""
+    from phaser_spark.ops.relational import merge_intervals
+
+    ev = _events(spark, sf_dir)
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + 600).alias("e"),
+    )
+    return merge_intervals(iv, "user_id", "s", "e")
+
+
 def j6_asof_forward(spark, sf_dir):
     """Forward as-of join with tolerance (``ops.relational.asof_join``,
     ``direction="forward"``, 1-hour bound): each purchase matched to the
@@ -2335,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_prices": histogram_prices,
         "resample_event_hours": resample_event_hours,
         "j6_asof_forward": j6_asof_forward,
+        "merge_user_activity": merge_user_activity,
     }
 
 
@@ -3630,6 +3649,27 @@ def oracle_sql() -> dict[str, str]:
             FROM l, r
             WHERE levenshtein(l.lval, r.rval) <= 2
             GROUP BY l.lval, r.rval, levenshtein(l.lval, r.rval)
+        """,
+        "merge_user_activity": """
+            WITH iv AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                       CAST(floor(epoch(ts)) AS BIGINT) + 600 AS e
+                FROM events
+            ), c AS (
+                SELECT user_id, s, e,
+                       MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+                FROM iv
+            ), isl AS (
+                SELECT user_id, s, e,
+                       SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS island
+                FROM c
+            )
+            SELECT user_id, MIN(s) AS s, MAX(e) AS e, COUNT(*) AS n_merged
+            FROM isl GROUP BY user_id, island
         """,
         "j6_asof_forward": """
             WITH u AS (

@@ -768,3 +768,50 @@ def fuzzy_join(
             "edit_distance",
         )
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    start_col: str,
+    end_col: str,
+    min_gap=None,
+) -> DataFrame:
+    """Coalesce overlapping (or touching) intervals per key — the
+    gaps-and-islands operation: maintenance windows, user availability,
+    coverage spans.  Returns ``key_cols + (start_col, end_col,
+    n_merged)`` with one row per merged island.
+
+    An interval starts a new island when its start exceeds the running
+    maximum end of everything before it (strictly — touching intervals
+    ``[1,5] [5,9]`` merge); with ``min_gap`` (same type as the bounds'
+    difference: a number for numerics, not supported for timestamps —
+    pre-convert to epoch) intervals closer than that also merge.
+
+    One shuffle on the key + two per-key windows sharing the same sort
+    (Catalyst plans one Exchange + one Sort); per-key state is a single
+    running max, never the interval list.  Works on any orderable type
+    (numerics, dates, timestamps).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    threshold = (
+        prev_max_end if min_gap is None else prev_max_end + F.lit(min_gap)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > threshold), 1
+    ).otherwise(0)
+    island = F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.withColumn("__mi_island", island)
+        .groupBy(*keys, "__mi_island")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__mi_island")
+    )

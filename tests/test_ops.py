@@ -1889,3 +1889,23 @@ def test_asof_join_forward_and_tolerance(spark):
 
     with _pytest.raises(PhaserError):
         relational.asof_join(left, right, "k", "lt", "rt", direction="sideways")
+
+
+def test_merge_intervals(spark):
+    rows = [
+        ("a", 1, 5), ("a", 3, 9), ("a", 9, 12),   # chain: overlap + touching
+        ("a", 20, 25),                             # separate island
+        ("a", 21, 22),                             # nested inside previous
+        ("b", 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = relational.merge_intervals(df, "k", "s", "e")
+    got = {(r.k, r.s): (r.e, r.n_merged) for r in out.collect()}
+    assert got[("a", 1)] == (12, 3)
+    assert got[("a", 20)] == (25, 2)
+    assert got[("b", 0)] == (1, 1)
+    assert len(got) == 3
+    # min_gap merges islands closer than the gap
+    out2 = relational.merge_intervals(df, "k", "s", "e", min_gap=10)
+    got2 = {(r.k, r.s): r.e for r in out2.collect()}
+    assert got2[("a", 1)] == 25  # 20 - 12 = 8 < 10 -> merged
