@@ -1859,6 +1859,29 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def neighbor_points(spark, sf_dir):
+    """Planar radius join (``ops.spatial.neighbor_join``): customers
+    placed on a deterministic md5-derived 100×100 grid; all pairs
+    within distance 2 found via grid-cell bucketing — an equi-join on
+    the cell with a constant 3×3 neighborhood fan-out, never the
+    all-pairs cross join (which is exactly what the oracle computes,
+    proving zero loss).  Verification arithmetic is pure
+    multiplication — bit-identical across engines."""
+    from phaser_spark.ops.sampling import hash_bucket
+    from phaser_spark.ops.spatial import neighbor_join
+
+    cust = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    pts = cust.select(
+        key.alias("pid"),
+        (hash_bucket(key, 1000) / 10.0).alias("x"),
+        (
+            hash_bucket(F.concat(key.cast("string"), F.lit("-y")), 1000) / 10.0
+        ).alias("y"),
+    )
+    return neighbor_join(pts, "pid", "x", "y", 2.0)
+
+
 def merge_user_activity(spark, sf_dir):
     """Interval coalescing (``ops.relational.merge_intervals``): every
     event opens a 10-minute activity interval per user; overlapping or
@@ -2354,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_event_hours": resample_event_hours,
         "j6_asof_forward": j6_asof_forward,
         "merge_user_activity": merge_user_activity,
+        "neighbor_points": neighbor_points,
     }
 
 
@@ -3649,6 +3673,18 @@ def oracle_sql() -> dict[str, str]:
             FROM l, r
             WHERE levenshtein(l.lval, r.rval) <= 2
             GROUP BY l.lval, r.rval, levenshtein(l.lval, r.rval)
+        """,
+        "neighbor_points": """
+            WITH pts AS (
+                SELECT c_custkey AS pid,
+                       (CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1000) / 10.0 AS x,
+                       (CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '-y'), 1, 8)) AS BIGINT) % 1000) / 10.0 AS y
+                FROM customer
+            )
+            SELECT a.pid AS id_a, b.pid AS id_b,
+                   (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
+            FROM pts a JOIN pts b ON a.pid < b.pid
+            WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4.0
         """,
         "merge_user_activity": """
             WITH iv AS (

@@ -23,6 +23,7 @@ from . import (  # noqa: F401
     sampling,
     scd,
     similarity,
+    spatial,
     sketches,
     streamjoin,
     text,

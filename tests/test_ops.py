@@ -1909,3 +1909,29 @@ def test_merge_intervals(spark):
     out2 = relational.merge_intervals(df, "k", "s", "e", min_gap=10)
     got2 = {(r.k, r.s): r.e for r in out2.collect()}
     assert got2[("a", 1)] == 25  # 20 - 12 = 8 < 10 -> merged
+
+
+def test_neighbor_join_matches_brute_force(spark):
+    import itertools
+    import random
+
+    from phaser_spark.ops import spatial
+
+    rng = random.Random(7)
+    pts = [(i, rng.uniform(0, 10), rng.uniform(0, 10)) for i in range(80)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    r = 1.5
+    out = spatial.neighbor_join(df, "id", "x", "y", r)
+    got = {(p.id_a, p.id_b) for p in out.collect()}
+    want = {
+        (a[0], b[0])
+        for a, b in itertools.combinations(pts, 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= r * r
+    }
+    assert got == want and len(want) > 50   # dense enough to be non-vacuous
+    # negative coordinates cross cell boundaries correctly
+    df2 = spark.createDataFrame(
+        [(1, -0.1, -0.1), (2, 0.1, 0.1), (3, 5.0, 5.0)], "id long, x double, y double"
+    )
+    out2 = spatial.neighbor_join(df2, "id", "x", "y", 1.0)
+    assert {(p.id_a, p.id_b) for p in out2.collect()} == {(1, 2)}
