@@ -398,3 +398,119 @@ def test_fuzzy_join_property(spark, ws, d):
         if lev(a, b) <= d
     }
     assert got == want
+
+
+# --- behavioral / interval ops vs brute-force references -----------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(1, 4), st.integers(0, 50), st.sampled_from("abcx")),
+        min_size=1, max_size=60,
+    ),
+)
+def test_funnel_property(spark, events):
+    """funnel == the greedy sequential matcher on ANY event set,
+    including duplicate timestamps (strict-> progression) and users with
+    no funnel events (absent from the output)."""
+    import datetime as dt
+
+    from phaser_spark.ops import behavior
+
+    steps = ["a", "b", "c"]
+    rows = [
+        (u, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), t)
+        for u, m, t in events
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, t string")
+    got = {
+        r.u: r.stages_completed
+        for r in behavior.funnel(df, "u", "ts", "t", steps).collect()
+    }
+    want = {}
+    by_user = {}
+    for u, ts, t in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        if t in steps:
+            by_user.setdefault(u, []).append((ts, t))
+    for u, evs in by_user.items():
+        stage, last = 0, None
+        for ts, t in evs:  # sorted by (ts, type) = the engine's array_sort order
+            if stage < 3 and t == steps[stage] and (last is None or ts > last):
+                stage, last = stage + 1, ts
+        want[u] = stage
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 40), st.integers(0, 15)),
+        min_size=1, max_size=40,
+    ),
+)
+def test_merge_intervals_property(spark, ivs):
+    """merge_intervals == brute-force union-of-intervals per key for ANY
+    interval set (overlaps, nesting, touching, duplicates)."""
+    from phaser_spark.ops import relational
+
+    rows = [(k, s, s + ln) for k, s, ln in ivs]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = {
+        (r.k, r.s, r.e): r.n_merged
+        for r in relational.merge_intervals(df, "k", "s", "e").collect()
+    }
+    want = {}
+    by_key = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    for k, lst in by_key.items():
+        lst.sort()
+        cur_s, cur_e, n = lst[0][0], lst[0][1], 1
+        for s, e in lst[1:]:
+            if s > cur_e:
+                want[(k, cur_s, cur_e)] = n
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e, n = max(cur_e, e), n + 1
+        want[(k, cur_s, cur_e)] = n
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(1, 9)),
+        min_size=1, max_size=50,
+    ),
+)
+def test_resample_time_property(spark, pts):
+    """resample_time == brute-force bucketing + full grid between each
+    key's min and max bucket, zeros in the gaps."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from phaser_spark.ops import timeseries
+
+    rows = [
+        (k, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), float(v))
+        for k, m, v in pts
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = timeseries.resample_time(
+        df, "ts", "10 minutes", "k", aggs={"n": F.count(F.lit(1))}, fill="zero"
+    )
+    got = {(r.k, int(r.bucket_ts.timestamp())): r.n for r in out.collect()}
+    base = int(dt.datetime(2024, 1, 1).timestamp())
+    want = {}
+    by_key = {}
+    for k, m, v in pts:
+        b = base + (m // 10) * 600
+        by_key.setdefault(k, {}).setdefault(b, 0)
+        by_key[k][b] += 1
+    for k, buckets in by_key.items():
+        lo, hi = min(buckets), max(buckets)
+        for b in range(lo, hi + 600, 600):
+            want[(k, b)] = buckets.get(b, 0)
+    assert got == want
