@@ -514,3 +514,52 @@ def test_resample_time_property(spark, pts):
         for b in range(lo, hi + 600, 600):
             want[(k, b)] = buckets.get(b, 0)
     assert got == want
+
+
+# --- SCD2 chains vs a Python reference -----------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    ups=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(1, 20), st.sampled_from("xyz")),
+        min_size=1, max_size=30,
+    ),
+)
+def test_scd2_apply_property(spark, ups):
+    """scd2_apply(None, batch) == the sequential per-key version chain
+    for ANY batch: (ts, attrs)-ordered, consecutive-duplicate-suppressed,
+    exactly one open version per key."""
+    import datetime as dt
+
+    from phaser_spark.ops import scd
+
+    rows = [
+        (k, v, dt.datetime(2024, 1, 1) + dt.timedelta(days=d))
+        for k, d, v in ups
+    ]
+    # unique (key, ts, value) triples: the engine's tie-break sorts equal
+    # (ts, origin) rows by attrs, so duplicate triples are the only
+    # ambiguity-free duplicates — drop them like a keyed CDC feed would
+    rows = list({(k, v, ts): None for k, v, ts in rows})
+    df = spark.createDataFrame(rows, "id long, name string, ts timestamp")
+    got = {
+        (r.id, r.name, r.valid_from): (r.valid_to, r.is_current)
+        for r in scd.scd2_apply(None, df, "id", ["name"], "ts").collect()
+    }
+    want = {}
+    by_key = {}
+    for k, v, ts in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+        by_key.setdefault(k, []).append((ts, v))
+    for k, chain in by_key.items():
+        dedup = []
+        for ts, v in chain:
+            if not dedup or dedup[-1][1] != v:
+                dedup.append((ts, v))
+        for i, (ts, v) in enumerate(dedup):
+            nxt = dedup[i + 1][0] if i + 1 < len(dedup) else None
+            want[(k, v, ts)] = (nxt, nxt is None)
+    assert got == want
+    # invariant: exactly one open version per key
+    opens = [k for (k, _, _), (vt, cur) in got.items() if cur]
+    assert sorted(opens) == sorted(set(opens)) and set(opens) == set(by_key)
