@@ -44,6 +44,7 @@ def profile(
     df: DataFrame,
     columns: list[str] | None = None,
     approx_distinct: bool = False,
+    group_by: list[str] | None = None,
 ) -> DataFrame:
     """Profile ``columns`` (default: all) in one aggregation pass.
 
@@ -54,8 +55,18 @@ def profile(
     columns (values in ``value_str`` — temporal rendered ISO via cast,
     doubles never round-trip through strings).  Booleans profile as
     ``n_true`` plus the common metrics.
+
+    With ``group_by`` every metric evaluates PER GROUP in the same
+    single pass (one row per group × column × metric, the group columns
+    leading) — the per-slice profile that catches a corrupt ingest day
+    a whole-table profile averages away.
     """
-    cols = columns or [c for c in df.columns if not c.startswith("__phaser")]
+    keys = list(group_by or [])
+    cols = columns or [
+        c
+        for c in df.columns
+        if not c.startswith("__phaser") and c not in keys
+    ]
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise PhaserError(f"profile: columns not in frame: {missing}")
@@ -106,7 +117,7 @@ def profile(
             slot(c, "max", F.max(v).cast("string"), False)
         # complex types (array/map/struct/binary): common metrics only
 
-    agg_row = df.agg(*aggs)
+    agg_row = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
     by_col: dict[str, list[tuple[str, str, bool]]] = {}
     for c, metric, name, numeric in plan:
         by_col.setdefault(c, []).append((metric, name, numeric))
@@ -139,9 +150,9 @@ def profile(
                     ).alias("value_str"),
                 )
             )
-    return agg_row.select(F.explode(F.array(*entries)).alias("r")).select(
-        "r.ord", "r.column", "r.metric", "r.value_num", "r.value_str"
-    )
+    return agg_row.select(
+        *keys, F.explode(F.array(*entries)).alias("r")
+    ).select(*keys, "r.ord", "r.column", "r.metric", "r.value_num", "r.value_str")
 
 
 def correlations(

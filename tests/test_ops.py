@@ -1935,3 +1935,17 @@ def test_neighbor_join_matches_brute_force(spark):
     )
     out2 = spatial.neighbor_join(df2, "id", "x", "y", 1.0)
     assert {(p.id_a, p.id_b) for p in out2.collect()} == {(1, 2)}
+
+
+def test_profile_per_group(spark):
+    from phaser_spark.ops import profile as P
+
+    df = spark.createDataFrame(
+        [("d1", 1.0), ("d1", None), ("d2", 3.0)], "day string, v double"
+    )
+    rows = P.profile(df, ["v"], group_by=["day"]).collect()
+    got = {(r.day, r.metric): r.value_num for r in rows}
+    assert got[("d1", "n_rows")] == 2.0 and got[("d1", "n_nulls")] == 1.0
+    assert got[("d2", "null_ratio")] == 0.0 and got[("d2", "mean")] == 3.0
+    # group columns are excluded from the default profile set
+    assert {r.column for r in P.profile(df, group_by=["day"]).collect()} == {"v"}
