@@ -1859,6 +1859,48 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def target_encode_priority(spark, sf_dir):
+    """Leakage-safe target encoding (``ops.features.target_encode``,
+    leave-one-out + smoothing 10): each order's priority encoded by the
+    OTHER orders' mean price, shrunk toward the global prior — the
+    standard train-split category encoder.  One tiny decimal-exact
+    category aggregate + broadcast; the oracle replays the identical
+    fixed-expression arithmetic per row."""
+    from phaser_spark.ops.features import target_encode
+
+    orders = _t(spark, sf_dir, "orders")
+    out = target_encode(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_orderpriority",
+        "o_totalprice",
+        smoothing=10.0,
+        leave_one_out=True,
+    )
+    enc = F.col("o_orderpriority_enc")
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.floor(enc * 1e6) / 1e6).alias("enc"),
+    )
+
+
+def quantile_bin_prices(spark, sf_dir):
+    """Quantile discretization (``ops.features.quantile_bin``): every
+    lineitem price assigned its within-returnflag OCTILE (equal-
+    population bins from exact percentile boundaries, truncated to 6
+    digits so both engines bin identically).  One boundaries aggregate
+    broadcast back; binning is a pure projection."""
+    from phaser_spark.ops.features import quantile_bin
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    out = quantile_bin(
+        li, "l_extendedprice", 8, group_by=["l_returnflag"], out_col="price_bin"
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag", "price_bin")
+
+
 def neighbor_points(spark, sf_dir):
     """Planar radius join (``ops.spatial.neighbor_join``): customers
     placed on a deterministic md5-derived 100×100 grid; all pairs
@@ -2378,6 +2420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_asof_forward": j6_asof_forward,
         "merge_user_activity": merge_user_activity,
         "neighbor_points": neighbor_points,
+        "target_encode_priority": target_encode_priority,
+        "quantile_bin_prices": quantile_bin_prices,
     }
 
 
@@ -3673,6 +3717,46 @@ def oracle_sql() -> dict[str, str]:
             FROM l, r
             WHERE levenshtein(l.lval, r.rval) <= 2
             GROUP BY l.lval, r.rval, levenshtein(l.lval, r.rval)
+        """,
+        "target_encode_priority": """
+            WITH s AS (
+                SELECT o_orderpriority AS cat,
+                       CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE) AS sm,
+                       COUNT(o_totalprice) AS n
+                FROM orders GROUP BY 1
+            ), p AS (
+                SELECT CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE)
+                       / CAST(COUNT(o_totalprice) AS DOUBLE) AS prior
+                FROM orders
+            )
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   floor((CASE WHEN (CASE WHEN o.o_totalprice IS NOT NULL
+                                          THEN CAST(s.n AS DOUBLE) - 1
+                                          ELSE CAST(s.n AS DOUBLE) END) + 10.0 > 0
+                          THEN (s.sm - (CASE WHEN o.o_totalprice IS NOT NULL
+                                             THEN CAST(o.o_totalprice AS DOUBLE)
+                                             ELSE 0.0 END) + 10.0 * p.prior)
+                               / ((CASE WHEN o.o_totalprice IS NOT NULL
+                                        THEN CAST(s.n AS DOUBLE) - 1
+                                        ELSE CAST(s.n AS DOUBLE) END) + 10.0)
+                          ELSE p.prior END) * 1000000) / 1000000 AS enc
+            FROM orders o JOIN s ON s.cat = o.o_orderpriority, p
+        """,
+        "quantile_bin_prices": f"""
+            WITH b AS (
+                SELECT l_returnflag,
+                       list_transform(
+                           quantile_cont(CAST(l_extendedprice AS DOUBLE), [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+                           x -> floor(x * 1000000) / 1000000
+                       ) AS bounds
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                   CASE WHEN l.l_extendedprice IS NOT NULL
+                        THEN len(list_filter(b.bounds,
+                                 x -> CAST(l.l_extendedprice AS DOUBLE) > x))
+                   END AS price_bin
+            FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
         """,
         "neighbor_points": """
             WITH pts AS (

@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     cleaning,
     dedup,
     embeddings,
+    features,
     frequency,
     graph,
     multimodal,

@@ -790,3 +790,12 @@ class DagPipeline(Pipeline):
                 )
             outputs[pname] = self.run_phase(ph, main)
         return outputs[self._dag_sink]
+
+    def run_stream(self, *a, **kw):
+        raise PhaserError(
+            "DagPipeline does not support run_stream: foreachBatch routes "
+            "micro-batches through the LINEAR phase list and would ignore "
+            "the DAG's side-input wiring. Run the dependency phases as "
+            "batch jobs and stream through a linear Pipeline, or flatten "
+            "the DAG."
+        )

@@ -1949,3 +1949,49 @@ def test_profile_per_group(spark):
     assert got[("d2", "null_ratio")] == 0.0 and got[("d2", "mean")] == 3.0
     # group columns are excluded from the default profile set
     assert {r.column for r in P.profile(df, group_by=["day"]).collect()} == {"v"}
+
+
+# --- feature engineering: target encoding + quantile binning -------------
+
+
+def test_target_encode(spark):
+    from phaser_spark.ops import features
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("c", None), (None, 5.0)],
+        "cat string, y double",
+    )
+    # plain: category mean; NULL cat is a real category; prior = mean(1,3,10,5)
+    out = {("%s" % r.cat): r.cat_enc for r in features.target_encode(df, "cat", "y").collect()}
+    assert out["a"] == 2.0 and out["b"] == 10.0 and out["None"] == 5.0
+    # c has no non-null target -> falls to prior
+    assert abs(out["c"] - 4.75) < 1e-12
+
+    # smoothing shrinks toward the prior
+    sm = {r.cat: r.cat_enc for r in features.target_encode(df, "cat", "y", smoothing=2.0).collect() if r.cat == "b"}
+    assert abs(sm["b"] - (10.0 + 2 * 4.75) / 3.0) < 1e-12
+
+    # leave-one-out: a's rows see only the OTHER row's target
+    loo = {
+        (r.cat, r.y): r.cat_enc
+        for r in features.target_encode(df, "cat", "y", leave_one_out=True).collect()
+    }
+    assert loo[("a", 1.0)] == 3.0 and loo[("a", 3.0)] == 1.0
+    assert abs(loo[("b", 10.0)] - 4.75) < 1e-12  # singleton -> prior
+
+
+def test_quantile_bin(spark):
+    from phaser_spark.ops import features
+
+    vals = [float(v) for v in range(1, 101)]
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,)], "v double")
+    out = {r.v: r.v_bin for r in features.quantile_bin(df, "v", 4).collect()}
+    assert out[1.0] == 0 and out[30.0] == 1 and out[60.0] == 2 and out[100.0] == 3
+    assert out[None] is None
+    # per-group boundaries
+    df2 = spark.createDataFrame(
+        [("g1", 1.0), ("g1", 2.0), ("g2", 100.0), ("g2", 200.0)], "g string, v double"
+    )
+    out2 = {(r.g, r.v): r.v_bin for r in features.quantile_bin(df2, "v", 2, group_by=["g"]).collect()}
+    assert out2[("g1", 1.0)] == 0 and out2[("g1", 2.0)] == 1
+    assert out2[("g2", 100.0)] == 0 and out2[("g2", 200.0)] == 1

@@ -299,3 +299,15 @@ def test_partitioned_checkpoint_prunes(spark, tmp_path):
     )
     pipe3 = Pipeline(working_dir=str(tmp_path), phases=[sorted_ph], spark=spark)
     assert pipe3.run(src).count() == 60
+
+
+def test_dag_pipeline_rejects_run_stream(spark):
+    import pytest
+
+    from phaser_spark import Phase
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.pipeline import DagPipeline
+
+    dag = DagPipeline(phases={"a": Phase(name="a", steps=[])}, spark=spark)
+    with pytest.raises(PhaserError, match="run_stream"):
+        dag.run_stream(None, "/tmp/x")
