@@ -1859,6 +1859,21 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def chunk_docs_rag(spark, sf_dir):
+    """Document chunking for retrieval (``ops.text.chunk_documents``):
+    every document split into 40-word chunks with 8-word overlap — the
+    embed-chunks-not-documents RAG preparation.  One staged word split
+    (attribute, not re-evaluated per chunk), a sequence+transform chunk
+    build, one explode — linear fan-out, no shuffle, no Python; the
+    oracle rebuilds every chunk string in SQL."""
+    from phaser_spark.ops.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs.select("doc_id", "text"), chunk_words=40, overlap_words=8
+    )
+
+
 def target_encode_priority(spark, sf_dir):
     """Leakage-safe target encoding (``ops.features.target_encode``,
     leave-one-out + smoothing 10): each order's priority encoded by the
@@ -2422,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_points": neighbor_points,
         "target_encode_priority": target_encode_priority,
         "quantile_bin_prices": quantile_bin_prices,
+        "chunk_docs_rag": chunk_docs_rag,
     }
 
 
@@ -3717,6 +3733,28 @@ def oracle_sql() -> dict[str, str]:
             FROM l, r
             WHERE levenshtein(l.lval, r.rval) <= 2
             GROUP BY l.lval, r.rval, levenshtein(l.lval, r.rval)
+        """,
+        "chunk_docs_rag": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+                FROM documents
+            ), nz AS (
+                SELECT doc_id, ws, len(ws) AS n,
+                       CASE WHEN len(ws) > 0
+                            THEN GREATEST(CAST(ceil((len(ws) - 8) / 32.0) AS BIGINT), 1)
+                            ELSE 0 END AS nc
+                FROM w
+            ), ch AS (
+                SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+                       ws[k * 32 + 1 : k * 32 + 40] AS cw
+                FROM nz, UNNEST(generate_series(0, nc - 1)) AS t(k)
+                WHERE nc > 0
+            )
+            SELECT doc_id, chunk_id,
+                   array_to_string(cw, ' ') AS chunk,
+                   CAST(len(cw) AS INTEGER) AS n_chunk_words
+            FROM ch
         """,
         "target_encode_priority": """
             WITH s AS (

@@ -11,6 +11,8 @@ from pyspark.sql import Column as SparkCol
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..exceptions import PhaserError
+
 # Top English stopwords used by the n-gram/stopword language heuristic.
 # Deliberately small: the point is a deterministic, vectorizable signal.
 EN_STOPWORDS = (
@@ -289,4 +291,71 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         quality_score(c).alias("quality"),
         fingerprint(c).alias("fingerprint"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 128,
+    overlap_words: int = 0,
+    chunk_id_col: str = "chunk_id",
+    chunk_col: str = "chunk",
+) -> DataFrame:
+    """Split documents into fixed-size word chunks with optional overlap
+    — the retrieval/RAG preparation step (embed chunks, not documents).
+
+    Chunk k covers words ``[k·stride, k·stride + chunk_words)`` with
+    ``stride = chunk_words − overlap_words``; the final chunk is the
+    remainder (never empty, never duplicated: a doc whose tail is
+    already covered emits no extra chunk).  Returns one row per chunk:
+    the input columns minus ``text_col`` plus ``(chunk_id int,
+    chunk string, n_chunk_words int)``.  Empty/NULL texts yield no
+    rows.
+
+    Pure Catalyst: one staged word split (attribute, not re-evaluated
+    per chunk — the lambda re-evaluation trap measured 8× on the span
+    scrubber), a ``sequence``+``transform`` chunk build, one explode —
+    linear fan-out ``≈ words/stride``, no shuffle, no Python.
+    """
+    if chunk_words < 1 or not 0 <= overlap_words < chunk_words:
+        raise PhaserError(
+            "chunk_documents needs chunk_words >= 1 and 0 <= overlap_words < chunk_words"
+        )
+    from ..lineage import spread_for_compute
+
+    stride = chunk_words - overlap_words
+    passthrough = [c for c in df.columns if c != text_col]
+    staged = spread_for_compute(
+        df.select(*passthrough, F.split(F.col(text_col), r"\s+").alias("__ck_w"))
+    )
+    words = F.filter(F.col("__ck_w"), lambda w: w != "")
+    staged = staged.select(*passthrough, words.alias("__ck_w"))
+    n = F.size(F.col("__ck_w"))
+    # number of chunks: ceil((n - overlap) / stride), at least 1 for any
+    # non-empty doc
+    n_chunks = F.when(
+        n > 0, F.greatest(F.ceil((n - overlap_words) / F.lit(stride)), F.lit(1))
+    ).otherwise(F.lit(0))
+    # guard the generator: Spark's sequence(0, -1) DESCENDS instead of
+    # being empty, so zero-chunk docs must get an explicit empty array
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+            lambda k: F.struct(
+                k.cast("int").alias("cid"),
+                F.slice(F.col("__ck_w"), k * stride + 1, chunk_words).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<cid:int,w:array<string>>>"))
+    exploded = staged.select(
+        *passthrough, F.explode(chunks).alias("__ck_c")
+    )
+    return exploded.select(
+        *passthrough,
+        F.col("__ck_c.cid").alias(chunk_id_col),
+        F.array_join(F.col("__ck_c.w"), " ").alias(chunk_col),
+        F.size(F.col("__ck_c.w")).alias("n_chunk_words"),
     )

@@ -1995,3 +1995,34 @@ def test_quantile_bin(spark):
     out2 = {(r.g, r.v): r.v_bin for r in features.quantile_bin(df2, "v", 2, group_by=["g"]).collect()}
     assert out2[("g1", 1.0)] == 0 and out2[("g1", 2.0)] == 1
     assert out2[("g2", 100.0)] == 0 and out2[("g2", 200.0)] == 1
+
+
+def test_chunk_documents(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7"),   # 7 words
+            (2, "a  b"),                    # multiple spaces collapse
+            (3, ""),                        # no chunks
+            (4, None),                      # no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = text.chunk_documents(docs, chunk_words=3, overlap_words=0)
+    got = {(r.doc_id, r.chunk_id): (r.chunk, r.n_chunk_words) for r in out.collect()}
+    assert got[(1, 0)] == ("w1 w2 w3", 3)
+    assert got[(1, 1)] == ("w4 w5 w6", 3)
+    assert got[(1, 2)] == ("w7", 1)          # remainder chunk
+    assert got[(2, 0)] == ("a b", 2)
+    assert {k[0] for k in got} == {1, 2}      # empty/NULL yield nothing
+
+    # overlap: stride 2, windows of 3 -> starts at 0,2,4,6
+    ov = text.chunk_documents(docs.filter("doc_id = 1"), chunk_words=3, overlap_words=1)
+    chunks = [r.chunk for r in ov.orderBy("chunk_id").collect()]
+    assert chunks == ["w1 w2 w3", "w3 w4 w5", "w5 w6 w7"]
+
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+
+    with _pytest.raises(PhaserError):
+        text.chunk_documents(docs, chunk_words=3, overlap_words=3)
