@@ -1859,6 +1859,22 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def funnel_within_day(spark, sf_dir):
+    """Conversion-window funnel (``ops.behavior.funnel`` with
+    ``within="1 day"``): stages past the first only count within a day
+    of the user's FIRST view (the greedy anchor) — the bounded-window
+    conversion metric.  Same single-fold plan as the unbounded funnel;
+    the oracle adds the anchored window constraint to each sequential
+    strict-inequality min."""
+    from phaser_spark.ops import behavior
+
+    ev = _events(spark, sf_dir)
+    return behavior.funnel(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"],
+        within="1 day",
+    )
+
+
 def chunk_docs_rag(spark, sf_dir):
     """Document chunking for retrieval (``ops.text.chunk_documents``):
     every document split into 40-word chunks with 8-word overlap — the
@@ -2438,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode_priority": target_encode_priority,
         "quantile_bin_prices": quantile_bin_prices,
         "chunk_docs_rag": chunk_docs_rag,
+        "funnel_within_day": funnel_within_day,
     }
 
 
@@ -3733,6 +3750,38 @@ def oracle_sql() -> dict[str, str]:
             FROM l, r
             WHERE levenshtein(l.lval, r.rval) <= 2
             GROUP BY l.lval, r.rval, levenshtein(l.lval, r.rval)
+        """,
+        "funnel_within_day": """
+            WITH t1 AS (
+                SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), t2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t
+                FROM events e JOIN t1 ON t1.user_id = e.user_id
+                    AND e.ts > t1.t
+                    AND epoch_us(e.ts) - epoch_us(t1.t) <= 86400000000
+                WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), t3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t
+                FROM events e
+                JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.t
+                JOIN t1 ON t1.user_id = e.user_id
+                    AND epoch_us(e.ts) - epoch_us(t1.t) <= 86400000000
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            ), base AS (
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            )
+            SELECT b.user_id,
+                   CASE WHEN t3.user_id IS NOT NULL THEN 3
+                        WHEN t2.user_id IS NOT NULL THEN 2
+                        WHEN t1.user_id IS NOT NULL THEN 1
+                        ELSE 0 END AS stages_completed,
+                   t3.user_id IS NOT NULL AS completed
+            FROM base b
+            LEFT JOIN t1 ON t1.user_id = b.user_id
+            LEFT JOIN t2 ON t2.user_id = b.user_id
+            LEFT JOIN t3 ON t3.user_id = b.user_id
         """,
         "chunk_docs_rag": """
             WITH w AS (

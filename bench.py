@@ -62,6 +62,12 @@ BENCH_QUERIES = [
     "cohort_retention_weekly",
     "rolling_user_value",
     "fuzzy_part_names",
+    "standardize_prices",
+    "scd2_customer_history",
+    "resample_event_hours",
+    "merge_user_activity",
+    "quantile_bin_prices",
+    "chunk_docs_rag",
     "streaming_event_window",
     "streaming_session_window",
 ]

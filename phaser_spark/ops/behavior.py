@@ -32,6 +32,7 @@ def funnel(
     ts_col: str,
     type_col: str,
     steps: list[str],
+    within: str | None = None,
 ) -> DataFrame:
     """Per-user ordered funnel progression: a user reaches stage ``k``
     when events of type ``steps[0] … steps[k-1]`` occur at strictly
@@ -43,6 +44,13 @@ def funnel(
     the stage when the next event matches the next step AND its
     timestamp strictly exceeds the previous match (ties never advance,
     so the result does not depend on within-timestamp order).
+
+    ``within`` (e.g. ``"1 hour"``) bounds the CONVERSION WINDOW: later
+    stages only count within that distance of the user's FIRST
+    stage-one event (the greedy anchor — deterministic and exactly
+    replayable in SQL; a best-anchor search over all stage-one events
+    is a different, frontier-tracking problem).  Requires a
+    timestamp-typed ``ts_col``.
     """
     if not steps:
         raise PhaserError("funnel requires at least one step")
@@ -58,15 +66,38 @@ def funnel(
         ).alias("__fn_seq")
     )
     steps_arr = F.array(*[F.lit(s) for s in steps])
+    within_us = None
+    if within is not None:
+        import re as _re
+
+        m = _re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", within.strip())
+        if not m:
+            raise PhaserError(f"funnel: unsupported within {within!r}")
+        within_us = int(m.group(1)) * {
+            "second": 1_000_000,
+            "minute": 60_000_000,
+            "hour": 3_600_000_000,
+            "day": 86_400_000_000,
+        }[m.group(2)]
     acc0 = F.struct(
-        F.lit(0).alias("stage"), F.lit(None).cast(ts_type).alias("t")
+        F.lit(0).alias("stage"),
+        F.lit(None).cast(ts_type).alias("t"),
+        F.lit(None).cast(ts_type).alias("t1"),
     )
+
     # try_element_at: once the user has completed every step the next
     # index is past the array end — NULL (no advance), not an ANSI error
-    advance = lambda acc, e: (  # noqa: E731
-        (F.try_element_at(steps_arr, acc["stage"] + 1) == e["y"])
-        & (acc["t"].isNull() | (e["t"] > acc["t"]))
-    )
+    def advance(acc, e):
+        ok = (F.try_element_at(steps_arr, acc["stage"] + 1) == e["y"]) & (
+            acc["t"].isNull() | (e["t"] > acc["t"])
+        )
+        if within_us is not None:
+            in_window = acc["t1"].isNull() | (
+                F.unix_micros(e["t"]) - F.unix_micros(acc["t1"]) <= within_us
+            )
+            ok = ok & in_window
+        return ok
+
     folded = F.aggregate(
         F.col("__fn_seq"),
         acc0,
@@ -75,6 +106,9 @@ def funnel(
             .otherwise(acc["stage"])
             .alias("stage"),
             F.when(advance(acc, e), e["t"]).otherwise(acc["t"]).alias("t"),
+            F.when(advance(acc, e) & acc["t1"].isNull(), e["t"])
+            .otherwise(acc["t1"])
+            .alias("t1"),
         ),
     )
     return per_user.select(

@@ -2026,3 +2026,28 @@ def test_chunk_documents(spark):
 
     with _pytest.raises(PhaserError):
         text.chunk_documents(docs, chunk_words=3, overlap_words=3)
+
+
+def test_funnel_conversion_window(spark):
+    import datetime as dt
+
+    from phaser_spark.ops import behavior
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 completes but the buy is outside the 30-min window of the
+        # FIRST view (greedy anchor at minute 0)
+        (1, T(0), "view"), (1, T(10), "click"), (1, T(45), "buy"),
+        # u2 completes fully inside the window
+        (2, T(0), "view"), (2, T(5), "click"), (2, T(25), "buy"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = behavior.funnel(
+        df, "user_id", "ts", "event_type", ["view", "click", "buy"],
+        within="30 minutes",
+    )
+    got = {r.user_id: r.stages_completed for r in out.collect()}
+    assert got[1] == 2 and got[2] == 3
+    # without the window both complete
+    out2 = behavior.funnel(df, "user_id", "ts", "event_type", ["view", "click", "buy"])
+    assert {r.user_id: r.stages_completed for r in out2.collect()} == {1: 3, 2: 3}
