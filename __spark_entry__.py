@@ -1859,6 +1859,18 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def sample_docs_per_lang(spark, sf_dir):
+    """Deterministic fixed-quota sampling
+    (``ops.sampling.sample_n_per_group``): exactly 20 docs per language
+    in md5 order — the inspection/eval-slice shape.  One rank window per
+    group; the oracle replays the identical row_number rule."""
+    from phaser_spark.ops.sampling import sample_n_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_n_per_group(docs.select("doc_id", "lang"), "doc_id", "lang", 20)
+    return out
+
+
 def funnel_within_day(spark, sf_dir):
     """Conversion-window funnel (``ops.behavior.funnel`` with
     ``within="1 day"``): stages past the first only count within a day
@@ -2455,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bin_prices": quantile_bin_prices,
         "chunk_docs_rag": chunk_docs_rag,
         "funnel_within_day": funnel_within_day,
+        "sample_docs_per_lang": sample_docs_per_lang,
     }
 
 
@@ -3750,6 +3763,16 @@ def oracle_sql() -> dict[str, str]:
             FROM l, r
             WHERE levenshtein(l.lval, r.rval) <= 2
             GROUP BY l.lval, r.rval, levenshtein(l.lval, r.rval)
+        """,
+        "sample_docs_per_lang": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 20
         """,
         "funnel_within_day": """
             WITH t1 AS (

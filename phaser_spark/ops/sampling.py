@@ -316,3 +316,35 @@ def temperature_resample(
         .filter(hash_bucket(F.col(key_col)) < F.col("__keep_buckets__"))
         .drop("__tr_group__", "__keep_buckets__")
     )
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str | list[str],
+    n: int,
+) -> DataFrame:
+    """Exactly ``min(n, |group|)`` rows per group, chosen by the
+    deterministic md5 order of ``key_col`` — the fixed-quota counterpart
+    to the fraction-based samplers (inspection samples, per-language
+    eval slices, debugging subsets).  Same row set every run, on any
+    engine.
+
+    One shuffle on the group key + a rank window (per-group state is
+    the running rank, not the group) — groups are assumed to fit a
+    sort task each; for quota-sampling a handful of giant groups,
+    ``sample_by_hash`` with a per-group fraction is the scan-only
+    alternative.
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"sample_n_per_group needs n >= 1, got {n}")
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    key = F.col(key_col)
+    w = Window.partitionBy(*groups).orderBy(F.md5(key.cast("string")), key)
+    return (
+        df.withColumn("__sn_rn__", F.row_number().over(w))
+        .filter(F.col("__sn_rn__") <= n)
+        .drop("__sn_rn__")
+    )

@@ -2051,3 +2051,18 @@ def test_funnel_conversion_window(spark):
     # without the window both complete
     out2 = behavior.funnel(df, "user_id", "ts", "event_type", ["view", "click", "buy"])
     assert {r.user_id: r.stages_completed for r in out2.collect()} == {1: 3, 2: 3}
+
+
+def test_sample_n_per_group(spark):
+    from phaser_spark.ops import sampling
+
+    df = spark.createDataFrame(
+        [(f"d{i}", ["en", "fr"][i % 2]) for i in range(20)] + [("solo", "de")],
+        "doc_id string, lang string",
+    )
+    out = sampling.sample_n_per_group(df, "doc_id", "lang", 3)
+    counts = {r.lang: r.c for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"en": 3, "fr": 3, "de": 1}   # quota, capped by group size
+    # deterministic: identical selection across runs
+    again = sampling.sample_n_per_group(df, "doc_id", "lang", 3)
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
