@@ -1859,6 +1859,39 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def streaming_sliding_window(spark, sf_dir):
+    """Structured-streaming SLIDING window (10-minute windows advancing
+    every 5 — each event lands in exactly two overlapping windows), the
+    moving-average shape tumbling windows cannot produce.  Same
+    memory-sink drain harness as the other streaming queries; the
+    oracle replays the window membership in batch SQL by exploding each
+    event into its two covering windows."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec(F.col("value"))), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    name = "phaser_stream_sliding_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    _drain(q)
+    return spark.table(name)
+
+
 def sample_docs_per_lang(spark, sf_dir):
     """Deterministic fixed-quota sampling
     (``ops.sampling.sample_n_per_group``): exactly 20 docs per language
@@ -2468,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs_rag": chunk_docs_rag,
         "funnel_within_day": funnel_within_day,
         "sample_docs_per_lang": sample_docs_per_lang,
+        "streaming_sliding_window": streaming_sliding_window,
     }
 
 
@@ -3763,6 +3797,22 @@ def oracle_sql() -> dict[str, str]:
             FROM l, r
             WHERE levenshtein(l.lval, r.rval) <= 2
             GROUP BY l.lval, r.rval, levenshtein(l.lval, r.rval)
+        """,
+        "streaming_sliding_window": """
+            WITH ev AS (
+                SELECT event_type, value,
+                       CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS b
+                FROM events
+            ), member AS (
+                SELECT event_type, value, b AS ws FROM ev
+                UNION ALL
+                SELECT event_type, value, b - 300 FROM ev
+            )
+            SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+            FROM member GROUP BY ws, event_type
         """,
         "sample_docs_per_lang": """
             SELECT doc_id, lang FROM (
