@@ -34,6 +34,7 @@ SKIP = {
     "streaming_session_window",
     "streaming_dedup_keys",
     "streaming_stateful_user_stats",
+    "streaming_sliding_window",
     "s7_checkpoint_lifecycle",
     "j3_pipe_segment_peers",
     "s1_csv_roundtrip",
