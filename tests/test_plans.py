@@ -482,3 +482,42 @@ def test_skew_report_flags_hot_key(spark):
 
     with _pytest.raises(PhaserError):
         skew_report(spark.createDataFrame([], "k string"), ["k"])
+
+
+def test_decimal_exact_ops_invariant_under_partitioning(spark):
+    """The determinism contract behind every oracle: operators built on
+    decimal-exact accumulation must produce BIT-IDENTICAL results no
+    matter how the data is partitioned (a plain double sum would differ
+    in low bits per shuffle layout)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from phaser_spark.ops import quality as Q
+    from phaser_spark.ops.embeddings import group_centroids
+    from phaser_spark.ops.features import target_encode
+    from phaser_spark.ops.profile import correlations
+
+    rng = random.Random(11)
+    rows = [
+        (i, ["a", "b", "c"][i % 3], rng.uniform(-1e6, 1e6), rng.uniform(0, 1),
+         [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(500)
+    ]
+    schema = "id long, g string, x double, y double, v array<double>"
+
+    def snapshot(df):
+        out = []
+        out.append(sorted(map(tuple, Q.standardize(df, "x", group_by=["g"])
+                              .select("id", "x_z").collect())))
+        out.append(sorted(map(tuple, correlations(df, ["x", "y"]).collect())))
+        out.append(sorted(map(tuple, target_encode(df, "g", "x", smoothing=3.0)
+                              .select("id", "g_enc").collect())))
+        out.append(sorted(
+            (r.g, tuple(r.centroid)) for r in group_centroids(df, "g", "v").collect()
+        ))
+        return out
+
+    one = snapshot(spark.createDataFrame(rows, schema).coalesce(1))
+    many = snapshot(spark.createDataFrame(rows, schema).repartition(17, "id"))
+    assert one == many  # bit-identical, not approximately equal
