@@ -269,6 +269,16 @@ def main():
             "after dropping within-cell semantic near-dups"
         )
 
+    # --- retrieval prep: chunk the curated corpus ----------------------
+    from phaser_spark.ops.text import chunk_documents
+
+    chunks = chunk_documents(
+        out.select("doc_id", F.col("text_clean").alias("text")),
+        chunk_words=64,
+        overlap_words=16,
+    )
+    print(f"retrieval chunks: {out.count()} curated docs -> {chunks.count()} chunks")
+
 
 if __name__ == "__main__":
     main()
