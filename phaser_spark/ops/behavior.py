@@ -124,13 +124,14 @@ def funnel_report(
     ts_col: str,
     type_col: str,
     steps: list[str],
+    within: str | None = None,
 ) -> DataFrame:
     """Cumulative funnel counts: for each stage k (1-based), how many
     users completed at least the first k steps in order.  Returns
     ``(step int, step_name, n_users long)`` with ``step`` ascending —
     the classic funnel chart input, computed from :func:`funnel` with
     one tiny extra aggregate."""
-    f = funnel(df, user_col, ts_col, type_col, steps)
+    f = funnel(df, user_col, ts_col, type_col, steps, within=within)
     stage_rows = F.array(*[F.lit(i + 1) for i in range(len(steps))])
     exploded = f.select(
         F.col("stages_completed"), F.explode(stage_rows).alias("step")
