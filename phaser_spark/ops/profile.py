@@ -222,7 +222,12 @@ def correlations(
 
 
 def histogram(
-    df: DataFrame, col: str, bins: int, lo: float, hi: float
+    df: DataFrame,
+    col: str,
+    bins: int,
+    lo: float,
+    hi: float,
+    group_by: list[str] | None = None,
 ) -> DataFrame:
     """Fixed-range histogram in one pass: ``bins`` equal-width buckets
     over ``[lo, hi)`` plus underflow (-1) and overflow (``bins``)
@@ -244,11 +249,13 @@ def histogram(
         .when(v >= hi, F.lit(bins))
         .otherwise(F.least(b, F.lit(bins - 1)))
     )
+    keys = list(group_by or [])
     return (
         df.filter(v.isNotNull())
-        .groupBy(b.alias("bin"))
+        .groupBy(*keys, b.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
+            *keys,
             "bin",
             (F.lit(float(lo)) + F.col("bin") * width).alias("bin_lo"),
             (F.lit(float(lo)) + (F.col("bin") + 1) * width).alias("bin_hi"),

@@ -45,6 +45,7 @@ def resample_time(
     aggs: dict | None = None,
     fill: str = "zero",
     bucket_col: str = "bucket_ts",
+    align: str = "per_key",
 ) -> DataFrame:
     """Resample events onto a fixed ``interval`` grid per group, with
     EMPTY buckets materialized between each group's first and last
@@ -58,9 +59,16 @@ def resample_time(
 
     Returns ``group_cols + (bucket_col timestamp) + agg columns`` with
     one row per (group, grid bucket).
+
+    ``align="global"`` spans every group over the GLOBAL [min, max]
+    bucket range instead of its own — the aligned-matrix form charts
+    and models want (same grid length for every key); grid size becomes
+    groups × global span, so keep it for bounded group counts.
     """
     if fill not in ("zero", "null", "ffill"):
         raise PhaserError(f"resample_time: unknown fill {fill!r}")
+    if align not in ("per_key", "global"):
+        raise PhaserError(f"resample_time: unknown align {align!r}")
     step = _interval_seconds(interval)
     groups = (
         [group_cols] if isinstance(group_cols, str) else list(group_cols or [])
@@ -75,9 +83,15 @@ def resample_time(
         .groupBy(*groups, "__rs_bkt")
         .agg(*[a.alias(name) for name, a in aggs.items()])
     )
-    span = agged.groupBy(*groups).agg(
-        F.min("__rs_bkt").alias("__rs_lo"), F.max("__rs_bkt").alias("__rs_hi")
-    )
+    if align == "global" and groups:
+        bounds = agged.agg(
+            F.min("__rs_bkt").alias("__rs_lo"), F.max("__rs_bkt").alias("__rs_hi")
+        )
+        span = agged.select(*groups).distinct().crossJoin(F.broadcast(bounds))
+    else:
+        span = agged.groupBy(*groups).agg(
+            F.min("__rs_bkt").alias("__rs_lo"), F.max("__rs_bkt").alias("__rs_hi")
+        )
     grid = span.select(
         *groups,
         F.explode(

@@ -2066,3 +2066,25 @@ def test_sample_n_per_group(spark):
     # deterministic: identical selection across runs
     again = sampling.sample_n_per_group(df, "doc_id", "lang", 3)
     assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+
+
+def test_resample_global_alignment_and_grouped_histogram(spark):
+    import datetime as dt
+
+    from phaser_spark.ops import profile as P
+    from phaser_spark.ops import timeseries
+
+    T = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    df = spark.createDataFrame(
+        [("a", T(0), 1.0), ("a", T(1), 2.0), ("b", T(3), 9.0)],
+        "k string, ts timestamp, v double",
+    )
+    # per-key: b gets a single bucket; global: every key spans hours 0-3
+    per = timeseries.resample_time(df, "ts", "1 hour", "k")
+    assert per.filter("k = 'b'").count() == 1
+    glob = timeseries.resample_time(df, "ts", "1 hour", "k", align="global")
+    assert glob.filter("k = 'b'").count() == 4
+    assert glob.filter("k = 'b' AND n > 0").count() == 1
+
+    rows = {(r.k, r.bin): r.n for r in P.histogram(df, "v", 2, 0.0, 10.0, group_by=["k"]).collect()}
+    assert rows[("a", 0)] == 2 and rows[("b", 1)] == 1
