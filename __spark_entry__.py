@@ -1859,6 +1859,21 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def collapse_rare_sources(spark, sf_dir):
+    """Long-tail category collapsing (``ops.features.collapse_rare``):
+    document sources below 30 occurrences fold into OTHER — the
+    cardinality-control step before encoders/pivots.  One tiny
+    value-count aggregate broadcast back; pure projection rewrite."""
+    from phaser_spark.ops.features import collapse_rare
+
+    docs = _t(spark, sf_dir, "documents")
+    out = collapse_rare(
+        docs.select("doc_id", "source"), "source", min_count=30,
+        out_col="source_c",
+    )
+    return out.select("doc_id", "source", "source_c")
+
+
 def streaming_sliding_window(spark, sf_dir):
     """Structured-streaming SLIDING window (10-minute windows advancing
     every 5 — each event lands in exactly two overlapping windows), the
@@ -2502,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_within_day": funnel_within_day,
         "sample_docs_per_lang": sample_docs_per_lang,
         "streaming_sliding_window": streaming_sliding_window,
+        "collapse_rare_sources": collapse_rare_sources,
     }
 
 
@@ -3797,6 +3813,18 @@ def oracle_sql() -> dict[str, str]:
             FROM l, r
             WHERE levenshtein(l.lval, r.rval) <= 2
             GROUP BY l.lval, r.rval, levenshtein(l.lval, r.rval)
+        """,
+        "collapse_rare_sources": """
+            WITH keep AS (
+                SELECT source FROM documents
+                WHERE source IS NOT NULL
+                GROUP BY source HAVING COUNT(*) >= 30
+            )
+            SELECT d.doc_id, d.source,
+                   CASE WHEN d.source IS NULL THEN NULL
+                        WHEN k.source IS NOT NULL THEN d.source
+                        ELSE 'OTHER' END AS source_c
+            FROM documents d LEFT JOIN keep k ON k.source = d.source
         """,
         "streaming_sliding_window": """
             WITH ev AS (

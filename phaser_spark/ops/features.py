@@ -132,3 +132,39 @@ def quantile_bin(
         ),
     )
     return joined.withColumn(out_col, binned).drop("__qb_bounds")
+
+
+def collapse_rare(
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    other: str = "OTHER",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Collapse long-tail category values occurring fewer than
+    ``min_count`` times into a single ``other`` token — the standard
+    cardinality-control step before encoding/pivoting (a pivot over a
+    million-value column is a million output columns; collapse first).
+
+    NULLs stay NULL (missing ≠ rare).  One tiny value-count aggregate
+    broadcast back; the rewrite is a pure projection.
+    """
+    if min_count < 1:
+        raise PhaserError(f"collapse_rare needs min_count >= 1, got {min_count}")
+    out_col = out_col or col
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("__cr_val"))
+        .agg(F.count(F.lit(1)).alias("__cr_n"))
+        .filter(F.col("__cr_n") >= min_count)
+        .select("__cr_val")
+    )
+    joined = df.join(
+        F.broadcast(counts), F.col(col) == F.col("__cr_val"), "left"
+    )
+    collapsed = F.when(F.col(col).isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(F.col("__cr_val").isNotNull(), F.col(col).cast("string")).otherwise(
+            F.lit(other)
+        )
+    )
+    return joined.withColumn(out_col, collapsed).drop("__cr_val")

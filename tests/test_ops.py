@@ -2088,3 +2088,16 @@ def test_resample_global_alignment_and_grouped_histogram(spark):
 
     rows = {(r.k, r.bin): r.n for r in P.histogram(df, "v", 2, 0.0, 10.0, group_by=["k"]).collect()}
     assert rows[("a", 0)] == 2 and rows[("b", 1)] == 1
+
+
+def test_collapse_rare(spark):
+    from phaser_spark.ops import features
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, None)], "id long, c string"
+    )
+    out = {r.id: r.c for r in features.collapse_rare(df, "c", min_count=2).collect()}
+    assert out[1] == "a" and out[4] == "OTHER" and out[5] is None
+    # out_col preserves the original
+    out2 = features.collapse_rare(df, "c", 2, out_col="c2")
+    assert {r.c for r in out2.collect()} == {"a", "b", None}
