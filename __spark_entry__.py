@@ -1987,7 +1987,14 @@ def quantile_bin_prices(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
     )
     out = quantile_bin(
-        li, "l_extendedprice", 8, group_by=["l_returnflag"], out_col="price_bin"
+        li,
+        "l_extendedprice",
+        8,
+        group_by=["l_returnflag"],
+        out_col="price_bin",
+        # pinned: the oracle hashes DuckDB's exact interpolated quantile;
+        # the library default is the percentile_approx sketch path
+        exact=True,
     )
     return out.select("l_orderkey", "l_linenumber", "l_returnflag", "price_bin")
 
@@ -2381,6 +2388,9 @@ def winsorize_prices(spark, sf_dir):
         upper=0.95,
         group_by=["l_returnflag"],
         suffix="_w",
+        # pinned: the oracle hashes DuckDB's exact interpolated quantile;
+        # the library default is the percentile_approx sketch path
+        exact=True,
     )
     return out.select(
         "l_orderkey",
@@ -4099,10 +4109,9 @@ def oracle_sql() -> dict[str, str]:
         "mask_customers": """
             SELECT c_custkey,
                    sha256('phaser' || c_name) AS c_name,
-                   repeat('*', GREATEST(length(CAST(c_custkey AS VARCHAR)) - 4, 0))
-                       || CASE WHEN length(CAST(c_custkey AS VARCHAR)) <= 4
-                               THEN CAST(c_custkey AS VARCHAR)
-                               ELSE right(CAST(c_custkey AS VARCHAR), 4) END
+                   CASE WHEN length(CAST(c_custkey AS VARCHAR)) <= 4 THEN '****'
+                        ELSE repeat('*', length(CAST(c_custkey AS VARCHAR)) - 4)
+                             || right(CAST(c_custkey AS VARCHAR), 4) END
                        AS c_display,
                    CASE WHEN c_mktsegment IS NOT NULL THEN '[MASKED]' END AS c_mktsegment
             FROM customer

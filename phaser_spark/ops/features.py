@@ -24,6 +24,7 @@ def target_encode(
     smoothing: float = 0.0,
     out_col: str | None = None,
     leave_one_out: bool = False,
+    broadcast_stats: bool = True,
 ) -> DataFrame:
     """Mean-target encoding of a categorical column:
     ``enc = (sum_cat + smoothing · prior) / (n_cat + smoothing)`` with
@@ -36,10 +37,18 @@ def target_encode(
     training split; a singleton category with no smoothing falls back
     to the prior instead of 0/0.
 
-    Scale: one tiny category aggregate (decimal-exact sums, map-side
-    combined) + the scalar prior, broadcast back onto the rows; the
+    Scale: one category aggregate (decimal-exact sums, map-side
+    combined) + the scalar prior joined back onto the rows; the
     encoding itself is a pure projection.  NULL categories are a real
     category; NULL targets are excluded from the statistics.
+
+    The stats table is broadcast by default, which is right for
+    bounded-cardinality categoricals (the common case) but NOT for
+    user/item-id-scale columns — the broadcast is bounded only by
+    category cardinality and a hundred-million-key table would OOM the
+    driver.  Pass ``broadcast_stats=False`` there to drop the hint and
+    let AQE pick the join strategy (it still broadcasts small tables at
+    runtime, from measured sizes rather than a promise).
     """
     if smoothing < 0:
         raise PhaserError(f"smoothing must be >= 0, got {smoothing}")
@@ -55,8 +64,9 @@ def target_encode(
             / F.count(t).cast("double")
         ).alias("__te_prior")
     )
+    stats_side = F.broadcast(stats) if broadcast_stats else stats
     joined = df.join(
-        F.broadcast(stats), F.col(cat_col).eqNullSafe(F.col("__te_cat"))
+        stats_side, F.col(cat_col).eqNullSafe(F.col("__te_cat"))
     ).crossJoin(F.broadcast(prior_row))
     s, n, prior = F.col("__te_sum"), F.col("__te_n").cast("double"), F.col("__te_prior")
     if leave_one_out:
@@ -84,17 +94,23 @@ def quantile_bin(
     n_bins: int,
     group_by: list[str] | None = None,
     out_col: str | None = None,
-    exact: bool = True,
+    exact: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Quantile discretization: assign each value its ``n_bins``-quantile
     bucket (0-based) computed per ``group_by`` group (or globally) —
     equal-population bins, the standard ML binning (vs the equal-WIDTH
     bins of :func:`phaser_spark.ops.profile.histogram`).
 
-    ``bin = Σ_k [v > boundary_k]`` over the n−1 interior exact
-    percentile boundaries (truncated to 6 digits for engine-identical
-    comparisons); NULL values get a NULL bin.  ``exact=False`` switches
-    to ``percentile_approx`` sketch boundaries for huge groups.
+    ``bin = Σ_k [v > boundary_k]`` over the n−1 interior percentile
+    boundaries (truncated to 6 digits for engine-identical
+    comparisons); NULL values get a NULL bin.  The DEFAULT boundaries
+    come from ``percentile_approx`` sketches (bounded mergeable state,
+    tunable via ``accuracy``) — exact percentile buffers each group's
+    full value list in the aggregate, an executor-memory hazard on
+    fact-scale columns; pass ``exact=True`` only for known-bounded
+    groups or when interpolated-exact boundaries are required (the
+    oracle-parity query pins that mode).
 
     One boundaries aggregate broadcast back; the binning is a pure
     projection.
@@ -108,7 +124,9 @@ def quantile_bin(
     pct = (
         F.percentile(v, F.array(*[F.lit(f) for f in fracs]))
         if exact
-        else F.percentile_approx(v, F.array(*[F.lit(f) for f in fracs]), F.lit(10000))
+        else F.percentile_approx(
+            v, F.array(*[F.lit(f) for f in fracs]), F.lit(int(accuracy))
+        )
     )
     bounds = F.transform(pct, lambda b: F.floor(b * 1e6) / 1e6).alias("__qb_bounds")
     if keys:
@@ -140,14 +158,19 @@ def collapse_rare(
     min_count: int,
     other: str = "OTHER",
     out_col: str | None = None,
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """Collapse long-tail category values occurring fewer than
     ``min_count`` times into a single ``other`` token — the standard
     cardinality-control step before encoding/pivoting (a pivot over a
     million-value column is a million output columns; collapse first).
 
-    NULLs stay NULL (missing ≠ rare).  One tiny value-count aggregate
-    broadcast back; the rewrite is a pure projection.
+    NULLs stay NULL (missing ≠ rare).  One value-count aggregate joined
+    back; the rewrite is a pure projection.  The kept-values table is
+    broadcast by default — bounded by the number of values at or above
+    ``min_count``, fine for genuine categoricals but a driver-memory
+    hazard on id-scale columns; pass ``broadcast_counts=False`` there
+    to let AQE choose the join strategy from measured sizes.
     """
     if min_count < 1:
         raise PhaserError(f"collapse_rare needs min_count >= 1, got {min_count}")
@@ -159,9 +182,8 @@ def collapse_rare(
         .filter(F.col("__cr_n") >= min_count)
         .select("__cr_val")
     )
-    joined = df.join(
-        F.broadcast(counts), F.col(col) == F.col("__cr_val"), "left"
-    )
+    counts_side = F.broadcast(counts) if broadcast_counts else counts
+    joined = df.join(counts_side, F.col(col) == F.col("__cr_val"), "left")
     collapsed = F.when(F.col(col).isNull(), F.lit(None).cast("string")).otherwise(
         F.when(F.col("__cr_val").isNotNull(), F.col(col).cast("string")).otherwise(
             F.lit(other)

@@ -94,18 +94,23 @@ MASK_METHODS = {
     # groupBys still work on the masked column), irreversible without
     # the salt
     "sha256": lambda c, salt: F.sha2(F.concat(F.lit(salt), c.cast("string")), 256),
-    # keep only the trailing 4 characters (card/account display form)
-    "last4": lambda c, salt: F.concat(
-        F.regexp_replace(
-            c.cast("string").substr(
-                F.lit(1), F.greatest(F.length(c.cast("string")) - 4, F.lit(0))
+    # keep only the trailing 4 characters (card/account display form);
+    # values of 4 or fewer characters are fully masked to a fixed
+    # '****' — keeping them would return the value entirely unmasked,
+    # and a fixed-width token also avoids leaking the short length
+    "last4": lambda c, salt: F.when(
+        F.length(c.cast("string")) <= 4, F.lit("****")
+    ).otherwise(
+        F.concat(
+            F.regexp_replace(
+                c.cast("string").substr(
+                    F.lit(1), F.length(c.cast("string")) - 4
+                ),
+                ".",
+                "*",
             ),
-            ".",
-            "*",
-        ),
-        c.cast("string").substr(
-            F.greatest(F.length(c.cast("string")) - 3, F.lit(1)), F.lit(4)
-        ),
+            c.cast("string").substr(F.length(c.cast("string")) - 3, F.lit(4)),
+        )
     ),
     # constant token: no residual signal at all
     "redact": lambda c, salt: F.when(c.isNotNull(), F.lit("[MASKED]")),
@@ -117,8 +122,10 @@ def mask_columns(
 ) -> DataFrame:
     """Column-level masking/pseudonymization: ``methods`` maps column →
     ``"sha256"`` (salted keyed token — equality-preserving, so the
-    masked column still joins/groups), ``"last4"`` (display form), or
-    ``"redact"`` (constant token).  NULLs stay NULL under every method.
+    masked column still joins/groups), ``"last4"`` (display form —
+    values of ≤4 characters become a fixed ``'****'`` rather than
+    passing through unmasked), or ``"redact"`` (constant token).
+    NULLs stay NULL under every method.
 
     Pure projection — zero shuffle, zero Python at any size; Catalyst
     fuses it with the surrounding plan.  ``salt`` hardens sha256

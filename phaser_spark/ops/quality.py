@@ -192,7 +192,8 @@ def winsorize(
     lower: float = 0.01,
     upper: float = 0.99,
     group_by: list[str] | None = None,
-    exact: bool = True,
+    exact: bool = False,
+    accuracy: int = 10000,
     suffix: str = "",
 ) -> DataFrame:
     """Clamp outliers to per-group percentile bounds (winsorization):
@@ -202,13 +203,17 @@ def winsorize(
     or a negative length stops dominating downstream means without
     dropping the row.
 
-    ``exact=True`` uses Spark's exact interpolated ``percentile`` (one
-    shuffle of (group, value) pairs; per-group state holds the group's
-    values — fine for bounded groups).  ``exact=False`` switches to
-    ``percentile_approx`` (mergeable sketch state, the 100 TB setting
-    for huge groups — bounds then differ from the exact ones within
-    sketch accuracy).  Bounds are truncated to 6 digits so any engine
-    (and the DuckDB oracle) computes identical clamps.
+    The DEFAULT is ``percentile_approx`` sketch bounds (mergeable
+    bounded state, tunable via ``accuracy`` — higher = tighter bounds,
+    more state) — the 100 TB setting: exact percentile materializes
+    each group's full value buffer inside the aggregate, which is an
+    executor-memory hazard on a fact-scale column.  ``exact=True``
+    opts into Spark's exact interpolated ``percentile`` — use it only
+    when every group's value count is known-bounded (dimension-sized
+    groups) or when bit-exact interpolated bounds are required (the
+    oracle-parity queries pin this mode).  Bounds are truncated to 6
+    digits so any engine (and the DuckDB oracle) computes identical
+    clamps.
 
     One bounds-aggregate (tiny result: one row per group) broadcast back
     onto the data; the clamp itself is a pure projection.  With
@@ -227,7 +232,7 @@ def winsorize(
         agg = (
             F.percentile(v, F.lit(p))
             if exact
-            else F.percentile_approx(v, F.lit(p), F.lit(10000))
+            else F.percentile_approx(v, F.lit(p), F.lit(int(accuracy)))
         )
         # 6-digit truncation: engine-reproducible bounds
         return F.floor(agg * 1e6) / 1e6

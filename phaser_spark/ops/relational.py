@@ -427,6 +427,7 @@ def range_join(
     on: list[str] | None = None,
     bin_width: float | None = None,
     how: str = "inner",
+    allow_cartesian: bool = False,
 ) -> DataFrame:
     """Point-in-interval join: each ``points`` row matches every
     ``intervals`` row with ``start <= point < end`` (half-open, the SQL
@@ -448,9 +449,14 @@ def range_join(
     compose with ``salted_join`` on the bin key.
 
     Timestamp columns are handled by casting to epoch seconds
-    (``bin_width`` is then in seconds).  Without ``bin_width`` the naive
-    non-equi join is planned — only acceptable when one side is
-    broadcast-small.
+    (``bin_width`` is then in seconds).  When ``bin_width`` is omitted
+    it is DERIVED from the data — one tiny one-row aggregate takes the
+    median interval span (clamped to a positive value) and uses it as
+    the bin width, so the default plan is always the equi-join form,
+    never a nested loop.  ``allow_cartesian=True`` opts into the naive
+    non-equi join instead (acceptable only when one side is
+    broadcast-small and the exact binning cost matters more than the
+    extra aggregate).
     """
     if how != "inner":
         raise PhaserError(f"range_join supports inner joins, got {how!r}")
@@ -483,10 +489,23 @@ def range_join(
     p = points.withColumn(P, p_val)
     i = intervals.withColumn(S, s_val).withColumn(E, e_val)
     if bin_width is None:
-        joined = (
-            p.join(i, on=keys, how="inner") if keys else p.crossJoin(i)
-        )
-        return joined.filter(cond).drop(P, S, E)
+        if allow_cartesian:
+            joined = (
+                p.join(i, on=keys, how="inner") if keys else p.crossJoin(i)
+            )
+            return joined.filter(cond).drop(P, S, E)
+        # derive a bin width from the interval-span distribution: the
+        # median span keeps replication O(1) per interval while bins
+        # stay selective.  One one-row aggregate over the (usually much
+        # smaller) interval side — bounded driver traffic by design.
+        span_row = i.agg(
+            F.percentile_approx(F.col(E) - F.col(S), F.lit(0.5), F.lit(1000))
+            .alias("med")
+        ).collect()[0]
+        med = span_row["med"]
+        # zero-length / empty / degenerate spans: any positive width is
+        # correct (each point still meets each interval in one bin)
+        bin_width = float(med) if med is not None and med > 0 else 1.0
     BIN = "__phaser_bin__"
     w = float(bin_width)
     p = p.withColumn(BIN, F.floor(F.col(P) / F.lit(w)).cast("long"))

@@ -77,7 +77,10 @@ def resample_time(
     if bucket_col in groups or bucket_col in aggs:
         raise PhaserError(f"resample_time: {bucket_col!r} name collision")
 
-    bkt = (F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
+    # floor, not cast: cast('long') truncates toward zero, which assigns
+    # pre-1970 (negative-epoch) timestamps to the one-interval-late
+    # bucket and diverges from the oracle's floor(epoch/step) semantics
+    bkt = F.floor(F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
     agged = (
         df.withColumn("__rs_bkt", bkt)
         .groupBy(*groups, "__rs_bkt")

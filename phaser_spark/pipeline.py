@@ -257,6 +257,11 @@ class Pipeline:
             out = self.spark.table(table)
         elif self.working_dir:
             internal_path = os.path.join(self.working_dir, f".{ph.name}_state.parquet")
+            # capture the writer-side schema + column order: a partitioned
+            # read-back otherwise applies partition-column type inference
+            # (string '007' -> int 7, date-looking strings -> DATE) and
+            # moves partition columns to the end of the schema
+            written_schema, written_cols = out.schema, out.columns
             if ph.checkpoint_sort_by:
                 missing = [
                     c for c in ph.checkpoint_sort_by if c not in out.columns
@@ -283,7 +288,13 @@ class Pipeline:
                 )
             else:
                 out.write.mode("overwrite").parquet(internal_path)
-            out = self.spark.read.parquet(internal_path)
+            # read back with the writer's schema so partition columns keep
+            # their declared type and value, then restore column order
+            out = (
+                self.spark.read.schema(written_schema)
+                .parquet(internal_path)
+                .select(*written_cols)
+            )
         else:
             if ph.checkpoint_sort_by:
                 import warnings
@@ -738,16 +749,53 @@ class DagPipeline(Pipeline):
         self._dag_instances = dict(zip(order, self.phase_instances))
 
     def validate_sources(self) -> None:
-        # dag outputs satisfy extra-source declarations named after phases
-        produced = set(self._init_paths) | set(self._dag)
-        for ph in self.phase_instances:
+        # A DAG-phase output satisfies an extra-source declaration ONLY
+        # when the consuming phase lists that phase in depends_on[1:] —
+        # that is exactly what run() injects.  Accepting any phase name
+        # here would pass validation and then fail (or, depending on
+        # alphabetical execution order, silently pick up a stale
+        # injection) mid-run.
+        produced_outputs: set = set()
+        for pname in self._dag_order:
+            ph = self._dag_instances[pname]
+            _, deps = self._dag[pname]
+            injected = set(deps[1:])
+            # phase-level declarations plus step-level ones — both are
+            # resolved from the context at run time, so both must be
+            # wired through depends_on to be injectable
+            needed: list = []
             for spec in ph.extra_sources:
-                n = spec.name if isinstance(spec, SavableObject) else str(spec)
-                if n not in produced and not self.context.has_source(n):
-                    raise PhaserError(
-                        f"Extra source '{n}' needed by phase {ph.name} is neither "
-                        "initialized, produced by a phase, nor a DAG dependency"
-                    )
+                if isinstance(spec, SavableObject):
+                    if spec.df is not None:
+                        continue  # inline data, nothing to resolve
+                    needed.append(spec.name)
+                else:
+                    needed.append(str(spec))
+            for step in ph.steps:
+                needed.extend(
+                    getattr(step, "__phaser_extra_sources__", ()) or ()
+                )
+            for n in needed:
+                if (
+                    n in self._init_paths
+                    or n in produced_outputs
+                    or self.context.has_source(n)
+                ):
+                    continue
+                if n in self._dag:
+                    if n not in injected:
+                        raise PhaserError(
+                            f"Extra source '{n}' needed by phase {ph.name} "
+                            f"names DAG phase {n!r}, but {pname!r} does not "
+                            "list it in depends_on — add it after the main "
+                            "dependency so run() injects it"
+                        )
+                    continue
+                raise PhaserError(
+                    f"Extra source '{n}' needed by phase {ph.name} is neither "
+                    "initialized, produced by a phase, nor a DAG dependency"
+                )
+            produced_outputs |= {o.name for o in ph.extra_outputs}
         for n, path in self._init_paths.items():
             obj = SavableObject(n)
             obj.load(self.spark, path)
@@ -781,14 +829,23 @@ class DagPipeline(Pipeline):
             # side data has no row identity (reference ExtraRecords
             # semantics) — dropping the lineage column also keeps a join
             # against it from colliding with the main frame's numbering
+            replaced = {}
             for extra in deps[1:]:
                 side = outputs[extra]
                 if PHASER_ROW_NUM in side.columns:
                     side = side.drop(PHASER_ROW_NUM)
+                replaced[extra] = self.context.rwos.get(extra)
                 self.context.set_source(
                     SavableObject(extra, df=side, to_save=False)
                 )
             outputs[pname] = self.run_phase(ph, main)
+            # injections are scoped to this phase: a later phase that did
+            # not declare the dependency must not see a stale side source
+            for extra, prev in replaced.items():
+                if prev is None:
+                    self.context.rwos.pop(extra, None)
+                else:
+                    self.context.rwos[extra] = prev
         return outputs[self._dag_sink]
 
     def run_stream(self, *a, **kw):

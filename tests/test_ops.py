@@ -1276,7 +1276,7 @@ def test_winsorize_global_and_grouped(spark):
     vals = [float(v) for v in range(1, 100)] + [10_000.0]  # one huge outlier
     df = spark.createDataFrame([(i, v, "g") for i, v in enumerate(vals)],
                                "id long, v double, g string")
-    out = Q.winsorize(df, "v", lower=0.01, upper=0.99)
+    out = Q.winsorize(df, "v", lower=0.01, upper=0.99, exact=True)
     got = {r.id: r.v for r in out.collect()}
     assert max(got.values()) < 10_000.0           # outlier clamped
     assert got[0] > 1.0                           # low tail clamped up
@@ -1289,7 +1289,9 @@ def test_winsorize_global_and_grouped(spark):
          (5, 5.0, "b"), (6, 6.0, "b")],
         "id long, v double, g string",
     )
-    out2 = Q.winsorize(df2, "v", lower=0.0, upper=0.5, group_by=["g"], suffix="_w")
+    out2 = Q.winsorize(
+        df2, "v", lower=0.0, upper=0.5, group_by=["g"], suffix="_w", exact=True
+    )
     got2 = {r.id: r.v_w for r in out2.collect()}
     # group a median of (1,2,3,1000) = 2.5 -> 1000 clamps to 2.5
     assert got2[4] == 2.5 and got2[1] == 1.0
@@ -1740,7 +1742,7 @@ def test_mask_columns(spark):
     a, b, nul = rows[0], rows[1], rows[2]
     assert len(a.name) == 64 and a.name == b.name        # equality-preserving
     assert a.card == "************4444"
-    assert b.card == "99"                                # shorter than 4: kept
+    assert b.card == "****"                              # <=4 chars: fully masked
     assert a.note == "[MASKED]" and b.note == "[MASKED]"
     assert nul.name is None and nul.card is None and nul.note is None
     # different salt -> different token
@@ -1853,6 +1855,28 @@ def test_resample_time_gapfill(spark):
 
     with _pytest.raises(PhaserError):
         timeseries.resample_time(df, "ts", "2 fortnights", "k")
+
+
+def test_resample_time_pre_1970_floors_not_truncates(spark):
+    """Negative epochs: floor(epoch/step), not cast-toward-zero — a
+    1969-12-31 23:30 event belongs to the 23:00 bucket of 1969-12-31,
+    not to 1970-01-01 00:00 (the one-interval-late truncation bug)."""
+    import datetime as dt
+
+    from phaser_spark.ops import timeseries
+
+    rows = [
+        ("a", dt.datetime(1969, 12, 31, 23, 30), 1.0),
+        ("a", dt.datetime(1970, 1, 1, 0, 15), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = timeseries.resample_time(
+        df, "ts", "1 hour", "k", aggs={"n": F.count(F.lit(1))}, fill="zero"
+    )
+    got = {r.bucket_ts: r.n for r in out.collect()}
+    assert got[dt.datetime(1969, 12, 31, 23, 0)] == 1
+    assert got[dt.datetime(1970, 1, 1, 0, 0)] == 1
+    assert len(got) == 2  # adjacent buckets, no phantom third
 
 
 def test_asof_join_forward_and_tolerance(spark):

@@ -301,6 +301,64 @@ def test_partitioned_checkpoint_prunes(spark, tmp_path):
     assert pipe3.run(src).count() == 60
 
 
+def test_partitioned_checkpoint_preserves_types_and_order(spark, tmp_path):
+    """Reading a partitioned checkpoint back must NOT apply Spark's
+    partition-column type inference: a string partition column with
+    numeric-looking values ('007') would silently round-trip as int 7,
+    and partition columns would move to the end of the schema."""
+    from phaser_spark import Phase, Pipeline
+
+    src = spark.createDataFrame(
+        [("007", 1, 1.5), ("007", 2, 2.5), ("012", 3, 3.5)],
+        "code string, id long, v double",
+    )
+    ph = Phase(name="coded", steps=[], checkpoint_partition_by=["code"])
+    pipe = Pipeline(working_dir=str(tmp_path), phases=[ph], spark=spark)
+    out = pipe.run(src)
+    # column order unchanged (partition col did not migrate to the end)
+    user_cols = [c for c in out.columns if not c.startswith("__phaser")]
+    assert user_cols == ["code", "id", "v"]
+    # type and VALUE preserved: '007' stays the string '007', not int 7
+    assert dict(out.dtypes)["code"] == "string"
+    assert sorted({r.code for r in out.collect()}) == ["007", "012"]
+
+
+def test_dag_pipeline_undeclared_phase_source_fails_fast(spark):
+    """An extra_sources entry naming a DAG phase that is NOT in the
+    consuming phase's depends_on must fail at validation (before any
+    phase executes), not mid-run — run() only injects declared deps."""
+    import pytest
+
+    from phaser_spark import Phase, dataframe_step
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.pipeline import DagPipeline
+
+    ran = []
+
+    @dataframe_step(check_size=False)
+    def mark(df, context=None):
+        ran.append(1)
+        return df
+
+    @dataframe_step(check_size=False, extra_sources=["side"])
+    def use_side(df, context=None, **kw):
+        return df
+
+    dag = DagPipeline(
+        phases={
+            "side": Phase(name="side", steps=[mark]),
+            "mid": (Phase(name="mid", steps=[mark]), ["side"]),
+            # declares extra_sources=['side'] but does NOT depend on it
+            "final": (Phase(name="final", steps=[use_side]), ["mid"]),
+        },
+        spark=spark,
+    )
+    src = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(PhaserError, match="depends_on"):
+        dag.run(src)
+    assert not ran  # failed fast: no phase executed
+
+
 def test_dag_pipeline_rejects_run_stream(spark):
     import pytest
 

@@ -431,6 +431,30 @@ def test_range_join_is_equi_join_on_bin_not_nested_loop(spark):
     assert "__phaser_bin__" in plan
 
 
+def test_range_join_default_derives_bin_never_cartesian(spark):
+    # with bin_width omitted the width is DERIVED from the interval-span
+    # distribution — the planned join must still be the binned equi-join,
+    # never BroadcastNestedLoopJoin/CartesianProduct (the old default)
+    from phaser_spark.ops.relational import range_join
+
+    points = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "pid long, p double"
+    )
+    intervals = spark.createDataFrame(
+        [(j, float(j), float(j + 3)) for j in range(10)],
+        "iid long, s double, e double",
+    )
+    out = range_join(points, intervals, "p", "s", "e")
+    plan = plan_of(out)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "__phaser_bin__" in plan
+    # the explicit escape hatch still plans the naive non-equi join
+    naive = range_join(
+        points, intervals, "p", "s", "e", allow_cartesian=True
+    )
+    assert "__phaser_bin__" not in plan_of(naive)
+
+
 def test_sketch_report_stays_jvm_side(spark):
     plan = plan_of(entrymod.sketch_distinct_accuracy(spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
