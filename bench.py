@@ -121,23 +121,64 @@ def main():
                 break
         timings[name] = best
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs": runs,
-            }
+
+    # Scaling slope: time every query at a 10× smaller factor too and emit
+    # scaling_exponent = log(t_big/t_small) / log(sf_big/sf_small).  The 2×
+    # perf bar is only checked at one scale factor — a query can be green
+    # at sf0.1 and super-linear; the slope is the early warning.  Fixed
+    # per-query overhead (session, planning) biases the exponent DOWN, so
+    # anything >= 1.3 is a strong super-linear signal, not noise.
+    exponents: dict[str, float] = {}
+    small_dir = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
+    want_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") not in ("0", "")
+    if want_scaling and os.path.isdir(small_dir) and small_dir != sf_dir:
+        import math
+
+        small_sf = float(
+            os.path.basename(small_dir.rstrip("/")).replace("sf", "") or 0.01
         )
-    )
+        for name in BENCH_QUERIES:
+            fn = queries.get(name)
+            if fn is None or timings.get(name, -1) < 0:
+                continue
+            best = None
+            for _ in range(max(1, runs)):
+                t0 = time.perf_counter()
+                try:
+                    fn(spark, small_dir).write.mode("overwrite").format("noop").save()
+                    elapsed = time.perf_counter() - t0
+                    best = elapsed if best is None else min(best, elapsed)
+                    spark.catalog.clearCache()
+                except Exception as e:
+                    print(
+                        f"# bench scaling error {name}: {type(e).__name__}: {e}",
+                        file=sys.stderr,
+                    )
+                    break
+            if best and best > 0 and timings[name] > 0:
+                exponents[name] = round(
+                    math.log(timings[name] / best) / math.log(sf / small_sf), 2
+                )
+    line = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs": runs,
+    }
+    if exponents:
+        line["scaling_exponent"] = exponents
+    print(json.dumps(line))
     if sf == 0.1:
-        _update_history(timings, total)
+        _update_history(timings, total, exponents)
 
 
-def _update_history(timings: dict[str, float], total: float) -> None:
+def _update_history(
+    timings: dict[str, float],
+    total: float,
+    exponents: dict[str, float] | None = None,
+) -> None:
     """Maintain bench_history.json: query -> {round/label -> seconds}.
 
     Cross-round per-query timing comparisons have had to be reconstructed
@@ -172,6 +213,10 @@ def _update_history(timings: dict[str, float], total: float) -> None:
         history.setdefault(q, {})["local"] = sec
     totals["local"] = total
     out = {"total": totals, "queries": dict(sorted(history.items()))}
+    if exponents:
+        # slope of t(sf0.01) -> t(sf0.1); >= 1.3 means super-linear and
+        # needs a written adjudication in SCALE.md
+        out["scaling_exponent"] = dict(sorted(exponents.items()))
     with open(os.path.join(root, "bench_history.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=False)
         f.write("\n")

@@ -45,10 +45,16 @@ def test_queries_are_callable_and_named():
         assert callable(fn), name
 
 
+import pytest
+
+
+@pytest.mark.oracle
 def test_past_cap_entries_pass_oracle_parity(spark):
     # Entries past the driver's 50-query cap lose external hash-checking
     # entirely; this keeps their oracle parity MANDATORY in the local
     # suite (the compensating control the cap curation relies on).
+    # Runs only under `pytest -m oracle` — it replays 50+ Spark+DuckDB
+    # comparisons and takes several minutes (see pytest.ini).
     import oracle_parity
 
     past_cap = list(entrymod.queries())[CAP:]
