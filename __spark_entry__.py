@@ -1859,6 +1859,27 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def semantic_decontaminate_embeddings(spark, sf_dir):
+    """Embedding-space benchmark decontamination
+    (``ops.cleaning.semantic_decontaminate``): a held-out slice of the
+    embeddings table (vec_id % 83 == 0) plays the eval set; every
+    training vector with cosine ≥ 0.25 to ANY benchmark vector is
+    dropped — the paraphrase-leakage guard n-gram decontamination
+    misses.  Benchmark broadcast, training side streams (one
+    broadcast-nested-loop compare, zero big-side shuffle); ordered
+    double folds mirrored by the oracle's list_reduce, cosines
+    truncated to 6 digits on both engines."""
+    from phaser_spark.ops import cleaning
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 83 == 0)
+    train = emb.filter(F.col("vec_id") % 83 != 0)
+    out = cleaning.semantic_decontaminate(
+        train, bench, "vec_id", "embedding", threshold=0.25
+    )
+    return out.select("vec_id", "label")
+
+
 def collapse_rare_sources(spark, sf_dir):
     """Long-tail category collapsing (``ops.features.collapse_rare``):
     document sources below 30 occurrences fold into OTHER — the
@@ -2528,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_docs_per_lang": sample_docs_per_lang,
         "streaming_sliding_window": streaming_sliding_window,
         "collapse_rare_sources": collapse_rare_sources,
+        "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
     }
 
 
@@ -4343,5 +4365,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
                    LEAST(GREATEST(CAST(l.l_extendedprice AS DOUBLE), b.lo), b.hi) AS price_w
             FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+        """,
+        # Mirrors ops/cleaning.semantic_decontaminate: ordered double
+        # folds (list_reduce == F.aggregate element order), cosine
+        # truncated to 6 digits on both engines before the threshold.
+        "semantic_decontaminate_embeddings": f"""
+            WITH bench AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS bv
+                FROM embeddings WHERE vec_id % 83 = 0
+            ), train AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS tv
+                FROM embeddings WHERE vec_id % 83 <> 0
+            ), cont AS (
+                SELECT DISTINCT t.vec_id
+                FROM train t, bench b
+                WHERE floor(({_dot_sql('t.tv', 'b.bv')}
+                             / (sqrt({_nsq_sql('t.tv')}) * sqrt({_nsq_sql('b.bv')})))
+                            * 1000000) / 1000000 >= 0.25
+            )
+            SELECT t.vec_id, t.label FROM train t
+            WHERE t.vec_id NOT IN (SELECT vec_id FROM cont)
         """,
     }

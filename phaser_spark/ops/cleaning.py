@@ -17,6 +17,9 @@ Scale design notes
   benchmark set.  The benchmark side is small by definition (eval sets),
   so Catalyst broadcasts it; the document side streams through one
   explode + one join + one per-doc count — no all-pairs stage.
+* ``semantic_decontaminate`` is the embedding-space companion (catches
+  paraphrased leakage n-grams miss): benchmark embeddings broadcast,
+  training side streams, cosine ≥ threshold drops the row.
 """
 
 from __future__ import annotations
@@ -271,3 +274,71 @@ def decontaminate(
             ),
         )
     return joined.filter(F.col("__dc_id").isNull()).select(*[F.col(c) for c in df.columns])
+
+
+def semantic_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_vec_col: str | None = None,
+    threshold: float = 0.95,
+    flag_only: bool = False,
+    flag_col: str = "contaminated",
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: drop (or, with
+    ``flag_only``, annotate) training rows whose embedding has cosine
+    similarity ≥ ``threshold`` to ANY row of ``benchmark`` — the
+    semantic companion to :func:`decontaminate`, which matches exact
+    word n-grams and therefore misses paraphrased eval leakage.
+
+    Cosines are truncated to 6 digits before the threshold compare
+    (engine-reproducible, see ``dedup.trunc_digits``); ``exact=True``
+    switches to decimal-accumulated dot products (bit-identical under
+    any summation order).
+
+    Scale: the benchmark side is small by definition (an eval set), so
+    it is BROADCAST and the training side streams through a
+    broadcast-nested-loop compare — |df|·|bench| cosine evaluations,
+    zero shuffle of the big side; the only shuffle is the distinct over
+    contaminated ids (≤ |df| rows, usually tiny).  That |bench|
+    multiplier is inherent to exhaustive decontamination; for an
+    unusually large benchmark, pre-block both sides with
+    :func:`phaser_spark.ops.dedup.embedding_dup_pairs`-style hyperplane
+    buckets and verify only bucket collisions.
+    """
+    from .dedup import _dot, _norm, trunc_digits
+    from .similarity import _dot_decimal
+
+    bench_vec_col = bench_vec_col or vec_col
+    dot = _dot_decimal if exact else _dot
+    norm = (lambda a: F.sqrt(_dot_decimal(a, a))) if exact else _norm
+    train = df.select(
+        F.col(id_col).alias("__sc_id"),
+        F.col(vec_col).cast("array<double>").alias("__sc_v"),
+    )
+    bench = benchmark.select(
+        F.col(bench_vec_col).cast("array<double>").alias("__sc_b")
+    )
+    cos = trunc_digits(
+        dot(F.col("__sc_v"), F.col("__sc_b"))
+        / (norm(F.col("__sc_v")) * norm(F.col("__sc_b"))),
+        6,
+    )
+    contaminated = (
+        train.crossJoin(F.broadcast(bench))
+        .filter(cos >= F.lit(threshold))
+        .select("__sc_id")
+        .distinct()
+    )
+    if flag_only:
+        marked = contaminated.withColumn(flag_col, F.lit(True))
+        return (
+            df.join(marked, F.col(id_col) == F.col("__sc_id"), "left")
+            .drop("__sc_id")
+            .withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False)))
+        )
+    return df.join(
+        contaminated, F.col(id_col) == F.col("__sc_id"), "left_anti"
+    )

@@ -96,6 +96,7 @@ def quantile_bin(
     out_col: str | None = None,
     exact: bool = False,
     accuracy: int = 10000,
+    broadcast_bounds: bool = True,
 ) -> DataFrame:
     """Quantile discretization: assign each value its ``n_bins``-quantile
     bucket (0-based) computed per ``group_by`` group (or globally) —
@@ -112,8 +113,9 @@ def quantile_bin(
     groups or when interpolated-exact boundaries are required (the
     oracle-parity query pins that mode).
 
-    One boundaries aggregate broadcast back; the binning is a pure
-    projection.
+    One boundaries aggregate joined back (broadcast by default — pass
+    ``broadcast_bounds=False`` for id-scale ``group_by`` cardinality);
+    the binning is a pure projection.
     """
     if n_bins < 2:
         raise PhaserError(f"quantile_bin needs n_bins >= 2, got {n_bins}")
@@ -138,7 +140,9 @@ def quantile_bin(
         for k in keys:
             c = F.col(k).eqNullSafe(F.col(f"__qb_{k}"))
             on = c if on is None else on & c
-        joined = df.join(F.broadcast(btab), on).drop(*[f"__qb_{k}" for k in keys])
+        joined = df.join(
+            F.broadcast(btab) if broadcast_bounds else btab, on
+        ).drop(*[f"__qb_{k}" for k in keys])
     else:
         joined = df.crossJoin(F.broadcast(df.agg(bounds)))
     binned = F.when(

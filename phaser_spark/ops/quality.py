@@ -195,6 +195,7 @@ def winsorize(
     exact: bool = False,
     accuracy: int = 10000,
     suffix: str = "",
+    broadcast_bounds: bool = True,
 ) -> DataFrame:
     """Clamp outliers to per-group percentile bounds (winsorization):
     each column in ``cols`` is clipped into its ``[p_lower, p_upper]``
@@ -215,8 +216,11 @@ def winsorize(
     digits so any engine (and the DuckDB oracle) computes identical
     clamps.
 
-    One bounds-aggregate (tiny result: one row per group) broadcast back
-    onto the data; the clamp itself is a pure projection.  With
+    One bounds-aggregate (one row per group) joined back onto the data;
+    the clamp itself is a pure projection.  The bounds table is
+    broadcast by default — right for bounded group counts; for
+    id-scale ``group_by`` cardinality pass ``broadcast_bounds=False``
+    and AQE picks the join strategy from measured sizes.  With
     ``suffix`` the clamped values land in new ``col+suffix`` columns
     instead of replacing the originals.
     """
@@ -251,7 +255,7 @@ def winsorize(
         for k in keys:
             c = F.col(k).eqNullSafe(F.col(f"__wz_{k}__"))
             on = c if on is None else on & c
-        out = df.join(F.broadcast(btab), on)
+        out = df.join(F.broadcast(btab) if broadcast_bounds else btab, on)
     else:
         out = df.crossJoin(F.broadcast(df.agg(*bounds)))
     for c in cols:

@@ -666,9 +666,13 @@ class DagPipeline(Pipeline):
     dependencies read the pipeline source); every ADDITIONAL
     dependency's output is injected as an extra source named after that
     phase, so a step can declare ``extra_sources=["other_phase"]`` and
-    join against it.  Execution order is a deterministic topological
-    sort (alphabetical among ready phases); cycles and unknown
-    dependencies fail fast at construction.
+    join against it.  An extra source naming a DAG phase MUST appear in
+    the consuming phase's ``depends_on`` — anything else fails at
+    validation, before any phase runs — and injections are scoped to
+    the declaring phase (a later phase never sees a stale side source).
+    Execution order is a deterministic topological sort (alphabetical
+    among ready phases); cycles and unknown dependencies fail fast at
+    construction.
 
     Each phase still checkpoints through the standard ``run_phase``
     path — bucketed/sorted checkpoint options, error policies, events,

@@ -419,6 +419,43 @@ def test_decontaminate(spark):
     assert dropped[0].asDict().keys() == {"doc_id", "text"}
 
 
+def test_semantic_decontaminate(spark):
+    from phaser_spark.ops import cleaning
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0, 0.0]),     # parallel (scaled): cosine 1.0
+            (2, [0.9, 0.1, 0.0, 0.0]),     # near-parallel: cosine ~0.994
+            (3, [0.0, 1.0, 0.0, 0.0]),     # orthogonal: cosine 0
+            (4, [-1.0, 0.0, 0.0, 0.0]),    # anti-parallel: cosine -1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    kept = cleaning.semantic_decontaminate(
+        corpus, bench, threshold=0.95
+    ).collect()
+    assert sorted(r.vec_id for r in kept) == [3, 4]
+    assert kept[0].asDict().keys() == {"vec_id", "embedding"}
+    flagged = {
+        r.vec_id: r.contaminated
+        for r in cleaning.semantic_decontaminate(
+            corpus, bench, threshold=0.95, flag_only=True
+        ).collect()
+    }
+    assert flagged == {1: True, 2: True, 3: False, 4: False}
+    # exact decimal accumulation agrees on this fixture
+    exact_kept = {
+        r.vec_id
+        for r in cleaning.semantic_decontaminate(
+            corpus, bench, threshold=0.95, exact=True
+        ).collect()
+    }
+    assert exact_kept == {3, 4}
+
+
 def test_stratified_sample_by_hash(spark):
     from phaser_spark.ops import sampling
 
