@@ -1859,6 +1859,36 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def robust_z_prices(spark, sf_dir):
+    """Median/MAD robust z-scores per group
+    (``ops.quality.robust_standardize``): prices scored as
+    ``(v − median) / (1.4826 · MAD)`` per return flag, with the
+    Iglewicz–Hoaglin |rz| > 3.5 outlier flag — the 50 %-breakdown
+    screen that mean/stddev z-scores can't provide (outliers inflate σ
+    and hide themselves).  Two group aggregates broadcast back, score
+    is a pure projection; exact interpolated medians pinned for the
+    oracle (library default is the percentile_approx sketch path)."""
+    from phaser_spark.ops import quality as Q
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    out = Q.robust_standardize(
+        li,
+        "l_extendedprice",
+        group_by=["l_returnflag"],
+        exact=True,
+        flag_threshold=1.3,
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        trunc_digits(F.col("l_extendedprice_rz"), 6).alias("rz"),
+        F.col("l_extendedprice_outlier").alias("is_outlier"),
+    )
+
+
 def semantic_decontaminate_embeddings(spark, sf_dir):
     """Embedding-space benchmark decontamination
     (``ops.cleaning.semantic_decontaminate``): a held-out slice of the
@@ -2550,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_window": streaming_sliding_window,
         "collapse_rare_sources": collapse_rare_sources,
         "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
+        "robust_z_prices": robust_z_prices,
     }
 
 
@@ -4385,5 +4416,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t.vec_id, t.label FROM train t
             WHERE t.vec_id NOT IN (SELECT vec_id FROM cont)
+        """,
+        # Mirrors ops/quality.robust_standardize exact mode: interpolated
+        # medians truncated to 6 digits at BOTH stages, untruncated score
+        # for the flag compare, truncated score in the output column.
+        "robust_z_prices": """
+            WITH med AS (
+                SELECT l_returnflag,
+                       floor(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+                             * 1000000) / 1000000 AS med
+                FROM lineitem GROUP BY l_returnflag
+            ), mad AS (
+                SELECT l.l_returnflag,
+                       floor(quantile_cont(
+                                 abs(CAST(l.l_extendedprice AS DOUBLE) - m.med),
+                                 0.5) * 1000000) / 1000000 AS mad
+                FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+                GROUP BY l.l_returnflag
+            )
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                   CASE WHEN d.mad > 0 THEN
+                       floor(((CAST(l.l_extendedprice AS DOUBLE) - m.med)
+                              / (1.4826 * d.mad)) * 1000000) / 1000000
+                   END AS rz,
+                   CASE WHEN d.mad > 0 THEN
+                       abs((CAST(l.l_extendedprice AS DOUBLE) - m.med)
+                           / (1.4826 * d.mad)) > 1.3
+                   END AS is_outlier
+            FROM lineitem l
+            JOIN med m ON l.l_returnflag = m.l_returnflag
+            JOIN mad d ON l.l_returnflag = d.l_returnflag
         """,
     }

@@ -375,3 +375,115 @@ def standardize(
         )
         drop += [f"__sz_n_{c}__", f"__sz_s_{c}__", f"__sz_q_{c}__"]
     return out.drop(*drop)
+
+
+def robust_standardize(
+    df: DataFrame,
+    cols: list[str] | str,
+    group_by: list[str] | None = None,
+    suffix: str = "_rz",
+    k: float = 1.4826,
+    exact: bool = False,
+    accuracy: int = 10000,
+    flag_threshold: float | None = None,
+    flag_suffix: str = "_outlier",
+    broadcast_bounds: bool = True,
+) -> DataFrame:
+    """Median/MAD robust z-score per group: each column in ``cols`` gets
+    ``col+suffix`` = ``(v − median) / (k · MAD)`` with
+    ``MAD = median(|v − median|)`` computed over its ``group_by`` group
+    (or globally).  ``k = 1.4826`` makes the MAD a consistent σ
+    estimator under normality, so thresholds transfer from the normal
+    z-score (|rz| > 3.5 is the classic Iglewicz–Hoaglin outlier rule,
+    exposed via ``flag_threshold`` → boolean ``col+flag_suffix``).
+
+    Why not :func:`standardize`: mean/stddev z-scores let extreme
+    outliers inflate the scale and hide themselves (a 10⁹-token
+    "document" drags σ up until nothing looks anomalous); median and
+    MAD have 50 % breakdown, so the flags survive grossly contaminated
+    columns — the robust screen to run BEFORE :func:`winsorize` picks
+    its clamp bounds.
+
+    Medians default to ``percentile_approx`` sketches (bounded
+    mergeable state, the 100 TB setting — ``exact=True`` buffers each
+    group's values in the aggregate, opt-in for bounded groups /
+    oracle-parity).  Both medians are truncated to 6 digits
+    (engine-reproducible).  Zero / NULL MAD or NULL value ⇒ NULL score.
+
+    Scale: two group aggregates (value median, then deviation median)
+    each joined back (broadcast by default; ``broadcast_bounds=False``
+    for id-scale group cardinality); the score is a pure projection.
+    """
+    from .dedup import trunc_digits
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if not cols:
+        raise PhaserError("robust_standardize requires at least one column")
+    if k <= 0:
+        raise PhaserError(f"k must be > 0, got {k}")
+    keys = list(group_by or [])
+
+    def med_of(c: SparkCol) -> SparkCol:
+        agg = (
+            F.percentile(c, F.lit(0.5))
+            if exact
+            else F.percentile_approx(c, F.lit(0.5), F.lit(int(accuracy)))
+        )
+        return trunc_digits(agg, 6)
+
+    def join_back(frame: DataFrame, tab: DataFrame, tag: str) -> DataFrame:
+        side = F.broadcast(tab) if broadcast_bounds else tab
+        if not keys:
+            return frame.crossJoin(side)
+        on = None
+        for kcol in keys:
+            c = F.col(kcol).eqNullSafe(F.col(f"__{tag}_{kcol}__"))
+            on = c if on is None else on & c
+        return frame.join(side, on).drop(*[f"__{tag}_{kcol}__" for kcol in keys])
+
+    med_aggs = [
+        med_of(F.col(c).cast("double")).alias(f"__rs_med_{c}__") for c in cols
+    ]
+    if keys:
+        mtab = df.groupBy(*keys).agg(*med_aggs)
+        mtab = mtab.select(
+            *[F.col(kcol).alias(f"__rm_{kcol}__") for kcol in keys],
+            *[f"__rs_med_{c}__" for c in cols],
+        )
+        out = join_back(df, mtab, "rm")
+    else:
+        out = df.crossJoin(
+            F.broadcast(df.agg(*med_aggs))
+        )
+    mad_aggs = [
+        med_of(F.abs(F.col(c).cast("double") - F.col(f"__rs_med_{c}__"))).alias(
+            f"__rs_mad_{c}__"
+        )
+        for c in cols
+    ]
+    if keys:
+        dtab = out.groupBy(*keys).agg(*mad_aggs)
+        dtab = dtab.select(
+            *[F.col(kcol).alias(f"__rd_{kcol}__") for kcol in keys],
+            *[f"__rs_mad_{c}__" for c in cols],
+        )
+        out = join_back(out, dtab, "rd")
+    else:
+        out = out.crossJoin(F.broadcast(out.agg(*mad_aggs)))
+    drop = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        med = F.col(f"__rs_med_{c}__")
+        mad = F.col(f"__rs_mad_{c}__")
+        rz = (v - med) / (F.lit(float(k)) * mad)
+        out = out.withColumn(c + suffix, F.when(mad > 0, rz))
+        if flag_threshold is not None:
+            out = out.withColumn(
+                c + flag_suffix,
+                F.when(
+                    F.col(c + suffix).isNotNull(),
+                    F.abs(F.col(c + suffix)) > F.lit(float(flag_threshold)),
+                ),
+            )
+        drop += [f"__rs_med_{c}__", f"__rs_mad_{c}__"]
+    return out.drop(*drop)

@@ -1336,6 +1336,38 @@ def test_winsorize_global_and_grouped(spark):
     assert "v" in out2.columns  # originals preserved with suffix
 
 
+def test_robust_standardize_mad_flags(spark):
+    from phaser_spark.ops import quality as Q
+
+    rows = [(i, float(v), "a") for i, v in enumerate(list(range(1, 10)) + [1000])]
+    rows += [(100 + i, 7.0, "b") for i in range(4)]  # zero-MAD group
+    df = spark.createDataFrame(rows, "id long, v double, g string")
+    out = {
+        r.id: (r.v_rz, r.v_outlier)
+        for r in Q.robust_standardize(
+            df, "v", group_by=["g"], exact=True, flag_threshold=3.5
+        ).collect()
+    }
+    # group a: median 5.5, MAD 2.5 -> rz(1000) = 994.5/(1.4826*2.5)
+    rz_outlier, flagged = out[9]
+    assert abs(rz_outlier - 994.5 / (1.4826 * 2.5)) < 1e-6 and flagged
+    rz_mid, flagged_mid = out[4]  # v=5 -> (5-5.5)/3.7065
+    assert abs(rz_mid - (-0.5 / 3.7065)) < 1e-4 and not flagged_mid
+    # zero-MAD group: NULL score, NULL flag (no division blow-up)
+    assert out[100] == (None, None)
+    # a classic mean/stddev z-score would NOT flag at 3.5 here with a
+    # second outlier inflating sigma — MAD keeps its breakdown point
+    rows2 = [(i, float(v)) for i, v in enumerate(list(range(1, 9)) + [900.0, 1000.0])]
+    df2 = spark.createDataFrame(rows2, "id long, v double")
+    robust = {
+        r.id: r.v_outlier
+        for r in Q.robust_standardize(
+            df2, "v", exact=True, flag_threshold=3.5
+        ).collect()
+    }
+    assert robust[8] and robust[9]  # both masked outliers caught
+
+
 def test_winsorize_validation(spark):
     from phaser_spark.exceptions import PhaserError
     from phaser_spark.ops import quality as Q
