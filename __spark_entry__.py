@@ -1859,6 +1859,20 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def text_char_entropy(spark, sf_dir):
+    """Character-entropy quality signal (``ops.text.char_entropy``):
+    Shannon bits/char per document — the compression-style gibberish /
+    repeated-junk detector complementing the word-level heuristics.
+    One (doc, char) explode + two aggregates, decimal-accumulated term
+    sum (shuffle-order-invariant), 6-digit truncation; the oracle
+    replays the identical two-stage aggregation."""
+    from phaser_spark.ops import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    out = T.char_entropy(docs)
+    return out.select("doc_id", "lang", "char_entropy")
+
+
 def robust_z_prices(spark, sf_dir):
     """Median/MAD robust z-scores per group
     (``ops.quality.robust_standardize``): prices scored as
@@ -2581,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_rare_sources": collapse_rare_sources,
         "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
         "robust_z_prices": robust_z_prices,
+        "text_char_entropy": text_char_entropy,
     }
 
 
@@ -4446,5 +4461,27 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             JOIN med m ON l.l_returnflag = m.l_returnflag
             JOIN mad d ON l.l_returnflag = d.l_returnflag
+        """,
+        # Mirrors ops/text.char_entropy: per-(doc, char) counts, decimal
+        # accumulation of c*log2(c) (order-insensitive across engines),
+        # entropy = log2(n) - S/n truncated to 6 digits.
+        "text_char_entropy": """
+            WITH chars AS (
+                SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+                FROM documents,
+                     LATERAL unnest(generate_series(1, CAST(length(text) AS INTEGER))) AS t(i)
+            ), counts AS (
+                SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+            ), ent AS (
+                SELECT doc_id, SUM(c) AS n,
+                       SUM(CAST(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+                                AS DECIMAL(28,12))) AS s
+                FROM counts GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.lang,
+                   floor((log2(CAST(e.n AS DOUBLE))
+                          - CAST(e.s AS DOUBLE) / CAST(e.n AS DOUBLE))
+                         * 1000000) / 1000000 AS char_entropy
+            FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
         """,
     }

@@ -359,3 +359,64 @@ def chunk_documents(
         F.array_join(F.col("__ck_c.w"), " ").alias(chunk_col),
         F.size(F.col("__ck_c.w")).alias("n_chunk_words"),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "char_entropy",
+) -> DataFrame:
+    """Shannon entropy (bits per character) of each document's character
+    distribution — the compression-style quality signal: natural prose
+    sits in a language-typical band, while gibberish/random strings
+    score high and boilerplate/repeated-character junk scores low.
+    Complements the word-level heuristics in :func:`quality_score`.
+
+    Computed as ``log2(n) − (Σ c·log2 c)/n`` over per-character counts
+    ``c`` (algebraically identical to ``−Σ p·log2 p`` but needs no
+    per-term division).  The cross-partition sum accumulates per-term
+    doubles as decimal — order-insensitive, so the score is
+    bit-identical under any shuffle layout — and the result is
+    truncated to 6 digits (engine-reproducible; the DuckDB oracle
+    replays it exactly).  Empty/NULL text ⇒ NULL entropy.
+
+    Scale: one explode to (doc, char) — linear in corpus characters,
+    and a pathologically long document spreads across tasks because the
+    first aggregate is keyed on (doc, char) — then a per-doc aggregate
+    whose state is bounded by the alphabet size.  Zero Python, zero
+    driver traffic.
+    """
+    n_chars = F.length(F.col(text_col))
+    # sequence(1, 0) DESCENDS in Spark instead of being empty — guard
+    # zero-length docs with an explicit empty array
+    char_arr = F.when(
+        n_chars > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_chars),
+            lambda i: F.col(text_col).substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chars = df.select(
+        F.col(id_col).alias("__ce_id"), F.explode(char_arr).alias("__ce_ch")
+    )
+    counts = chars.groupBy("__ce_id", "__ce_ch").agg(
+        F.count(F.lit(1)).alias("__ce_c")
+    )
+    c = F.col("__ce_c").cast("double")
+    ent = counts.groupBy("__ce_id").agg(
+        F.sum("__ce_c").alias("__ce_n"),
+        F.sum((c * F.log2(c)).cast("decimal(28,12)")).alias("__ce_s"),
+    )
+    score = (
+        F.log2(F.col("__ce_n").cast("double"))
+        - F.col("__ce_s").cast("double") / F.col("__ce_n").cast("double")
+    )
+    from .dedup import trunc_digits
+
+    ent = ent.select(
+        "__ce_id", trunc_digits(score, 6).alias(out_col)
+    )
+    return df.join(
+        ent, F.col(id_col) == F.col("__ce_id"), "left"
+    ).drop("__ce_id")

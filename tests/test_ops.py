@@ -419,6 +419,33 @@ def test_decontaminate(spark):
     assert dropped[0].asDict().keys() == {"doc_id", "text"}
 
 
+def test_char_entropy(spark):
+    from phaser_spark.ops import text as T
+
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "abcd"), (3, "aaaa"), (4, ""), (5, None), (6, "日日月")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.char_entropy for r in T.char_entropy(df).collect()}
+    assert got[1] == 1.0          # two symbols, equal mass
+    assert got[2] == 2.0          # four distinct symbols
+    assert got[3] == 0.0          # single repeated symbol
+    assert got[4] is None and got[5] is None
+    import math
+
+    expect = math.log2(3) - (2 * math.log2(2)) / 3  # unicode code points
+    assert abs(got[6] - expect) < 1e-6
+    # shuffle-layout invariance: decimal accumulation makes the score
+    # bit-identical however the (doc, char) counts are partitioned
+    big = spark.createDataFrame(
+        [(i, ("abcdefgh"[: (i % 7) + 1]) * 9) for i in range(200)],
+        "doc_id long, text string",
+    )
+    one = sorted(map(tuple, T.char_entropy(big.coalesce(1)).collect()))
+    many = sorted(map(tuple, T.char_entropy(big.repartition(13, "doc_id")).collect()))
+    assert one == many
+
+
 def test_semantic_decontaminate(spark):
     from phaser_spark.ops import cleaning
 
