@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "chunk_docs_rag",
     "streaming_event_window",
     "streaming_session_window",
+    "semantic_decontaminate_embeddings",
+    "robust_z_prices",
+    "text_char_entropy",
 ]
 
 

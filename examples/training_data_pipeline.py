@@ -241,10 +241,23 @@ def main():
     hot = [r.source for r in skew_report(out, ["source"], top=5).collect() if r.hot]
     print(f"skew check on 'source': {len(hot)} hot key(s) {hot or ''}")
 
-    # per-language quality audit on the CURATED corpus: winsorize the
-    # token counts (a 10⁹-token "document" stops dominating the means)
-    # and verify every language slice passes the suite — a bad slice a
+    # per-language quality audit on the CURATED corpus: robust
+    # median/MAD outlier screen FIRST (50% breakdown — extreme values
+    # can't inflate the scale and hide), then winsorize the token counts
+    # (a 10⁹-token "document" stops dominating the means), and verify
+    # every language slice passes the suite — a bad slice a
     # whole-corpus average would hide
+    rz = Q.robust_standardize(
+        out, "n_tokens", group_by=["lang"], flag_threshold=3.5
+    )
+    n_out = rz.filter(F.col("n_tokens_outlier")).count()
+    print(f"robust MAD screen: {n_out} token-count outlier(s) flagged")
+    # character-entropy gibberish/junk signal on the curated text
+    ce = text.char_entropy(out, text_col="text_clean")
+    lo, hi = ce.agg(
+        F.min("char_entropy"), F.max("char_entropy")
+    ).collect()[0]
+    print(f"char-entropy band across curated docs: [{lo:.3f}, {hi:.3f}] bits/char")
     wz = Q.winsorize(out, ["n_tokens"], 0.01, 0.99, group_by=["lang"])
     bad = [
         (r.lang, r.check, r.metric)
@@ -267,6 +280,17 @@ def main():
         print(
             f"semantic dedup: {emb.count()} embeddings -> {kept.count()} "
             "after dropping within-cell semantic near-dups"
+        )
+        # embedding-space eval-set decontamination: the paraphrase guard
+        # n-gram decontamination misses (bench broadcast, corpus streams)
+        bench_emb = emb.filter(F.col("vec_id") % 97 == 0)
+        train_emb = emb.filter(F.col("vec_id") % 97 != 0)
+        sem_clean = cleaning.semantic_decontaminate(
+            train_emb, bench_emb, threshold=0.3
+        )
+        print(
+            f"semantic decontamination: {train_emb.count()} train embeddings "
+            f"-> {sem_clean.count()} after dropping eval-similar rows"
         )
 
     # --- retrieval prep: chunk the curated corpus ----------------------
