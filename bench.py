@@ -140,24 +140,25 @@ def main():
         small_sf = float(
             os.path.basename(small_dir.rstrip("/")).replace("sf", "") or 0.01
         )
+        # single timed run per query at the small factor: the slope only
+        # needs a magnitude estimate (the sf0.1 side is already min-of-N),
+        # and the warmup pass above has paid all one-time costs — keeps
+        # the whole scaling pass to ~half a minute of driver-bench time
         for name in BENCH_QUERIES:
             fn = queries.get(name)
             if fn is None or timings.get(name, -1) < 0:
                 continue
             best = None
-            for _ in range(max(1, runs)):
-                t0 = time.perf_counter()
-                try:
-                    fn(spark, small_dir).write.mode("overwrite").format("noop").save()
-                    elapsed = time.perf_counter() - t0
-                    best = elapsed if best is None else min(best, elapsed)
-                    spark.catalog.clearCache()
-                except Exception as e:
-                    print(
-                        f"# bench scaling error {name}: {type(e).__name__}: {e}",
-                        file=sys.stderr,
-                    )
-                    break
+            t0 = time.perf_counter()
+            try:
+                fn(spark, small_dir).write.mode("overwrite").format("noop").save()
+                best = time.perf_counter() - t0
+                spark.catalog.clearCache()
+            except Exception as e:
+                print(
+                    f"# bench scaling error {name}: {type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
             if best and best > 0 and timings[name] > 0:
                 exponents[name] = round(
                     math.log(timings[name] / best) / math.log(sf / small_sf), 2

@@ -387,19 +387,15 @@ def char_entropy(
     whose state is bounded by the alphabet size.  Zero Python, zero
     driver traffic.
     """
-    n_chars = F.length(F.col(text_col))
-    # sequence(1, 0) DESCENDS in Spark instead of being empty — guard
-    # zero-length docs with an explicit empty array
-    char_arr = F.when(
-        n_chars > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_chars),
-            lambda i: F.col(text_col).substr(i, F.lit(1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # split('') is code-point-wise and LINEAR in the document; a
+    # substr(i, 1) loop would re-seek the UTF-8 string per character
+    # (quadratic on a pathologically long doc).  Empty texts split to
+    # [''] — the filter drops that element, so they get NULL entropy
+    # through the left join like NULL texts do.
     chars = df.select(
-        F.col(id_col).alias("__ce_id"), F.explode(char_arr).alias("__ce_ch")
-    )
+        F.col(id_col).alias("__ce_id"),
+        F.explode(F.split(F.col(text_col), "")).alias("__ce_ch"),
+    ).filter(F.col("__ce_ch") != "")
     counts = chars.groupBy("__ce_id", "__ce_ch").agg(
         F.count(F.lit(1)).alias("__ce_c")
     )
