@@ -1859,6 +1859,32 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def epoch_mix_langs(spark, sf_dir):
+    """Epoch-style upsampling (``ops.sampling.repeat_to_budget``): fill
+    per-language char budgets by REPEATING data — low-resource groups
+    run for multiple epochs (full copies, bounded by ``max_epochs``)
+    plus one deterministic md5-prefix partial epoch for the remainder,
+    the standard training-mix recipe ``token_budget_select`` (≤1 copy)
+    cannot express.  Group totals (one row per language) visit the
+    driver like an ExtraMapping; copies are a bounded
+    explode(sequence), the remainder reuses the two-level bucketed
+    prefix selection.  The oracle replays epochs via generate_series
+    and the identical windowed prefix rule."""
+    from phaser_spark.ops.sampling import repeat_to_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repeat_to_budget(
+        docs.select("doc_id", "lang", "n_chars"),
+        "doc_id",
+        "n_chars",
+        "lang",
+        budgets={"de": 500_000, "fr": 120_000, "zh": 60_000},
+        max_epochs=3,
+        buckets=64,
+    )
+    return out.select("doc_id", "lang", "n_chars", "epoch")
+
+
 def text_char_entropy(spark, sf_dir):
     """Character-entropy quality signal (``ops.text.char_entropy``):
     Shannon bits/char per document — the compression-style gibberish /
@@ -2596,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
         "robust_z_prices": robust_z_prices,
         "text_char_entropy": text_char_entropy,
+        "epoch_mix_langs": epoch_mix_langs,
     }
 
 
@@ -4483,5 +4510,45 @@ def oracle_sql() -> dict[str, str]:
                           - CAST(e.s AS DOUBLE) / CAST(e.n AS DOUBLE))
                          * 1000000) / 1000000 AS char_entropy
             FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+        """,
+        # Mirrors ops/sampling.repeat_to_budget: e = min(bud // T, 3) full
+        # copies via generate_series, remainder filled with the identical
+        # (bucket, md5, id)-ordered exclusive-prefix rule at epoch e.
+        "epoch_mix_langs": """
+            WITH b(lang, bud) AS (
+                VALUES ('de', 500000), ('fr', 120000), ('zh', 60000)
+            ), tot AS (
+                SELECT lang, SUM(n_chars) AS t FROM documents GROUP BY lang
+            ), plan AS (
+                SELECT b.lang, b.bud, tot.t,
+                       LEAST(b.bud // tot.t, 3) AS e,
+                       CASE WHEN LEAST(b.bud // tot.t, 3) < 3
+                            THEN b.bud - LEAST(b.bud // tot.t, 3) * tot.t
+                            ELSE 0 END AS rem
+                FROM b JOIN tot ON b.lang = tot.lang
+            ), copies AS (
+                SELECT d.doc_id, d.lang, d.n_chars, CAST(g.ep AS INTEGER) AS epoch
+                FROM documents d
+                JOIN plan p ON d.lang = p.lang,
+                LATERAL unnest(generate_series(0, CAST(p.e AS INTEGER) - 1)) AS g(ep)
+                WHERE p.e > 0
+            ), budgeted AS (
+                SELECT d.doc_id, d.lang, d.n_chars, p.rem, p.e,
+                       CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bkt,
+                       md5(CAST(d.doc_id AS VARCHAR)) AS h
+                FROM documents d JOIN plan p ON d.lang = p.lang
+                WHERE p.rem > 0
+            ), runs AS (
+                SELECT doc_id, lang, n_chars, rem, e,
+                       COALESCE(SUM(n_chars) OVER (
+                           PARTITION BY lang ORDER BY bkt, h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS strt
+                FROM budgeted
+            )
+            SELECT doc_id, lang, n_chars, epoch FROM copies
+            UNION ALL
+            SELECT doc_id, lang, n_chars, CAST(e AS INTEGER) AS epoch
+            FROM runs WHERE strt < rem
         """,
     }

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "semantic_decontaminate_embeddings",
     "robust_z_prices",
     "text_char_entropy",
+    "epoch_mix_langs",
 ]
 
 

@@ -348,3 +348,98 @@ def sample_n_per_group(
         .filter(F.col("__sn_rn__") <= n)
         .drop("__sn_rn__")
     )
+
+
+def repeat_to_budget(
+    df: DataFrame,
+    key_col: str,
+    len_col: str,
+    group_col: str,
+    budgets: dict | int,
+    default_budget: int | None = None,
+    max_epochs: int = 4,
+    buckets: int = 1024,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Fill token budgets by REPEATING data (epoch-style upsampling):
+    where :func:`token_budget_select` can only keep ≤1 copy of each
+    document, training mixes routinely run low-resource / high-quality
+    groups for multiple epochs.  Per group with total tokens ``T`` and
+    budget ``B``: emit ``e = min(B // T, max_epochs)`` full copies
+    (``epoch_col`` = 0…e−1), then — unless the epoch cap was hit — fill
+    the remainder ``B − e·T`` with the deterministic md5-prefix
+    selection of :func:`token_budget_select` as the final partial
+    epoch.  So the output token count per group is within one document
+    of ``min(B, max_epochs·T)``, and the partial-epoch subset is the
+    SAME stable prefix every run.
+
+    ``max_epochs`` bounds replication (the standard repeated-data
+    guard — beyond a few epochs repetition hurts more than it helps);
+    groups absent from ``budgets`` use ``default_budget`` or are
+    dropped when it is None.
+
+    Scale: one tiny per-group length aggregate; the group totals (one
+    row per mix group — languages/domains/sources, bounded by contract)
+    visit the driver to compute epoch counts, exactly like an
+    ``ExtraMapping``; full copies are a broadcast join + a bounded
+    ``explode(sequence(0, e−1))`` (never more than ``max_epochs``-way
+    replication); the remainder reuses the two-level bucketed prefix
+    selection, so no group ever needs a single-task sort.
+    """
+    if max_epochs < 1:
+        raise ValueError(f"repeat_to_budget needs max_epochs >= 1, got {max_epochs}")
+    totals = (
+        df.groupBy(F.col(group_col).alias("__rb_g"))
+        .agg(F.sum(F.col(len_col).cast("long")).alias("__rb_t"))
+        .collect()
+    )
+    plan: dict = {}
+    for r in totals:
+        g, t = r["__rb_g"], r["__rb_t"]
+        if isinstance(budgets, dict):
+            b = budgets.get(g, default_budget)
+        else:
+            b = int(budgets)
+        if b is None or not t or t <= 0:
+            continue
+        e = min(int(b) // int(t), max_epochs)
+        rem = int(b) - e * int(t) if e < max_epochs else 0
+        plan[g] = (e, rem)
+    full_rows = [(g, e) for g, (e, _) in plan.items() if e > 0]
+    parts = []
+    if full_rows:
+        # epoch counts as a literal map — a pure projection, no join;
+        # the map is bounded by the number of mix groups
+        emap = F.create_map(
+            *[x for g, e in full_rows for x in (F.lit(g), F.lit(e))]
+        )
+        copies = (
+            df.withColumn("__rb_e", emap[F.col(group_col)])
+            .filter(F.col("__rb_e").isNotNull())
+            .withColumn(
+                epoch_col,
+                F.explode(F.sequence(F.lit(0), F.col("__rb_e") - 1)),
+            )
+            .drop("__rb_e")
+        )
+        parts.append(copies)
+    rem_budgets = {g: rem for g, (_, rem) in plan.items() if rem > 0}
+    if rem_budgets:
+        rem = token_budget_select(
+            df.filter(F.col(group_col).isin(*rem_budgets.keys())),
+            key_col,
+            len_col,
+            group_col,
+            budgets=rem_budgets,
+            buckets=buckets,
+        )
+        epoch_of = F.create_map(
+            *[x for g in rem_budgets for x in (F.lit(g), F.lit(plan[g][0]))]
+        )
+        parts.append(rem.withColumn(epoch_col, epoch_of[F.col(group_col)]))
+    if not parts:
+        return df.limit(0).withColumn(epoch_col, F.lit(0))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

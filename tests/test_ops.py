@@ -1850,6 +1850,48 @@ def test_mask_columns(spark):
         pii.mask_columns(df, {"name": "rot13"})
 
 
+def test_repeat_to_budget_epochs(spark):
+    from phaser_spark.ops import sampling
+
+    rows = (
+        [(f"lo{i}", 10, "lo") for i in range(3)]        # T=30
+        + [(f"cap{i}", 10, "cap") for i in range(2)]    # T=20
+        + [(f"sm{i}", 10, "small") for i in range(4)]   # T=40
+        + [("dropme", 10, "unlisted")]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long, lang string")
+    out = sampling.repeat_to_budget(
+        df, "doc_id", "n_tokens", "lang",
+        budgets={"lo": 100, "cap": 1000, "small": 5},
+        max_epochs=4,
+    ).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    # lo: 3 full epochs (90 tokens) + a 1-doc partial epoch = 100 tokens
+    lo = by_lang["lo"]
+    assert len(lo) == 10 and sum(r.n_tokens for r in lo) == 100
+    assert sorted({r.epoch for r in lo}) == [0, 1, 2, 3]
+    assert sum(1 for r in lo if r.epoch == 3) == 1  # the partial epoch
+    # cap: budget wants 50 epochs, max_epochs clamps to 4 full copies
+    cap = by_lang["cap"]
+    assert len(cap) == 8 and sorted({r.epoch for r in cap}) == [0, 1, 2, 3]
+    # small: budget under one epoch -> plain prefix selection at epoch 0
+    sm = by_lang["small"]
+    assert len(sm) == 1 and sm[0].epoch == 0
+    # unlisted group with no default budget is dropped
+    assert "unlisted" not in by_lang
+    # deterministic: identical output every run
+    again = sorted(
+        (r.doc_id, r.lang, r.epoch)
+        for r in sampling.repeat_to_budget(
+            df, "doc_id", "n_tokens", "lang",
+            budgets={"lo": 100, "cap": 1000, "small": 5}, max_epochs=4,
+        ).collect()
+    )
+    assert again == sorted((r.doc_id, r.lang, r.epoch) for r in out)
+
+
 def test_token_budget_select_best_first(spark):
     from phaser_spark.ops import sampling
 
