@@ -396,6 +396,11 @@ def repeat_to_budget(
     plan: dict = {}
     for r in totals:
         g, t = r["__rb_g"], r["__rb_t"]
+        if g is None:
+            # a NULL group has no budget identity (and literal-map keys
+            # cannot be NULL) — mirror token_budget_select's "unlisted
+            # groups are dropped" rule
+            continue
         if isinstance(budgets, dict):
             b = budgets.get(g, default_budget)
         else:

@@ -1881,6 +1881,15 @@ def test_repeat_to_budget_epochs(spark):
     assert len(sm) == 1 and sm[0].epoch == 0
     # unlisted group with no default budget is dropped
     assert "unlisted" not in by_lang
+    # NULL group is dropped, not crashed on (no NULL literal-map key)
+    df_null = df.union(
+        spark.createDataFrame([("n0", 10, None)], df.schema)
+    )
+    with_null = sampling.repeat_to_budget(
+        df_null, "doc_id", "n_tokens", "lang",
+        budgets={"lo": 100}, max_epochs=4,
+    ).collect()
+    assert all(r.lang == "lo" for r in with_null)
     # deterministic: identical output every run
     again = sorted(
         (r.doc_id, r.lang, r.epoch)
