@@ -1859,6 +1859,22 @@ def rolling_user_value(spark, sf_dir):
     )
 
 
+def text_surprisal(spark, sf_dir):
+    """Corpus-relative unigram cross-entropy
+    (``ops.text.unigram_surprisal``): mean −log2 p(word) per document
+    under the corpus unigram distribution — the model-free LM-perplexity
+    quality-filter proxy (corpus-typical prose scores low, rare-word
+    soup scores high).  Word-keyed vocabulary aggregate + equi-join,
+    decimal term accumulation (shuffle-order-invariant), 6-digit
+    truncation; the oracle replays the identical tokenizer and both
+    aggregation stages."""
+    from phaser_spark.ops import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    out = T.unigram_surprisal(docs)
+    return out.select("doc_id", "lang", "surprisal")
+
+
 def epoch_mix_langs(spark, sf_dir):
     """Epoch-style upsampling (``ops.sampling.repeat_to_budget``): fill
     per-language char budgets by REPEATING data — low-resource groups
@@ -2623,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_z_prices": robust_z_prices,
         "text_char_entropy": text_char_entropy,
         "epoch_mix_langs": epoch_mix_langs,
+        "text_surprisal": text_surprisal,
     }
 
 
@@ -4550,5 +4567,36 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, lang, n_chars, CAST(e AS INTEGER) AS epoch
             FROM runs WHERE strt < rem
+        """,
+        # Mirrors ops/text.unigram_surprisal: same normalize+split
+        # tokenizer as the TF-IDF oracle, per-term log2(N)-log2(c) cast
+        # to DECIMAL(28,12) (order-insensitive sum), mean floored to 6
+        # digits; docs with no tokens get NULL via the left join.
+        "text_surprisal": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                           '\s+', ' ', 'g')) AS nt
+                FROM documents
+            ), w AS (
+                SELECT doc_id, unnest(string_split(nt, ' ')) AS word FROM norm
+            ), words AS (
+                SELECT doc_id, word FROM w WHERE word <> ''
+            ), vocab AS (
+                SELECT word, COUNT(*) AS c FROM words GROUP BY word
+            ), tot AS (
+                SELECT SUM(c) AS nt FROM vocab
+            ), scored AS (
+                SELECT words.doc_id,
+                       COUNT(*) AS n,
+                       SUM(CAST(log2(CAST(tot.nt AS DOUBLE))
+                                - log2(CAST(vocab.c AS DOUBLE))
+                                AS DECIMAL(28,12))) AS s
+                FROM words JOIN vocab USING (word) CROSS JOIN tot
+                GROUP BY words.doc_id
+            )
+            SELECT d.doc_id, d.lang,
+                   floor(CAST(sc.s AS DOUBLE) / sc.n * 1000000) / 1000000 AS surprisal
+            FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
         """,
     }

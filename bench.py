@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "robust_z_prices",
     "text_char_entropy",
     "epoch_mix_langs",
+    "text_surprisal",
 ]
 
 

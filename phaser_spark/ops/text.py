@@ -416,3 +416,65 @@ def char_entropy(
     return df.join(
         ent, F.col(id_col) == F.col("__ce_id"), "left"
     ).drop("__ce_id")
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "surprisal",
+) -> DataFrame:
+    """Corpus-relative unigram cross-entropy per document: the mean
+    ``−log2 p(w)`` of a document's tokens under the CORPUS unigram
+    distribution ``p(w) = count(w) / N`` — the model-free proxy for the
+    LM-perplexity quality filter (CCNet-style): documents full of
+    corpus-typical words score low, rare-word soup / wrong-language /
+    gibberish text scores high.  Complements :func:`char_entropy`
+    (doc-local, character-level) with a corpus-relative word-level
+    signal.
+
+    Tokenization is :func:`normalize_text` + whitespace split (the same
+    canonical form the dedup/TF-IDF family uses, replayable in SQL).
+    Per-doc token surprisals accumulate as decimal — order-insensitive,
+    so the score is bit-identical under any shuffle layout — and the
+    mean is truncated to 6 digits.  Empty/NULL text ⇒ NULL score.
+
+    Scale: one (doc, word) explode; the vocabulary count is a
+    word-keyed aggregate (cardinality grows with the corpus, the
+    shuffle spreads); scoring is an equi-join of doc-words against the
+    vocabulary — all standard shuffles on high-cardinality keys, no
+    broadcast of anything corpus-sized, no Python, no driver traffic.
+    """
+    from .dedup import trunc_digits
+
+    words = df.select(
+        F.col(id_col).alias("__us_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__us_w"),
+    ).filter(F.col("__us_w") != "")
+    vocab = words.groupBy("__us_w").agg(F.count(F.lit(1)).alias("__us_c"))
+    # p(w) = c/N; surprisal(w) = -log2(c/N) = log2(N) - log2(c).  N rides
+    # along as a broadcast one-row aggregate so the whole operator stays
+    # one lazy plan (no driver-side count action).
+    total = vocab.agg(F.sum("__us_c").alias("__us_nt"))
+    term = (
+        F.log2(F.col("__us_nt").cast("double"))
+        - F.log2(F.col("__us_c").cast("double"))
+    ).cast("decimal(28,12)")
+    scored = (
+        words.join(vocab, "__us_w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("__us_id")
+        .agg(
+            F.count(F.lit(1)).alias("__us_n"),
+            F.sum(term).alias("__us_s"),
+        )
+        .select(
+            "__us_id",
+            trunc_digits(
+                F.col("__us_s").cast("double") / F.col("__us_n").cast("double"), 6
+            ).alias(out_col),
+        )
+    )
+    return df.join(
+        scored, F.col(id_col) == F.col("__us_id"), "left"
+    ).drop("__us_id")

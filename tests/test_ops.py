@@ -446,6 +446,39 @@ def test_char_entropy(spark):
     assert one == many
 
 
+def test_unigram_surprisal(spark):
+    import math
+
+    from phaser_spark.ops import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "A c!"), (3, ""), (4, None), (5, "...")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.surprisal for r in T.unigram_surprisal(df).collect()}
+    # corpus: a×3, b×1, c×1, N=5 (normalization lowercases + strips punct)
+    s_a = math.log2(5) - math.log2(3)
+    s_rare = math.log2(5)
+    exp1 = math.floor((2 * s_a + s_rare) / 3 * 1e6) / 1e6
+    exp2 = math.floor((s_a + s_rare) / 2 * 1e6) / 1e6
+    assert got[1] == exp1
+    assert got[2] == exp2
+    assert got[1] < got[2]  # common-word doc scores lower
+    # empty / NULL / punctuation-only (normalizes to "") -> NULL score
+    assert got[3] is None and got[4] is None and got[5] is None
+    # shuffle-layout invariance via decimal term accumulation
+    big = spark.createDataFrame(
+        [(i, " ".join("word%d" % (j % (i % 5 + 1)) for j in range(20)))
+         for i in range(100)],
+        "doc_id long, text string",
+    )
+    one = sorted(map(tuple, T.unigram_surprisal(big.coalesce(1)).collect()))
+    many = sorted(
+        map(tuple, T.unigram_surprisal(big.repartition(11, "doc_id")).collect())
+    )
+    assert one == many
+
+
 def test_semantic_decontaminate(spark):
     from phaser_spark.ops import cleaning
 
