@@ -139,9 +139,17 @@ def main():
     if want_scaling and os.path.isdir(small_dir) and small_dir != sf_dir:
         import math
 
-        small_sf = float(
-            os.path.basename(small_dir.rstrip("/")).replace("sf", "") or 0.01
-        )
+        try:
+            small_sf = float(
+                os.path.basename(small_dir.rstrip("/")).replace("sf", "") or 0.01
+            )
+        except ValueError:
+            small_sf = 0.0
+    else:
+        small_sf = 0.0
+    # a malformed dir name or equal scale factors must skip the slope
+    # estimate, not crash the bench after all the timing work is done
+    if small_sf > 0 and small_sf != sf:
         # single timed run per query at the small factor: the slope only
         # needs a magnitude estimate (the sf0.1 side is already min-of-N),
         # and the warmup pass above has paid all one-time costs — keeps

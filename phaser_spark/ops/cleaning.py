@@ -314,16 +314,19 @@ def semantic_decontaminate(
     bench_vec_col = bench_vec_col or vec_col
     dot = _dot_decimal if exact else _dot
     norm = (lambda a: F.sqrt(_dot_decimal(a, a))) if exact else _norm
+    # norms hoisted to per-ROW projections: inside the |df|·|bench|
+    # compare each train norm would otherwise be refolded per bench row
+    # (and vice versa) — ~2/3 of the hot loop's array arithmetic
     train = df.select(
         F.col(id_col).alias("__sc_id"),
         F.col(vec_col).cast("array<double>").alias("__sc_v"),
-    )
+    ).withColumn("__sc_nv", norm(F.col("__sc_v")))
     bench = benchmark.select(
         F.col(bench_vec_col).cast("array<double>").alias("__sc_b")
-    )
+    ).withColumn("__sc_nb", norm(F.col("__sc_b")))
     cos = trunc_digits(
         dot(F.col("__sc_v"), F.col("__sc_b"))
-        / (norm(F.col("__sc_v")) * norm(F.col("__sc_b"))),
+        / (F.col("__sc_nv") * F.col("__sc_nb")),
         6,
     )
     contaminated = (

@@ -453,10 +453,13 @@ def range_join(
     it is DERIVED from the data — one tiny one-row aggregate takes the
     median interval span (clamped to a positive value) and uses it as
     the bin width, so the default plan is always the equi-join form,
-    never a nested loop.  ``allow_cartesian=True`` opts into the naive
-    non-equi join instead (acceptable only when one side is
-    broadcast-small and the exact binning cost matters more than the
-    extra aggregate).
+    never a nested loop.  NOTE: that derivation runs the one-row
+    aggregate EAGERLY at call time (a small Spark job); pass
+    ``bin_width`` explicitly when composing purely-lazy plans or when
+    the interval side is not yet executable.  ``allow_cartesian=True``
+    opts into the naive non-equi join instead (acceptable only when one
+    side is broadcast-small and the exact binning cost matters more
+    than the extra aggregate).
     """
     if how != "inner":
         raise PhaserError(f"range_join supports inner joins, got {how!r}")

@@ -405,7 +405,10 @@ def repeat_to_budget(
             b = budgets.get(g, default_budget)
         else:
             b = int(budgets)
-        if b is None or not t or t <= 0:
+        if b is None or int(b) <= 0 or not t or t <= 0:
+            # no/zero/negative budget => zero rows for the group (a
+            # negative b would floor-divide to e = -1 and emit a bogus
+            # negative-epoch remainder otherwise)
             continue
         e = min(int(b) // int(t), max_epochs)
         rem = int(b) - e * int(t) if e < max_epochs else 0

@@ -764,24 +764,33 @@ class DagPipeline(Pipeline):
             ph = self._dag_instances[pname]
             _, deps = self._dag[pname]
             injected = set(deps[1:])
-            # phase-level declarations plus step-level ones — both are
-            # resolved from the context at run time, so both must be
-            # wired through depends_on to be injectable
-            needed: list = []
-            for spec in ph.extra_sources:
-                if isinstance(spec, SavableObject):
-                    if spec.df is not None:
-                        continue  # inline data, nothing to resolve
-                    needed.append(spec.name)
-                else:
-                    needed.append(str(spec))
-            for step in ph.steps:
-                needed.extend(
-                    getattr(step, "__phaser_extra_sources__", ()) or ()
-                )
-            for n in needed:
+            # Phase-level declarations get FULL validation (as in the
+            # linear pipeline); step-level names only get the DAG-wiring
+            # check — a step-level name can legitimately be satisfied by
+            # a phase-level inline SavableObject or a source an earlier
+            # context step registers at run time, neither of which is
+            # visible statically.
+            inline = {
+                spec.name
+                for spec in ph.extra_sources
+                if isinstance(spec, SavableObject) and spec.df is not None
+            }
+            phase_needed = [
+                (spec.name if isinstance(spec, SavableObject) else str(spec))
+                for spec in ph.extra_sources
+                if not (isinstance(spec, SavableObject) and spec.df is not None)
+            ]
+            step_needed = [
+                n
+                for step in ph.steps
+                for n in (getattr(step, "__phaser_extra_sources__", ()) or ())
+            ]
+            for n, strict in [(x, True) for x in phase_needed] + [
+                (x, False) for x in step_needed
+            ]:
                 if (
-                    n in self._init_paths
+                    n in inline
+                    or n in self._init_paths
                     or n in produced_outputs
                     or self.context.has_source(n)
                 ):
@@ -795,10 +804,12 @@ class DagPipeline(Pipeline):
                             "dependency so run() injects it"
                         )
                     continue
-                raise PhaserError(
-                    f"Extra source '{n}' needed by phase {ph.name} is neither "
-                    "initialized, produced by a phase, nor a DAG dependency"
-                )
+                if strict:
+                    raise PhaserError(
+                        f"Extra source '{n}' needed by phase {ph.name} is "
+                        "neither initialized, produced by a phase, nor a "
+                        "DAG dependency"
+                    )
             produced_outputs |= {o.name for o in ph.extra_outputs}
         for n, path in self._init_paths.items():
             obj = SavableObject(n)
@@ -834,7 +845,10 @@ class DagPipeline(Pipeline):
             # semantics) — dropping the lineage column also keeps a join
             # against it from colliding with the main frame's numbering
             replaced = {}
-            for extra in deps[1:]:
+            # dict.fromkeys: a duplicate name in depends_on must not
+            # overwrite the saved pre-injection value with the injected
+            # frame (that would "restore" the injection and leak it)
+            for extra in dict.fromkeys(deps[1:]):
                 side = outputs[extra]
                 if PHASER_ROW_NUM in side.columns:
                     side = side.drop(PHASER_ROW_NUM)
@@ -842,14 +856,18 @@ class DagPipeline(Pipeline):
                 self.context.set_source(
                     SavableObject(extra, df=side, to_save=False)
                 )
-            outputs[pname] = self.run_phase(ph, main)
-            # injections are scoped to this phase: a later phase that did
-            # not declare the dependency must not see a stale side source
-            for extra, prev in replaced.items():
-                if prev is None:
-                    self.context.rwos.pop(extra, None)
-                else:
-                    self.context.rwos[extra] = prev
+            try:
+                outputs[pname] = self.run_phase(ph, main)
+            finally:
+                # injections are scoped to this phase: a later phase that
+                # did not declare the dependency must not see a stale side
+                # source — restored even when the phase fails, so a caller
+                # catching the error sees a clean context
+                for extra, prev in replaced.items():
+                    if prev is None:
+                        self.context.rwos.pop(extra, None)
+                    else:
+                        self.context.rwos[extra] = prev
         return outputs[self._dag_sink]
 
     def run_stream(self, *a, **kw):

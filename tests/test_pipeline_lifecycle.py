@@ -359,6 +359,65 @@ def test_dag_pipeline_undeclared_phase_source_fails_fast(spark):
     assert not ran  # failed fast: no phase executed
 
 
+def test_dag_step_source_satisfied_by_inline_phase_declaration(spark):
+    """A step-level extra_sources name satisfied by a phase-level INLINE
+    SavableObject (df attached) must pass validation — run() resolves it
+    from the phase declaration, not the DAG wiring."""
+    from pyspark.sql import functions as F
+
+    from phaser_spark import Phase, dataframe_step
+    from phaser_spark.io import SavableObject
+    from phaser_spark.pipeline import DagPipeline
+
+    dim = spark.createDataFrame([(1.0, "x")], "v double, tag string")
+
+    @dataframe_step(check_size=False, extra_sources=["dim"])
+    def join_dim(df, context=None, **kw):
+        return df.join(F.broadcast(kw["dim"]), "v")
+
+    dag = DagPipeline(
+        phases={
+            "only": Phase(
+                name="only",
+                steps=[join_dim],
+                extra_sources=[SavableObject("dim", df=dim, to_save=False)],
+            ),
+        },
+        spark=spark,
+    )
+    out = dag.run(spark.createDataFrame([(1.0,), (2.0,)], "v double"))
+    assert [(r.v, r.tag) for r in out.collect()] == [(1.0, "x")]
+
+
+def test_dag_duplicate_dep_does_not_leak_injection(spark):
+    """A duplicated name in depends_on must not corrupt the restore
+    bookkeeping — after the phase, the injected side source is gone."""
+    from phaser_spark import Phase, dataframe_step
+    from phaser_spark.pipeline import DagPipeline
+
+    @dataframe_step(check_size=False)
+    def ident(df, context=None):
+        return df
+
+    @dataframe_step(check_size=False, extra_sources=["side"])
+    def use_side(df, context=None, **kw):
+        return df
+
+    dag = DagPipeline(
+        phases={
+            "side": Phase(name="side", steps=[ident]),
+            "final": (
+                Phase(name="final", steps=[use_side]),
+                ["side", "side", "side"],  # duplicate injections
+            ),
+        },
+        spark=spark,
+    )
+    dag.run(spark.createDataFrame([(1.0,)], "v double"))
+    # restore ran correctly: the injection did not survive the phase
+    assert not dag.context.has_source("side")
+
+
 def test_dag_pipeline_rejects_run_stream(spark):
     import pytest
 
