@@ -3450,8 +3450,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), norm AS (
                 SELECT doc_id, text,
-                       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-                                           '\\s+', ' ', 'g')) AS nt
+                       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                           '\s+', ' ', 'g')) AS nt
                 FROM built
             ), base AS (
                 SELECT doc_id,
@@ -3530,8 +3530,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": r"""
             WITH norm AS (
                 SELECT doc_id,
-                       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-                                           '\\s+', ' ', 'g')) AS nt
+                       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                           '\s+', ' ', 'g')) AS nt
                 FROM documents
             ), words AS (
                 SELECT doc_id, string_split(nt, ' ') AS w FROM norm
