@@ -34,13 +34,22 @@ from .text import normalize_text
 
 
 def trunc_digits(col: SparkCol, n: int) -> SparkCol:
-    """Truncate a non-negative double to ``n`` decimal digits via
-    floor(x·10ⁿ)/10ⁿ.  Unlike ``round()``, this is bit-reproducible across
-    engines: both operate on the same binary double, no tie-breaking mode
-    involved (Spark's round consults the shortest decimal representation,
-    DuckDB's the binary value — they disagree on boundary values)."""
+    """Truncate a double to ``n`` decimal digits via floor(x·10ⁿ)/10ⁿ.
+    Unlike ``round()``, this is bit-reproducible across engines: both
+    operate on the same binary double, no tie-breaking mode involved
+    (Spark's round consults the shortest decimal representation, DuckDB's
+    the binary value — they disagree on boundary values).
+
+    Magnitude guard: Spark's ``floor(double)`` returns a LONG that clamps
+    at 2⁶³, which would collapse every huge value to the same number.
+    Above double's 2⁵² integer-precision the truncation is mathematically
+    the identity anyway, so values whose scaled form exceeds 2⁶² pass
+    through unchanged instead of clamping."""
     scale = float(10**n)
-    return F.floor(col * scale) / F.lit(scale)
+    scaled = col * scale
+    return F.when(
+        F.abs(scaled) < F.lit(2.0**62), F.floor(scaled) / F.lit(scale)
+    ).otherwise(col)
 
 # --------------------------------------------------------------------------
 # exact

@@ -68,7 +68,11 @@ def target_encode(
     joined = df.join(
         stats_side, F.col(cat_col).eqNullSafe(F.col("__te_cat"))
     ).crossJoin(F.broadcast(prior_row))
-    s, n, prior = F.col("__te_sum"), F.col("__te_n").cast("double"), F.col("__te_prior")
+    # an all-NULL-target category has sum NULL (not 0): without the
+    # coalesce its encoding would be NULL instead of shrinking to the
+    # prior as the smoothing formula specifies
+    s = F.coalesce(F.col("__te_sum"), F.lit(0.0))
+    n, prior = F.col("__te_n").cast("double"), F.col("__te_prior")
     if leave_one_out:
         # rows with a NULL target contribute nothing, so their "own"
         # value must not be subtracted either
@@ -130,7 +134,9 @@ def quantile_bin(
             v, F.array(*[F.lit(f) for f in fracs]), F.lit(int(accuracy))
         )
     )
-    bounds = F.transform(pct, lambda b: F.floor(b * 1e6) / 1e6).alias("__qb_bounds")
+    from .dedup import trunc_digits
+
+    bounds = F.transform(pct, lambda b: trunc_digits(b, 6)).alias("__qb_bounds")
     if keys:
         btab = df.groupBy(*keys).agg(bounds)
         btab = btab.select(
@@ -169,8 +175,11 @@ def collapse_rare(
     cardinality-control step before encoding/pivoting (a pivot over a
     million-value column is a million output columns; collapse first).
 
-    NULLs stay NULL (missing ≠ rare).  One value-count aggregate joined
-    back; the rewrite is a pure projection.  The kept-values table is
+    NULLs stay NULL (missing ≠ rare).  The output column is STRING
+    regardless of the input type — the ``other`` token forces it; pass
+    ``out_col`` to keep the original column alongside.  One value-count
+    aggregate joined back; the rewrite is a pure projection.  The
+    kept-values table is
     broadcast by default — bounded by the number of values at or above
     ``min_count``, fine for genuine categoricals but a driver-memory
     hazard on id-scale columns; pass ``broadcast_counts=False`` there

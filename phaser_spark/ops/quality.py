@@ -238,8 +238,11 @@ def winsorize(
             if exact
             else F.percentile_approx(v, F.lit(p), F.lit(int(accuracy)))
         )
-        # 6-digit truncation: engine-reproducible bounds
-        return F.floor(agg * 1e6) / 1e6
+        # 6-digit truncation: engine-reproducible bounds (shared helper
+        # carries the Long.MaxValue floor-clamp guard for huge values)
+        from .dedup import trunc_digits
+
+        return trunc_digits(agg, 6)
 
     bounds = [pct(c, lower).alias(f"__lo_{c}__") for c in cols] + [
         pct(c, upper).alias(f"__hi_{c}__") for c in cols

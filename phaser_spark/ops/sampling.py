@@ -46,6 +46,14 @@ def split_by_hash(
     state, safe at any scale, and adding rows later never reassigns
     existing ones.
     """
+    if not fractions:
+        raise ValueError("split_by_hash needs at least one named fraction")
+    bad = {k: v for k, v in fractions.items() if not 0.0 < v <= 1.0}
+    if bad:
+        raise ValueError(
+            f"each fraction must be in (0, 1], got {bad} — a negative or "
+            ">1 fraction would silently produce empty/all-absorbing splits"
+        )
     total = sum(fractions.values())
     if remainder is None and abs(total - 1.0) > 1e-6:
         raise ValueError(
@@ -65,6 +73,10 @@ def split_by_hash(
     # rows past the last rounded boundary: rounding slack for ~1.0 totals,
     # or the explicit remainder split
     expr = expr.otherwise(remainder if remainder is not None else list(fractions)[-1])
+    # a NULL key cannot hash: its split is NULL (visible, filterable) —
+    # NOT silently dumped into the remainder/last split, which would
+    # contaminate an eval slice with an unhashed cohort
+    expr = F.when(F.col(key_col).isNotNull(), expr)
     return df.withColumn(split_col, expr)
 
 
@@ -220,8 +232,16 @@ def token_budget_select(
         ).cast("long")
     else:
         bucket_expr = hash_bucket(key, buckets)
-    with_bkt = df.withColumn(BKT, bucket_expr).withColumn(
-        BUD, budget_expr.cast("long")
+    # A NULL bucket (NULL key, or NULL score in best-first mode) has no
+    # deterministic position in the selection order; such rows are
+    # EXCLUDED — from the output AND from the budget accounting.  Without
+    # this filter their lengths would still land in the coarse cumsum
+    # (NULLS FIRST), shrinking every real bucket's budget while the rows
+    # themselves vanish in the null-unsafe bucket join.
+    with_bkt = (
+        df.withColumn(BKT, bucket_expr)
+        .filter(F.col(BKT).isNotNull())
+        .withColumn(BUD, budget_expr.cast("long"))
     )
     coarse = (
         with_bkt.filter(F.col(BUD).isNotNull())

@@ -101,7 +101,21 @@ def resample_time(
             F.sequence(F.col("__rs_lo"), F.col("__rs_hi"), F.lit(step))
         ).alias("__rs_bkt"),
     )
-    joined = grid.join(agged, [*groups, "__rs_bkt"], "left")
+    # null-SAFE group equality: groupBy keeps a NULL group, but the
+    # name-list join form compares NULL = NULL as NULL and would hand
+    # that group an all-empty grid (fill='zero' then reads as 0 events
+    # while the real counts are silently discarded)
+    agg_r = agged.select(
+        *[F.col(g).alias(f"__rs_r_{g}") for g in groups],
+        F.col("__rs_bkt").alias("__rs_rbkt"),
+        *[c for c in agged.columns if c not in groups and c != "__rs_bkt"],
+    )
+    cond = F.col("__rs_bkt") == F.col("__rs_rbkt")
+    for g in groups:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__rs_r_{g}"))
+    joined = grid.join(agg_r, cond, "left").drop(
+        "__rs_rbkt", *[f"__rs_r_{g}" for g in groups]
+    )
     out_cols: dict[str, SparkCol] = {}
     if fill == "zero":
         for name in aggs:

@@ -2037,6 +2037,82 @@ def test_resample_time_gapfill(spark):
         timeseries.resample_time(df, "ts", "2 fortnights", "k")
 
 
+def test_resample_time_null_group_kept(spark):
+    """A NULL group value is a real group: its buckets must carry its
+    real aggregates, not fill-zeros from a null-unsafe grid join."""
+    import datetime as dt
+
+    from phaser_spark.ops import timeseries
+
+    rows = [
+        (None, dt.datetime(2024, 1, 1, 0, 10), 1.0),
+        (None, dt.datetime(2024, 1, 1, 0, 40), 2.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 5), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = timeseries.resample_time(
+        df, "ts", "1 hour", "k", aggs={"n": F.count(F.lit(1))}, fill="zero"
+    )
+    got = {(r.k, r.bucket_ts.hour): r.n for r in out.collect()}
+    assert got[(None, 0)] == 2  # NULL group's real count, not zero-filled
+    assert got[("a", 0)] == 1
+
+
+def test_token_budget_null_scores_excluded_from_budget(spark):
+    from phaser_spark.ops import sampling
+
+    # 5 docs of 10 tokens with scores + 3 NULL-score docs of 10 tokens;
+    # budget 30 -> the 3 best scored docs are kept; NULL-score docs are
+    # excluded AND must not eat into the budget accounting
+    rows = [(f"d{i}", 10, "en", i / 10.0) for i in range(5)]
+    rows += [(f"n{i}", 10, "en", None) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, n_tokens long, lang string, q double"
+    )
+    out = sampling.token_budget_select(
+        df, "doc_id", "n_tokens", "lang", {"en": 30}, buckets=4, score_col="q"
+    )
+    got = {r.doc_id for r in out.collect()}
+    assert got == {"d4", "d3", "d2"}  # full budget spent on scored docs
+
+
+def test_target_encode_all_null_category_shrinks_to_prior(spark):
+    from phaser_spark.ops.features import target_encode
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("x", None), ("x", None)],
+        "cat string, y double",
+    )
+    got = {
+        (r.cat, r.y): r.cat_enc
+        for r in target_encode(df, "cat", "y", smoothing=10.0).collect()
+    }
+    prior = 2.0  # mean of the non-null targets
+    # all-NULL category: (0 + 10*prior)/(0+10) = prior, NOT NULL
+    assert got[("x", None)] == prior
+
+
+def test_split_by_hash_null_keys_and_validation(spark):
+    import pytest as _pytest
+
+    from phaser_spark.ops import sampling
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(50)] + [(None,)] * 5, "id string"
+    )
+    out = sampling.split_by_hash(df, "id", {"train": 0.5}, remainder="rest")
+    by_split: dict = {}
+    for r in out.collect():
+        by_split.setdefault(r.split, []).append(r.id)
+    # NULL keys get a NULL split label — never dumped into 'rest'
+    assert len(by_split.get(None, [])) == 5
+    assert all(i is not None for i in by_split.get("rest", []))
+    with _pytest.raises(ValueError, match="at least one"):
+        sampling.split_by_hash(df, "id", {}, remainder="all")
+    with _pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        sampling.split_by_hash(df, "id", {"a": -0.2, "b": 1.2})
+
+
 def test_resample_time_pre_1970_floors_not_truncates(spark):
     """Negative epochs: floor(epoch/step), not cast-toward-zero — a
     1969-12-31 23:30 event belongs to the 23:00 bucket of 1969-12-31,
