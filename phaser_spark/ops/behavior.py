@@ -66,19 +66,11 @@ def funnel(
         ).alias("__fn_seq")
     )
     steps_arr = F.array(*[F.lit(s) for s in steps])
-    within_us = None
-    if within is not None:
-        import re as _re
+    from .relational import parse_duration_us
 
-        m = _re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", within.strip())
-        if not m:
-            raise PhaserError(f"funnel: unsupported within {within!r}")
-        within_us = int(m.group(1)) * {
-            "second": 1_000_000,
-            "minute": 60_000_000,
-            "hour": 3_600_000_000,
-            "day": 86_400_000_000,
-        }[m.group(2)]
+    within_us = (
+        parse_duration_us(within, "funnel") if within is not None else None
+    )
     acc0 = F.struct(
         F.lit(0).alias("stage"),
         F.lit(None).cast(ts_type).alias("t"),
@@ -137,13 +129,23 @@ def funnel_report(
         F.col("stages_completed"), F.explode(stage_rows).alias("step")
     ).filter(F.col("stages_completed") >= F.col("step"))
     counts = exploded.groupBy("step").agg(F.count(F.lit(1)).alias("n_users"))
+    # join against the FULL step spine: groupBy only emits observed
+    # stages, but the funnel-chart contract is one row per declared step
+    # — a stage no user reached must report 0, not vanish (consumers
+    # computing step-over-step conversion would misalign or divide by a
+    # missing row)
     names = F.array(*[F.lit(s) for s in steps])
+    spine = df.sparkSession.range(1, len(steps) + 1).select(
+        F.col("id").cast("int").alias("step")
+    )
     return (
-        counts.select(
+        spine.join(F.broadcast(counts), "step", "left")
+        .select(
             "step",
             F.element_at(names, F.col("step")).alias("step_name"),
-            "n_users",
+            F.coalesce(F.col("n_users"), F.lit(0).cast("long")).alias("n_users"),
         )
+        .orderBy("step")
     )
 
 

@@ -57,7 +57,12 @@ def remove_boilerplate_lines(
 
     Returns the input columns with ``text_col`` replaced by the cleaned
     text plus ``n_lines_removed``.  Documents whose lines are all
-    boilerplate come back with an empty string.
+    boilerplate come back with an empty string; documents with NO
+    boilerplate pass through byte-identical (the rebuild — which trims
+    lines and drops blanks — only applies to documents that actually
+    lost a line); NULL text stays NULL.  ``id_col`` must uniquely
+    identify documents — rows sharing an id would have their lines
+    cross-merged by the rebuild.
     """
     lines = df.select(
         F.col(id_col).alias("__bp_id"),
@@ -91,16 +96,25 @@ def remove_boilerplate_lines(
         ).alias("__bp_text"),
         F.sum(F.col("__bp_drop").cast("long")).alias("n_lines_removed"),
     )
-    out_cols = [
-        (
-            F.coalesce(F.col("__bp_text"), F.lit("")).alias(text_col)
-            if c == text_col
-            else F.col(c)
+    cleaned = (
+        # NULL text stays NULL (not coerced to '')
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        # untouched docs pass through byte-identical — the rebuild's
+        # trim/blank-drop must not silently rewrite clean documents
+        .when(
+            F.coalesce(F.col("n_lines_removed"), F.lit(0)) == 0, F.col(text_col)
         )
+        .otherwise(F.coalesce(F.col("__bp_text"), F.lit("")))
+    )
+    out_cols = [
+        (cleaned.alias(text_col) if c == text_col else F.col(c))
         for c in df.columns
     ]
     return (
-        df.join(rebuilt, df[id_col] == rebuilt["__bp_id"], "left")
+        # null-SAFE id equality: a NULL doc_id still has lines in
+        # `rebuilt` (groupBy keeps the NULL group) — a plain equality
+        # join would hand it an empty text and silently lose the data
+        df.join(rebuilt, df[id_col].eqNullSafe(rebuilt["__bp_id"]), "left")
         .select(*out_cols, F.coalesce("n_lines_removed", F.lit(0)).alias("n_lines_removed"))
     )
 
@@ -229,7 +243,6 @@ def decontaminate(
     benchmark: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bench_id_col: str | None = None,
     bench_text_col: str | None = None,
     n: int = 8,
     min_overlap: int = 1,
@@ -246,7 +259,6 @@ def decontaminate(
     decontamination rule (e.g. GPT-3 appendix C / PaLM-style n-gram
     matching).
     """
-    bench_id_col = bench_id_col or id_col
     bench_text_col = bench_text_col or text_col
     doc_sh = df.select(
         F.col(id_col).alias("__dc_id"),

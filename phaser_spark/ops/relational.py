@@ -23,6 +23,27 @@ from ..exceptions import PhaserError
 from ..steps import batch_step
 
 
+def parse_duration_us(text: str, what: str) -> int:
+    """'N second|minute|hour|day[s]' → microseconds.  The one shared
+    duration grammar for as-of tolerances, rolling windows, and funnel
+    conversion windows (three call sites that previously each carried a
+    copy and could drift)."""
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", text.strip())
+    if not m:
+        raise PhaserError(
+            f"{what}: unsupported duration {text!r} (expected "
+            "'N second|minute|hour|day[s]')"
+        )
+    return int(m.group(1)) * {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+    }[m.group(2)]
+
+
 def join_step(
     source_name: str,
     on,
@@ -39,17 +60,24 @@ def join_step(
         other = kwargs[source_name]
         if other is None:
             raise PhaserError(f"extra source '{source_name}' has no data")
+        want_miss_count = (
+            warn_on_miss and context is not None and how in ("left", "left_outer")
+        )
+        if want_miss_count:
+            # a dedicated indicator column: counting NULLs in the first
+            # right-side data column would miscount rows that DID match
+            # but legitimately hold NULL there
+            other = other.withColumn("__join_hit__", F.lit(True))
         right = F.broadcast(other) if broadcast else other
         out = df.join(right, on=on, how=how)
-        if warn_on_miss and context is not None and how in ("left", "left_outer"):
-            right_cols = [c for c in other.columns if c not in df.columns]
-            if right_cols:
-                misses = out.filter(F.col(right_cols[0]).isNull()).count()
-                if misses:
-                    context.add_warning(
-                        f"join_{source_name}", None,
-                        f"{misses} rows had no match in '{source_name}'",
-                    )
+        if want_miss_count:
+            misses = out.filter(F.col("__join_hit__").isNull()).count()
+            out = out.drop("__join_hit__")
+            if misses:
+                context.add_warning(
+                    f"join_{source_name}", None,
+                    f"{misses} rows had no match in '{source_name}'",
+                )
         return out
 
     _join.__name__ = f"join_{source_name}"
@@ -111,12 +139,20 @@ def running_sum_step(col: str, new_col: str | None = None):
 
 def explode_step(col: str, into: str, delimiter: str = ","):
     """Split a delimited column and explode to one row per value (the
-    reference's languages reshape, SURVEY.md A6); destroys row identity."""
+    reference's languages reshape, SURVEY.md A6); destroys row identity.
+
+    ``delimiter`` is a LITERAL string — it is regex-escaped before the
+    split, so '|', '.', '+' etc. split on the character itself (Spark's
+    ``split`` is regex-based; an unescaped '|' would split on every
+    character)."""
+    import re
+
+    pattern = re.escape(delimiter)
 
     @batch_step
     def _explode(df: DataFrame, context=None) -> DataFrame:
         return df.withColumn(
-            into, F.explode(F.transform(F.split(F.col(col), delimiter), F.trim))
+            into, F.explode(F.transform(F.split(F.col(col), pattern), F.trim))
         ).drop(col)
 
     return _explode
@@ -170,6 +206,13 @@ def except_step(source_name: str, all_rows: bool = False):
 
 
 def union_step(source_name: str):
+    """UNION ALL with a named extra source.  Destroys row identity: the
+    unioned rows arrive WITHOUT lineage numbers (extra sources are saved
+    stripped of ``PHASER_ROW_NUM``), so they carry NULL row numbers — or,
+    if the source does have them, numbers that collide with the main
+    frame's.  Run it in a ``renumber=True`` phase, like the other
+    identity-destroying reshape steps."""
+
     @batch_step(extra_sources=[source_name])
     def _union(df: DataFrame, context=None, **kwargs) -> DataFrame:
         return df.unionByName(kwargs[source_name], allowMissingColumns=True)
@@ -317,30 +360,30 @@ def asof_join(
     ]
     if direction not in ("backward", "forward"):
         raise PhaserError(f"asof_join: direction must be backward/forward, got {direction!r}")
-    tol_us = None
-    if tolerance is not None:
-        import re as _re
-
-        m = _re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", tolerance.strip())
-        if not m:
-            raise PhaserError(f"asof_join: unsupported tolerance {tolerance!r}")
-        tol_us = int(m.group(1)) * {
-            "second": 1_000_000,
-            "minute": 60_000_000,
-            "hour": 3_600_000_000,
-            "day": 86_400_000_000,
-        }[m.group(2)]
+    tol_us = (
+        parse_duration_us(tolerance, "asof_join") if tolerance is not None else None
+    )
     payload = F.struct(
         F.col(right_ts).alias("__asof_rts__"), *[F.col(c) for c in right_cols]
+    )
+    # the tiebreak keeps its ORIGINAL type (numeric order for numbers,
+    # lexical for strings/uuids) — a cast('long') would crash on string
+    # ids under ANSI mode or NULL them out otherwise, making equal-ts
+    # winners nondeterministic.  It only orders among right rows; the
+    # left side carries a NULL of the same type.
+    tb_type = (
+        right.schema[right_tiebreak].dataType if right_tiebreak else None
     )
     left_rest = [c for c in left.columns if c not in keys]
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__asof_ts__"),
         F.lit(0).alias("__asof_side__"),
-        (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).cast("long").alias(
-            "__asof_tb__"
-        ),
+        (
+            F.col(right_tiebreak)
+            if right_tiebreak
+            else F.lit(0).cast("long")
+        ).alias("__asof_tb__"),
         payload.alias("__asof_payload__"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -351,7 +394,9 @@ def asof_join(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("__asof_ts__"),
         F.lit(1).alias("__asof_side__"),
-        F.lit(0).cast("long").alias("__asof_tb__"),
+        (
+            F.lit(None).cast(tb_type) if tb_type is not None else F.lit(0).cast("long")
+        ).alias("__asof_tb__"),
         F.lit(None)
         .cast(r.schema["__asof_payload__"].dataType)
         .alias("__asof_payload__"),
@@ -609,20 +654,7 @@ def rolling_time_agg(
     Output columns: ``{prefix}n``, ``{prefix}sum``, ``{prefix}mean``
     (prefix defaults to ``rolling_``).
     """
-    import re
-
-    from pyspark.sql import Window
-
-    m = re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", window.strip())
-    if not m:
-        raise PhaserError(f"rolling_time_agg: unsupported window {window!r}")
-    unit_us = {
-        "second": 1_000_000,
-        "minute": 60_000_000,
-        "hour": 3_600_000_000,
-        "day": 86_400_000_000,
-    }[m.group(2)]
-    span = int(m.group(1)) * unit_us
+    span = parse_duration_us(window, "rolling_time_agg")
     p = prefix if prefix is not None else "rolling_"
     w = (
         Window.partitionBy(partition_col)
@@ -732,12 +764,18 @@ def fuzzy_match_values(
     verified = cand.withColumn("edit_distance", dist).filter(
         F.col("edit_distance") <= max_dist
     )
+    # same-named match columns (the normal entity-resolution case —
+    # matching two tables on 'name') would collide into an ambiguous
+    # duplicate; suffix the right side
+    out_right = (
+        f"{right_str}_right" if right_str == left_str else right_str
+    )
     return (
         verified.join(lv, "__fz_ls")
         .join(rv, "__fz_rs")
         .select(
             F.col("__fz_ls").alias(left_str),
-            F.col("__fz_rs").alias(right_str),
+            F.col("__fz_rs").alias(out_right),
             "edit_distance",
             "n_left",
             "n_right",
@@ -768,25 +806,30 @@ def fuzzy_join(
     call ``fuzzy_match_values`` directly and multiply
     ``n_left · n_right``.
     """
+    match_right = f"{right_str}_right" if right_str == left_str else right_str
     vals = fuzzy_match_values(
         left, right, left_str, right_str, max_dist=max_dist, q=q
     ).select(
         F.col(left_str).alias("__fz_ls"),
-        F.col(right_str).alias("__fz_rs"),
+        F.col(match_right).alias("__fz_rs"),
         "edit_distance",
     )
     lf = left.select(F.col(left_id).alias("__fz_lid"), F.col(left_str).alias("__fz_ls"))
     rf = right.select(
         F.col(right_id).alias("__fz_rid"), F.col(right_str).alias("__fz_rs")
     )
+    # suffix colliding right-side output names (same-named id/str columns
+    # are the normal entity-resolution case; duplicates would be
+    # unselectable by name)
+    out_rid = f"{right_id}_right" if right_id == left_id else right_id
     return (
         vals.join(lf, "__fz_ls")
         .join(rf, "__fz_rs")
         .select(
             F.col("__fz_lid").alias(left_id),
             F.col("__fz_ls").alias(left_str),
-            F.col("__fz_rid").alias(right_id),
-            F.col("__fz_rs").alias(right_str),
+            F.col("__fz_rid").alias(out_rid),
+            F.col("__fz_rs").alias(match_right),
             "edit_distance",
         )
     )

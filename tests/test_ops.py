@@ -1676,6 +1676,93 @@ def test_funnel_ordered_progression(spark):
     assert counts[3] == ("buy", 1)
 
 
+def test_funnel_report_emits_zero_stages(spark):
+    """Stages no user reached must report n_users=0 — a funnel chart
+    needs one row per declared step, and conversion-rate consumers
+    divide by the prior step's row."""
+    import datetime as dt
+
+    from phaser_spark.ops import behavior
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "view")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    rep = behavior.funnel_report(
+        df, "user_id", "ts", "event_type", ["view", "cart", "buy"]
+    ).collect()
+    assert [(r.step, r.step_name, r.n_users) for r in rep] == [
+        (1, "view", 1),
+        (2, "cart", 0),
+        (3, "buy", 0),
+    ]
+
+
+def test_asof_join_string_tiebreak(spark):
+    """A string/uuid tiebreak column must work (ANSI mode would crash a
+    cast-to-long) and break equal-ts ties deterministically."""
+    import datetime as dt
+
+    from phaser_spark.ops.relational import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(10, T(2024, 1, 1, 0, 30))], "k long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, T(2024, 1, 1, 0, 0), "uuid-b", 2.0),
+            (10, T(2024, 1, 1, 0, 0), "uuid-a", 1.0),  # same ts: 'a' < 'b'
+        ],
+        "k long, rts timestamp, rid string, val double",
+    )
+    out = asof_join(
+        left, right, "k", "lts", "rts",
+        right_cols=["rid", "val"], right_tiebreak="rid",
+    ).collect()
+    # the LAST row in (ts, tiebreak asc) order wins the as-of carry
+    assert out[0].rid == "uuid-b"
+
+
+def test_fuzzy_same_named_columns_get_suffix(spark):
+    from phaser_spark.ops.relational import fuzzy_join, fuzzy_match_values
+
+    l = spark.createDataFrame([(1, "kathryn")], "id long, name string")
+    r = spark.createDataFrame([(9, "katheryn")], "id long, name string")
+    vals = fuzzy_match_values(l, r, "name", "name", max_dist=2)
+    assert vals.columns == ["name", "name_right", "edit_distance", "n_left", "n_right"]
+    assert vals.select("name").collect()[0][0] == "kathryn"  # unambiguous
+    rows = fuzzy_join(l, r, "id", "name", "id", "name", max_dist=2).collect()
+    assert rows[0].asDict() == {
+        "id": 1, "name": "kathryn", "id_right": 9,
+        "name_right": "katheryn", "edit_distance": 1,
+    }
+
+
+def test_boilerplate_null_id_and_clean_passthrough(spark):
+    from phaser_spark.ops import cleaning
+
+    rows = [
+        (None, "important null-id text\nfooter"),
+        (1, "  indented\n\nkeep structure"),
+        (2, "unique two\nfooter"),
+        (3, "unique three\nfooter"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.text, r.n_lines_removed)
+        for r in cleaning.remove_boilerplate_lines(df, min_doc_freq=3).collect()
+    }
+    # NULL doc_id keeps its (cleaned) text — not silently emptied
+    assert out[None] == ("important null-id text", 1)
+    # a doc with no boilerplate passes through byte-identical
+    assert out[1] == ("  indented\n\nkeep structure", 0)
+    # NULL text stays NULL
+    assert out[4] == (None, 0)
+    assert out[2] == ("unique two", 1)
+
+
 def test_cohort_retention_weekly(spark):
     import datetime as dt
 

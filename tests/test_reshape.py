@@ -41,6 +41,22 @@ def test_explode_multivalued_column(spark):
     assert langs == ["Romulan", "Standard", "Vulcan"]
 
 
+def test_explode_step_regex_metachar_delimiter(spark):
+    # '|' and '.' are regex metachars — the delimiter must split on the
+    # LITERAL character, not on every position
+    rows = [(1, "a|b|c"), (2, "x")]
+    df = spark.createDataFrame(rows, ["rid", "vals"])
+    step = relational.explode_step("vals", "v", delimiter="|")
+    ph = Phase(name="E2", steps=[step], renumber=True, context=Context(spark=spark))
+    out = ph.run(df)
+    got = sorted(r["v"] for r in out.filter(F.col("rid") == 1).collect())
+    assert got == ["a", "b", "c"]
+    df2 = spark.createDataFrame([(1, "a.b")], ["rid", "vals"])
+    step2 = relational.explode_step("vals", "v", delimiter=".")
+    ph2 = Phase(name="E3", steps=[step2], renumber=True, context=Context(spark=spark))
+    assert sorted(r["v"] for r in ph2.run(df2).collect()) == ["a", "b"]
+
+
 def test_agg_step_group_counts(spark):
     df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], ["pid", "x"])
     step = relational.agg_step(["pid"], [F.count(F.lit(1)).alias("n")])
