@@ -48,19 +48,37 @@ _CORRUPT = "_corrupt_record"
 NULL_LITERALS = ("NULL", "None", "null", "none")
 
 
-def _sniff_headers(source: str, delimiter: str, encoding: str) -> list[str]:
-    """Read the header row driver-side (first non-comment, non-empty line).
+def _sniff_headers(
+    source: str, delimiter: str, encoding: str, spark: SparkSession | None = None
+) -> list[str]:
+    """Read the header row (first non-comment, non-empty line).
 
-    Duplicate headers are an error (reference ``phaser/io.py:43-47``).
+    Local paths read driver-side; anything a local ``open()`` can't
+    reach (hdfs://, s3a://, directories of part files) falls back to
+    ``sparkContext.textFile(...).take(...)`` — the same distributed
+    reader the scan itself uses, so every filesystem the scan supports
+    is sniffable too.  Duplicate headers are an error (reference
+    ``phaser/io.py:43-47``).
     """
-    with open(source, encoding=encoding, newline="") as f:
-        for line in f:
-            if line.startswith("#") or not line.strip():
-                continue
-            headers = next(csv.reader(_pyio.StringIO(line), delimiter=delimiter))
-            break
-        else:
-            raise DataException(f"{source}: no header row found")
+
+    def _first_lines():
+        import itertools
+
+        try:
+            with open(source, encoding=encoding, newline="") as f:
+                return list(itertools.islice(f, 200))
+        except OSError:
+            if spark is None:
+                raise
+            return spark.sparkContext.textFile(source).take(200)
+
+    for line in _first_lines():
+        if line.startswith("#") or not line.strip():
+            continue
+        headers = next(csv.reader(_pyio.StringIO(line), delimiter=delimiter))
+        break
+    else:
+        raise DataException(f"{source}: no header row found")
     stripped = [h.strip().strip("'\"").strip() for h in headers]
     dupes = {h for h in stripped if stripped.count(h) > 1}
     if dupes:
@@ -82,7 +100,7 @@ def read_csv(
     fields are all empty are dropped before numbering, matching the
     reference's skip-then-number order.
     """
-    headers = _sniff_headers(source, delimiter, encoding)
+    headers = _sniff_headers(source, delimiter, encoding, spark=spark)
     schema = T.StructType(
         [T.StructField(h, T.StringType()) for h in headers]
         + [T.StructField(_CORRUPT, T.StringType())]
@@ -108,23 +126,61 @@ def read_csv(
     # Keep every column in the probe: CSV column pruning re-parses only the
     # selected fields, which would mask short rows (and querying the corrupt
     # column alone is disallowed).
-    bad = df.filter(F.col(_CORRUPT).isNotNull()).limit(50).collect()
-    if bad:
+    # Exact, distributed classification over the corrupt sliver only —
+    # a fixed-size sample would let a short row beyond the sample slip
+    # through silently (missing fields are an ERROR, not a warning).
+    # Python parsing (csv.reader — quote-aware, a delimiter split is
+    # not) runs Arrow-batched over ONLY the corrupt rows; clean scans
+    # never touch it (the .first() probe short-circuits them).
+    # The sliver is materialized once with ALL columns referenced
+    # (localCheckpoint): two landmines make querying it off the raw
+    # scan unsafe — Spark rejects plans whose pruned column set is only
+    # the corrupt column, and against a PRUNED schema a ragged row
+    # parses cleanly so the corrupt column comes back NULL and the
+    # classification sees nothing.  Corrupt rows are a sliver of any
+    # sane file (and executor-side, never the driver).
+    sliver = df.filter(F.col(_CORRUPT).isNotNull()).localCheckpoint(eager=True)
+    if not sliver.isEmpty():
         n_fields = len(headers)
-        missing, extra = [], []
-        for r in bad:
-            try:
-                toks = next(csv.reader(_pyio.StringIO(r[_CORRUPT]), delimiter=delimiter))
-            except StopIteration:
-                continue
-            (missing if len(toks) < n_fields else extra).append(r[_CORRUPT])
-        if missing:
+        delim = delimiter
+
+        @F.pandas_udf("int")
+        def _tok_count(raw):
+            import pandas as pd
+
+            def count(line):
+                if line is None:
+                    return n_fields
+                try:
+                    return len(
+                        next(csv.reader(_pyio.StringIO(line), delimiter=delim))
+                    )
+                except StopIteration:
+                    return n_fields
+
+            return pd.Series([count(x) for x in raw])
+
+        bad = sliver.select(
+            F.col(_CORRUPT).alias("raw"),
+            _tok_count(F.col(_CORRUPT)).alias("n"),
+        )
+        stats = bad.agg(
+            F.count(F.when(F.col("n") < n_fields, 1)).alias("n_missing"),
+            F.count(F.when(F.col("n") > n_fields, 1)).alias("n_extra"),
+        ).first()
+        if stats["n_missing"]:
+            examples = [
+                r["raw"]
+                for r in bad.filter(F.col("n") < n_fields).limit(3).collect()
+            ]
             raise DataException(
-                f"{source}: row(s) with missing fields (expected {n_fields}): "
-                f"{missing[:3]}"
+                f"{source}: {stats['n_missing']} row(s) with missing fields "
+                f"(expected {n_fields}): {examples}"
             )
-        if extra and on_warning:
-            on_warning(f"{source}: {len(extra)}+ row(s) had extra fields; extras dropped")
+        if stats["n_extra"] and on_warning:
+            on_warning(
+                f"{source}: {stats['n_extra']} row(s) had extra fields; extras dropped"
+            )
     df = df.drop(_CORRUPT)
 
     # All-strings model: nulls from unquoted-empty become '' (phaser reads

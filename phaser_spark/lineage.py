@@ -69,6 +69,26 @@ def _is_deterministic_narrow_plan(df: DataFrame) -> bool:
     return "Relation" in plan or "Range" in plan or "LogicalRDD" in plan
 
 
+#: DataFrames pinned (cached) for stable numbering, awaiting release once
+#: the numbered plan has been materialized (a phase checkpoint)
+_PINNED: list = []
+
+
+def release_pinned() -> None:
+    """Unpersist every input pinned by :func:`with_row_numbers`.
+
+    Safe ONLY after the numbered plan has been materialized (parquet
+    checkpoint / bucketed table write): the pin exists so the counts job
+    and the final numbering observe one partitioning, and that guarantee
+    must hold until the numbers are durably written.
+    """
+    while _PINNED:
+        try:
+            _PINNED.pop().unpersist()
+        except Exception:
+            pass
+
+
 def with_row_numbers(df: DataFrame, start: int = 1, cache: bool | None = None) -> DataFrame:
     """Attach ``__phaser_row_num__`` in current partition/row order.
 
@@ -87,6 +107,11 @@ def with_row_numbers(df: DataFrame, start: int = 1, cache: bool | None = None) -
         cache = not _is_deterministic_narrow_plan(df)
     if cache:
         df = df.cache()
+        # registered for release at the next phase checkpoint — without
+        # this every numbering over a shuffled plan pins a DataFrame for
+        # the session's lifetime and a long pipeline fills executor
+        # storage (the exact failure the docstring above warns about)
+        _PINNED.append(df)
     mid = F.monotonically_increasing_id()
     tagged = df.withColumn(_PID, F.shiftrightunsigned(mid, 33).cast("long")).withColumn(
         _LOCAL, (mid.bitwiseAND(F.lit(_MID_LOCAL_MASK))).cast("long")

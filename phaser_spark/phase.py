@@ -247,7 +247,16 @@ class Phase:
         df = self._run_steps(df)
         df = self._prepare_for_save(df)
         if self.renumber:
-            df = _renumber(df.drop(PHASER_ROW_NUM))
+            # renumber LIVE rows only: the reference renumbers its
+            # records list, from which dropped rows are already gone —
+            # letting drop-marked marker rows consume numbers would
+            # leave gaps in the visible 1..N.  Dropped rows keep their
+            # ORIGINAL numbers (their DROPPED_ROW events were recorded
+            # against those).
+            live = _renumber(
+                df.filter(~F.col(DROP_COL)).drop(PHASER_ROW_NUM)
+            )
+            df = live.unionByName(df.filter(F.col(DROP_COL)))
         return df
 
     # -- P1: header canonicalization + renames ---------------------------
@@ -439,8 +448,10 @@ class Phase:
                     context_vars=self.context.variables,
                 )
                 if out_names:
+                    from .steps import _EXTRA_DELTA_COL
+
                     deltas = extract_extra_output_deltas(df, tuple(out_names))
-                    df = df.drop("__phaser_extra_deltas__")
+                    df = df.drop(_EXTRA_DELTA_COL)
                     for n, ddf in deltas.items():
                         self._merge_extra_output(declared_outputs[n], ddf)
                 df = self._resolve_policies(df)
@@ -526,6 +537,13 @@ class Phase:
                 .groupBy("key")
                 .agg(F.sum("value").alias("value"))
             )
+        # Materialize the (small, by contract) delta table ONCE: left
+        # lazy, it stays rooted in the row step's mapInPandas plan and
+        # every later consumer (the frac probe below, save, the next
+        # phase's merge, to_dict) re-executes the arbitrary user row
+        # function over the whole input — and under a nondeterministic
+        # fn those executions disagree with the checkpointed rows.
+        delta_df = delta_df.localCheckpoint(eager=True)
         frac = delta_df.agg(
             F.max(F.abs(F.col("value") - F.round(F.col("value")))).alias("m")
         ).first()["m"]
@@ -544,8 +562,13 @@ class Phase:
         from .lineage import number_new_rows
 
         if PHASER_ROW_NUM not in out.columns:
-            # step destroyed row identity → every row is "new"
-            out = with_row_numbers(out)
+            # step destroyed row identity → every row is "new" and gets
+            # max+1 numbers (starting at 1 would COLLIDE with the
+            # re-unioned dropped rows' original numbers — two rows
+            # sharing a number double-attributes events and corrupts
+            # later max+1 numbering)
+            mx = state.agg(F.max(PHASER_ROW_NUM)).first()[0] or 0
+            out = with_row_numbers(out, start=mx + 1)
             joined = self._ensure_internal(out)
         else:
             if not out.filter(F.col(PHASER_ROW_NUM).isNull()).isEmpty():
@@ -561,7 +584,14 @@ class Phase:
     # -- prune + consistency (phaser/phase.py:302-328) ---------------------
     def _prepare_for_save(self, df: DataFrame) -> DataFrame:
         declared = {c.name for c in self.columns}
-        original = set(self._original_headers) | {PHASER_ROW_NUM}
+        # compare against the POST-strip header names: _rename_columns
+        # strips quotes/whitespace from every header, so raw
+        # "'foo'" / " bar " inputs resurface as foo/bar — without the
+        # same strip here every such untouched column draws a false
+        # "added by steps but not declared" warning
+        original = {
+            h.strip().strip("'\"").strip() for h in self._original_headers
+        } | set(self._original_headers) | {PHASER_ROW_NUM}
         for col in df.columns:
             if col in INTERNAL_COLS or col == PHASER_ROW_NUM:
                 continue

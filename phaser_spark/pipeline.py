@@ -211,6 +211,7 @@ class Pipeline:
     def run_phase(self, ph: Phase, df: DataFrame) -> DataFrame:
         out = ph.run(df)
         # Materialize exactly once: the internal parquet checkpoint.
+        materialized = True
         internal_path = None
         part_by = getattr(ph, "checkpoint_partition_by", None)
         if part_by:
@@ -307,6 +308,15 @@ class Pipeline:
                     stacklevel=2,
                 )
             out = out.cache()
+            materialized = False
+        if materialized:
+            # parquet/bucketed checkpoint written above == the numbered
+            # plan is durably materialized, so inputs pinned for stable
+            # numbering can be released (a long pipeline would otherwise
+            # accumulate one cached DataFrame per numbering call)
+            from .lineage import release_pinned
+
+            release_pinned()
 
         events = extract_events(out, ph.name)
         self.context.add_event_df(events)

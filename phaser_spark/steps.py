@@ -44,6 +44,7 @@ from pyspark.sql import types as T
 
 from .constants import (
     DROP_COL,
+    DROP_STEP_COL,
     ERROR_COL,
     EVENT_ERROR,
     EVENT_WARNING,
@@ -165,6 +166,16 @@ class DeltaMapping(UserDict):
 
     def __setitem__(self, key, value):
         key = self._norm_key(key)
+        if not isinstance(key, (str, int, float, bool)) and key is not None:
+            # fail HERE with a clear message: a tuple/object key would
+            # otherwise crash later inside json.dumps on the executor
+            # (keys must survive a JSON round-trip for the distributed
+            # delta merge)
+            raise PhaserError(
+                f"extra_output keys must be str/int/float/bool/None "
+                f"(JSON-serializable), got {type(key).__name__}: {key!r} — "
+                "stringify compound keys, e.g. f'{a}|{b}'"
+            )
         old = self.data.get(key, 0)
         if not isinstance(value, (int, float)):
             raise PhaserError(
@@ -315,6 +326,7 @@ def run_row_step(
                 err = rec.get(ERROR_COL)
                 warnings = list(rec.get(WARNING_COL) or [])
                 drop = bool(rec.get(DROP_COL) or False)
+                drop_step = rec.get(DROP_STEP_COL)
                 base = {k: rec.get(k) for k in visible_names}
                 deltas = None
                 if err is None and not drop:
@@ -387,6 +399,10 @@ def run_row_step(
                 out[ERROR_COL] = err
                 out[WARNING_COL] = warnings
                 out[DROP_COL] = drop
+                # preserve drop attribution: dict.fromkeys(out_names)
+                # would otherwise reset it to None and the deferred
+                # 'step X dropped N rows' count would read 0
+                out[DROP_STEP_COL] = drop_step
                 if want_extras:
                     out[_EXTRA_DELTA_COL] = json.dumps(deltas) if deltas else None
                 rows_out.append(out)

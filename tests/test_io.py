@@ -42,6 +42,25 @@ def test_missing_field_errors(spark, tmp_path):
         read_csv(spark, p)
 
 
+def test_missing_field_beyond_sample_window_still_errors(spark, tmp_path):
+    """The classification must be exact over ALL corrupt rows: a short
+    row hiding behind 60 extra-field rows (past any fixed sample size)
+    must still raise."""
+    body = "x,y\n" + "".join(f"{i},{i},{i}\n" for i in range(60)) + "99\n"
+    p = w(tmp_path, "a.csv", body)
+    with pytest.raises(DataException, match="missing fields"):
+        read_csv(spark, p)
+
+
+def test_extra_field_count_is_exact(spark, tmp_path):
+    body = "x,y\n1,2\n" + "".join(f"{i},{i},{i}\n" for i in range(60))
+    p = w(tmp_path, "a.csv", body)
+    warnings = []
+    df = read_csv(spark, p, on_warning=warnings.append)
+    assert df.count() == 61
+    assert warnings and "60 row(s) had extra fields" in warnings[0]
+
+
 def test_extra_field_warns(spark, tmp_path):
     p = w(tmp_path, "a.csv", "x,y\n1,2\n3,4,5\n")
     warnings = []

@@ -224,3 +224,76 @@ def test_load_data_pandas_and_dicts(spark):
         ph.load_data(data)
         out = sorted((r.x, r.y) for r in ph.run().select("x", "y").collect())
         assert out == [(1, "a"), (2, "b")]
+
+
+def test_row_step_preserves_drop_attribution(spark):
+    """A row step after filter_rows must keep DROP_STEP_COL — the
+    deferred 'step X dropped N rows' count reads it from the checkpoint
+    (it was silently reset to NULL before round 6)."""
+    from pyspark.sql import functions as F
+
+    from phaser_spark import Phase, filter_rows, row_step
+    from phaser_spark.constants import DROP_STEP_COL
+
+    @row_step(output_schema="y long")
+    def add_y(row):
+        row["y"] = row["v"] * 2
+        return row
+
+    p = Phase(
+        name="P",
+        steps=[filter_rows(F.col("v") > 1, name="min_v"), add_y],
+        context=Context(spark=spark),
+    )
+    out = p.run(spark.createDataFrame([(1,), (2,)], "v long"))
+    tags = {r["v"]: r[DROP_STEP_COL] for r in out.collect()}
+    assert tags == {1: "min_v", 2: None}
+
+
+def test_realign_numbers_identity_losing_step_from_max_plus_one(spark):
+    """A batch step that returns a frame WITHOUT row numbers gets max+1
+    numbering — starting at 1 collided with the re-unioned dropped
+    rows' original numbers."""
+    from pyspark.sql import functions as F
+
+    from phaser_spark import Phase, batch_step, filter_rows
+    from phaser_spark.constants import DROP_COL, PHASER_ROW_NUM
+
+    @batch_step
+    def rebuild(df, context=None):
+        return spark.createDataFrame(
+            [(r["v"],) for r in df.collect()], "v long"
+        )
+
+    p = Phase(
+        name="P",
+        steps=[filter_rows(F.col("v") != 3, name="no3"), rebuild],
+        context=Context(spark=spark),
+    )
+    out = p.run(spark.createDataFrame([(i,) for i in range(1, 6)], "v long"))
+    rows = [(r[PHASER_ROW_NUM], r[DROP_COL]) for r in out.collect()]
+    nums = [n for n, _ in rows]
+    assert len(nums) == len(set(nums))  # no collisions
+    # dropped row keeps its original number; new rows start past max(5)
+    assert {n for n, d in rows if d} == {3}
+    assert all(n >= 6 for n, d in rows if not d)
+
+
+def test_renumber_skips_dropped_rows(spark):
+    """renumber=True yields contiguous 1..N over SURVIVING rows (the
+    reference renumbers a list dropped rows are already gone from);
+    dropped marker rows keep their original numbers for events."""
+    from pyspark.sql import functions as F
+
+    from phaser_spark import Phase, filter_rows
+    from phaser_spark.constants import DROP_COL, PHASER_ROW_NUM
+
+    p = Phase(
+        name="P",
+        steps=[filter_rows(F.col("v") % 2 == 0, name="even")],
+        renumber=True,
+        context=Context(spark=spark),
+    )
+    out = p.run(spark.createDataFrame([(i,) for i in range(1, 8)], "v long"))
+    live = sorted(r[PHASER_ROW_NUM] for r in out.collect() if not r[DROP_COL])
+    assert live == [1, 2, 3]
