@@ -10,7 +10,7 @@ from phaser_spark.session import get_spark  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="phaser_spark_tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark(app_name="phaser_spark_tests", master="local[8]", shuffle_partitions=8)
     yield s
 
 

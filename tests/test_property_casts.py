@@ -3,6 +3,7 @@ match the reference's Python semantics (int via Decimal, float via Decimal,
 boolean word lists — phaser/column.py:280-294,187-222) on arbitrary inputs."""
 from decimal import Decimal, InvalidOperation
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from phaser_spark import BooleanColumn, FloatColumn, IntColumn, Phase
@@ -154,6 +155,8 @@ FINITE = st.floats(
 )
 
 
+# equivalence replay, multi-minute family: oracle tier (pytest.ini)
+@pytest.mark.oracle
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(FINITE, min_size=1, max_size=15),
@@ -260,6 +263,8 @@ KEY = st.one_of(
 )
 
 
+# equivalence replay, multi-minute family: oracle tier (pytest.ini)
+@pytest.mark.oracle
 @settings(max_examples=5, deadline=None)
 @given(
     big=st.lists(KEY, min_size=1, max_size=60),
@@ -362,6 +367,8 @@ def test_token_budget_select_property(spark, docs, b_en, b_fr, default, buckets)
 # --- fuzzy join equals all-pairs Levenshtein -----------------------------
 
 
+# equivalence replay, multi-minute family: oracle tier (pytest.ini)
+@pytest.mark.oracle
 @settings(max_examples=5, deadline=None)
 @given(
     ws=st.lists(st.text(alphabet="abcx", min_size=0, max_size=14), min_size=1,
