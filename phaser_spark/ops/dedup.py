@@ -20,6 +20,14 @@ Scale design notes (the whole point of these implementations):
   64 conditional sums → bit-assemble): no UDF, map-side combinable.
 * **embedding_dup_pairs** — cosine near-dup via random-hyperplane LSH
   bucketing with exact verification inside buckets.
+
+Cache ownership: ``simhash_pairs``/``minhash_lsh_pairs``/
+``minhash_lsh_incremental`` (and ``ngram_jaccard_pairs`` with
+``cache_index=True``) pin small per-doc signature tables for the
+duration of the computation; in a LONG-LIVED session calling these
+repeatedly, clear them between calls (``spark.catalog.clearCache()`` or
+unpersist the returned frame's lineage) — each call otherwise leaves one
+pinned signature table behind.
 """
 
 from __future__ import annotations
@@ -29,6 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..constants import PHASER_ROW_NUM
+from ..exceptions import PhaserError
 from ..lineage import spread_for_compute
 from .text import normalize_text
 
@@ -62,6 +71,10 @@ def exact_dedup(
 
     ``keep='first'|'last'`` by ``order_col`` (defaults to the lineage
     column if present, else a stable hash of all columns)."""
+    if keep not in ("first", "last"):
+        # anything else silently meant 'last' — the OPPOSITE record
+        # survived a typo like keep='First'
+        raise PhaserError(f"exact_dedup: keep must be 'first'/'last', got {keep!r}")
     oc = order_col or (PHASER_ROW_NUM if PHASER_ROW_NUM in df.columns else None)
     if oc is None:
         df = df.withColumn("__xdd_ord__", F.xxhash64(*[F.col(c) for c in df.columns]))
@@ -221,10 +234,14 @@ def minhash_signature(col: SparkCol, num_perm: int = 128, n: int = 3) -> SparkCo
     which is an order of magnitude faster.  This form exists for ad-hoc
     per-column use."""
     sh = shingles(col, n)
+    # SAME permutation family as the bulk :func:`minhash_signatures`
+    # (seeded xxhash64 over the 64-bit string-hash base): signatures
+    # from either form band/compare against each other — two silently
+    # incompatible families would yield zero candidate pairs
     return F.transform(
         F.sequence(F.lit(1), F.lit(num_perm)),
         lambda seed: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s, seed))
+            F.transform(sh, lambda s: F.xxhash64(F.xxhash64(s), seed))
         ),
     )
 
@@ -269,6 +286,15 @@ def minhash_bands(
     doc): an incremental ingest joins new docs' bands against the stored
     corpus bands instead of re-signing the corpus (see
     :func:`minhash_lsh_incremental`)."""
+    if num_bands < 1 or num_perm % num_bands != 0:
+        # silent flooring would drop trailing permutations (a different
+        # recall curve than requested); num_bands > num_perm degenerates
+        # to zero-length slices whose hash is one constant -> the band
+        # join becomes an all-pairs N^2 explosion
+        raise PhaserError(
+            f"minhash_bands: num_perm ({num_perm}) must be a positive "
+            f"multiple of num_bands ({num_bands})"
+        )
     rows_per_band = num_perm // num_bands
     return sigs.select(
         "id",
@@ -571,6 +597,12 @@ def simhash(
     that whole-stage-codegens into the same stage as the count aggregate
     (measured 1.8× end-to-end on the bench corpus, and the gap widens
     with corpus size).  Both aggregations map-side combine."""
+    if word_hash not in ("md5", "xxhash64"):
+        # a typo would silently switch hash families and break the
+        # caller's external-oracle reproducibility
+        raise PhaserError(
+            f"simhash: word_hash must be 'md5'/'xxhash64', got {word_hash!r}"
+        )
     if word_hash == "md5":
         h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
     else:
@@ -617,6 +649,15 @@ def simhash_pairs(
     materialized table is (id, simhash) — 16 bytes per doc, safe at any
     corpus size; the count is the signature build step, analogous to IVF
     centroid training."""
+    if not 0 <= max_hamming <= 3:
+        # pigeonhole over 4 chunks is EXACT only for distance <= 3; a
+        # larger radius would silently return an incomplete pair set
+        # (a 4-bit-apart pair can differ in every chunk)
+        raise PhaserError(
+            f"simhash_pairs: max_hamming must be in [0, 3] for 4-chunk "
+            f"blocking, got {max_hamming} — raise the chunk count or use "
+            "an all-pairs verify for larger radii"
+        )
     sh = simhash(df, id_col, text_col, word_hash=word_hash).cache()
     sh.count()
     chunks = sh.select(
@@ -690,30 +731,31 @@ def embedding_dup_pairs(
     pass ``planes_matrix`` (e.g. ``similarity.deterministic_planes``) for
     hyperplanes reproducible in an external SQL oracle, and ``exact`` for
     decimal-accumulated dots (bit-identical cosines across engines)."""
-    from .similarity import _dot_decimal
-
-    dim_hash = lambda seed: F.transform(  # noqa: E731
-        F.sequence(F.lit(0), F.size(F.col("v")) - 1),
-        lambda i: (F.pmod(F.xxhash64(i, F.lit(seed)), F.lit(1000)).cast("double") - 499.5),
+    # ONE hyperplane-signature implementation, shared with
+    # ops.similarity's LSH top-k (same seeds, same component formula) —
+    # a drifting private copy would silently make the two modules'
+    # buckets incompatible.  Bucketing with default (seeded-hash) planes
+    # is double-precision either way — the bucket choice only affects
+    # recall; `exact` governs the VERIFICATION cosines below, and the
+    # literal-planes form (the oracle-reproducible path) honors it for
+    # the signature bits too.
+    from .similarity import (
+        _dot_decimal,
+        _literal_plane_signature,
+        _plane_signature,
     )
+
     base = spread_for_compute(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     dot = _dot_decimal if exact else _dot
     norm = (lambda a: F.sqrt(_dot_decimal(a, a))) if exact else _norm
-    sig = base
-    bits = []
-    if planes_matrix is not None:
-        for comps in planes_matrix:
-            plane = F.array(*[F.lit(c) for c in comps])
-            bits.append((dot(F.col("v"), plane) > 0).cast("int"))
-    else:
-        for p in range(planes):
-            bits.append((_dot(F.col("v"), dim_hash(p + 7)) > 0).cast("int"))
-    bucket = F.lit(0)
-    for i, b in enumerate(bits):
-        bucket = bucket + F.shiftleft(b.cast("long"), i)
-    sig = sig.withColumn("bucket", bucket)
+    bucket = (
+        _literal_plane_signature(F.col("v"), planes_matrix, exact)
+        if planes_matrix is not None
+        else _plane_signature(F.col("v"), planes)
+    )
+    sig = base.withColumn("bucket", bucket)
     cand = (
         sig.alias("x")
         .join(

@@ -5,8 +5,10 @@ BASELINE.json north star).
   set against the full corpus; one shuffle for the per-query top-k window.
   The correctness baseline.
 * ``lsh_topk`` — the scale path: random-hyperplane signatures bucket the
-  corpus; each query probes only its own bucket and neighbors within
-  Hamming ≤ ``probe_hamming``, turning O(N·Q) into O(Q · bucket_size).
+  corpus; each query signature expands into its Hamming ball (every mask
+  with popcount ≤ ``probe_hamming``, a literal array) and EQUI-joins on
+  the probed signature — a hash join on the bucket key, never a nested
+  loop over N·Q pairs — turning O(N·Q) into O(Q · ball · bucket_size).
   Recall < 1 by construction — verified against the brute-force baseline
   in tests.
 """
@@ -17,6 +19,7 @@ from pyspark.sql import Column as SparkCol
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..exceptions import PhaserError
 from ..lineage import spread_for_compute
 from .dedup import _dot, _norm, trunc_digits
 
@@ -24,16 +27,44 @@ from .dedup import _dot, _norm, trunc_digits
 def _dot_decimal(a, b):
     """Order-insensitive exact dot product: per-element double products
     (deterministic) accumulated as decimal — bit-identical across engines
-    regardless of summation order."""
+    regardless of summation order.  A NULL element (corrupt vector,
+    zip_with length-mismatch padding) POISONS the result to NULL, matching
+    the default double path — the two modes must return the same pair set,
+    not disagree on broken inputs."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(28,12)")),
         F.lit(0).cast("decimal(38,12)"),
         # Spark widens decimal addition results; cast back so the merge
         # lambda's type matches the accumulator's
-        lambda acc, v: (
-            acc + F.coalesce(v, F.lit(0).cast("decimal(28,12)"))
-        ).cast("decimal(38,12)"),
+        lambda acc, v: (acc + v).cast("decimal(38,12)"),
     ).cast("double")
+
+
+def _cosine(exact: bool) -> SparkCol:
+    """6-digit-truncated cosine of the ``cv``/``qv`` columns — the single
+    scoring expression every top-k variant shares (a tiebreak or
+    truncation change must hit all of them identically, since the tests
+    compare the approximate variants against ``cosine_topk``)."""
+    dot = _dot_decimal if exact else _dot
+    norm = (lambda v: F.sqrt(_dot_decimal(v, v))) if exact else _norm
+    return trunc_digits(
+        dot(F.col("cv"), F.col("qv"))
+        / (norm(F.col("cv")) * norm(F.col("qv"))),
+        6,
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query rank over (cosine desc, neighbor_id asc) and keep k —
+    the shared tail of every top-k variant."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def cosine_topk(
@@ -44,6 +75,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     exact: bool = False,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -53,6 +85,13 @@ def cosine_topk(
     ``exact=True`` accumulates dot products in decimal so results are
     bit-reproducible against an external oracle (slower; benchmarking uses
     the double path).
+
+    ``exclude_self=True`` (the default) drops pairs whose query id EQUALS
+    the neighbor id — correct when queries are drawn from the corpus and
+    share its id namespace.  Pass ``False`` when the two id spaces are
+    unrelated (an external query set whose qid 5 must not lose corpus
+    vec_id 5 as a neighbor).  The comparison is null-safe, so NULL ids
+    never silently drop a row's pairs.
     Returns (query_id, neighbor_id, cosine, rank)."""
     qid = query_id_col or id_col
     c = spread_for_compute(corpus).select(
@@ -61,21 +100,15 @@ def cosine_topk(
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    scored = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
-    dot = _dot_decimal if exact else _dot
-    norm = (
-        (lambda v: F.sqrt(_dot_decimal(v, v))) if exact else _norm
+    scored = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.filter(
+            ~F.col("query_id").eqNullSafe(F.col("neighbor_id"))
+        )
+    scored = scored.select(
+        "query_id", "neighbor_id", _cosine(exact).alias("cosine")
     )
-    cos = dot(F.col("cv"), F.col("qv")) / (norm(F.col("cv")) * norm(F.col("qv")))
-    scored = scored.select("query_id", "neighbor_id", trunc_digits(cos, 6).alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
@@ -151,8 +184,10 @@ def lsh_topk(
     production throughput)."""
     if planes_matrix is not None:
         sig_of = lambda v: _literal_plane_signature(v, planes_matrix, exact)  # noqa: E731
+        n_bits = len(planes_matrix)
     else:
         sig_of = lambda v: _plane_signature(v, planes)  # noqa: E731
+        n_bits = planes
     c = spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
@@ -161,23 +196,39 @@ def lsh_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("q_sig", sig_of(F.col("qv")))
-    joined = c.join(
-        F.broadcast(q),
-        (F.bit_count(F.col("c_sig").bitwiseXOR(F.col("q_sig"))) <= probe_hamming)
-        & (F.col("query_id") != F.col("neighbor_id")),
+    # TRUE bucket probe: expand each query signature into its Hamming
+    # ball (every XOR mask with popcount <= probe_hamming — a literal
+    # array, the masks depend only on (n_bits, radius)) and EQUI-join on
+    # the probed signature.  The old non-equi `bit_count(xor) <= h`
+    # predicate planned a nested loop over all N x Q pairs — brute force
+    # with the cosine skipped.  Each qualifying pair meets exactly once
+    # (the mask c_sig XOR q_sig is unique), so no dedup pass is needed.
+    import itertools
+
+    masks = [0]
+    for d in range(1, probe_hamming + 1):
+        for bits in itertools.combinations(range(n_bits), d):
+            masks.append(sum(1 << b for b in bits))
+    if len(masks) > 100_000:
+        raise PhaserError(
+            f"lsh_topk: Hamming ball of radius {probe_hamming} over "
+            f"{n_bits} planes is {len(masks)} probes per query — lower "
+            "probe_hamming or the plane count"
+        )
+    probed = (
+        q.withColumn(
+            "__mask", F.explode(F.array(*[F.lit(m).cast("long") for m in masks]))
+        )
+        .withColumn("c_sig", F.col("__mask").bitwiseXOR(F.col("q_sig")))
+        .drop("__mask")
     )
-    dot = _dot_decimal if exact else _dot
-    norm = (lambda v: F.sqrt(_dot_decimal(v, v))) if exact else _norm
-    cos = dot(F.col("cv"), F.col("qv")) / (norm(F.col("cv")) * norm(F.col("qv")))
-    scored = joined.select("query_id", "neighbor_id", trunc_digits(cos, 6).alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    joined = c.join(F.broadcast(probed), "c_sig").filter(
+        ~F.col("query_id").eqNullSafe(F.col("neighbor_id"))
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    scored = joined.select(
+        "query_id", "neighbor_id", _cosine(exact).alias("cosine")
     )
+    return _rank_topk(scored, k)
 
 
 def _sq_dist(vec: SparkCol, centroid: SparkCol) -> SparkCol:
@@ -191,12 +242,13 @@ def _sq_dist_decimal(vec: SparkCol, centroid: SparkCol) -> SparkCol:
     the summation-order dependence, so argmin cell assignment is
     bit-reproducible against an external oracle."""
     d = F.zip_with(vec, centroid, lambda x, y: ((x - y) * (x - y)).cast("decimal(28,12)"))
+    # NULL elements poison the distance (same as the double path) —
+    # coalescing to 0 would let exact mode assign corrupt vectors to a
+    # different cell than the default mode
     return F.aggregate(
         d,
         F.lit(0).cast("decimal(38,12)"),
-        lambda acc, v: (
-            acc + F.coalesce(v, F.lit(0).cast("decimal(28,12)"))
-        ).cast("decimal(38,12)"),
+        lambda acc, v: (acc + v).cast("decimal(38,12)"),
     )
 
 
@@ -338,22 +390,12 @@ def ivf_topk(
     if broadcast_queries:
         probes = F.broadcast(probes)
     joined = c.join(probes, "cell").filter(
-        F.col("query_id") != F.col("neighbor_id")
+        ~F.col("query_id").eqNullSafe(F.col("neighbor_id"))
     )
-    dot = _dot_decimal if exact else _dot
-    norm = (lambda v: F.sqrt(_dot_decimal(v, v))) if exact else _norm
-    cos = dot(F.col("cv"), F.col("qv")) / (norm(F.col("cv")) * norm(F.col("qv")))
     scored = joined.select(
-        "query_id", "neighbor_id", trunc_digits(cos, 6).alias("cosine")
+        "query_id", "neighbor_id", _cosine(exact).alias("cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def kmeans_fit(

@@ -446,6 +446,65 @@ def test_char_entropy(spark):
     assert one == many
 
 
+def test_dedup_parameter_validation(spark):
+    """Foot-gun parameters fail loudly instead of silently changing
+    semantics (wrong keep side, incomplete simhash blocking, degenerate
+    LSH banding)."""
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops import dedup
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(PhaserError, match="keep"):
+        dedup.exact_dedup(df, ["text"], keep="First")
+    with _pytest.raises(PhaserError, match="max_hamming"):
+        dedup.simhash_pairs(df, max_hamming=4)
+    with _pytest.raises(PhaserError, match="word_hash"):
+        dedup.simhash(df, word_hash="md-5")
+    sigs = spark.createDataFrame([(1, [1, 2, 3, 4])], "id long, sig array<bigint>")
+    with _pytest.raises(PhaserError, match="multiple"):
+        dedup.minhash_bands(sigs, num_bands=3, num_perm=4)
+    with _pytest.raises(PhaserError, match="multiple"):
+        dedup.minhash_bands(sigs, num_bands=8, num_perm=4)
+
+
+def test_minhash_signature_families_compatible(spark):
+    """The ad-hoc expression form and the bulk aggregate form must emit
+    the SAME signature for the same text — two silently incompatible
+    permutation families would band to zero candidate pairs."""
+    from pyspark.sql import functions as F
+
+    from phaser_spark.ops import dedup
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    bulk = dedup.minhash_signatures(df, num_perm=8).collect()[0]["sig"]
+    adhoc = df.select(
+        dedup.minhash_signature(F.col("text"), num_perm=8).alias("sig")
+    ).collect()[0]["sig"]
+    assert bulk == adhoc
+
+
+def test_cosine_topk_separate_id_namespaces(spark):
+    """exclude_self=False keeps a corpus neighbor whose id coincides
+    with an external query's id (different id namespaces)."""
+    from phaser_spark.ops import similarity
+
+    corpus = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (6, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(5, [1.0, 0.1])], "vec_id long, embedding array<double>"
+    )
+    strict = similarity.cosine_topk(corpus, queries, k=1)
+    assert strict.collect()[0].neighbor_id == 6  # id-5 neighbor excluded
+    open_ns = similarity.cosine_topk(corpus, queries, k=1, exclude_self=False)
+    assert open_ns.collect()[0].neighbor_id == 5  # true nearest kept
+
+
 def test_unigram_surprisal(spark):
     import math
 
