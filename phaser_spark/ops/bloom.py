@@ -43,11 +43,21 @@ class BloomFilter:
     ``bits`` is a bytes object of ``m_bits/8`` bytes; ``m_bits`` is a
     multiple of 64; ``k`` is the number of hash probes per key."""
 
-    def __init__(self, bits: bytes, m_bits: int, k: int, n_items: int):
+    def __init__(
+        self,
+        bits: bytes,
+        m_bits: int,
+        k: int,
+        n_items: int,
+        key_types: list[str] | None = None,
+    ):
         self.bits = bits
         self.m_bits = m_bits
         self.k = k
         self.n_items = n_items
+        #: build-side key dtypes — xxhash64 is TYPE-sensitive (INT 5 and
+        #: BIGINT 5 hash differently), so probes must cast to these
+        self.key_types = key_types
 
     def __repr__(self):  # pragma: no cover - debug aid
         return (
@@ -68,11 +78,27 @@ def _dimensions(n: int, fpp: float) -> tuple[int, int]:
     return m, min(k, 16)
 
 
-def _position_cols(cols: list[str], m_bits: int, k: int):
+def _position_cols(
+    cols: list[str], m_bits: int, k: int, key_types: list[str] | None = None
+):
     """k bit positions per row, each a JVM-codegen xxhash64 with a
-    distinct integer seed column mixed in — no Python on this path."""
+    distinct integer seed column mixed in — no Python on this path.
+
+    ``key_types`` (the BUILD side's dtypes) are applied with try_cast:
+    xxhash64 is type-sensitive, so probing a BIGINT column against a
+    bloom built over INT keys would test the wrong bits and silently
+    produce false NEGATIVES — breaking the exact-join guarantee.  A
+    probe value unrepresentable in the build type try_casts to NULL
+    (such a value cannot be in the set; any resulting false positive is
+    removed by the exact verify join)."""
+    if key_types:
+        key_exprs = [
+            F.col(c).try_cast(t) for c, t in zip(cols, key_types)
+        ]
+    else:
+        key_exprs = [F.col(c) for c in cols]
     return [
-        F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(i)), F.lit(m_bits))
+        F.pmod(F.xxhash64(*key_exprs, F.lit(i)), F.lit(m_bits))
         for i in range(k)
     ]
 
@@ -96,7 +122,10 @@ def build_bloom(
     if not cols:
         raise PhaserError("build_bloom requires at least one key column")
     keys = keys_df.select(*cols).dropna(how="any")
-    n = expected_items if expected_items is not None else keys.count()
+    # size on DISTINCT keys: a duplicated key side (an un-deduped event
+    # log used as a blocklist) would otherwise oversize the bitmap by
+    # the duplication factor and blow the broadcast budget
+    n = expected_items if expected_items is not None else keys.distinct().count()
     m_bits, k = _dimensions(n, fpp)
     n_bytes = m_bits // 8
 
@@ -134,12 +163,18 @@ def build_bloom(
         or_merge, schema="bm binary"
     ).collect()
     bits = bytes(merged_rows[0]["bm"]) if merged_rows else bytes(n_bytes)
-    return BloomFilter(bits, m_bits, k, n)
+    key_types = [dict(keys_df.dtypes)[c] for c in cols]
+    return BloomFilter(bits, m_bits, k, n, key_types=key_types)
 
 
 def might_contain(df: DataFrame, on: list[str] | str, bloom: BloomFilter):
     """Boolean Column: True when the row's key MIGHT be in the bloom's
     key set (false positives at the built fpp; never false negatives).
+
+    ``df`` is accepted for call-site readability only — the returned
+    Column holds unresolved references to ``on`` and resolves against
+    whatever frame it is applied to.  Probe keys are try_cast to the
+    BUILD side's recorded dtypes (see ``_position_cols``).
     Positions are computed JVM-side; the membership test is one
     vectorized numpy gather per Arrow batch against a shared read-only
     bitmap captured in the UDF closure (sent to executors once per
@@ -159,7 +194,11 @@ def might_contain(df: DataFrame, on: list[str] | str, bloom: BloomFilter):
         hit = bitmap[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)
         return pd.Series((hit != 0).all(axis=1))
 
-    return _check(F.array(*_position_cols(cols, bloom.m_bits, bloom.k)))
+    return _check(
+        F.array(
+            *_position_cols(cols, bloom.m_bits, bloom.k, bloom.key_types)
+        )
+    )
 
 
 def bloom_semi_join(
@@ -194,7 +233,13 @@ def bloom_anti_join(
     FAILING the bloom are definitely non-members and pass through with
     zero shuffle; only the passing sliver (matches + false positives)
     pays the exact anti join.  Null keys never match a join condition,
-    so they are kept on the no-shuffle branch directly."""
+    so they are kept on the no-shuffle branch directly.
+
+    NOTE: the two complementary branches each scan ``big`` (and evaluate
+    the k-hash probe) once — the price of keeping the exact join's
+    shuffle to the sliver.  When the scan itself is the dominant cost
+    (expensive upstream plan rather than a parquet read), persist or
+    localCheckpoint ``big`` before calling."""
     cols = [on] if isinstance(on, str) else list(on)
     bf = bloom or build_bloom(keys_df, cols, fpp, expected_items)
     maybe = might_contain(big, cols, bf)

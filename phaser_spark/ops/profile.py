@@ -33,11 +33,22 @@ _NUMERIC = (
 _TEMPORAL = (T.DateType, T.TimestampType, T.TimestampNTZType)
 
 
+def _finite(c: SparkCol) -> SparkCol:
+    """NULL-out NaN/±Inf: double→decimal casts silently drop them from a
+    sum (or THROW under ANSI mode) while count() still counts the rows —
+    a wrong finite mean instead of NaN.  Metrics here are defined over
+    FINITE values, with the matching count."""
+    return F.when(~F.isnan(c) & (F.abs(c) != float("inf")), c)
+
+
 def _mean_decimal(c: SparkCol) -> SparkCol:
-    """Order-independent exact mean: decimal(38,8) sum, final divide in
-    double (identical op order on any engine/partitioning)."""
-    s = F.sum(c.cast("decimal(38,8)"))
-    return (s.cast("double") / F.count(c).cast("double"))
+    """Order-independent exact mean over FINITE values: decimal(38,8)
+    sum, final divide in double (identical op order on any engine /
+    partitioning); NaN/Inf rows are excluded from numerator AND
+    denominator (see _finite)."""
+    fv = _finite(c)
+    s = F.sum(fv.cast("decimal(38,8)"))
+    return (s.cast("double") / F.count(fv).cast("double"))
 
 
 def profile(
@@ -62,11 +73,19 @@ def profile(
     a whole-table profile averages away.
     """
     keys = list(group_by or [])
-    cols = columns or [
-        c
-        for c in df.columns
-        if not c.startswith("__phaser") and c not in keys
-    ]
+    # `columns if columns is not None` — an EXPLICIT empty list must hit
+    # the no-columns error below, not silently profile every column (a
+    # huge accidental job at scale when a programmatic list comes out
+    # empty)
+    cols = (
+        list(columns)
+        if columns is not None
+        else [
+            c
+            for c in df.columns
+            if not c.startswith("__phaser") and c not in keys
+        ]
+    )
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise PhaserError(f"profile: columns not in frame: {missing}")
@@ -163,8 +182,9 @@ def correlations(
     ``x·y`` sum per pair, all over one scan — n columns is one job, not
     C(n,2) ``df.corr`` calls.
 
-    Rows with a NULL in either column of a pair are excluded from that
-    pair (pairwise deletion, the pandas ``DataFrame.corr`` rule), which
+    Rows with a NULL — or NaN/Inf — in either column of a pair are
+    excluded from that pair (pairwise deletion over finite pairs, the
+    pandas ``DataFrame.corr`` rule), which
     is why each pair carries its own count/sum slots.  The coefficient
     assembles from the exact sums in one fixed double expression, so
     results are identical on any engine/partitioning; pairs with fewer
@@ -178,8 +198,12 @@ def correlations(
     aggs = []
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
-            x = F.col(a).cast("double")
-            y = F.col(b).cast("double")
+            x = _finite(F.col(a).cast("double"))
+            y = _finite(F.col(b).cast("double"))
+            # pairwise deletion over FINITE pairs: a NaN/Inf on one side
+            # would otherwise be counted in n and the clean column's
+            # sums while the decimal cast drops it from the other — a
+            # plausible-looking wrong coefficient
             both = x.isNotNull() & y.isNotNull()
             xs = F.when(both, x)
             ys = F.when(both, y)
@@ -231,7 +255,9 @@ def histogram(
 ) -> DataFrame:
     """Fixed-range histogram in one pass: ``bins`` equal-width buckets
     over ``[lo, hi)`` plus underflow (-1) and overflow (``bins``)
-    buckets; NULLs are dropped.  Returns ``(bin int, bin_lo double,
+    buckets; NULLs and NaNs are dropped (Spark orders NaN above every
+    double, so an unguarded NaN would silently inflate the overflow
+    bucket).  Returns ``(bin int, bin_lo double,
     bin_hi double, n long)`` for non-empty buckets.
 
     One map-side-combinable count keyed on the bin — the fixed range
@@ -251,7 +277,7 @@ def histogram(
     )
     keys = list(group_by or [])
     return (
-        df.filter(v.isNotNull())
+        df.filter(v.isNotNull() & ~F.isnan(v))
         .groupBy(*keys, b.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(

@@ -446,6 +446,60 @@ def test_char_entropy(spark):
     assert one == many
 
 
+def test_profile_nan_handling(spark):
+    """NaN/Inf must not corrupt finite statistics: double→decimal casts
+    drop them from sums while count() still counts the rows — the old
+    mean of [1, 2, NaN] was 1.0."""
+    import math
+
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops import profile as P
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (float("nan"), 30.0), (float("inf"), 40.0)],
+        "a double, b double",
+    )
+    prof = {
+        (r.column, r.metric): r.value_num for r in P.profile(df, ["a"]).collect()
+    }
+    assert prof[("a", "mean")] == 1.5  # finite values only
+    # correlations: the NaN row is pairwise-deleted from BOTH columns
+    corr = P.correlations(df, ["a", "b"]).collect()[0]
+    assert corr.n == 2
+    expected = 1.0  # (1,10),(2,20) are perfectly correlated
+    assert abs(corr.corr - expected) < 1e-9
+    # histogram: NaN neither lands in overflow nor crashes
+    h = {r.bin: r.n for r in P.histogram(df, "a", 2, 0.0, 4.0).collect()}
+    assert h == {0: 1, 1: 1, 2: 1}  # 1→bin0, 2→bin1, inf→overflow; NaN dropped
+    # explicit empty column list errors instead of profiling everything
+    with _pytest.raises(PhaserError, match="no columns"):
+        P.profile(df, [])
+
+
+def test_bloom_mixed_key_dtypes_stay_exact(spark):
+    """xxhash64 is type-sensitive: probing a BIGINT column against a
+    bloom built over INT keys used to test the wrong bits and silently
+    DROP true matches.  Probes now cast to the build side's dtypes."""
+    from phaser_spark.ops import bloom
+
+    big = spark.createDataFrame(
+        [(i,) for i in range(20)], "id long"  # BIGINT probe side
+    )
+    keys = spark.createDataFrame([(5,), (7,)], "id int")  # INT build side
+    semi = bloom.bloom_semi_join(big, keys, "id")
+    assert sorted(r.id for r in semi.collect()) == [5, 7]
+    anti = bloom.bloom_anti_join(big, keys, "id")
+    assert sorted(r.id for r in anti.collect()) == [
+        i for i in range(20) if i not in (5, 7)
+    ]
+    # duplicated key side must not inflate the bitmap sizing
+    dup_keys = keys.union(keys).union(keys)
+    bf = bloom.build_bloom(dup_keys, "id")
+    assert bf.n_items == 2
+
+
 def test_dedup_parameter_validation(spark):
     """Foot-gun parameters fail loudly instead of silently changing
     semantics (wrong keep side, incomplete simhash blocking, degenerate
