@@ -45,7 +45,16 @@ def _data_columns(df: DataFrame) -> list[str]:
     return [c for c in df.columns if c not in INTERNAL_COLS and c != PHASER_ROW_NUM]
 
 
-def _defer_drop_count(context, step_name: str, message_fmt: str, fallback_df, fallback_pred):
+import itertools as _itertools
+
+#: per-instance sequence for DROP_STEP_COL tags: two same-named steps in
+#: one phase (two default-named filter_rows, two drop_duplicate_rows)
+#: would otherwise share a tag and each deferred resolver would count
+#: BOTH steps' drops
+_DROP_TAG_SEQ = _itertools.count()
+
+
+def _defer_drop_count(context, step_name: str, tag: str, message_fmt: str, fallback_df, fallback_pred):
     """Register a summarized drop-count event that resolves CHEAPLY.
 
     Preferred path: count rows tagged ``DROP_STEP_COL == step_name`` in the
@@ -58,10 +67,10 @@ def _defer_drop_count(context, step_name: str, message_fmt: str, fallback_df, fa
 
     phase = context.current_phase
 
-    def _count(ctx=context, phase=phase, name=step_name):
+    def _count(ctx=context, phase=phase, name=step_name, tag=tag):
         ckpt = getattr(ctx, "phase_checkpoints", {}).get(phase)
         if ckpt is not None and DROP_STEP_COL in ckpt.columns:
-            dropped = ckpt.filter(F.col(DROP_STEP_COL) == name).count()
+            dropped = ckpt.filter(F.col(DROP_STEP_COL) == tag).count()
         else:
             dropped = fallback_df.filter(fallback_pred).count()
         if dropped:
@@ -80,6 +89,8 @@ def filter_rows(func: Callable | SparkCol, name: str = "filter_rows"):
     checkpoint, and the summarized DROPPED_ROW count is then read back from
     the checkpoint itself instead of re-scanning the pre-filter input.
     """
+
+    tag = f"{name}#{next(_DROP_TAG_SEQ)}"
 
     @batch_step(internal=True)
     def _filter_rows(df: DataFrame, context=None) -> DataFrame:
@@ -109,7 +120,7 @@ def filter_rows(func: Callable | SparkCol, name: str = "filter_rows"):
         out = (
             df.withColumn(
                 DROP_STEP_COL,
-                F.when(newly, F.lit(name)).otherwise(F.col(DROP_STEP_COL)),
+                F.when(newly, F.lit(tag)).otherwise(F.col(DROP_STEP_COL)),
             )
             .withColumn(DROP_COL, F.col(DROP_COL) | newly)
         )
@@ -117,8 +128,8 @@ def filter_rows(func: Callable | SparkCol, name: str = "filter_rows"):
             out = out.drop("__phaser_keep__")
         if context is not None:
             _defer_drop_count(
-                context, name, "{n} rows dropped by filter_rows", out,
-                F.col(DROP_STEP_COL) == name,
+                context, name, tag, "{n} rows dropped by filter_rows", out,
+                F.col(DROP_STEP_COL) == tag,
             )
         return out
 
@@ -133,7 +144,11 @@ def sort_by(column):
 
     @batch_step(internal=True)
     def _sort_by(df: DataFrame, context=None) -> DataFrame:
-        return df.orderBy(F.col(col).asc_nulls_first(), F.col(PHASER_ROW_NUM).asc())
+        # backticks: a dotted column name would otherwise resolve as
+        # struct-field access (check_unique already escapes)
+        return df.orderBy(
+            F.col(f"`{col}`").asc_nulls_first(), F.col(PHASER_ROW_NUM).asc()
+        )
 
     _sort_by.__name__ = f"sort_by_{col}"
     return _sort_by
@@ -145,12 +160,13 @@ def drop_duplicate_rows(columns=None):
     ``'|'.join(str(v))``; we key on the column tuple directly (same
     equivalence for scalar values, no separator-collision bug)."""
     cols = [_colname(c) for c in columns] if columns else None
+    tag = f"drop_duplicate_rows#{next(_DROP_TAG_SEQ)}"
 
     @batch_step(internal=True)
     def _drop_duplicate_rows(df: DataFrame, context=None) -> DataFrame:
         from .constants import DROP_COL, DROP_STEP_COL
 
-        key = cols or _data_columns(df)
+        key = [f"`{c}`" for c in (cols or _data_columns(df))]
         # one window over ALL rows: already-dropped markers sort after live
         # rows, so the keeper (live row with the highest row number) is
         # rank 1 and markers are never re-tagged — single shuffle, no
@@ -164,7 +180,7 @@ def drop_duplicate_rows(columns=None):
             df.withColumn("__phaser_dd_new__", newly)
             .withColumn(
                 DROP_STEP_COL,
-                F.when(F.col("__phaser_dd_new__"), F.lit("drop_duplicate_rows"))
+                F.when(F.col("__phaser_dd_new__"), F.lit(tag))
                 .otherwise(F.col(DROP_STEP_COL)),
             )
             .withColumn(DROP_COL, F.col(DROP_COL) | F.col("__phaser_dd_new__"))
@@ -172,8 +188,9 @@ def drop_duplicate_rows(columns=None):
         )
         if context is not None:
             _defer_drop_count(
-                context, "drop_duplicate_rows", "{n} duplicate rows dropped",
-                out, F.col(DROP_STEP_COL) == "drop_duplicate_rows",
+                context, "drop_duplicate_rows", tag,
+                "{n} duplicate rows dropped",
+                out, F.col(DROP_STEP_COL) == tag,
             )
         return out
 

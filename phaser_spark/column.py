@@ -72,20 +72,25 @@ _FIX_FNS: dict[str, Callable[[SparkCol], SparkCol]] = {
 }
 
 
-def _apply_fix(expr: SparkCol, fix, colname: str) -> SparkCol:
+def _apply_fix(expr: SparkCol, fix, colname: str, spark_type=None) -> SparkCol:
     if fix is None:
         return expr
+    ftype = spark_type or T.StringType()
     fixes = fix if isinstance(fix, (list, tuple)) else [fix]
     for f in fixes:
         if callable(f):
             # Arbitrary Python: vectorized Arrow-batched pandas UDF.
+            # The callable sees the COLUMN'S TYPED value (reference
+            # cast-then-fix semantics) — stringifying first would hand
+            # an IntColumn fix '5' instead of 5, turning v*2 into '55'
+            # and v+1 into a TypeError.
             import pandas as pd  # noqa: F401
 
-            @F.pandas_udf(T.StringType())
+            @F.pandas_udf(ftype)
             def _udf(s, _f=f):
                 return s.map(lambda v: None if v is None else _f(v))
 
-            expr = _udf(expr.cast("string"))
+            expr = _udf(expr.cast(ftype))
         elif isinstance(f, str):
             if f == "capitalize":
                 expr = F.concat(
@@ -167,15 +172,12 @@ class Column:
         """Return (value_expr, cast_error_message_expr|None)."""
         return self._nullified(raw), None
 
-    def _is_blankable(self) -> bool:
-        return isinstance(self.spark_type, T.StringType)
-
     def compile(self, raw: SparkCol):
         """Compile to (value_expr, error_struct_expr) for this column."""
         value, cast_err = self.cast_expr(raw)
         if self.default is not None:
             value = F.coalesce(value, F.lit(self.default).cast(self.spark_type))
-        value = _apply_fix(value, self.fix_value_fn, self.name)
+        value = _apply_fix(value, self.fix_value_fn, self.name, self.spark_type)
 
         checks: list[tuple[SparkCol, SparkCol]] = []  # (is_bad, message), in
         # reference evaluation order: null-check → cast → fix → check
@@ -185,7 +187,11 @@ class Column:
             # (phaser/column.py:114-128): '' is blank, not null.
             checks.append(
                 (
-                    raw.isNull() | raw.cast("string").isin(*NULL_LITERALS),
+                    # trim before matching: the cast path trims, so a
+                    # padded ' NULL ' becomes null — the check must see
+                    # the same value or the null slips through
+                    raw.isNull()
+                    | F.trim(raw.cast("string")).isin(*NULL_LITERALS),
                     F.lit(f"null value in non-null column '{self.name}'"),
                 )
             )
@@ -334,15 +340,50 @@ _STRPTIME_MAP = {
     # strptime's leniency ("%m" parses both "3" and "03")
     "%Y": "yyyy", "%y": "yy", "%m": "M", "%d": "d", "%H": "H", "%I": "h",
     "%M": "m", "%S": "s", "%f": "SSSSSS", "%p": "a", "%b": "MMM", "%B": "MMMM",
-    "%a": "EEE", "%A": "EEEE", "%j": "D", "%z": "xx", "%%": "%",
+    "%a": "EEE", "%A": "EEEE", "%j": "D", "%z": "xx",
 }
 
 
 def strptime_to_spark(fmt: str) -> str:
-    out = fmt
-    for k, v in _STRPTIME_MAP.items():
-        out = out.replace(k, v)
-    return out
+    """Token-by-token translation: directives map via _STRPTIME_MAP,
+    ``%%`` becomes a literal percent, any OTHER literal text is quoted
+    (java.time reserves every ASCII letter — an unquoted 'T' in an ISO
+    format throws at execution time), and an unmapped directive raises
+    instead of leaking '%x' into the pattern.  The old ordered
+    str.replace corrupted escapes ('%%m' ended up as the minute
+    pattern) and left literals unquoted."""
+    out: list[str] = []
+    literal: list[str] = []
+
+    def flush():
+        if literal:
+            text = "".join(literal).replace("'", "''")
+            out.append(f"'{text}'")
+            literal.clear()
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            if i + 1 >= len(fmt):
+                raise PhaserError(f"trailing '%' in datetime format {fmt!r}")
+            tok = fmt[i : i + 2]
+            if tok == "%%":
+                literal.append("%")
+            elif tok in _STRPTIME_MAP:
+                flush()
+                out.append(_STRPTIME_MAP[tok])
+            else:
+                raise PhaserError(
+                    f"unsupported strptime directive {tok!r} in {fmt!r} "
+                    f"(supported: {sorted(_STRPTIME_MAP)})"
+                )
+            i += 2
+        else:
+            literal.append(ch)
+            i += 1
+    flush()
+    return "".join(out)
 
 
 class DateTimeColumn(_CastColumn):
@@ -367,7 +408,13 @@ class DateTimeColumn(_CastColumn):
                 F.try_to_timestamp(cleaned, F.lit("yyyy-MM-dd")),
             )
         if self.default_tz:
-            ts = F.to_utc_timestamp(ts, self.default_tz)
+            # only NAIVE values get the default zone: an offset-bearing
+            # input already names its instant, and re-interpreting its
+            # wall-clock in default_tz would double-shift it
+            has_offset = cleaned.rlike(r"([+-]\d{2}:?\d{2}|[+-]\d{4}|[Zz])$")
+            ts = F.when(has_offset, ts).otherwise(
+                F.to_utc_timestamp(ts, self.default_tz)
+            )
         return ts
 
 
