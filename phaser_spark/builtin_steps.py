@@ -45,13 +45,18 @@ def _data_columns(df: DataFrame) -> list[str]:
     return [c for c in df.columns if c not in INTERNAL_COLS and c != PHASER_ROW_NUM]
 
 
-import itertools as _itertools
+def _mint_drop_tag(context, name: str) -> str:
+    """Unique DROP_STEP_COL tag for a dropping step.
 
-#: per-instance sequence for DROP_STEP_COL tags: two same-named steps in
-#: one phase (two default-named filter_rows, two drop_duplicate_rows)
-#: would otherwise share a tag and each deferred resolver would count
-#: BOTH steps' drops
-_DROP_TAG_SEQ = _itertools.count()
+    Two same-named steps in one phase (two default-named filter_rows, two
+    drop_duplicate_rows) would otherwise share a tag and each deferred
+    resolver would count BOTH steps' drops.  The sequence lives on the
+    Context keyed by (phase, name) and resets at phase start, so the tag
+    is a pure function of the step's position among same-named steps —
+    reproducible across processes (checkpoint-resume safe), unlike a
+    process-global counter.  Standalone use without a context falls back
+    to the bare name (no deferred counting happens there anyway)."""
+    return context.next_drop_tag(name) if context is not None else f"{name}#0"
 
 
 def _defer_drop_count(context, step_name: str, tag: str, message_fmt: str, fallback_df, fallback_pred):
@@ -90,11 +95,11 @@ def filter_rows(func: Callable | SparkCol, name: str = "filter_rows"):
     the checkpoint itself instead of re-scanning the pre-filter input.
     """
 
-    tag = f"{name}#{next(_DROP_TAG_SEQ)}"
-
     @batch_step(internal=True)
     def _filter_rows(df: DataFrame, context=None) -> DataFrame:
         from .constants import DROP_COL, DROP_STEP_COL
+
+        tag = _mint_drop_tag(context, name)
 
         if isinstance(func, SparkCol):
             newly = (~F.col(DROP_COL)) & ~F.coalesce(func, F.lit(False))
@@ -160,11 +165,12 @@ def drop_duplicate_rows(columns=None):
     ``'|'.join(str(v))``; we key on the column tuple directly (same
     equivalence for scalar values, no separator-collision bug)."""
     cols = [_colname(c) for c in columns] if columns else None
-    tag = f"drop_duplicate_rows#{next(_DROP_TAG_SEQ)}"
 
     @batch_step(internal=True)
     def _drop_duplicate_rows(df: DataFrame, context=None) -> DataFrame:
         from .constants import DROP_COL, DROP_STEP_COL
+
+        tag = _mint_drop_tag(context, "drop_duplicate_rows")
 
         key = [f"`{c}`" for c in (cols or _data_columns(df))]
         # one window over ALL rows: already-dropped markers sort after live

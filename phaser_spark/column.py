@@ -411,6 +411,16 @@ class DateTimeColumn(_CastColumn):
             # only NAIVE values get the default zone: an offset-bearing
             # input already names its instant, and re-interpreting its
             # wall-clock in default_tz would double-shift it
+            if self.datetime_format:
+                # the FORMAT decides (reference phaser/column.py:377 keys
+                # off the parsed result's tzname): a value-suffix sniff
+                # here would false-positive on naive dates whose rendering
+                # ends in "-<year>" (e.g. '01-01-2024' with '%d-%m-%Y')
+                if "%z" in self.datetime_format or "%Z" in self.datetime_format:
+                    return ts
+                return F.to_utc_timestamp(ts, self.default_tz)
+            # ISO default path: '-DDDD$' cannot occur in a naive ISO value,
+            # so the suffix sniff is exact
             has_offset = cleaned.rlike(r"([+-]\d{2}:?\d{2}|[+-]\d{4}|[Zz])$")
             ts = F.when(has_offset, ts).otherwise(
                 F.to_utc_timestamp(ts, self.default_tz)

@@ -70,6 +70,28 @@ class Context:
         self.phase_checkpoints: dict[str, DataFrame] = {}
         # named side datasets (reference "rwos", phaser/context.py:28-33)
         self.rwos: dict[str, SavableObject] = {}
+        # per-(phase, step-name) sequence for DROP_STEP_COL tags: reset at
+        # each phase start so the Nth same-named dropping step in a phase
+        # always tags "name#N" — deterministic across processes, which lets
+        # a FRESH process resolve deferred drop counts from a checkpoint
+        # written by a previous run (a process-global counter would drift
+        # with unrelated step construction)
+        self._drop_tag_counts: dict[tuple[str, str], int] = {}
+        # DataFrames pinned (cached) for stable row numbering, scoped to
+        # THIS pipeline: released by run_phase once the numbered plan is
+        # durably checkpointed.  Scoping per context keeps one pipeline's
+        # checkpoint from unpersisting another's still-unmaterialized input
+        self.pinned_inputs: list[DataFrame] = []
+
+    def next_drop_tag(self, name: str) -> str:
+        key = (self.current_phase, name)
+        n = self._drop_tag_counts.get(key, 0)
+        self._drop_tag_counts[key] = n + 1
+        return f"{name}#{n}"
+
+    def reset_drop_tags(self, phase: str) -> None:
+        for key in [k for k in self._drop_tag_counts if k[0] == phase]:
+            del self._drop_tag_counts[key]
 
     # -- variables (phaser/context.py "add_variable/get") -------------------
     def add_variable(self, name: str, value) -> None:

@@ -61,18 +61,40 @@ def _sniff_headers(
     ``phaser/io.py:43-47``).
     """
 
-    def _first_lines():
-        import itertools
-
+    def _lines():
         try:
-            with open(source, encoding=encoding, newline="") as f:
-                return list(itertools.islice(f, 200))
+            f = open(source, encoding=encoding, newline="")
         except OSError:
             if spark is None:
                 raise
-            return spark.sparkContext.textFile(source).take(200)
+            # distributed fallback: Hadoop's line reader decodes via
+            # UTF-8 `Text` unconditionally (even use_unicode=False hands
+            # back already-transcoded bytes), so a non-UTF-8 remote sniff
+            # would silently corrupt the header — refuse loudly instead
+            import codecs
 
-    for line in _first_lines():
+            if codecs.lookup(encoding).name not in ("utf-8", "ascii"):
+                raise DataException(
+                    f"{source}: header sniff on a remote path only supports "
+                    f"UTF-8 (requested {encoding!r}); copy the file locally "
+                    "or re-encode it"
+                )
+            raw = spark.sparkContext.textFile(source)
+            # escalate rather than scan unboundedly: a remote header sniff
+            # past 10k leading comment/blank lines is a malformed file
+            for n in (200, 10_000):
+                chunk = raw.take(n)
+                if any(ln.strip() and not ln.startswith("#") for ln in chunk) or len(chunk) < n:
+                    return iter(chunk)
+            raise DataException(
+                f"{source}: no header row in the first 10000 lines "
+                "(remote sniff limit; strip leading comments or use a local path)"
+            )
+        # local path: lazy full-file iteration — a file with thousands of
+        # leading comment lines still finds its header
+        return f
+
+    for line in _lines():
         if line.startswith("#") or not line.strip():
             continue
         headers = next(csv.reader(_pyio.StringIO(line), delimiter=delimiter))
@@ -139,8 +161,17 @@ def read_csv(
     # parses cleanly so the corrupt column comes back NULL and the
     # classification sees nothing.  Corrupt rows are a sliver of any
     # sane file (and executor-side, never the driver).
-    sliver = df.filter(F.col(_CORRUPT).isNotNull()).localCheckpoint(eager=True)
-    if not sliver.isEmpty():
+    # .first() probe: clean files early-exit the scan at the first task
+    # that returns rows (no full pass, no checkpoint); the checkpoint is
+    # also CAPPED — a systematically malformed file (wrong delimiter ⇒
+    # every row corrupt) must not materialize its entire input to executor
+    # storage just to raise DataException.  Under the cap the missing-field
+    # count stays exact; at the cap the error reports a lower bound.
+    corrupt_rows = df.filter(F.col(_CORRUPT).isNotNull())
+    _SLIVER_CAP = 100_000
+    if corrupt_rows.first() is not None:
+        sliver = corrupt_rows.limit(_SLIVER_CAP).localCheckpoint(eager=True)
+        capped = sliver.count() >= _SLIVER_CAP
         n_fields = len(headers)
         delim = delimiter
 
@@ -168,18 +199,20 @@ def read_csv(
             F.count(F.when(F.col("n") < n_fields, 1)).alias("n_missing"),
             F.count(F.when(F.col("n") > n_fields, 1)).alias("n_extra"),
         ).first()
+        at_least = "at least " if capped else ""
         if stats["n_missing"]:
             examples = [
                 r["raw"]
                 for r in bad.filter(F.col("n") < n_fields).limit(3).collect()
             ]
             raise DataException(
-                f"{source}: {stats['n_missing']} row(s) with missing fields "
-                f"(expected {n_fields}): {examples}"
+                f"{source}: {at_least}{stats['n_missing']} row(s) with missing "
+                f"fields (expected {n_fields}): {examples}"
             )
         if stats["n_extra"] and on_warning:
             on_warning(
-                f"{source}: {stats['n_extra']} row(s) had extra fields; extras dropped"
+                f"{source}: {at_least}{stats['n_extra']} row(s) had extra "
+                "fields; extras dropped"
             )
     df = df.drop(_CORRUPT)
 

@@ -69,27 +69,37 @@ def _is_deterministic_narrow_plan(df: DataFrame) -> bool:
     return "Relation" in plan or "Range" in plan or "LogicalRDD" in plan
 
 
-#: DataFrames pinned (cached) for stable numbering, awaiting release once
-#: the numbered plan has been materialized (a phase checkpoint)
+#: DataFrames pinned (cached) for stable numbering by callers that did not
+#: supply their own ``pins`` list (standalone API use).  Pipelines scope
+#: pins to their Context (``Context.pinned_inputs``) so one pipeline's
+#: checkpoint can never unpersist another pipeline's still-unmaterialized
+#: numbered input — releasing THIS list wholesale is only safe in
+#: single-pipeline sessions.
 _PINNED: list = []
 
 
-def release_pinned() -> None:
+def release_pinned(pins: list | None = None) -> None:
     """Unpersist every input pinned by :func:`with_row_numbers`.
 
-    Safe ONLY after the numbered plan has been materialized (parquet
-    checkpoint / bucketed table write): the pin exists so the counts job
-    and the final numbering observe one partitioning, and that guarantee
-    must hold until the numbers are durably written.
+    ``pins`` drains a caller-scoped list (a pipeline's
+    ``Context.pinned_inputs``); without it the module-global standalone
+    list is drained.  Safe ONLY after the numbered plan has been
+    materialized (parquet checkpoint / bucketed table write): the pin
+    exists so the counts job and the final numbering observe one
+    partitioning, and that guarantee must hold until the numbers are
+    durably written.
     """
-    while _PINNED:
+    target = _PINNED if pins is None else pins
+    while target:
         try:
-            _PINNED.pop().unpersist()
+            target.pop().unpersist()
         except Exception:
             pass
 
 
-def with_row_numbers(df: DataFrame, start: int = 1, cache: bool | None = None) -> DataFrame:
+def with_row_numbers(
+    df: DataFrame, start: int = 1, cache: bool | None = None, pins: list | None = None
+) -> DataFrame:
     """Attach ``__phaser_row_num__`` in current partition/row order.
 
     ``cache`` pins the input so the per-partition counts and the final
@@ -110,8 +120,9 @@ def with_row_numbers(df: DataFrame, start: int = 1, cache: bool | None = None) -
         # registered for release at the next phase checkpoint — without
         # this every numbering over a shuffled plan pins a DataFrame for
         # the session's lifetime and a long pipeline fills executor
-        # storage (the exact failure the docstring above warns about)
-        _PINNED.append(df)
+        # storage (the exact failure the docstring above warns about).
+        # ``pins`` scopes the registration to the owning pipeline/batch.
+        (_PINNED if pins is None else pins).append(df)
     mid = F.monotonically_increasing_id()
     tagged = df.withColumn(_PID, F.shiftrightunsigned(mid, 33).cast("long")).withColumn(
         _LOCAL, (mid.bitwiseAND(F.lit(_MID_LOCAL_MASK))).cast("long")
@@ -217,7 +228,7 @@ def _estimated_partitions(df: DataFrame) -> int:
     return df.rdd.getNumPartitions()
 
 
-def renumber(df: DataFrame, order_by=None, start: int = 1) -> DataFrame:
+def renumber(df: DataFrame, order_by=None, start: int = 1, pins: list | None = None) -> DataFrame:
     """Re-assign row numbers from ``start`` (reference ``phaser/phase.py:120-124``).
 
     When ``order_by`` is given, the rows are globally SORTED (range
@@ -233,24 +244,24 @@ def renumber(df: DataFrame, order_by=None, start: int = 1) -> DataFrame:
         # than pinning a full sorted copy — at 100 TB a re-sort streams,
         # while a pinned copy is storage pressure
         return with_row_numbers(
-            df.drop(PHASER_ROW_NUM).orderBy(*order), start=start
+            df.drop(PHASER_ROW_NUM).orderBy(*order), start=start, pins=pins
         )
-    return with_row_numbers(df.drop(PHASER_ROW_NUM), start=start)
+    return with_row_numbers(df.drop(PHASER_ROW_NUM), start=start, pins=pins)
 
 
-def number_new_rows(df: DataFrame, max_existing: int) -> DataFrame:
+def number_new_rows(df: DataFrame, max_existing: int, pins: list | None = None) -> DataFrame:
     """Number rows whose ``__phaser_row_num__`` is null from ``max_existing+1``.
 
     Reference semantics: rows added by steps get ``max+1`` numbering
     (``phaser/records.py:60-92``, ``tests/test_record_metadata.py:63-97``).
     """
     if PHASER_ROW_NUM not in df.columns:
-        return with_row_numbers(df, start=max_existing + 1)
+        return with_row_numbers(df, start=max_existing + 1, pins=pins)
     has_null = df.filter(F.col(PHASER_ROW_NUM).isNull())
     if has_null.isEmpty():
         return df
     kept = df.filter(F.col(PHASER_ROW_NUM).isNotNull())
     fresh = with_row_numbers(
-        has_null.drop(PHASER_ROW_NUM), start=max_existing + 1
+        has_null.drop(PHASER_ROW_NUM), start=max_existing + 1, pins=pins
     )
     return kept.unionByName(fresh)

@@ -188,6 +188,11 @@ def lsh_topk(
     else:
         sig_of = lambda v: _plane_signature(v, planes)  # noqa: E731
         n_bits = planes
+    if n_bits > 64:
+        raise PhaserError(
+            f"lsh_topk: {n_bits} planes exceed the 64-bit long signature — "
+            "use <= 64 planes (or band multiple signatures)"
+        )
     c = spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
@@ -208,7 +213,13 @@ def lsh_topk(
     masks = [0]
     for d in range(1, probe_hamming + 1):
         for bits in itertools.combinations(range(n_bits), d):
-            masks.append(sum(1 << b for b in bits))
+            m = sum(1 << b for b in bits)
+            if m >= 1 << 63:
+                # signed two's complement: a mask touching bit 63 exceeds
+                # LongType max as a Python int and F.lit(m) would fail at
+                # plan time; the XOR result is bit-identical either way
+                m -= 1 << 64
+            masks.append(m)
     if len(masks) > 100_000:
         raise PhaserError(
             f"lsh_topk: Hamming ball of radius {probe_hamming} over "

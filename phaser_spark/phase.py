@@ -232,7 +232,10 @@ class Phase:
         if self.df is None:
             raise PhaserError(f"Phase {self.name}: no data loaded")
         self.context.current_phase = self.name
-        df = with_row_numbers(self.df, cache=self.lineage_cache)
+        self.context.reset_drop_tags(self.name)
+        df = with_row_numbers(
+            self.df, cache=self.lineage_cache, pins=self.context.pinned_inputs
+        )
         # numbering is pinned to ingest order above; from here on the plan is
         # order-free (everything keys off __phaser_row_num__), so fan a
         # narrow scan out across cores before the column/step projections
@@ -254,7 +257,8 @@ class Phase:
             # ORIGINAL numbers (their DROPPED_ROW events were recorded
             # against those).
             live = _renumber(
-                df.filter(~F.col(DROP_COL)).drop(PHASER_ROW_NUM)
+                df.filter(~F.col(DROP_COL)).drop(PHASER_ROW_NUM),
+                pins=self.context.pinned_inputs,
             )
             df = live.unionByName(df.filter(F.col(DROP_COL)))
         return df
@@ -568,12 +572,14 @@ class Phase:
             # sharing a number double-attributes events and corrupts
             # later max+1 numbering)
             mx = state.agg(F.max(PHASER_ROW_NUM)).first()[0] or 0
-            out = with_row_numbers(out, start=mx + 1)
+            out = with_row_numbers(
+                out, start=mx + 1, pins=self.context.pinned_inputs
+            )
             joined = self._ensure_internal(out)
         else:
             if not out.filter(F.col(PHASER_ROW_NUM).isNull()).isEmpty():
                 mx = state.agg(F.max(PHASER_ROW_NUM)).first()[0] or 0
-                out = number_new_rows(out, mx)
+                out = number_new_rows(out, mx, pins=self.context.pinned_inputs)
             joined = out.join(state, on=PHASER_ROW_NUM, how="left")
             joined = joined.withColumn(
                 DROP_COL, F.coalesce(F.col(DROP_COL), F.lit(False))

@@ -316,7 +316,9 @@ class Pipeline:
             # accumulate one cached DataFrame per numbering call)
             from .lineage import release_pinned
 
-            release_pinned()
+            # scoped to THIS pipeline's context — a second pipeline (or a
+            # streaming query) in the same session keeps its own pins
+            release_pinned(self.context.pinned_inputs)
 
         events = extract_events(out, ph.name)
         self.context.add_event_df(events)
@@ -533,8 +535,12 @@ class Pipeline:
                 or batch_id <= state["last_batch"]
             ):
                 state["next_start"] = start_for(batch_id)
+            # batch-scoped pin: the numbering cache is released at the end
+            # of THIS foreachBatch call (the global list would grow one
+            # entry per micro-batch for the stream's lifetime)
+            batch_pins: list[DataFrame] = []
             numbered = with_row_numbers(
-                batch_df, start=state["next_start"], cache=True
+                batch_df, start=state["next_start"], cache=True, pins=batch_pins
             )
             df = numbered
             caches: list[DataFrame] = []
@@ -574,6 +580,12 @@ class Pipeline:
                     self.context.add_event_df(pinned)
             for c in caches:
                 c.unpersist()
+            from .lineage import release_pinned
+
+            # the batch numbering pin (batch_df.cache()) plus any pins the
+            # phases registered on the context while running this batch
+            release_pinned(batch_pins)
+            release_pinned(self.context.pinned_inputs)
             batch_df.unpersist()
 
         writer = stream_df.writeStream.foreachBatch(process)

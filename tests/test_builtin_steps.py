@@ -103,15 +103,59 @@ def test_drop_count_resolves_from_checkpoint_not_rescan(spark):
     ctx = Context(spark=spark)
     ctx.current_phase = "P"
     ckpt = spark.createDataFrame(
-        [("a", "filter_rows"), ("b", None), ("c", "filter_rows")],
+        [("a", "filter_rows#0"), ("b", None), ("c", "filter_rows#0"),
+         ("d", "filter_rows#1")],  # a SECOND same-named step's drops: not counted
         f"k string, {DROP_STEP_COL} string",
     )
     ctx.phase_checkpoints["P"] = ckpt
     _defer_drop_count(
-        ctx, "filter_rows", "{n} rows dropped by filter_rows",
+        ctx, "filter_rows", "filter_rows#0", "{n} rows dropped by filter_rows",
         None, None,  # fallback sentinels: touching them would raise
     )
     evs = [e for e in ctx.driver_events if e["type"] == "DROPPED_ROW"]
+    assert len(evs) == 1 and "2 rows dropped" in evs[0]["message"]
+
+
+def test_drop_tags_deterministic_across_fresh_process(spark, tmp_path):
+    """Checkpoint-resume contract: tags are a pure function of step order
+    within the phase, so a FRESH process (here: a fresh Context) re-mints
+    the identical tags and can resolve deferred drop counts from a
+    checkpoint parquet written by the previous run."""
+    from phaser_spark import Phase, Pipeline
+    from phaser_spark.builtin_steps import _defer_drop_count
+    from phaser_spark.constants import DROP_STEP_COL
+
+    wd = str(tmp_path / "wd")
+
+    ph = Phase(
+        name="P",
+        steps=[
+            filter_rows(F.col("v") > 1, name="lo"),
+            filter_rows(F.col("v") < 9, name="lo"),  # same name, 2nd tag
+        ],
+    )
+
+    # "process 1": run the pipeline, materializing .P_state.parquet
+    pipe = Pipeline(name="resume", phases=[ph], working_dir=wd, spark=spark)
+    pipe.run(spark.createDataFrame([(1,), (5,), (9,), (10,)], "v long"))
+    ckpt_path = f"{wd}/.P_state.parquet"
+    written = {
+        r[DROP_STEP_COL]
+        for r in spark.read.parquet(ckpt_path).select(DROP_STEP_COL).collect()
+    }
+    assert written == {"lo#0", "lo#1", None}
+
+    # "process 2": fresh Context (no shared counter state) minting the same
+    # phase's tags must reproduce them, and a deferred count registered
+    # against the re-read checkpoint must resolve from disk
+    ctx2 = Context(spark=spark)
+    ctx2.current_phase = "P"
+    ctx2.reset_drop_tags("P")
+    t0, t1 = ctx2.next_drop_tag("lo"), ctx2.next_drop_tag("lo")
+    assert (t0, t1) == ("lo#0", "lo#1")
+    ctx2.phase_checkpoints["P"] = spark.read.parquet(ckpt_path)
+    _defer_drop_count(ctx2, "lo", t1, "{n} rows dropped by filter_rows", None, None)
+    evs = [e for e in ctx2.driver_events if e["type"] == "DROPPED_ROW"]
     assert len(evs) == 1 and "2 rows dropped" in evs[0]["message"]
 
 

@@ -175,3 +175,50 @@ def test_datetime_default_tz(spark):
     out = ph.run(df).select("t").collect()
     # noon EDT == 16:00 UTC (session tz is UTC)
     assert out[0].t.hour == 16
+
+
+def test_datetime_default_tz_format_decides_not_value_suffix(spark):
+    """With an explicit datetime_format the FORMAT decides naive-vs-offset:
+    '01-06-2024' (%d-%m-%Y) ends in '-2024', which the old value-suffix
+    regex mistook for a UTC offset, silently skipping default_tz."""
+    from phaser_spark import DateTimeColumn, Phase
+    from phaser_spark.context import Context
+
+    df = spark.createDataFrame([("01-06-2024 12:00:00",)], ["t"])
+    ph = Phase(
+        name="tzfmt",
+        columns=[
+            DateTimeColumn(
+                "t",
+                datetime_format="%d-%m-%Y %H:%M:%S",
+                default_tz="America/New_York",
+            )
+        ],
+        context=Context(spark=spark),
+        lineage_cache=False,
+    )
+    out = ph.run(df).select("t").collect()
+    assert out[0].t.hour == 16  # default_tz applied: noon EDT == 16:00 UTC
+
+
+def test_datetime_default_tz_offset_format_skips_default(spark):
+    """A %z-bearing format means every value names its instant — default_tz
+    must NOT double-shift it."""
+    from phaser_spark import DateTimeColumn, Phase
+    from phaser_spark.context import Context
+
+    df = spark.createDataFrame([("2024-06-01 12:00:00 +0200",)], ["t"])
+    ph = Phase(
+        name="tzoff",
+        columns=[
+            DateTimeColumn(
+                "t",
+                datetime_format="%Y-%m-%d %H:%M:%S %z",
+                default_tz="America/New_York",
+            )
+        ],
+        context=Context(spark=spark),
+        lineage_cache=False,
+    )
+    out = ph.run(df).select("t").collect()
+    assert out[0].t.hour == 10  # noon +02:00 == 10:00 UTC, not re-shifted

@@ -23,6 +23,40 @@ def test_comment_and_empty_lines_skipped(spark, tmp_path):
     assert nums == [1, 2]
 
 
+def test_header_beyond_200_comment_lines(spark, tmp_path):
+    # the old sniff gave up after 200 lines and misreported "no header"
+    p = w(tmp_path, "deep.csv", "# c\n" * 500 + "x,y\n1,2\n")
+    df = read_csv(spark, p)
+    assert df.columns[:2] == ["x", "y"] and df.count() == 1
+
+
+def test_sniff_remote_fallback_utf8_ok_latin1_refused(spark, tmp_path):
+    """Remote-path sniffing (mocked by failing local open()): UTF-8 works
+    through textFile; non-UTF-8 is REFUSED loudly — Hadoop's line reader
+    transcodes via UTF-8 Text, so a latin-1 remote sniff would silently
+    corrupt the header."""
+    import builtins
+
+    from phaser_spark import io as pio
+
+    p8 = w(tmp_path, "u8.csv", "x,y\n1,2\n")
+    pl = w(tmp_path, "latin.csv", "na\xefve,y\n1,2\n", encoding="latin-1")
+    real_open = builtins.open
+
+    def deny(f, *a, **k):
+        if f in (p8, pl):
+            raise OSError("pretend remote")
+        return real_open(f, *a, **k)
+
+    try:
+        builtins.open = deny
+        assert pio._sniff_headers(p8, ",", "utf-8", spark=spark) == ["x", "y"]
+        with pytest.raises(DataException, match="only supports.*UTF-8"):
+            pio._sniff_headers(pl, ",", "latin-1", spark=spark)
+    finally:
+        builtins.open = real_open
+
+
 def test_all_empty_row_dropped(spark, tmp_path):
     p = w(tmp_path, "a.csv", "x,y\n1,2\n,\n3,4\n")
     df = read_csv(spark, p)
