@@ -755,7 +755,10 @@ def embedding_dup_pairs(
         if planes_matrix is not None
         else _plane_signature(F.col("v"), planes)
     )
-    sig = base.withColumn("bucket", bucket)
+    # norm hoisted to one fold per VECTOR (same fold order → identical
+    # truncated cosine); folding both arrays per candidate PAIR measured
+    # ~2× the whole verification leg in the semantic_dedup twin
+    sig = base.withColumn("bucket", bucket).withColumn("n", norm(F.col("v")))
     cand = (
         sig.alias("x")
         .join(
@@ -767,9 +770,11 @@ def embedding_dup_pairs(
             F.col("y.id").alias("id_b"),
             F.col("x.v").alias("va"),
             F.col("y.v").alias("vb"),
+            F.col("x.n").alias("na"),
+            F.col("y.n").alias("nb"),
         )
     )
-    cos = dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return cand.select("id_a", "id_b", trunc_digits(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
@@ -818,18 +823,25 @@ def semantic_dedup(
         F.col(vec_col).cast("array<double>").alias("__sd_v"),
     )
     cells = assign_cells(sel, centroids, "__sd_v", out_col="__sd_cell")
+    # hoist the norm to one fold per VECTOR: computing it inside the pair
+    # projection re-folds both 64-element arrays per PAIR — measured 2× the
+    # whole scoring leg at sf0.1.  Same fold order per vector, so the
+    # truncated cosine (and the SQL oracle) stays bit-identical.
+    cells = cells.withColumn("__sd_n", _norm(F.col("__sd_v")))
     x = cells.select(
         F.col("__sd_id").alias("ida"),
         F.col("__sd_v").alias("va"),
+        F.col("__sd_n").alias("na"),
         F.col("__sd_cell").alias("cell"),
     )
     y = cells.select(
         F.col("__sd_id").alias("idb"),
         F.col("__sd_v").alias("vb"),
+        F.col("__sd_n").alias("nb"),
         F.col("__sd_cell").alias("cell"),
     )
     cos = trunc_digits(
-        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
     dropped = (
         x.join(y, "cell")

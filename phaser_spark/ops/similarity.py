@@ -40,16 +40,24 @@ def _dot_decimal(a, b):
     ).cast("double")
 
 
+def _vec_norm(exact: bool, vec: SparkCol) -> SparkCol:
+    """One-fold-per-vector norm, hoisted by every top-k variant into its
+    corpus/query projections (as ``cn``/``qn``) BEFORE the candidate
+    join — folding both arrays per candidate PAIR measured ~2× the whole
+    scoring leg.  Same fold order as the inline form, so truncated
+    cosines (and SQL oracles) are bit-identical."""
+    return F.sqrt(_dot_decimal(vec, vec)) if exact else _norm(vec)
+
+
 def _cosine(exact: bool) -> SparkCol:
-    """6-digit-truncated cosine of the ``cv``/``qv`` columns — the single
-    scoring expression every top-k variant shares (a tiebreak or
-    truncation change must hit all of them identically, since the tests
-    compare the approximate variants against ``cosine_topk``)."""
+    """6-digit-truncated cosine of the ``cv``/``qv`` columns with their
+    hoisted ``cn``/``qn`` norms — the single scoring expression every
+    top-k variant shares (a tiebreak or truncation change must hit all
+    of them identically, since the tests compare the approximate
+    variants against ``cosine_topk``)."""
     dot = _dot_decimal if exact else _dot
-    norm = (lambda v: F.sqrt(_dot_decimal(v, v))) if exact else _norm
     return trunc_digits(
-        dot(F.col("cv"), F.col("qv"))
-        / (norm(F.col("cv")) * norm(F.col("qv"))),
+        dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")),
         6,
     )
 
@@ -96,10 +104,10 @@ def cosine_topk(
     qid = query_id_col or id_col
     c = spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
+    ).withColumn("cn", _vec_norm(exact, F.col("cv")))
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
+    ).withColumn("qn", _vec_norm(exact, F.col("qv")))
     scored = c.crossJoin(F.broadcast(q))
     if exclude_self:
         scored = scored.filter(
@@ -196,11 +204,16 @@ def lsh_topk(
     c = spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("c_sig", sig_of(F.col("cv")))
+    ).withColumn("c_sig", sig_of(F.col("cv"))).withColumn(
+        "cn", _vec_norm(exact, F.col("cv"))
+    )
+    # qn before the Hamming-ball explode: one fold per query, not per probe
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("q_sig", sig_of(F.col("qv")))
+    ).withColumn("q_sig", sig_of(F.col("qv"))).withColumn(
+        "qn", _vec_norm(exact, F.col("qv"))
+    )
     # TRUE bucket probe: expand each query signature into its Hamming
     # ball (every XOR mask with popcount <= probe_hamming — a literal
     # array, the masks depend only on (n_bits, radius)) and EQUI-join on
@@ -375,11 +388,11 @@ def ivf_topk(
         cents,
         "cv",
         dist_fn=sq,
-    )
+    ).withColumn("cn", _vec_norm(exact, F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", _vec_norm(exact, F.col("qv")))
     # n_probe nearest cells per query, exploded to (query, cell) probe rows
     qvec = F.col("qv")
     cent_arr = F.array(*[F.array(*[F.lit(x) for x in c_]) for c_ in cents])
@@ -397,7 +410,7 @@ def ivf_topk(
     )
     probes = q.withColumn(
         "cell", F.explode(F.transform(ranked, lambda s: s["cell"]))
-    ).select("query_id", "qv", F.col("cell").cast("int"))
+    ).select("query_id", "qv", "qn", F.col("cell").cast("int"))
     if broadcast_queries:
         probes = F.broadcast(probes)
     joined = c.join(probes, "cell").filter(
