@@ -47,7 +47,10 @@ def locate(path: str, name: str) -> int | None:
 
 def main() -> int:
     check = "--check" in sys.argv
-    with open(DOC) as f:
+    doc = DOC
+    if "--doc" in sys.argv:  # test hook: run against an arbitrary doc file
+        doc = sys.argv[sys.argv.index("--doc") + 1]
+    with open(doc) as f:
         text = f.read()
     changes: list[tuple[str, str, int, int]] = []
     missing: list[tuple[str, str]] = []
@@ -101,7 +104,7 @@ def main() -> int:
         print("anchors up to date")
         return 0
     if updated != text:
-        with open(DOC, "w") as f:
+        with open(doc, "w") as f:
             f.write(updated)
         print(f"rewrote {len(changes)} anchor(s)")
     else:
