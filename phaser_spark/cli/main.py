@@ -33,7 +33,12 @@ def _find_pipeline_class(name: str):
     candidates = [
         v
         for v in vars(mod).values()
-        if isinstance(v, type) and issubclass(v, Pipeline) and v is not Pipeline
+        if isinstance(v, type)
+        and issubclass(v, Pipeline)
+        and v is not Pipeline
+        # defined HERE, not merely imported: `from phaser_spark import
+        # DagPipeline` must not count as a second candidate
+        and getattr(v, "__module__", None) == mod.__name__
     ]
     if len(candidates) != 1:
         raise PhaserError(
@@ -44,7 +49,10 @@ def _find_pipeline_class(name: str):
 
 
 def cmd_run(argv: list[str]) -> int:
-    parser = argparse.ArgumentParser(prog="phaser_spark run")
+    # allow_abbrev=False: with prefix matching, a dynamic extra-source
+    # flag like --mast would be swallowed by --master and the source
+    # silently never initialized
+    parser = argparse.ArgumentParser(prog="phaser_spark run", allow_abbrev=False)
     parser.add_argument("pipeline")
     parser.add_argument("working_dir")
     parser.add_argument("source")
@@ -55,6 +63,9 @@ def cmd_run(argv: list[str]) -> int:
 
     from ..session import get_spark
 
+    for kv in args.conf:
+        if "=" not in kv:
+            parser.error(f"--conf expects key=value, got {kv!r}")
     conf = dict(kv.split("=", 1) for kv in args.conf)
     spark = get_spark(master=args.master, extra_conf=conf)
     cls = _find_pipeline_class(args.pipeline)
@@ -64,15 +75,19 @@ def cmd_run(argv: list[str]) -> int:
         error_policy=args.error_policy,
         spark=spark,
     )
-    # dynamic extra-source args: --name path (reference main.py:121-123)
+    # dynamic extra-source args: --name path OR --name=path
+    # (reference main.py:121-123)
     it = iter(extra)
     for flag in it:
         if not flag.startswith("--"):
             parser.error(f"unexpected argument {flag}")
-        try:
-            path = next(it)
-        except StopIteration:
-            parser.error(f"{flag} needs a path")
+        if "=" in flag:
+            flag, path = flag.split("=", 1)
+        else:
+            try:
+                path = next(it)
+            except StopIteration:
+                parser.error(f"{flag} needs a path")
         pipe.init_source(flag[2:].replace("-", "_"), path)
     pipe.run()
     print(f"Pipeline {pipe.name} completed; outputs in {args.working_dir}")
@@ -94,18 +109,44 @@ def cmd_diff(argv: list[str]) -> int:
     cls = _find_pipeline_class(args.pipeline)
     pipe = cls(working_dir=args.working_dir, spark=spark)
     names = ["source_copy"] + [f"{ph.name}_output" for ph in pipe.phase_instances]
+    # probe the pipeline's own save_format first (orc pipelines were
+    # invisible before); a missing expected file is an ERROR — silently
+    # skipping it would shift the zip and diff each pair against the
+    # WRONG phase's renames
+    exts = [pipe.save_format] + [
+        e for e in ("csv", "json", "parquet", "orc") if e != pipe.save_format
+    ]
     paths = []
     for n in names:
-        for ext in ("csv", "json", "parquet"):
+        for ext in exts:
             p = os.path.join(args.working_dir, f"{n}.{ext}")
             if os.path.exists(p):
                 paths.append((n, p))
                 break
+        else:
+            raise PhaserError(
+                f"diff: no {n}.{{{','.join(exts)}}} in {args.working_dir} — "
+                "run the pipeline first (every checkpoint must exist for "
+                "phase-aligned diffs)"
+            )
+
+    def load_numbered(path):
+        from ..constants import PHASER_ROW_NUM
+        from ..lineage import with_row_numbers
+
+        df = pio.load_any(spark, path)
+        # parquet/orc outputs are saved with row numbers dropped; the
+        # differ joins on them, so re-number in file order (the saved
+        # order IS ingest order — pipeline sorts by row num at write)
+        if PHASER_ROW_NUM not in df.columns:
+            df = with_row_numbers(df)
+        return df
+
     out_files = []
     for (n1, p1), (n2, p2), ph in zip(paths, paths[1:], pipe.phase_instances):
         renames = ph.rename_list
         d = IndexedTableDiffer(
-            pio.load_any(spark, p1), pio.load_any(spark, p2), renamed_columns=renames
+            load_numbered(p1), load_numbered(p2), renamed_columns=renames
         )
         html = d.html()
         out = os.path.join(args.working_dir, f"diff_{n1}__{n2}.html")
@@ -116,7 +157,7 @@ def cmd_diff(argv: list[str]) -> int:
     if args.open_browser and out_files:
         import webbrowser
 
-        webbrowser.open(f"file://{out_files[-1]}")
+        webbrowser.open(f"file://{os.path.abspath(out_files[-1])}")
     return 0
 
 
@@ -130,7 +171,13 @@ def cmd_describe(argv: list[str]) -> int:
 
     get_spark()
     cls = _find_pipeline_class(args.pipeline)
-    phases = getattr(cls, "phases", [])
+    # instantiate when possible: pipelines that build their phase list in
+    # __init__ (rather than as a class attribute) would otherwise describe
+    # as "0 phases"
+    try:
+        phases = cls(working_dir=None).phase_instances
+    except Exception:
+        phases = getattr(cls, "phases", [])
     print(f"Pipeline {cls.__name__}: {len(phases)} phases")
     for p in phases:
         pc = p if isinstance(p, type) else type(p)

@@ -45,6 +45,7 @@ class IndexedTableDiffer:
         self.f1 = f1.drop(*[c for c in INTERNAL_COLS if c in f1.columns])
         self.f2 = f2.drop(*[c for c in INTERNAL_COLS if c in f2.columns])
         self.counters = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
+        self._ran = False
         self._rows: list[dict] | None = None
         self.columns = self._merged_columns()
 
@@ -56,28 +57,24 @@ class IndexedTableDiffer:
         return cols
 
     def _classified(self) -> DataFrame:
+        # rn cast long: CSV checkpoints come back all-string, and a string
+        # row number would both orderBy lexicographically ('10' < '2' in
+        # the rendered sample) and type-mismatch against a parquet side.
+        # The __in_a/__in_b indicators ride the projections INTO the one
+        # full-outer join — membership of an all-null row stays correct
+        # (the indicator is a literal, never null on a present row) with
+        # no extra joins.
         a = self.f1.select(
-            F.col(PHASER_ROW_NUM).alias("rn"),
+            F.col(PHASER_ROW_NUM).cast("long").alias("rn"),
+            F.lit(1).alias("__in_a"),
             *[F.col(f"`{c}`").cast("string").alias(f"a__{c}") for c in self.f1.columns if c != PHASER_ROW_NUM],
         )
         b = self.f2.select(
-            F.col(PHASER_ROW_NUM).alias("rn"),
+            F.col(PHASER_ROW_NUM).cast("long").alias("rn"),
+            F.lit(1).alias("__in_b"),
             *[F.col(f"`{c}`").cast("string").alias(f"b__{c}") for c in self.f2.columns if c != PHASER_ROW_NUM],
         )
         j = a.join(b, on="rn", how="full_outer")
-        in_a = F.lit(False)
-        for c in self.f1.columns:
-            if c != PHASER_ROW_NUM:
-                in_a = in_a | F.col(f"`a__{c}`").isNotNull()
-        in_b = F.lit(False)
-        for c in self.f2.columns:
-            if c != PHASER_ROW_NUM:
-                in_b = in_b | F.col(f"`b__{c}`").isNotNull()
-        # presence detection via an explicit marker join would misread
-        # all-null rows; mark membership with indicator columns instead
-        a_ind = self.f1.select(F.col(PHASER_ROW_NUM).alias("rn"), F.lit(1).alias("__in_a"))
-        b_ind = self.f2.select(F.col(PHASER_ROW_NUM).alias("rn"), F.lit(1).alias("__in_b"))
-        j = j.join(a_ind, "rn", "left").join(b_ind, "rn", "left")
         changed = F.lit(False)
         for c in self.columns:
             ac = f"a__{c}" if f"a__{c}" in j.columns else None
@@ -107,6 +104,7 @@ class IndexedTableDiffer:
         counts = {r["__status"]: r["count"] for r in j.groupBy("__status").count().collect()}
         for k in self.counters:
             self.counters[k] = int(counts.get(k, 0))
+        self._ran = True
         return dict(self.counters)
 
     def rows(self) -> list[dict]:
@@ -133,7 +131,9 @@ class IndexedTableDiffer:
         return self._rows
 
     def summary(self) -> str:
-        if not any(self.counters.values()):
+        # _ran, not an all-zero-counter sentinel: an empty-vs-empty diff
+        # would otherwise re-run the aggregate on every summary()/html()
+        if not self._ran:
             self.run()
         c = self.counters
         return (
@@ -142,7 +142,7 @@ class IndexedTableDiffer:
         )
 
     def html(self) -> str:
-        if not any(self.counters.values()):
+        if not self._ran:
             self.run()
         return HtmlTableFormat(self).render()
 

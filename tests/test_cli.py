@@ -93,3 +93,49 @@ def test_cli_profile(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "id" not in out.split() and "null_ratio" in out
+
+
+PARQUET_PIPELINE_MOD = """
+from pyspark.sql import functions as F
+from phaser_spark import Column, FloatColumn, Phase, Pipeline, filter_rows
+from phaser_spark import DagPipeline  # imported subclass: must NOT count
+
+
+class Clean(Phase):
+    name = "Clean"
+    columns = [Column("name", fix_value_fn="strip"), FloatColumn("score")]
+    steps = [filter_rows(F.col("score") >= 1.0)]
+
+
+class ParquetPipeline(Pipeline):
+    phases = [Clean]
+    save_format = "parquet"
+"""
+
+
+def test_cli_diff_parquet_pipeline_with_imported_subclass(workdir, capsys):
+    """Regression: (a) an imported Pipeline subclass (DagPipeline) used to
+    make discovery fail with 'found 2'; (b) diff crashed on parquet
+    pipelines because source_copy.parquet has no row numbers."""
+    (workdir / "pipelines" / "pq.py").write_text(PARQUET_PIPELINE_MOD)
+    sys.modules.pop("pipelines.pq", None)
+    wd = str(workdir / "outpq")
+    assert main(["run", "pq", wd, str(workdir / "src.csv")]) == 0
+    assert main(["diff", "pq", wd]) == 0
+    assert any(f.endswith(".html") for f in os.listdir(wd))
+
+
+def test_table_diff_string_row_numbers_sort_numerically(spark):
+    """CSV checkpoints read back all-string: rn must order 2 before 10."""
+    from phaser_spark.constants import PHASER_ROW_NUM
+    from phaser_spark.table_diff import IndexedTableDiffer
+
+    a = spark.createDataFrame(
+        [(str(i), "old") for i in range(1, 12)], f"{PHASER_ROW_NUM} string, v string"
+    )
+    b = spark.createDataFrame(
+        [(str(i), "new") for i in range(1, 12)], f"{PHASER_ROW_NUM} string, v string"
+    )
+    d = IndexedTableDiffer(a, b, render_limit=3)
+    nums = [r["row_num"] for r in d.rows()]
+    assert nums == [1, 2, 3]  # lexicographic would give [1, 10, 11]
