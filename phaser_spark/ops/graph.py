@@ -57,7 +57,12 @@ def connected_components(
             f"connected_components: edges needs columns {src!r}/{dst!r}, "
             f"has {edges.columns}"
         )
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # a NULL endpoint can neither join nor propagate: without the filter
+    # it injects a meaningless (id=NULL, component=NULL) vertex row while
+    # the edge itself is silently ignored by the null-rejecting joins
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
     endpoint_ids = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))

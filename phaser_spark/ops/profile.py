@@ -33,12 +33,15 @@ _NUMERIC = (
 _TEMPORAL = (T.DateType, T.TimestampType, T.TimestampNTZType)
 
 
-def _finite(c: SparkCol) -> SparkCol:
-    """NULL-out NaN/±Inf: double→decimal casts silently drop them from a
-    sum (or THROW under ANSI mode) while count() still counts the rows —
-    a wrong finite mean instead of NaN.  Metrics here are defined over
-    FINITE values, with the matching count."""
-    return F.when(~F.isnan(c) & (F.abs(c) != float("inf")), c)
+def _finite(c: SparkCol, bound: float = 1e30) -> SparkCol:
+    """NULL-out NaN/±Inf AND values the decimal(38,8) accumulator cannot
+    represent: the double→decimal cast silently drops them from a sum
+    (or THROWS under ANSI mode) while count() still counts the rows — a
+    wrong finite mean instead of NaN.  Metrics here are defined over
+    FINITE REPRESENTABLE values (|v| < bound, decimal(38,8) holds 30
+    integer digits), with the matching count; callers squaring values
+    pass ``bound=1e15`` so the squared term stays representable too."""
+    return F.when(~F.isnan(c) & (F.abs(c) < F.lit(bound)), c)
 
 
 def _mean_decimal(c: SparkCol) -> SparkCol:
@@ -131,6 +134,15 @@ def profile(
         elif isinstance(dt, T.StringType):
             slot(c, "min", F.min(v), False)
             slot(c, "max", F.max(v), False)
+        elif isinstance(dt, T.TimestampType):
+            # pin the rendering to UTC: a plain cast renders the instant
+            # in spark.sql.session.timeZone, so the same data profiles to
+            # different strings on differently-zoned sessions (engine
+            # sessions pin UTC — see session.get_spark — making this the
+            # identity there, but profile() must not depend on that)
+            utc = lambda e: F.to_utc_timestamp(e, F.current_timezone()).cast("string")  # noqa: E731
+            slot(c, "min", utc(F.min(v)), False)
+            slot(c, "max", utc(F.max(v)), False)
         elif isinstance(dt, _TEMPORAL):
             slot(c, "min", F.min(v).cast("string"), False)
             slot(c, "max", F.max(v).cast("string"), False)
@@ -196,10 +208,19 @@ def correlations(
     if len(cols) < 2:
         raise PhaserError("correlations needs at least two columns")
     aggs = []
+    if len(set(cols)) != len(cols):
+        raise PhaserError(
+            f"correlations: duplicate column names in {cols} — slot tags "
+            "would collide and the aggregation aliases become ambiguous"
+        )
     for i, a in enumerate(cols):
-        for b in cols[i + 1 :]:
-            x = _finite(F.col(a).cast("double"))
-            y = _finite(F.col(b).cast("double"))
+        for j, b in enumerate(cols[i + 1 :], start=i + 1):
+            # bound=1e15: the x*x / x*y product terms must stay inside
+            # decimal(38,8)'s 30 integer digits, or the cast NULLs the
+            # product while n/sx/sy still count the row (epoch-nanosecond
+            # longs are the canonical trigger)
+            x = _finite(F.col(a).cast("double"), bound=1e15)
+            y = _finite(F.col(b).cast("double"), bound=1e15)
             # pairwise deletion over FINITE pairs: a NaN/Inf on one side
             # would otherwise be counted in n and the clean column's
             # sums while the decimal cast drops it from the other — a
@@ -207,7 +228,7 @@ def correlations(
             both = x.isNotNull() & y.isNotNull()
             xs = F.when(both, x)
             ys = F.when(both, y)
-            tag = f"{i}_{cols.index(b)}"
+            tag = f"{i}_{j}"
             aggs += [
                 F.count(F.when(both, F.lit(1))).alias(f"__c_n_{tag}__"),
                 F.sum(xs.cast("decimal(38,8)")).cast("double").alias(f"__c_sx_{tag}__"),
@@ -219,8 +240,8 @@ def correlations(
     row = df.agg(*aggs)
     entries = []
     for i, a in enumerate(cols):
-        for b in cols[i + 1 :]:
-            tag = f"{i}_{cols.index(b)}"
+        for j, b in enumerate(cols[i + 1 :], start=i + 1):
+            tag = f"{i}_{j}"
             n = F.col(f"__c_n_{tag}__").cast("double")
             sx, sy = F.col(f"__c_sx_{tag}__"), F.col(f"__c_sy_{tag}__")
             qx, qy = F.col(f"__c_qx_{tag}__"), F.col(f"__c_qy_{tag}__")

@@ -64,10 +64,13 @@ def scd2_apply(
         F.lit(1).alias("__scd_origin"),
     )
     if dim is not None:
-        closed = dim.filter(~F.col(current_col)).select(
+        # null-safe: a NULL is_current row (malformed bootstrap/legacy
+        # data) must land in the closed slice, not vanish from BOTH
+        # complementary filters
+        closed = dim.filter(~F.coalesce(F.col(current_col), F.lit(False))).select(
             *keys, *attr_cols, valid_from, valid_to, current_col
         )
-        open_rows = dim.filter(F.col(current_col)).select(
+        open_rows = dim.filter(F.coalesce(F.col(current_col), F.lit(False))).select(
             *keys,
             *attr_cols,
             F.col(valid_from).alias("__scd_ts"),
@@ -89,7 +92,12 @@ def scd2_apply(
         .filter(F.col("__scd_prev").isNull() | (F.col("__scd_prev") != attrs))
         .drop("__scd_prev")
     )
-    w2 = Window.partitionBy(*keys).orderBy("__scd_ts", "__scd_origin")
+    # same full (ts, origin, attrs) key as w: two surviving same-ts
+    # updates would otherwise get an arbitrary lead() order — which row
+    # becomes is_current would vary run to run
+    w2 = Window.partitionBy(*keys).orderBy(
+        "__scd_ts", "__scd_origin", *[F.col(c) for c in attr_cols]
+    )
     rebuilt = chain.select(
         *keys,
         *attr_cols,

@@ -17,9 +17,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # scheme://host[...] — the character class stops at whitespace and quote
-# characters without using lookarounds (RE2-compatible)
-URL_PATTERN = r"https?://[A-Za-z0-9._~:/?#@!$&()*+,;=%-]+"
-DOMAIN_PATTERN = r"https?://([^/:?#]+)"
+# characters without using lookarounds (RE2-compatible).  (?i) because
+# schemes are case-insensitive in the wild (HTTP://...); the final
+# character class excludes sentence punctuation so prose like
+# "see https://x.com, it rocks" doesn't capture the trailing comma into
+# the URL (and then into the domain key).
+URL_PATTERN = r"(?i)https?://[A-Za-z0-9._~:/?#@!$&()*+,;=%-]*[A-Za-z0-9_~/=%#-]"
+# optional userinfo (user or user:pass, '@'-terminated) is skipped so the
+# captured host is the real one, never 'user@host' or just 'user'
+DOMAIN_PATTERN = r"(?i)https?://(?:[^/?#@]*@)?([^/:?#@]+)"
 
 
 def extract_urls(col: SparkCol) -> SparkCol:
@@ -51,7 +57,9 @@ def filter_blocked_domains(
     hit = F.exists(
         domains_in(F.col(text_col)), lambda d: d.isin(*[b.lower() for b in blocked])
     )
-    return df.filter(~hit)
+    # coalesce: a NULL text column yields NULL (not false) from exists,
+    # and filter would silently drop the document as if it were blocked
+    return df.filter(~F.coalesce(hit, F.lit(False)))
 
 
 def domain_doc_counts(
@@ -90,8 +98,16 @@ def canonicalize_url(url: SparkCol) -> SparkCol:
     so an external SQL oracle replays it verbatim.  Inputs that do not
     look like a URL pass through unchanged."""
     scheme = F.lower(F.regexp_extract(url, r"(?i)^(https?)://", 1))
-    host = F.lower(F.regexp_extract(url, r"(?i)^https?://([^/:?#]+)", 1))
-    port = F.regexp_extract(url, r"(?i)^https?://[^/:?#]+(:[0-9]+)", 1)
+    # userinfo (user[:pass]@) skipped, not captured: with the old
+    # [^/:?#]+ host class, 'https://u:p@a.com/x' captured host='u' and
+    # stripped the whole authority — two different hosts' URLs could
+    # collapse to one corrupted dedup key
+    host = F.lower(
+        F.regexp_extract(url, r"(?i)^https?://(?:[^/?#@]*@)?([^/:?#@]+)", 1)
+    )
+    port = F.regexp_extract(
+        url, r"(?i)^https?://(?:[^/?#@]*@)?[^/:?#@]+(:[0-9]+)", 1
+    )
     port = F.when(
         ((scheme == "http") & (port == ":80"))
         | ((scheme == "https") & (port == ":443")),

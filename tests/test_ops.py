@@ -2581,3 +2581,111 @@ def test_collapse_rare(spark):
     # out_col preserves the original
     out2 = features.collapse_rare(df, "c", 2, out_col="c2")
     assert {r.c for r in out2.collect()} == {"a", "b", None}
+
+
+def test_web_domain_extraction_edges(spark):
+    """Round-7 sweep regressions: trailing punctuation, userinfo, and
+    uppercase schemes must not corrupt or miss the domain key."""
+    from phaser_spark.ops import web
+
+    df = spark.createDataFrame(
+        [
+            ("visit https://evil.com, it rocks",),
+            ("link https://user:pw@evil.com/x here",),
+            ("HTTP://evil.com/x uppercase",),
+            (None,),
+            ("clean text no urls",),
+        ],
+        ["text"],
+    )
+    doms = [r[0] for r in df.select(web.domains_in(F.col("text")).alias("d")).collect()]
+    assert doms[0] == ["evil.com"]
+    assert doms[1] == ["evil.com"]
+    assert doms[2] == ["evil.com"]
+    # NULL text passes the block filter instead of silently vanishing
+    kept = web.filter_blocked_domains(df, "text", ["evil.com"]).collect()
+    texts = {r["text"] for r in kept}
+    assert None in texts and "clean text no urls" in texts and len(kept) == 2
+
+
+def test_canonicalize_url_userinfo(spark):
+    from phaser_spark.ops import web
+
+    df = spark.createDataFrame(
+        [("https://u:p@a.com:443/x",), ("https://u:q@b.com/x",)], ["u"]
+    )
+    out = [r[0] for r in df.select(web.canonicalize_url(F.col("u"))).collect()]
+    # different hosts must NOT collapse to one key; default port stripped
+    assert out == ["https://a.com/x", "https://b.com/x"]
+
+
+def test_scd2_same_ts_ties_deterministic(spark):
+    """Two surviving same-ts updates: version order (and which row is
+    current) must be deterministic on the attribute tiebreak."""
+    from phaser_spark.ops.scd import scd2_apply
+
+    ups = spark.createDataFrame(
+        [("k", "B", 5), ("k", "A", 5)], "key string, attr string, ts long"
+    )
+    outs = [
+        sorted(
+            scd2_apply(None, ups, "key", ["attr"], "ts").collect(),
+            key=lambda r: (r["attr"],),
+        )
+        for _ in range(3)
+    ]
+    for o in outs[1:]:
+        assert [tuple(r) for r in o] == [tuple(r) for r in outs[0]]
+    current = [r["attr"] for r in outs[0] if r["is_current"]]
+    assert current == ["B"]  # attrs sort A < B, so B is the later version
+
+
+def test_scd2_null_is_current_preserved(spark):
+    from phaser_spark.ops.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [("k", "old", 1, 3, None), ("k", "cur", 3, None, True)],
+        "key string, attr string, valid_from long, valid_to long, is_current boolean",
+    )
+    ups = spark.createDataFrame([("k", "new", 7)], "key string, attr string, ts long")
+    out = scd2_apply(dim, ups, "key", ["attr"], "ts").collect()
+    # the NULL-is_current row lands in the closed slice, not lost
+    assert {r["attr"] for r in out} == {"old", "cur", "new"}
+
+
+def test_profile_mean_decimal_overflow_consistent(spark):
+    """|v| >= 1e30 cannot ride the decimal accumulator: it must leave the
+    numerator AND denominator together (old code: sum drops it, count
+    keeps it -> mean 1.0 for [1e30, 2.0])."""
+    from phaser_spark.ops.profile import profile
+
+    df = spark.createDataFrame([(1e30,), (2.0,)], ["v"])
+    rows = {r["metric"]: r for r in profile(df, ["v"]).collect()}
+    assert rows["mean"]["value_num"] == 2.0
+
+
+def test_correlations_huge_magnitudes_and_dupes(spark):
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops.profile import correlations
+
+    # epoch-nanosecond-scale values: squares overflow decimal(38,8); the
+    # pair must be excluded consistently -> perfect correlation on the
+    # remaining clean pairs, not garbage
+    df = spark.createDataFrame(
+        [(1.7e18, 1.0), (1.0, 1.0), (2.0, 2.0), (3.0, 3.0)], ["a", "b"]
+    )
+    r = correlations(df, ["a", "b"]).collect()[0]
+    assert abs(r["corr"] - 1.0) < 1e-9
+    with pytest.raises(PhaserError, match="duplicate"):
+        correlations(df, ["a", "b", "a"])
+
+
+def test_connected_components_null_endpoints_ignored(spark):
+    from phaser_spark.ops.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 5), (3, None)], "src long, dst long"
+    )
+    out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert None not in out
+    assert out[1] == out[2] == 1
