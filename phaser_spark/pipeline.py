@@ -497,25 +497,56 @@ class Pipeline:
                 list(dedup_within_watermark)
             )
 
+        # extra sources load exactly as in batch mode (run() does this via
+        # validate_sources; skipping it here killed the first micro-batch
+        # of any phase using an init_source'd lookup)
+        self.validate_sources()
+        renum = [ph.name for ph in self.phase_instances if ph.renumber]
+        if renum:
+            raise PhaserError(
+                f"run_stream: phase(s) {renum} set renumber=True, which "
+                "restarts numbering at 1 every micro-batch and breaks the "
+                "cross-batch max+1 contract — renumber the finished output "
+                "table in a batch pass instead"
+            )
+
         BATCH_COL = STREAM_BATCH_COL
         state: dict = {"next_start": None, "last_batch": None}
 
-        def start_for(batch_id: int) -> int:
-            """max+1 over batches strictly before this one, read from the
-            output table — correct after restart AND after a same-batch
-            retry (whose own partial output must not shift numbering)."""
+        def _max_before(path: str, batch_id: int, num_col: str):
+            from pyspark.errors import AnalysisException
+
             try:
-                existing = self.spark.read.parquet(output_path)
-            except Exception:
-                return 1
-            if BATCH_COL not in existing.columns or PHASER_ROW_NUM not in existing.columns:
-                return 1
-            hi = (
+                existing = self.spark.read.parquet(path)
+            except AnalysisException as e:
+                # ONLY "table does not exist yet" means start fresh; a
+                # transient read failure (throttling, listing timeout)
+                # must fail the batch so the retry renumbers correctly —
+                # swallowing it would restart numbering at 1 over
+                # existing rows
+                msg = str(e)
+                if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                    return None
+                raise
+            if BATCH_COL not in existing.columns or num_col not in existing.columns:
+                return None
+            return (
                 existing.filter(F.col(BATCH_COL) < batch_id)
-                .agg(SF.max(PHASER_ROW_NUM))
+                .agg(SF.max(num_col))
                 .first()[0]
             )
-            return int(hi) + 1 if hi is not None else 1
+
+        def start_for(batch_id: int) -> int:
+            """max+1 over batches strictly before this one, read from the
+            output table — and the events table when one is kept, whose
+            dropped rows consumed numbers the visible output no longer
+            shows — correct after restart AND after a same-batch retry
+            (whose own partial output must not shift numbering)."""
+            his = [_max_before(output_path, batch_id, PHASER_ROW_NUM)]
+            if events_path is not None:
+                his.append(_max_before(events_path, batch_id, "row_num"))
+            his = [h for h in his if h is not None]
+            return int(max(his)) + 1 if his else 1
 
         def write_partition(df: DataFrame, path: str, batch_id: int) -> None:
             (
@@ -539,54 +570,91 @@ class Pipeline:
             # of THIS foreachBatch call (the global list would grow one
             # entry per micro-batch for the stream's lifetime)
             batch_pins: list[DataFrame] = []
-            numbered = with_row_numbers(
-                batch_df, start=state["next_start"], cache=True, pins=batch_pins
-            )
-            df = numbered
             caches: list[DataFrame] = []
-            event_dfs: list[DataFrame] = []
-            for ph in self.phase_instances:
-                out = ph.run(df).cache()
-                caches.append(out)
-                event_dfs.append(extract_events(out, ph.name))
-                df = out.filter(~F.col(DROP_COL)).drop(*INTERNAL_COLS)
-            write_partition(df, output_path, batch_id)
-            hi = df.agg(SF.max(PHASER_ROW_NUM)).first()[0]
-            if hi is not None:
-                state["next_start"] = int(hi) + 1
-            state["last_batch"] = batch_id
-            # resolve deferred drop-count events NOW, while the phase
-            # caches backing them are still alive
-            self.context._resolve_deferred()
-            if events_path is not None:
+            try:
+                numbered = with_row_numbers(
+                    batch_df, start=state["next_start"], cache=True, pins=batch_pins
+                )
+                df = numbered
+                event_dfs: list[DataFrame] = []
+                for ph in self.phase_instances:
+                    out = ph.run(df).cache()
+                    caches.append(out)
+                    # register as the phase's checkpoint so deferred
+                    # drop-count resolvers take the cheap cached-scan path
+                    # instead of re-executing the pre-filter plan per batch
+                    self.context.phase_checkpoints[ph.name] = out
+                    event_dfs.append(extract_events(out, ph.name))
+                    df = out.filter(~F.col(DROP_COL)).drop(*INTERNAL_COLS)
+                write_partition(df, output_path, batch_id)
+                # numbering high-water mark over the FULL last-phase output
+                # (dropped rows included): a tail-dropped row's number must
+                # not be reused by the next batch — its DROPPED_ROW event
+                # was recorded against that number
+                hi_src = caches[-1] if caches else numbered
+                hi = hi_src.agg(SF.max(PHASER_ROW_NUM)).first()[0]
+                if hi is not None:
+                    state["next_start"] = int(hi) + 1
+                state["last_batch"] = batch_id
+                # resolve deferred drop-count events NOW, while the phase
+                # caches backing them are still alive
+                self.context._resolve_deferred()
                 ev = None
                 for e in event_dfs:
                     ev = e if ev is None else ev.unionByName(e)
-                driver_ev = self.context._driver_events
-                if driver_ev:
-                    ev = ev.unionByName(
-                        self.spark.createDataFrame(driver_ev, ev.schema)
+                # batch-mode parity probe BEFORE any mode branch clears
+                # driver events: a phase whose collected errors would abort
+                # run_phase must also fail (and thereby stop) the stream,
+                # not silently keep writing rows carrying errors
+                has_errors = any(
+                    e["type"] == EVENT_ERROR for e in self.context._driver_events
+                ) or (
+                    ev is not None
+                    and not ev.filter(F.col("type") == EVENT_ERROR).isEmpty()
+                )
+                if events_path is not None and ev is not None:
+                    driver_ev = self.context._driver_events
+                    if driver_ev:
+                        ev = ev.unionByName(
+                            self.spark.createDataFrame(driver_ev, ev.schema)
+                        )
+                        self.context._driver_events = []
+                    write_partition(ev, events_path, batch_id)
+                elif available_now:
+                    # finite drain: retain for batch-parity reporting.
+                    # localCheckpoint (not cache): the lineage reads this
+                    # batch's DataFrame, which is invalid once this
+                    # foreachBatch call returns — a lost cached block
+                    # would recompute from a dead plan
+                    for e in event_dfs:
+                        self.context.add_event_df(e.localCheckpoint(eager=True))
+                else:
+                    # continuous mode without an events table: nothing will
+                    # ever read these; cap instead of leaking driver heap
+                    # one batch at a time, forever
+                    if len(self.context._driver_events) > 10_000:
+                        del self.context._driver_events[:-10_000]
+                if has_errors:
+                    raise DataException(
+                        f"Errors collected in micro-batch {batch_id} (error "
+                        f"policy {self.context.error_policy}); stream aborted "
+                        "— batch parity with Pipeline.run_phase"
                     )
-                    self.context._driver_events = []
-                write_partition(ev, events_path, batch_id)
-            elif available_now:
-                # finite drain: retain for batch-parity reporting.  Events
-                # must be materialized BEFORE the phase caches are released
-                # — their lineage reads this batch's DataFrame, which is
-                # only valid inside this foreachBatch call.
-                for e in event_dfs:
-                    pinned = e.cache()
-                    pinned.count()
-                    self.context.add_event_df(pinned)
-            for c in caches:
-                c.unpersist()
-            from .lineage import release_pinned
+            finally:
+                # also on failure: Structured Streaming retries the batch,
+                # and every leaked cache/pin from a failed attempt would
+                # stay in executor storage for the stream's lifetime
+                for ph in self.phase_instances:
+                    self.context.phase_checkpoints.pop(ph.name, None)
+                for c in caches:
+                    c.unpersist()
+                from .lineage import release_pinned
 
-            # the batch numbering pin (batch_df.cache()) plus any pins the
-            # phases registered on the context while running this batch
-            release_pinned(batch_pins)
-            release_pinned(self.context.pinned_inputs)
-            batch_df.unpersist()
+                # the batch numbering pin (batch_df.cache()) plus any pins
+                # the phases registered on the context during this batch
+                release_pinned(batch_pins)
+                release_pinned(self.context.pinned_inputs)
+                batch_df.unpersist()
 
         writer = stream_df.writeStream.foreachBatch(process)
         if checkpoint_dir:

@@ -754,3 +754,92 @@ def test_quality_gate_step_runs_per_micro_batch(spark, tmp_path):
     # the healthy batch's rows landed before the gate tripped
     got = spark.read.parquet(out_dir)
     assert sorted(r.id for r in got.collect()) == [1, 2]
+
+
+def _stage_files(spark, tmp_path, dfs):
+    import glob
+    import shutil
+
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir, exist_ok=True)
+    for i, d in enumerate(dfs, 1):
+        stage = os.path.join(str(tmp_path), f"stage{i}")
+        d.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src_dir, f"b{i}.parquet"))
+    return src_dir
+
+
+def test_run_stream_rejects_renumber_phase(spark, tmp_path):
+    from phaser_spark.exceptions import PhaserError
+    import pytest
+
+    class P(Phase):
+        name = "P"
+        renumber = True
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, score double")
+    src = _stage_files(spark, tmp_path, [df])
+    pipe = Pipeline(phases=[P], spark=spark)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    with pytest.raises(PhaserError, match="renumber"):
+        pipe.run_stream(stream, os.path.join(str(tmp_path), "out"))
+
+
+def test_run_stream_aborts_on_collected_errors(spark, tmp_path):
+    """Batch parity: a micro-batch whose phase collects ERROR events must
+    fail the stream, not silently write the error rows forever."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "xyz"), (2, "2.0")], "id long, score string")
+    src = _stage_files(spark, tmp_path, [df])
+
+    class Clean(Phase):
+        name = "Clean"
+        columns = [FloatColumn("score")]  # "xyz" -> malformed-value ERROR
+
+    pipe = Pipeline(phases=[Clean], spark=spark)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="[Ee]rror"):
+        pipe.run_stream(
+            stream,
+            os.path.join(str(tmp_path), "out"),
+            checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        )
+
+
+def test_run_stream_tail_dropped_numbers_not_reused(spark, tmp_path):
+    """A batch whose LAST rows are dropped must not hand their numbers to
+    the next batch — drop events were recorded against those numbers."""
+    df1 = spark.createDataFrame([(1, 5.0), (2, 0.5)], "id long, score double")
+    df2 = spark.createDataFrame([(3, 7.0)], "id long, score double")
+    src = _stage_files(spark, tmp_path, [df1, df2])
+
+    class Clean(Phase):
+        name = "Clean"
+        columns = [FloatColumn("score")]
+        steps = [filter_rows(F.col("score") >= 1.0)]
+
+    out_dir = os.path.join(str(tmp_path), "out")
+    ev_dir = os.path.join(str(tmp_path), "events")
+    pipe = Pipeline(phases=[Clean], spark=spark)
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pipe.run_stream(
+        stream,
+        out_dir,
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        events_path=ev_dir,
+    )
+    out_nums = {r["id"]: r[PHASER_ROW_NUM] for r in spark.read.parquet(out_dir).collect()}
+    # batch 1 numbers rows 1 (live) and 2 (dropped); batch 2 must start at
+    # 3 — the old visible-max rule handed the dropped row's number 2 to
+    # the next batch's first row
+    assert out_nums == {1: 1, 3: 3}
+    evs = spark.read.parquet(ev_dir).filter(F.col("type") == "DROPPED_ROW").collect()
+    assert len(evs) == 1 and "1 rows dropped" in evs[0]["message"]
