@@ -164,6 +164,12 @@ def cmd_diff(argv: list[str]) -> int:
 def cmd_describe(argv: list[str]) -> int:
     parser = argparse.ArgumentParser(prog="phaser_spark describe")
     parser.add_argument("pipeline")
+    parser.add_argument(
+        "--json",
+        action="store_true",
+        help="machine-readable plan summary (for CI gating — pairs with "
+        "phaser_spark.plan.assert_scalable)",
+    )
     args = parser.parse_args(argv)
     # pipeline modules build Column expressions at import time, which needs
     # a live session even for describe
@@ -178,6 +184,42 @@ def cmd_describe(argv: list[str]) -> int:
         phases = cls(working_dir=None).phase_instances
     except Exception:
         phases = getattr(cls, "phases", [])
+    if args.json:
+        import json
+
+        doc = {"pipeline": cls.__name__, "phases": []}
+        for p in phases:
+            pc = p if isinstance(p, type) else type(p)
+            inst = p if not isinstance(p, type) else None
+            get = (lambda k, d=None: getattr(inst, k, getattr(pc, k, d)))
+            doc["phases"].append(
+                {
+                    "name": get("name", pc.__name__),
+                    "renumber": bool(get("renumber", False)),
+                    "error_policy": get("error_policy"),
+                    "columns": [
+                        {"name": c.name, "type": type(c).__name__}
+                        for c in (get("columns", []) or [])
+                    ],
+                    "steps": [
+                        getattr(s, "__name__", str(s))
+                        for s in (get("steps", []) or [])
+                    ],
+                    "extra_sources": [
+                        getattr(s, "name", str(s))
+                        for s in (get("extra_sources", []) or [])
+                    ],
+                    "extra_outputs": [
+                        getattr(o, "name", str(o))
+                        for o in (get("extra_outputs", []) or [])
+                    ],
+                    "checkpoint_bucket_by": get("checkpoint_bucket_by"),
+                    "checkpoint_sort_by": get("checkpoint_sort_by"),
+                    "checkpoint_partition_by": get("checkpoint_partition_by"),
+                }
+            )
+        print(json.dumps(doc, indent=1))
+        return 0
     print(f"Pipeline {cls.__name__}: {len(phases)} phases")
     for p in phases:
         pc = p if isinstance(p, type) else type(p)

@@ -186,3 +186,26 @@ def test_flatten_all(spark):
     )
     out = run_steps(spark, [flatten_all()], df.collect(), df.schema)
     assert {"x__a", "y__b__c"} <= set(out.columns)
+
+
+def test_pins_scoped_per_pipeline(spark, tmp_path):
+    """One pipeline's checkpoint release must not unpersist another
+    pipeline's still-pinned numbering input (round-6 advice: _PINNED was
+    a module global drained wholesale by any run_phase)."""
+    from phaser_spark import Phase, Pipeline
+    from phaser_spark.lineage import with_row_numbers
+
+    # pipeline B pins a shuffled input for numbering
+    ctx_b_pins: list = []
+    shuffled = spark.createDataFrame([(i,) for i in range(10)], "v long").repartition(4)
+    pinned_df = with_row_numbers(shuffled, cache=True, pins=ctx_b_pins)
+    assert ctx_b_pins and ctx_b_pins[0].is_cached
+
+    # pipeline A runs and checkpoints — draining ITS OWN context pins only
+    pipe_a = Pipeline(
+        name="a", phases=[Phase(name="P", steps=[])],
+        working_dir=str(tmp_path / "wd"), spark=spark,
+    )
+    pipe_a.run(spark.createDataFrame([(1,)], "v long"))
+    assert ctx_b_pins[0].is_cached  # B's pin survived A's checkpoint
+    ctx_b_pins[0].unpersist()

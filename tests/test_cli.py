@@ -139,3 +139,16 @@ def test_table_diff_string_row_numbers_sort_numerically(spark):
     d = IndexedTableDiffer(a, b, render_limit=3)
     nums = [r["row_num"] for r in d.rows()]
     assert nums == [1, 2, 3]  # lexicographic would give [1, 10, 11]
+
+
+def test_cli_describe_json(workdir, capsys):
+    import json
+
+    rc = main(["describe", "demo", "--json"])
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["pipeline"] == "DemoPipeline"
+    ph = doc["phases"][0]
+    assert ph["name"] == "Clean"
+    assert {c["name"] for c in ph["columns"]} == {"name", "score"}
+    assert any("filter" in s for s in ph["steps"])
