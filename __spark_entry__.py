@@ -3414,7 +3414,7 @@ def oracle_sql() -> dict[str, str]:
             ), t AS (
                 SELECT doc_id, txt,
                        CAST(len(regexp_extract_all(trim(txt), '[A-Za-z0-9]+'))
-                            + length(regexp_replace(trim(txt), '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_subword_tokens,
+                            + length(regexp_replace(trim(txt), '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_subword_tokens,
                        CAST(length(regexp_replace(txt, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
                            / greatest(CAST(length(txt) AS DOUBLE), 1.0) AS pr,
                        regexp_split_to_array(trim(txt), '\\s+') AS toks,

@@ -266,6 +266,9 @@ def winsorize(
             F.greatest(F.col(c).cast("double"), F.col(f"__lo_{c}__")),
             F.col(f"__hi_{c}__"),
         )
+        # greatest/least skip NULLs, so an unguarded clamp would rewrite a
+        # NULL value to the group's LOWER BOUND — NULLs must stay NULL
+        clamped = F.when(F.col(c).isNotNull(), clamped)
         out = out.withColumn(c + suffix if suffix else c, clamped)
     return out.drop(
         *[f"__wz_{k}__" for k in keys],

@@ -82,6 +82,8 @@ def split_by_hash(
 
 def sample_by_hash(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     """Deterministic ``fraction`` sample: the same rows every run."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     return df.filter(hash_bucket(F.col(key_col)) < round(fraction * _BUCKETS))
 
 
@@ -108,6 +110,8 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
+    if capacity < 1:
+        raise ValueError(f"pack_sequences needs capacity >= 1, got {capacity}")
     base = (
         Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
     )

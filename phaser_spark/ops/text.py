@@ -35,9 +35,11 @@ def token_count(col: SparkCol) -> SparkCol:
 
 def bpe_ish_token_count(col: SparkCol) -> SparkCol:
     """BPE-ish subword count: words + digits + punctuation runs, the way a
-    byte-pair tokenizer fragments text (regex approximation)."""
+    byte-pair tokenizer fragments text (regex approximation).  Whitespace
+    pieces of EVERY kind are excluded — filtering only the literal space
+    would count tabs/newlines as tokens ("a\\t\\tb" = 4 but "a  b" = 2)."""
     pieces = F.split(F.trim(col), r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])")
-    return F.size(F.filter(pieces, lambda p: (p != "") & (p != " ")))
+    return F.size(F.filter(pieces, lambda p: p.rlike(r"\S")))
 
 
 def stopword_ratio(col: SparkCol) -> SparkCol:

@@ -1541,6 +1541,34 @@ def test_robust_standardize_mad_flags(spark):
     assert robust[8] and robust[9]  # both masked outliers caught
 
 
+def test_winsorize_preserves_nulls(spark):
+    """greatest/least skip NULLs, so an unguarded clamp rewrote NULL
+    values to the group's LOWER bound (round-7 sweep finding)."""
+    from phaser_spark.ops import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 100.0), (5, None)],
+        "id long, v double",
+    )
+    got = {r.id: r.v for r in Q.winsorize(df, "v", 0.1, 0.9, exact=True).collect()}
+    assert got[5] is None
+    assert got[4] < 100.0  # clamping itself still works
+
+
+def test_bpe_token_count_whitespace_consistent(spark):
+    """Tabs/newlines must not count as subword tokens — only the literal
+    space was filtered before (round-7 sweep finding)."""
+    from phaser_spark.ops import text as T
+
+    df = spark.createDataFrame(
+        [("a  b",), ("a\t\tb",), ("a\nb",), ("don't stop!",)], "txt string"
+    )
+    got = [
+        r.n for r in df.select(T.bpe_ish_token_count(F.col("txt")).alias("n")).collect()
+    ]
+    assert got == [2, 2, 2, 5]  # don | ' | t | stop | !
+
+
 def test_winsorize_validation(spark):
     from phaser_spark.exceptions import PhaserError
     from phaser_spark.ops import quality as Q
