@@ -123,6 +123,8 @@ def frame_sample(
     timestamp, preserving the parent id columns.  The sampling grid comes
     from metadata (``duration_ms``); the frame payload is a deterministic
     slice marker (a real codec would produce decoded frames)."""
+    if every_ms < 1:
+        raise ValueError(f"frame_sample needs every_ms >= 1, got {every_ms}")
     frames = F.transform(
         F.sequence(
             F.lit(0),

@@ -269,6 +269,9 @@ def test_multimodal_frame_sample_and_resize(spark, docs):
     resized = multimodal.resize_stub(wrapped, 320, 240).select("meta.width", "meta.height").first()
     assert (resized.width, resized.height) == (320, 240)
 
+    with pytest.raises(ValueError, match="every_ms"):
+        multimodal.frame_sample(wrapped, every_ms=0)
+
 
 def test_split_by_hash_deterministic_and_stable(spark):
     from phaser_spark.ops import sampling
