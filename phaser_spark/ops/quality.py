@@ -173,16 +173,46 @@ def run_checks(
     ).select(*keys, "r.check_order", "r.check", "r.metric", "r.passed")
 
 
+_MAX_REPORTED_FAILURES = 100
+
+
+def _collect_failures(results: DataFrame) -> list:
+    """Pull only FAILING check rows to the driver (bounded): with
+    ``group_by`` on a high-cardinality key the full results frame is
+    groups × checks rows — collecting it all is a driver hazard, and the
+    error message only needs the failures.  NULL ``passed`` (e.g.
+    ``min_of`` over an empty/all-NULL column) counts as a failure."""
+    return (
+        results.filter(~F.coalesce(F.col("passed"), F.lit(False)))
+        .limit(_MAX_REPORTED_FAILURES + 1)
+        .collect()
+    )
+
+
+def _failure_detail(failed: list, group_by: list[str] | None = None) -> str:
+    shown = failed[:_MAX_REPORTED_FAILURES]
+    detail = "; ".join(
+        (
+            f"{r.check} (metric={r.metric}"
+            + (", group=" + ",".join(str(r[g]) for g in group_by) if group_by else "")
+            + ")"
+        )
+        for r in shown
+    )
+    if len(failed) > _MAX_REPORTED_FAILURES:
+        detail += f"; ... (first {_MAX_REPORTED_FAILURES} shown)"
+    return detail
+
+
 def fail_on_violation(df: DataFrame, checks: list[Check]) -> DataFrame:
-    """Run the suite and raise ``PhaserError`` listing every failed
-    check (with its metric); returns the results frame when all pass.
-    The gate form for pipelines: one scan, then proceed or stop."""
+    """Run the suite and raise ``PhaserError`` listing the failed checks
+    (with metrics; first 100 if more); returns the results frame when
+    all pass.  The gate form for pipelines: one scan, then proceed or
+    stop.  Only failing rows ever reach the driver."""
     results = run_checks(df, checks)
-    rows = results.collect()
-    failed = [r for r in rows if not r.passed]
+    failed = _collect_failures(results)
     if failed:
-        detail = "; ".join(f"{r.check} (metric={r.metric})" for r in failed)
-        raise PhaserError(f"quality checks failed: {detail}")
+        raise PhaserError(f"quality checks failed: {_failure_detail(failed)}")
     return results
 
 
@@ -293,23 +323,11 @@ def quality_gate_step(checks: list[Check], group_by: list[str] | None = None):
         # rows are already accounted for by the error policy
         live = df.filter(~F.col(DROP_COL)) if DROP_COL in df.columns else df
         results = run_checks(live, checks, group_by=group_by)
-        rows = results.collect()
-        failed = [r for r in rows if not r.passed]
+        failed = _collect_failures(results)
         if failed:
-            detail = "; ".join(
-                (
-                    f"{r.check} (metric={r.metric}"
-                    + (
-                        ", group="
-                        + ",".join(str(r[g]) for g in group_by)
-                        if group_by
-                        else ""
-                    )
-                    + ")"
-                )
-                for r in failed
+            raise PhaserError(
+                f"quality checks failed: {_failure_detail(failed, group_by)}"
             )
-            raise PhaserError(f"quality checks failed: {detail}")
         return df
 
     return quality_gate
@@ -321,6 +339,7 @@ def standardize(
     group_by: list[str] | None = None,
     suffix: str = "_z",
     ddof: int = 1,
+    broadcast_bounds: bool = True,
 ) -> DataFrame:
     """Z-score standardization per group: each column in ``cols`` gets a
     ``col+suffix`` column ``(v - mean) / stddev`` computed over its
@@ -337,7 +356,9 @@ def standardize(
     zero variance yield NULL scores rather than ±inf.
 
     One tiny moments aggregate broadcast back onto the data; the score
-    itself is a pure projection (same shape as :func:`winsorize`).
+    itself is a pure projection (same shape as :func:`winsorize`).  For
+    id-scale ``group_by`` cardinality pass ``broadcast_bounds=False``
+    and AQE picks the join strategy from measured sizes.
     """
     cols = [cols] if isinstance(cols, str) else list(cols)
     if not cols:
@@ -365,7 +386,7 @@ def standardize(
         for k in keys:
             c = F.col(k).eqNullSafe(F.col(f"__sz_{k}__"))
             on = c if on is None else on & c
-        out = df.join(F.broadcast(mtab), on)
+        out = df.join(F.broadcast(mtab) if broadcast_bounds else mtab, on)
     else:
         out = df.crossJoin(F.broadcast(df.agg(*aggs)))
     drop = [f"__sz_{k}__" for k in keys]

@@ -1320,6 +1320,22 @@ def test_quality_fail_on_violation(spark):
     with _pytest.raises(PhaserError):
         Q.run_checks(df, [Q.completeness("id"), Q.completeness("id")])
 
+    # NULL verdicts (min_of over an all-NULL column) count as failures
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    with _pytest.raises(PhaserError, match="min_of"):
+        Q.fail_on_violation(nulls, [Q.min_of("v", 0)])
+
+    # grouped failures are reported with their group key and capped:
+    # only failing rows reach the driver (first 100 + a '...' marker)
+    many = spark.createDataFrame(
+        [(i, None if i < 150 else 1.0) for i in range(151)], "g long, v double"
+    )
+    results = Q.run_checks(many, [Q.completeness("v")], group_by=["g"])
+    failed = Q._collect_failures(results)
+    assert len(failed) == Q._MAX_REPORTED_FAILURES + 1  # limit+1, not all 150
+    detail = Q._failure_detail(failed, ["g"])
+    assert "group=" in detail and detail.endswith("(first 100 shown)")
+
 
 def test_quality_checks_empty_input(spark):
     from phaser_spark.ops import quality as Q
@@ -2026,6 +2042,10 @@ def test_standardize_grouped(spark):
     assert got[4] is None and got[5] is None   # zero variance -> NULL
     assert got[6] is None                      # n <= ddof -> NULL
     assert "v" in out.columns and out.count() == 6
+
+    # id-scale escape hatch: scores identical without the forced broadcast
+    shuffled = Q.standardize(df, "v", group_by=["g"], broadcast_bounds=False)
+    assert {r.id: r.v_z for r in shuffled.collect()} == got
 
 
 # --- SCD Type 2 + referential integrity ----------------------------------
