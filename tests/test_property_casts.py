@@ -570,3 +570,119 @@ def test_scd2_apply_property(spark, ups):
     # invariant: exactly one open version per key
     opens = [k for (k, _, _), (vt, cur) in got.items() if cur]
     assert sorted(opens) == sorted(set(opens)) and set(opens) == set(by_key)
+
+
+# equivalence replay vs a Python reference: oracle tier (pytest.ini)
+@pytest.mark.oracle
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_char_entropy_matches_python(spark, texts):
+    import math
+    from collections import Counter
+
+    from phaser_spark.ops.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.char_entropy for r in char_entropy(df).collect()}
+    for i, t in enumerate(texts):
+        if not t:
+            assert got[i] is None
+        else:
+            c = Counter(t)
+            n = len(t)
+            ent = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+            # decimal-vs-float accumulation may step the 6-digit
+            # truncation boundary by one ulp-sized unit
+            assert got[i] == pytest.approx(math.floor(ent * 1e6) / 1e6, abs=2e-6)
+
+
+@pytest.mark.oracle
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "w1", "w2"]),
+                 max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([(3, 0), (4, 1), (5, 2), (8, 3)]),
+)
+def test_chunk_documents_reconstructs_every_doc(spark, docs, cw_ov):
+    from phaser_spark.ops.text import chunk_documents
+
+    chunk_words, overlap = cw_ov
+    stride = chunk_words - overlap
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(
+        df, chunk_words=chunk_words, overlap_words=overlap
+    ).collect()
+    by_doc = {}
+    for r in out:
+        assert 1 <= r.n_chunk_words <= chunk_words
+        assert r.n_chunk_words == len(r.chunk.split(" "))
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk.split(" ")
+    for i, ws in enumerate(docs):
+        if not ws:
+            assert i not in by_doc  # empty docs emit no chunks
+            continue
+        chunks = by_doc[i]
+        ks = sorted(chunks)
+        assert ks == list(range(len(ks)))  # contiguous ids from 0
+        # chunk k contributes its first `stride` words; the final chunk
+        # contributes everything — concatenation rebuilds the document
+        rebuilt = []
+        for k in ks[:-1]:
+            rebuilt += chunks[k][:stride]
+        rebuilt += chunks[ks[-1]]
+        assert rebuilt == ws
+
+
+@pytest.mark.oracle
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["ax", "by", "cz", "dq"]), max_size=20),
+        min_size=2,
+        max_size=6,
+    ),
+    st.sampled_from([2, 3]),
+)
+def test_remove_repeated_spans_matches_python(spark, docs, n):
+    from phaser_spark.ops.cleaning import remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_words_removed)
+        for r in remove_repeated_spans(df, n=n, min_doc_freq=2).collect()
+    }
+    # Python reference: gram -> docs containing it; hot = >=2 distinct
+    # docs; covered = union of [p, p+n-1] per hot-gram occurrence
+    gram_docs = {}
+    for i, ws in enumerate(docs):
+        for p in range(len(ws) - n + 1):
+            gram_docs.setdefault(tuple(ws[p:p + n]), set()).add(i)
+    hot = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    for i, ws in enumerate(docs):
+        covered = set()
+        for p in range(len(ws) - n + 1):
+            if tuple(ws[p:p + n]) in hot:
+                covered.update(range(p, p + n))
+        kept = [w for j, w in enumerate(ws) if j not in covered]
+        assert got[i] == (" ".join(kept), len(covered))
