@@ -204,15 +204,21 @@ def _failure_detail(failed: list, group_by: list[str] | None = None) -> str:
     return detail
 
 
-def fail_on_violation(df: DataFrame, checks: list[Check]) -> DataFrame:
+def fail_on_violation(
+    df: DataFrame, checks: list[Check], group_by: list[str] | None = None
+) -> DataFrame:
     """Run the suite and raise ``PhaserError`` listing the failed checks
     (with metrics; first 100 if more); returns the results frame when
     all pass.  The gate form for pipelines: one scan, then proceed or
-    stop.  Only failing rows ever reach the driver."""
-    results = run_checks(df, checks)
+    stop.  With ``group_by`` every group must pass (same contract as
+    :func:`quality_gate_step`).  Only failing rows ever reach the
+    driver."""
+    results = run_checks(df, checks, group_by=group_by)
     failed = _collect_failures(results)
     if failed:
-        raise PhaserError(f"quality checks failed: {_failure_detail(failed)}")
+        raise PhaserError(
+            f"quality checks failed: {_failure_detail(failed, group_by)}"
+        )
     return results
 
 

@@ -1336,6 +1336,14 @@ def test_quality_fail_on_violation(spark):
     detail = Q._failure_detail(failed, ["g"])
     assert "group=" in detail and detail.endswith("(first 100 shown)")
 
+    # grouped gate form: a slice failure fails the suite even when the
+    # whole-table average would pass
+    sliced = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", None)], "g string, v double"
+    )
+    with _pytest.raises(PhaserError, match="group=b"):
+        Q.fail_on_violation(sliced, [Q.completeness("v")], group_by=["g"])
+
 
 def test_quality_checks_empty_input(spark):
     from phaser_spark.ops import quality as Q
