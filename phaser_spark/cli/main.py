@@ -30,16 +30,26 @@ def _find_pipeline_class(name: str):
         mod = importlib.import_module(mod_name)
         return getattr(mod, cls_name)
     mod = importlib.import_module(f"pipelines.{name}")
+    subclasses = list(
+        dict.fromkeys(
+            v
+            for v in vars(mod).values()
+            if isinstance(v, type) and issubclass(v, Pipeline) and v is not Pipeline
+        )
+    )
+    # prefer classes defined HERE: `from phaser_spark import DagPipeline`
+    # must not count as a second candidate alongside the module's own class
     candidates = [
-        v
-        for v in vars(mod).values()
-        if isinstance(v, type)
-        and issubclass(v, Pipeline)
-        and v is not Pipeline
-        # defined HERE, not merely imported: `from phaser_spark import
-        # DagPipeline` must not count as a second candidate
-        and getattr(v, "__module__", None) == mod.__name__
+        v for v in subclasses if getattr(v, "__module__", None) == mod.__name__
     ]
+    if not candidates:
+        # re-export layout (`from myapp.defs import CleanPipeline`): fall
+        # back to imported subclasses, still excluding the engine's own
+        candidates = [
+            v
+            for v in subclasses
+            if not getattr(v, "__module__", "").startswith("phaser_spark")
+        ]
     if len(candidates) != 1:
         raise PhaserError(
             f"pipelines.{name} must define exactly one Pipeline subclass, "
@@ -135,9 +145,12 @@ def cmd_diff(argv: list[str]) -> int:
         from ..lineage import with_row_numbers
 
         df = pio.load_any(spark, path)
-        # parquet/orc outputs are saved with row numbers dropped; the
-        # differ joins on them, so re-number in file order (the saved
-        # order IS ingest order — pipeline sorts by row num at write)
+        # csv/json copies drop row numbers but are single-file sinks, so
+        # re-numbering in read order reproduces ingest order.  Columnar
+        # copies KEEP the row-number column (pipeline._source_copy_frame)
+        # because a multi-file parquet/orc scan orders splits by size,
+        # not write order; this re-number only remains as a best-effort
+        # path for pre-existing working dirs written before that fix.
         if PHASER_ROW_NUM not in df.columns:
             df = with_row_numbers(df)
         return df

@@ -61,7 +61,10 @@ def _sniff_headers(
     ``phaser/io.py:43-47``).
     """
 
+    sniff_risky = False  # remote fallback asked to decode non-UTF-8
+
     def _lines():
+        nonlocal sniff_risky
         try:
             f = open(source, encoding=encoding, newline="")
         except OSError:
@@ -69,16 +72,14 @@ def _sniff_headers(
                 raise
             # distributed fallback: Hadoop's line reader decodes via
             # UTF-8 `Text` unconditionally (even use_unicode=False hands
-            # back already-transcoded bytes), so a non-UTF-8 remote sniff
-            # would silently corrupt the header — refuse loudly instead
+            # back already-transcoded bytes).  An all-ASCII header sniffs
+            # identically under any ASCII-compatible encoding, so attempt
+            # the sniff and refuse AFTER only if the header found actually
+            # carries non-ASCII bytes (where transcoding would corrupt it)
             import codecs
 
             if codecs.lookup(encoding).name not in ("utf-8", "ascii"):
-                raise DataException(
-                    f"{source}: header sniff on a remote path only supports "
-                    f"UTF-8 (requested {encoding!r}); copy the file locally "
-                    "or re-encode it"
-                )
+                sniff_risky = True
             raw = spark.sparkContext.textFile(source)
             # escalate rather than scan unboundedly: a remote header sniff
             # past 10k leading comment/blank lines is a malformed file
@@ -94,13 +95,28 @@ def _sniff_headers(
         # leading comment lines still finds its header
         return f
 
-    for line in _lines():
-        if line.startswith("#") or not line.strip():
-            continue
-        headers = next(csv.reader(_pyio.StringIO(line), delimiter=delimiter))
-        break
-    else:
-        raise DataException(f"{source}: no header row found")
+    src = _lines()
+    try:
+        for line in src:
+            if line.startswith("#") or not line.strip():
+                continue
+            headers = next(csv.reader(_pyio.StringIO(line), delimiter=delimiter))
+            break
+        else:
+            raise DataException(f"{source}: no header row found")
+    finally:
+        # the local path hands back an open file object; close it even on
+        # the duplicate-header / no-header error paths (a long-lived
+        # driver reading many CSVs would otherwise leak one fd per read)
+        close = getattr(src, "close", None)
+        if close is not None:
+            close()
+    if sniff_risky and any(ord(ch) > 127 for ch in line):
+        raise DataException(
+            f"{source}: header contains non-ASCII under {encoding!r} and a "
+            "remote sniff decodes UTF-8 only — copy the file locally or "
+            "re-encode it"
+        )
     stripped = [h.strip().strip("'\"").strip() for h in headers]
     dupes = {h for h in stripped if stripped.count(h) > 1}
     if dupes:

@@ -57,15 +57,17 @@ def connected_components(
             f"connected_components: edges needs columns {src!r}/{dst!r}, "
             f"has {edges.columns}"
         )
-    # a NULL endpoint can neither join nor propagate: without the filter
-    # it injects a meaningless (id=NULL, component=NULL) vertex row while
-    # the edge itself is silently ignored by the null-rejecting joins
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
-        F.col("src").isNotNull() & F.col("dst").isNotNull()
-    )
+    # a NULL endpoint can neither join nor propagate, so only fully
+    # non-null edges feed the propagation — but the OTHER endpoint of a
+    # half-null edge is still a real vertex and must stay in the vertex
+    # set (as a singleton unless another edge connects it); dropping the
+    # whole row would silently erase it from the output
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = raw.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     endpoint_ids = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
+        raw.select(F.col("src").alias("id"))
+        .union(raw.select(F.col("dst").alias("id")))
+        .filter(F.col("id").isNotNull())
         .distinct()
     )
     if vertices is not None:

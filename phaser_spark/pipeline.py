@@ -199,10 +199,22 @@ class Pipeline:
             df = self.load(self.source)
         if self.working_dir:
             src_copy = os.path.join(self.working_dir, f"source_copy.{self.save_format}")
-            save_any(df.drop(PHASER_ROW_NUM), src_copy, self.save_format)
+            save_any(self._source_copy_frame(df), src_copy, self.save_format)
         for ph in self.phase_instances:
             df = self.run_phase(ph, df)
         return df
+
+    def _source_copy_frame(self, df: DataFrame) -> DataFrame:
+        """What to write as ``source_copy``.  CSV/JSON copies mirror the
+        reference's human-readable source snapshot (single-file sinks, so
+        ingest order survives a later re-number).  Columnar copies keep
+        the row-number column: parquet/orc write MANY part files, and a
+        re-number at diff time would follow Spark's size-ordered split
+        packing, not ingest order — the differ would then join nearly
+        every row against the wrong counterpart."""
+        if self.save_format in ("parquet", "orc") and PHASER_ROW_NUM in df.columns:
+            return df
+        return df.drop(PHASER_ROW_NUM)
 
     def _checkpoint_table_name(self, ph: Phase) -> str:
         raw = f"phaser_ckpt_{self.name}_{ph.name}".lower()
@@ -587,14 +599,21 @@ class Pipeline:
                     event_dfs.append(extract_events(out, ph.name))
                     df = out.filter(~F.col(DROP_COL)).drop(*INTERNAL_COLS)
                 write_partition(df, output_path, batch_id)
-                # numbering high-water mark over the FULL last-phase output
-                # (dropped rows included): a tail-dropped row's number must
-                # not be reused by the next batch — its DROPPED_ROW event
-                # was recorded against that number
-                hi_src = caches[-1] if caches else numbered
-                hi = hi_src.agg(SF.max(PHASER_ROW_NUM)).first()[0]
-                if hi is not None:
-                    state["next_start"] = int(hi) + 1
+                # numbering high-water mark over EVERY phase's full output
+                # (dropped rows included): a row dropped in phase k is
+                # filtered out before phase k+1 runs, so the LAST cache
+                # alone would miss its number and the next batch would
+                # reuse it — even though its DROPPED_ROW event (and the
+                # restart probe over the events table) still refers to it.
+                # Later caches are still needed: batch steps may ADD rows
+                # numbered max+1 that exist in no earlier cache.
+                his = []
+                for hi_src in caches if caches else [numbered]:
+                    h = hi_src.agg(SF.max(PHASER_ROW_NUM)).first()[0]
+                    if h is not None:
+                        his.append(int(h))
+                if his:
+                    state["next_start"] = max(his) + 1
                 state["last_batch"] = batch_id
                 # resolve deferred drop-count events NOW, while the phase
                 # caches backing them are still alive
@@ -921,7 +940,7 @@ class DagPipeline(Pipeline):
         )
         if self.working_dir:
             save_any(
-                src.drop(PHASER_ROW_NUM),
+                self._source_copy_frame(src),
                 os.path.join(self.working_dir, f"source_copy.{self.save_format}"),
                 self.save_format,
             )

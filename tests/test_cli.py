@@ -113,7 +113,7 @@ class ParquetPipeline(Pipeline):
 """
 
 
-def test_cli_diff_parquet_pipeline_with_imported_subclass(workdir, capsys):
+def test_cli_diff_parquet_pipeline_with_imported_subclass(workdir, capsys, spark):
     """Regression: (a) an imported Pipeline subclass (DagPipeline) used to
     make discovery fail with 'found 2'; (b) diff crashed on parquet
     pipelines because source_copy.parquet has no row numbers."""
@@ -123,6 +123,30 @@ def test_cli_diff_parquet_pipeline_with_imported_subclass(workdir, capsys):
     assert main(["run", "pq", wd, str(workdir / "src.csv")]) == 0
     assert main(["diff", "pq", wd]) == 0
     assert any(f.endswith(".html") for f in os.listdir(wd))
+    # columnar source_copy keeps ingest row numbers: a multi-file parquet
+    # scan orders splits by size, so a diff-time re-number would scramble
+    # the join keys (CSV/JSON copies are single-file and stay number-free)
+    from phaser_spark.constants import PHASER_ROW_NUM
+
+    copy = spark.read.parquet(os.path.join(wd, "source_copy.parquet"))
+    assert PHASER_ROW_NUM in copy.columns
+    assert {r[PHASER_ROW_NUM] for r in copy.collect()} == {1, 2, 3}
+
+
+def test_cli_discovers_reexported_pipeline_class(workdir):
+    """A pipelines module that IMPORTS its single Pipeline subclass from
+    another module (re-export layout) must still be discovered; the
+    in-module filter only breaks ties against engine imports."""
+    (workdir / "defs.py").write_text(PIPELINE_MOD)
+    (workdir / "pipelines" / "reex.py").write_text(
+        "from phaser_spark import DagPipeline  # engine import: never a candidate\n"
+        "from defs import DemoPipeline\n"
+    )
+    sys.modules.pop("defs", None)
+    sys.modules.pop("pipelines.reex", None)
+    from phaser_spark.cli.main import _find_pipeline_class
+
+    assert _find_pipeline_class("reex").__name__ == "DemoPipeline"
 
 
 def test_table_diff_string_row_numbers_sort_numerically(spark):

@@ -32,29 +32,54 @@ def test_header_beyond_200_comment_lines(spark, tmp_path):
 
 def test_sniff_remote_fallback_utf8_ok_latin1_refused(spark, tmp_path):
     """Remote-path sniffing (mocked by failing local open()): UTF-8 works
-    through textFile; non-UTF-8 is REFUSED loudly — Hadoop's line reader
-    transcodes via UTF-8 Text, so a latin-1 remote sniff would silently
-    corrupt the header."""
+    through textFile; a non-UTF-8 request only fails when the header
+    actually carries non-ASCII bytes — Hadoop's line reader transcodes
+    via UTF-8 Text, which corrupts exactly those; an all-ASCII header
+    sniffs identically under any ASCII-compatible encoding."""
     import builtins
 
     from phaser_spark import io as pio
 
     p8 = w(tmp_path, "u8.csv", "x,y\n1,2\n")
+    pa = w(tmp_path, "ascii_latin.csv", "x,y\n1,caf\xe9\n", encoding="latin-1")
     pl = w(tmp_path, "latin.csv", "na\xefve,y\n1,2\n", encoding="latin-1")
     real_open = builtins.open
 
     def deny(f, *a, **k):
-        if f in (p8, pl):
+        if f in (p8, pa, pl):
             raise OSError("pretend remote")
         return real_open(f, *a, **k)
 
     try:
         builtins.open = deny
         assert pio._sniff_headers(p8, ",", "utf-8", spark=spark) == ["x", "y"]
-        with pytest.raises(DataException, match="only supports.*UTF-8"):
+        # ASCII header: latin-1 request succeeds (non-ASCII only in DATA,
+        # which the sniff never touches — the scan reads it with the
+        # requested encoding)
+        assert pio._sniff_headers(pa, ",", "latin-1", spark=spark) == ["x", "y"]
+        with pytest.raises(DataException, match="non-ASCII"):
             pio._sniff_headers(pl, ",", "latin-1", spark=spark)
     finally:
         builtins.open = real_open
+
+
+def test_sniff_headers_closes_local_file(tmp_path):
+    """The local sniff hands back an open file object; it must be closed
+    on every exit path (success AND the duplicate-header error), not
+    abandoned to GC — long-lived drivers read thousands of CSVs."""
+    import gc
+    import warnings
+
+    from phaser_spark import io as pio
+
+    ok = w(tmp_path, "ok.csv", "a,b\n1,2\n")
+    dup = w(tmp_path, "dup.csv", "a,a\n1,2\n")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ResourceWarning)
+        assert pio._sniff_headers(str(ok), ",", "utf-8") == ["a", "b"]
+        with pytest.raises(DataException, match="Duplicate"):
+            pio._sniff_headers(str(dup), ",", "utf-8")
+        gc.collect()  # an unclosed handle would raise ResourceWarning here
 
 
 def test_all_empty_row_dropped(spark, tmp_path):

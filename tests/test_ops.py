@@ -925,6 +925,16 @@ def test_connected_components_chain_star_isolated(spark):
     expect.add((9999, 9999))  # isolated vertex keeps itself
     assert got == expect
 
+    # a half-NULL edge cannot propagate, but its non-null endpoint is a
+    # real vertex: it must come back as a singleton, not vanish
+    dirty = spark.createDataFrame(
+        [(1, 2), (3, None), (None, 4), (None, None)], "src long, dst long"
+    )
+    got = {
+        (r.id, r.component) for r in connected_components(dirty).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 3), (4, 4)}
+
 
 def test_connected_components_matches_plain_propagation(spark):
     from phaser_spark.ops.graph import connected_components

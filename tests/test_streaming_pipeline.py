@@ -843,3 +843,42 @@ def test_run_stream_tail_dropped_numbers_not_reused(spark, tmp_path):
     assert out_nums == {1: 1, 3: 3}
     evs = spark.read.parquet(ev_dir).filter(F.col("type") == "DROPPED_ROW").collect()
     assert len(evs) == 1 and "1 rows dropped" in evs[0]["message"]
+
+
+def test_run_stream_multiphase_dropped_numbers_not_reused(spark, tmp_path):
+    """A row dropped in an EARLIER phase is filtered out before later
+    phases run, so a last-phase-only high-water mark would miss its
+    number and hand it to the next batch (its DROPPED_ROW event and the
+    restart probe still refer to it)."""
+    df1 = spark.createDataFrame([(1, 5.0), (2, 0.5)], "id long, score double")
+    df2 = spark.createDataFrame([(3, 7.0)], "id long, score double")
+    src = _stage_files(spark, tmp_path, [df1, df2])
+
+    class Clean(Phase):
+        name = "Clean"
+        columns = [FloatColumn("score")]
+        steps = [filter_rows(F.col("score") >= 1.0)]
+
+    class Keep(Phase):
+        name = "Keep"
+        columns = [FloatColumn("score")]
+        steps = []
+
+    out_dir = os.path.join(str(tmp_path), "out")
+    ev_dir = os.path.join(str(tmp_path), "events")
+    pipe = Pipeline(phases=[Clean, Keep], spark=spark)
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pipe.run_stream(
+        stream,
+        out_dir,
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        events_path=ev_dir,
+    )
+    out_nums = {r["id"]: r[PHASER_ROW_NUM] for r in spark.read.parquet(out_dir).collect()}
+    # batch 1 numbers rows 1 (live) and 2 (dropped in phase 1 of 2);
+    # batch 2 must start at 3 even though Keep's output never saw row 2
+    assert out_nums == {1: 1, 3: 3}
