@@ -2466,13 +2466,18 @@ def profile_orders(spark, sf_dir):
     columns — ALL from one aggregation over one scan (ten columns
     profiled is one job, not ten).  Means accumulate in decimal(38,8)
     so the value is independent of partitioning/sum order and the
-    oracle recomputes it bit-identically."""
+    oracle recomputes it bit-identically.  ``approx_distinct=False`` is
+    PINNED here because the driver hash-checks this query against the
+    DuckDB oracle; the library default is HLL sketches, which avoid the
+    Expand-node K×-row multiplication exact multi-column distincts cost
+    (the 100 TB setting — same policy as the quantile ops' exact pin)."""
     from phaser_spark.ops.profile import profile
 
     orders = _t(spark, sf_dir, "orders")
     return profile(
         orders,
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+        approx_distinct=False,
     )
 
 

@@ -325,10 +325,19 @@ def cmd_profile(argv: list[str]) -> int:
     parser.add_argument(
         "--approx-distinct",
         action="store_true",
-        help="HLL distinct counts instead of exact (the huge-table setting)",
+        help="HLL distinct counts (the library default since the exact "
+        "path's Expand-node row multiplication; kept for compatibility)",
+    )
+    parser.add_argument(
+        "--exact-distinct",
+        action="store_true",
+        help="exact distinct counts — multiplies every input row by the "
+        "number of profiled columns (Expand); bounded tables only",
     )
     parser.add_argument("--master", default=None)
     args = parser.parse_args(argv)
+    if args.approx_distinct and args.exact_distinct:
+        parser.error("--approx-distinct and --exact-distinct conflict")
 
     from ..io import load_any
     from ..ops.profile import profile
@@ -337,7 +346,7 @@ def cmd_profile(argv: list[str]) -> int:
     spark = get_spark(master=args.master)
     df = load_any(spark, args.path, None)
     cols = [c for c in args.columns.split(",") if c] or None
-    rows = profile(df, cols, approx_distinct=args.approx_distinct).collect()
+    rows = profile(df, cols, approx_distinct=not args.exact_distinct).collect()
     width = max(len(r.column) for r in rows)
     for r in rows:
         val = r.value_str if r.value_str is not None else r.value_num

@@ -9,12 +9,15 @@ ten columns profiled is still one job, not ten), and the combined row is
 exploded into long form ``(column, metric, value_num, value_str)``.
 
 Determinism: numeric means use decimal-exact accumulation (sum order
-independent — the same rule as the engine's batch statistics), distinct
-counts are exact by default, and string min/max stay strings — so the
-whole profile is reproducible on any engine and hash-checkable by an
-external SQL oracle.  ``approx_distinct=True`` swaps exact distinct
-counts for HLL sketches (one pass, mergeable, the 100 TB setting where
-an exact distinct per column would shuffle the corpus per column).
+independent — the same rule as the engine's batch statistics) and string
+min/max stay strings.  Distinct counts DEFAULT to HLL sketches
+(``approx_distinct=True``): exact multi-column distincts force Spark's
+multiple-distinct rewrite, an ``Expand`` node that multiplies EVERY input
+row by the number of distinct aggregates — a K-column profile shuffles
+K+1 copies of the corpus, the kind of silent blow-up that looks fine at
+test scale and dominates at 100 TB.  ``approx_distinct=False`` opts into
+exact counts (bounded inputs / oracle parity — the hash-checked entry
+queries pin it, same policy as the quantile operators' ``exact=True``).
 """
 
 from __future__ import annotations
@@ -57,7 +60,7 @@ def _mean_decimal(c: SparkCol) -> SparkCol:
 def profile(
     df: DataFrame,
     columns: list[str] | None = None,
-    approx_distinct: bool = False,
+    approx_distinct: bool = True,
     group_by: list[str] | None = None,
 ) -> DataFrame:
     """Profile ``columns`` (default: all) in one aggregation pass.

@@ -1724,7 +1724,7 @@ def test_profile_shapes_and_values(spark):
         ],
         "id long, v double, s string, flag boolean, d date",
     )
-    rows = P.profile(df).collect()
+    rows = P.profile(df, approx_distinct=False).collect()
     got = {(r.column, r.metric): (r.value_num, r.value_str) for r in rows}
     assert got[("id", "n_rows")] == (3.0, None)
     assert got[("v", "n_nulls")] == (1.0, None)
@@ -1754,9 +1754,17 @@ def test_profile_validation_and_approx(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with _pytest.raises(PhaserError):
         P.profile(df, ["nope"])
-    rows = P.profile(df, approx_distinct=True).collect()
+    # HLL default: exact at tiny cardinality, and crucially NO Expand
+    # node — exact multi-column distincts multiply every input row by
+    # the number of distinct aggregates (K+1 corpus copies at 100 TB)
+    from phaser_spark.plan import plan_text
+
+    rows = P.profile(df).collect()
     got = {(r.column, r.metric): r.value_num for r in rows}
     assert got[("id", "n_distinct")] == 1.0
+    wide = spark.createDataFrame([(1, 2.0, "x")], "a long, b double, c string")
+    assert "Expand" not in plan_text(P.profile(wide))
+    assert "Expand" in plan_text(P.profile(wide, approx_distinct=False))
 
 
 # --- distributed k-means -------------------------------------------------
