@@ -35,6 +35,10 @@ def plan_summary(df: DataFrame) -> dict:
       more means lost reuse, fewer may mean a cached splice)
     - ``python_evals``    — row/Arrow Python eval nodes (off the codegen path)
     - ``nested_loops``    — BroadcastNestedLoopJoin (quadratic join shape)
+    - ``expands``         — Expand nodes: each REPLICATES every input row
+      per projection list.  Inherent to cube/rollup/unpivot semantics;
+      ACCIDENTAL when Spark rewrites multiple distinct aggregates (a
+      K-distinct aggregation shuffles K+1 corpus copies)
     - ``sort_merge_joins`` / ``broadcast_joins`` / ``hash_aggregates``
     - ``pushed_filters``  — True if any scan carries a pushed predicate
     """
@@ -47,6 +51,7 @@ def plan_summary(df: DataFrame) -> dict:
         "scans": len(re.findall(r"Scan (?:parquet|orc|csv|json|text)", p)),
         "python_evals": p.count("EvalPython"),
         "nested_loops": p.count("NestedLoop"),
+        "expands": p.count("Expand"),
         "sort_merge_joins": p.count("SortMergeJoin"),
         "broadcast_joins": p.count("BroadcastHashJoin"),
         "hash_aggregates": p.count("HashAggregate"),
@@ -60,6 +65,7 @@ def assert_scalable(
     max_scans: int | None = None,
     forbid_python: bool = True,
     forbid_nested_loop: bool = True,
+    max_expands: int | None = None,
 ) -> dict:
     """Raise ``PhaserError`` when the plan violates the stated budget;
     returns the ``plan_summary`` otherwise.  Designed for CI: call it on
@@ -75,6 +81,13 @@ def assert_scalable(
     if forbid_nested_loop and s["nested_loops"]:
         problems.append(
             f"{s['nested_loops']} BroadcastNestedLoopJoin node(s) (quadratic)"
+        )
+    if max_expands is not None and s["expands"] > max_expands:
+        problems.append(
+            f"{s['expands']} Expand node(s) > budget {max_expands} — each "
+            "replicates every input row per projection (cube/rollup/unpivot "
+            "are inherent; multiple DISTINCT aggregates are the accidental "
+            "source)"
         )
     if problems:
         raise PhaserError(

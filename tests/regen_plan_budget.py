@@ -57,6 +57,7 @@ def fingerprint(df) -> dict[str, int]:
         "scan": s["scans"],
         "python": s["python_evals"],
         "nestedloop": s["nested_loops"],
+        "expand": s["expands"],
     }
 
 

@@ -473,11 +473,19 @@ def test_plan_summary_and_assert_scalable(spark):
     s = plan_summary(agg)
     assert s["exchanges"] == 1 and s["scans"] == 1
     assert s["python_evals"] == 0 and s["nested_loops"] == 0
+    assert s["expands"] == 0
     assert s["hash_aggregates"] >= 2 and s["pushed_filters"]
     assert assert_scalable(agg, max_exchanges=1) == s
 
     # over-budget: one exchange against a zero-exchange budget
     import pytest as _pytest
+
+    # the multiple-DISTINCT rewrite replicates rows via Expand: budgetable
+    multi = li.agg(
+        F.count_distinct("l_orderkey"), F.count_distinct("l_partkey")
+    )
+    with _pytest.raises(PhaserError, match="Expand"):
+        assert_scalable(multi, max_expands=0)
 
     with _pytest.raises(PhaserError, match="exchanges"):
         assert_scalable(agg, max_exchanges=0)
