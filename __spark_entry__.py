@@ -2512,6 +2512,42 @@ def winsorize_prices(spark, sf_dir):
     )
 
 
+def graph_pagerank(spark, sf_dir):
+    """Damped PageRank with dangling-mass redistribution
+    (``ops.graph.pagerank``, 4 fixed iterations) over a deterministic
+    modular-arithmetic link graph derived from document ids — skewed
+    hubs (every doc links to ``doc_id % 211`` and ``doc_id % 97 + 300``)
+    plus genuine dangling sinks.  Cross-row mass sums accumulate as
+    decimal(38,18) so the scores are shuffle-order-independent; the
+    oracle unrolls the same 4 rounds CTE-by-CTE and must match all 12
+    truncated digits."""
+    from phaser_spark.ops import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    edges = (
+        docs.select(did.alias("src"), (did % 211).alias("dst"))
+        .union(docs.select(did.alias("src"), ((did % 97) + 300).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    pr = graph.pagerank(edges, damping=0.85, n_iters=4, digits=12)
+    return pr.select(F.col("id").alias("node_id"), "pagerank")
+
+
+def pps_sample_docs(spark, sf_dir):
+    """Deterministic weighted (PPS) sampling without replacement
+    (``ops.sampling.pps_sample``): 60 systematic draws proportional to
+    ``n_chars`` along the md5-ordered weight axis.  Cumulative weights
+    are exact decimals (partitioning-independent), the threshold test is
+    a fixed double expression — the oracle replays the identical rule
+    with one global window over the same total order."""
+    from phaser_spark.ops import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.pps_sample(docs, "doc_id", "n_chars", k=60, buckets=64)
+    return out.select("doc_id", "lang", "n_chars")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2645,6 +2681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_char_entropy": text_char_entropy,
         "epoch_mix_langs": epoch_mix_langs,
         "text_surprisal": text_surprisal,
+        "graph_pagerank": graph_pagerank,
+        "pps_sample_docs": pps_sample_docs,
     }
 
 
@@ -2753,6 +2791,58 @@ def _kmeans_unrolled_sql(k: int, iters: int, dim: int) -> str:
                            ORDER BY {_sqdist_sql('v.vv', 'c.cv')}, c.cell) AS rn
                 FROM v, c{iters} c
             ) WHERE rn = 1"""
+    return ",\n".join(parts) + final
+
+
+def _pagerank_unrolled_sql(damping: float, iters: int) -> str:
+    """Unrolled PageRank rounds mirroring ops/graph.pagerank on the
+    doc-id modular link graph: distinct non-null edges, vertex set from
+    raw (pre-distinct) endpoints, decimal(38,18) contribution/dangling
+    sums, the same double expression tree per round, floor-truncated to
+    12 digits."""
+    d = repr(float(damping))
+    parts = [
+        """WITH raww AS (
+            SELECT src, dst FROM (
+                SELECT doc_id AS src, doc_id % 211 AS dst FROM documents
+                UNION ALL
+                SELECT doc_id AS src, (doc_id % 97) + 300 AS dst FROM documents
+            ) WHERE src <> dst
+        )""",
+        """e AS (SELECT DISTINCT src, dst FROM raww
+               WHERE src IS NOT NULL AND dst IS NOT NULL)""",
+        """verts AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM raww UNION ALL SELECT dst FROM raww
+            ) WHERE id IS NOT NULL)""",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src)",
+        """pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS pr
+                   FROM verts CROSS JOIN nn)""",
+    ]
+    for r in range(iters):
+        parts.append(f"""c{r} AS (
+            SELECT e.dst AS id, SUM(CAST(p.pr / d.deg AS DECIMAL(38,18))) AS s
+            FROM e JOIN pr{r} p ON e.src = p.id JOIN deg d ON e.src = d.src
+            GROUP BY e.dst)""")
+        parts.append(f"""g{r} AS (
+            SELECT COALESCE(SUM(CAST(p.pr AS DECIMAL(38,18))),
+                            CAST(0 AS DECIMAL(38,18))) AS dm
+            FROM pr{r} p LEFT JOIN deg ON p.id = deg.src
+            WHERE deg.src IS NULL)""")
+        parts.append(f"""pr{r + 1} AS (
+            SELECT v.id,
+                   (CAST(1.0 AS DOUBLE) - CAST({d} AS DOUBLE)) / nn.n
+                   + CAST({d} AS DOUBLE) * (
+                       CAST(g.dm AS DOUBLE) / nn.n
+                       + COALESCE(CAST(c.s AS DOUBLE), CAST(0.0 AS DOUBLE))) AS pr
+            FROM verts v LEFT JOIN c{r} c ON v.id = c.id
+            CROSS JOIN g{r} g CROSS JOIN nn)""")
+    final = f"""
+        SELECT id AS node_id,
+               floor(pr * CAST(1000000000000 AS DOUBLE))
+                   / CAST(1000000000000 AS DOUBLE) AS pagerank
+        FROM pr{iters}"""
     return ",\n".join(parts) + final
 
 
@@ -4603,5 +4693,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang,
                    floor(CAST(sc.s AS DOUBLE) / sc.n * 1000000) / 1000000 AS surprisal
             FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
+        """,
+        "graph_pagerank": _pagerank_unrolled_sql(0.85, 4),
+        # Mirrors ops/sampling.pps_sample's two-level rule with ONE global
+        # window over the identical (bucket, md5, key) total order —
+        # decimal cumsums are exact, so the split into per-bucket windows
+        # on the Spark side cannot change any value.
+        "pps_sample_docs": """
+            WITH w AS (
+                SELECT doc_id, lang, n_chars,
+                       CAST(n_chars AS DECIMAL(28,12)) AS wt,
+                       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bkt,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0 AND doc_id IS NOT NULL
+            ), c AS (
+                SELECT *,
+                       COALESCE(SUM(wt) OVER (ORDER BY bkt, h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           CAST(0 AS DECIMAL(38,12))) AS lo,
+                       SUM(wt) OVER () AS tot
+                FROM w
+            )
+            SELECT doc_id, lang, n_chars FROM c
+            WHERE floor(CAST(lo + wt AS DOUBLE) * CAST(60 AS DOUBLE) / CAST(tot AS DOUBLE))
+                > floor(CAST(lo AS DOUBLE) * CAST(60 AS DOUBLE) / CAST(tot AS DOUBLE))
         """,
     }

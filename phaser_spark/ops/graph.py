@@ -29,6 +29,7 @@ final checkpoint, so downstream actions don't re-run the propagation.
 
 from __future__ import annotations
 
+import gc
 import warnings
 
 from pyspark.sql import DataFrame
@@ -129,8 +130,6 @@ def connected_components(
         # detach (and hence the executor-block cleanup) prompt instead of
         # waiting for an incidental GC — tens of rounds of O(|V|) blocks
         # would otherwise accumulate on a large graph
-        import gc
-
         gc.collect()
         if changed == 0:
             converged = True
@@ -145,4 +144,127 @@ def connected_components(
         )
     return labels.select(
         F.col("id").alias(id_col), F.col("root").alias(component_col)
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iters: int = 10,
+    vertices: DataFrame | None = None,
+    id_col: str = "id",
+    rank_col: str = "pagerank",
+    digits: int = 12,
+) -> DataFrame:
+    """PageRank over a directed edge DataFrame — the authority signal a
+    web-curation pipeline ranks domains/pages by (engine addition; the
+    reference, lisad/phaser, has no graph operators).
+
+    Standard damped PageRank with uniform teleport and dangling-mass
+    redistribution, run for a FIXED ``n_iters`` (deterministic and
+    oracle-replayable — a convergence test would make the iteration
+    count, and hence every score, data-dependent)::
+
+        pr[v] = (1-d)/N + d * (dangling/N + Σ_{u→v} pr[u]/outdeg(u))
+
+    Parallel edges collapse (``distinct``) and edges with a NULL endpoint
+    feed only their non-null vertex into the vertex set (as in
+    :func:`connected_components`); self-loops are legal and keep their
+    mass.  Returns ``(id_col, rank_col)`` with the rank truncated to
+    ``digits`` decimal digits (reproducible cross-engine; see
+    ``ops/dedup.trunc_digits``).
+
+    Determinism contract: the cross-row sums (per-vertex contribution
+    sum, the dangling-mass total) accumulate as ``decimal(38,18)`` so
+    the result is independent of partition/shuffle order; everything
+    else is IEEE double arithmetic with the SAME expression tree the SQL
+    oracle spells out, so an external engine reproduces the scores
+    bit-for-bit.
+
+    Scale shape: per iteration one equi-join of edges against the
+    (vertex-sized) rank frame, one ``groupBy(dst)`` sum (map-side
+    combined), one anti-join-shaped dangling aggregate (one-row, ridden
+    in on a broadcast crossJoin), and a ``localCheckpoint`` that
+    truncates the otherwise exponentially growing plan — the
+    connected-components lineage discipline.  Nothing corpus-sized ever
+    reaches the driver: N is one long, the dangling mass one decimal.
+    """
+    if src not in edges.columns or dst not in edges.columns:
+        raise PhaserError(
+            f"pagerank: edges needs columns {src!r}/{dst!r}, has {edges.columns}"
+        )
+    if not 0.0 < damping < 1.0:
+        raise PhaserError(f"pagerank: damping must be in (0, 1), got {damping}")
+    if n_iters < 1:
+        raise PhaserError(f"pagerank: n_iters must be >= 1, got {n_iters}")
+    from .dedup import trunc_digits
+
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = raw.filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    ).distinct()
+    verts = (
+        raw.select(F.col("src").alias("id"))
+        .union(raw.select(F.col("dst").alias("id")))
+        .filter(F.col("id").isNotNull())
+        .distinct()
+    )
+    if vertices is not None:
+        verts = (
+            vertices.select(F.col(id_col).alias("id")).union(verts).distinct()
+        )
+    verts = verts.localCheckpoint(eager=True)
+    n = verts.count()  # one driver long; every other aggregate stays lazy
+    if n == 0:
+        return verts.select(
+            F.col("id").alias(id_col), F.lit(None).cast("double").alias(rank_col)
+        )
+    outdeg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    # join the degree in once: each iteration then only joins pr by src
+    e_deg = e.join(outdeg, "src").localCheckpoint(eager=True)
+    n_lit = F.lit(float(n))
+    teleport = (F.lit(1.0) - F.lit(damping)) / n_lit
+    pr = verts.select("id", (F.lit(1.0) / n_lit).alias("pr"))
+    for _ in range(n_iters):
+        contribs = (
+            e_deg.join(pr.select(F.col("id").alias("src"), "pr"), "src")
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("pr") / F.col("deg")).cast("decimal(38,18)")).alias(
+                    "s"
+                )
+            )
+        )
+        dangling = (
+            pr.join(outdeg.select(F.col("src").alias("id")), "id", "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("pr").cast("decimal(38,18)")),
+                    F.lit(0).cast("decimal(38,18)"),
+                ).alias("dm")
+            )
+        )
+        stepped = (
+            verts.join(contribs.select(F.col("dst").alias("id"), "s"), "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    teleport
+                    + F.lit(damping)
+                    * (
+                        F.col("dm").cast("double") / n_lit
+                        + F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                    )
+                ).alias("pr"),
+            )
+        )
+        pr = stepped.localCheckpoint(eager=True)
+        gc.collect()  # free the previous round's checkpoint blocks promptly
+    return pr.select(
+        F.col("id").alias(id_col), trunc_digits(F.col("pr"), digits).alias(rank_col)
     )

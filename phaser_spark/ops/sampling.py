@@ -293,6 +293,98 @@ def token_budget_select(
     return full.unionByName(picked).drop(*drop_cols)
 
 
+def pps_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size sampling WITHOUT
+    replacement: ``k`` systematic draws along the weight axis, so a
+    row's inclusion probability is ``min(1, k·w/W)`` — "sample documents
+    proportional to their token count" without ``rand()`` and without a
+    weighted-reservoir pass.
+
+    The rule: lay rows end-to-end in the deterministic
+    ``(hash_bucket(key), md5(key), key)`` order (the same total order
+    every sampler here uses), give each row the weight interval
+    ``(lo, lo+w]`` of its cumulative position, and keep the rows whose
+    interval contains one of the ``k`` evenly spaced thresholds
+    ``i·W/k`` — classic systematic PPS.  Exactly ``k`` rows come back
+    when every weight is below ``W/k``; a heavier row (a "certainty
+    item", selected with probability 1) may swallow several thresholds
+    and is returned once, so the output can be smaller than ``k`` —
+    never larger.  Rows with NULL or non-positive weight (or a NULL
+    key) are excluded from the output and the accounting; ``key_col``
+    must be unique per row or the order between equal keys — and hence
+    the selection — is not deterministic.
+
+    Reproducibility: cumulative weights accumulate as exact decimals
+    (integer weights stay exact; float weights are pinned at 12
+    fractional digits), so the running totals are independent of
+    partitioning and bit-identical in an external SQL engine; the
+    threshold test is IEEE double arithmetic on those exact totals with
+    a fixed expression shape the oracle mirrors.
+
+    Scale: the cumulative order is realized in two levels exactly like
+    :func:`token_budget_select` — a ``buckets``-row coarse prefix sum
+    (broadcast back), then per-bucket fine windows bounded by ~N/buckets
+    rows — so no global single-task sort ever runs; the total weight
+    rides in on a one-row broadcast crossJoin.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"pps_sample needs k >= 1, got {k}")
+    if buckets < 1:
+        raise ValueError(f"pps_sample needs buckets >= 1, got {buckets}")
+    BKT, H, WT = "__pps_bkt__", "__pps_h__", "__pps_wt__"
+    key = F.col(key_col)
+    base = (
+        df.withColumn(WT, F.col(weight_col).cast("decimal(28,12)"))
+        .withColumn(BKT, hash_bucket(key, buckets))
+        .filter(F.col(WT).isNotNull() & (F.col(WT) > 0) & F.col(BKT).isNotNull())
+        .withColumn(H, F.md5(key.cast("string")))
+    )
+    bsums = base.groupBy(BKT).agg(F.sum(WT).alias("__pps_bsum__"))
+    # one window pass over the ≤ buckets coarse rows yields BOTH the
+    # exclusive bucket-start prefix and the grand total (decimal sums are
+    # exact, so totalling per-bucket sums equals totalling the rows) —
+    # the total then rides the broadcast coarse join instead of needing
+    # its own aggregate + one-row crossJoin
+    cw = Window.orderBy(BKT).rowsBetween(Window.unboundedPreceding, -1)
+    cw_all = Window.orderBy(BKT).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    coarse = bsums.select(
+        F.col(BKT).alias("__pps_cbkt__"),
+        F.coalesce(
+            F.sum("__pps_bsum__").over(cw), F.lit(0).cast("decimal(38,12)")
+        ).alias("__pps_bstart__"),
+        F.sum("__pps_bsum__").over(cw_all).alias("__pps_w__"),
+    )
+    fw = (
+        Window.partitionBy(BKT)
+        .orderBy(H, key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lo = F.col("__pps_bstart__") + F.coalesce(
+        F.sum(WT).over(fw), F.lit(0).cast("decimal(38,12)")
+    )
+    kd = F.lit(float(k))
+    w_d = F.col("__pps_w__").cast("double")
+    crosses = F.floor(
+        (F.col("__pps_lo__") + F.col(WT)).cast("double") * kd / w_d
+    ) > F.floor(F.col("__pps_lo__").cast("double") * kd / w_d)
+    return (
+        base.join(F.broadcast(coarse), F.col(BKT) == F.col("__pps_cbkt__"))
+        .withColumn("__pps_lo__", lo)  # windows can't sit inside a filter
+        .filter(crosses)
+        .drop(BKT, H, WT, "__pps_cbkt__", "__pps_bstart__", "__pps_w__", "__pps_lo__")
+    )
+
+
 def temperature_resample(
     df: DataFrame,
     key_col: str,

@@ -44,6 +44,7 @@ SKIP = {
     "dedup_incremental_minhash",  # materializes candidate caches eagerly
     "dedup_best_of_cluster",    # iterative: connected components inside
     "kmeans_embedding_cells",   # iterative: per-round centroid collect
+    "graph_pagerank",           # iterative: per-round checkpoint + count
 }
 
 

@@ -963,6 +963,86 @@ def test_connected_components_warns_when_budget_too_small(spark):
     assert any("no fixpoint" in str(r.message) for r in rec)
 
 
+def _reference_pagerank(edges, damping, n_iters, extra_vertices=()):
+    """Driver-side reference: same algorithm, plain Python floats."""
+    e = sorted({(s, d) for s, d in edges if s is not None and d is not None})
+    verts = sorted(
+        {v for pair in edges for v in pair if v is not None} | set(extra_vertices)
+    )
+    n = len(verts)
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {v: 1.0 / n for v in verts}
+    for _ in range(n_iters):
+        dangling = sum(pr[v] for v in verts if v not in outdeg)
+        contrib = {v: 0.0 for v in verts}
+        for s, d in e:
+            contrib[d] += pr[s] / outdeg[s]
+        pr = {
+            v: (1.0 - damping) / n
+            + damping * (dangling / n + contrib[v])
+            for v in verts
+        }
+    return pr
+
+
+def test_pagerank_matches_reference_implementation(spark):
+    """Random directed graph with dangling sinks and parallel edges:
+    the distributed scores must match a pure-Python replay of the same
+    recurrence to well under the 12-digit output truncation."""
+    import random
+
+    from phaser_spark.ops.graph import pagerank
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(80)]
+    edges += edges[:10]  # parallel duplicates must collapse, not double mass
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.pagerank for r in pagerank(e, n_iters=6).collect()}
+    want = _reference_pagerank(set(edges), 0.85, 6)
+    assert set(got) == set(want)
+    for v, p in want.items():
+        assert abs(got[v] - p) < 1e-9, f"vertex {v}: {got[v]} vs {p}"
+    # total mass is conserved (teleport + dangling redistribution)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_star_ranks_center_highest_and_handles_nulls(spark):
+    from phaser_spark.ops.graph import pagerank
+
+    star = [(leaf, 100) for leaf in range(1, 6)]
+    e = spark.createDataFrame(
+        star + [(7, None), (None, 8), (None, None)], "src long, dst long"
+    )
+    got = {r.id: r.pagerank for r in pagerank(e, n_iters=4).collect()}
+    # half-null edges contribute their non-null endpoint as a vertex
+    assert set(got) == {1, 2, 3, 4, 5, 7, 8, 100}
+    assert got[100] == max(got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_isolated_vertices_and_validation(spark):
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,), (99,)], "id long")
+    got = {r.id: r.pagerank for r in pagerank(e, vertices=verts, n_iters=3).collect()}
+    assert set(got) == {1, 2, 99}
+    want = _reference_pagerank({(1, 2)}, 0.85, 3, extra_vertices=(99,))
+    for v, p in want.items():
+        assert abs(got[v] - p) < 1e-9
+    with _pytest.raises(PhaserError):
+        pagerank(e, damping=1.0)
+    with _pytest.raises(PhaserError):
+        pagerank(e, n_iters=0)
+    with _pytest.raises(PhaserError):
+        pagerank(e.withColumnRenamed("src", "from"))
+
+
 def test_kll_daily_sketches_merge_close_to_exact_quantiles(spark):
     from phaser_spark.ops import sketches
 
@@ -1482,6 +1562,102 @@ def test_token_budget_select_default_and_scalar(spark):
     out2 = sampling.token_budget_select(df, "doc_id", "n_tokens", "lang", 25)
     counts = {r.lang: r.c for r in out2.groupBy("lang").agg(F.count("*").alias("c")).collect()}
     assert counts == {"g0": 3, "g1": 3}  # 10+10 < 25 -> third doc starts at 20 < 25
+
+
+# --- PPS (weighted) sampling ---------------------------------------------
+
+
+def _naive_pps(rows, k, buckets=1024):
+    """Single-order reference: sort by (bucket, md5, key), exact integer
+    cumulative weights, keep rows whose (lo, hi] interval crosses a
+    threshold under the same double-arithmetic floor rule."""
+    import hashlib
+    import math
+
+    def bkt(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % buckets
+
+    def h(key):
+        return hashlib.md5(str(key).encode()).hexdigest()
+
+    usable = [(key, w) for key, w in rows if w is not None and w > 0]
+    total = float(sum(w for _, w in usable))
+    keep, run = set(), 0
+    for key, w in sorted(usable, key=lambda r: (bkt(r[0]), h(r[0]), r[0])):
+        lo, hi = run, run + w
+        if math.floor(float(hi) * float(k) / total) > math.floor(
+            float(lo) * float(k) / total
+        ):
+            keep.add(key)
+        run = hi
+    return keep
+
+
+def test_pps_sample_matches_naive_and_is_partitioning_invariant(spark):
+    from phaser_spark.ops import sampling
+
+    rows = [(f"doc{i}", (i * 53) % 197 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    out = sampling.pps_sample(df, "doc_id", "n_tokens", k=40, buckets=16)
+    got = {r.doc_id for r in out.collect()}
+    assert got == _naive_pps(rows, 40, buckets=16)
+    assert len(got) == 40  # no weight exceeds W/k here -> exactly k draws
+    # the selection is a property of the data, not the layout
+    got2 = {
+        r.doc_id
+        for r in sampling.pps_sample(
+            df.repartition(7, "doc_id"), "doc_id", "n_tokens", k=40, buckets=16
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_pps_sample_certainty_items_and_exclusions(spark):
+    from phaser_spark.ops import sampling
+
+    # one row holds >half the total weight: it spans multiple thresholds
+    # but is returned exactly once (a certainty item), so the output may
+    # be smaller than k — never larger
+    rows = [("whale", 10_000)] + [(f"m{i}", 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id string, w long")
+    out = sampling.pps_sample(df, "doc_id", "w", k=10)
+    ids = [r.doc_id for r in out.collect()]
+    assert ids.count("whale") == 1
+    assert len(ids) <= 10
+    # NULL / non-positive weights are excluded from output AND accounting:
+    # adding them must not change the selection
+    dirty = spark.createDataFrame(
+        rows + [("z1", None), ("z2", 0), ("z3", -5)], "doc_id string, w long"
+    )
+    assert {r.doc_id for r in sampling.pps_sample(dirty, "doc_id", "w", k=10).collect()} == set(
+        ids
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.pps_sample(df, "doc_id", "w", k=0)
+    with _pytest.raises(ValueError):
+        sampling.pps_sample(df, "doc_id", "w", k=5, buckets=0)
+
+
+def test_pps_sample_heavier_rows_selected_more_often(spark):
+    """Inclusion tracks weight: across many disjoint corpora, rows given
+    10x the weight of their peers must be selected far more often."""
+    from phaser_spark.ops import sampling
+
+    heavy_hits = light_hits = 0
+    for trial in range(5):
+        rows = [
+            (f"t{trial}_r{i}", 100 if i % 10 == 0 else 10) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, w long")
+        got = {r.doc_id for r in sampling.pps_sample(df, "doc_id", "w", k=30).collect()}
+        heavy_hits += sum(1 for key, w in rows if w == 100 and key in got)
+        light_hits += sum(1 for key, w in rows if w == 10 and key in got)
+    # 20 heavy rows (2000 mass) vs 180 light (1800 mass) per trial: the
+    # heavy TENTH of rows should draw about half the picks
+    assert heavy_hits >= 2 * light_hits / 3
+    assert heavy_hits / 20 > light_hits / 180  # per-row rate ordering
 
 
 # --- cluster representative / keep-best dedup ----------------------------
