@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "text_char_entropy",
     "epoch_mix_langs",
     "text_surprisal",
+    "graph_pagerank",
+    "pps_sample_docs",
 ]
 
 
