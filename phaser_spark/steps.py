@@ -153,9 +153,21 @@ class DeltaMapping(UserDict):
     @staticmethod
     def _norm_key(key):
         # pandas turns nullable int columns into float64 — "3" becomes 3.0;
-        # normalize integral floats so keys round-trip through JSON as "3"
-        if isinstance(key, float) and key == int(key):
-            return int(key)
+        # normalize integral floats so keys round-trip through JSON as "3".
+        # NaN/inf cannot normalize (int() raises) and cannot survive the
+        # JSON merge either — reject them with the same clear error the
+        # other bad key shapes get
+        if isinstance(key, float):
+            try:
+                as_int = int(key)
+            except (ValueError, OverflowError):
+                raise PhaserError(
+                    f"extra_output keys must be JSON-serializable values; "
+                    f"got non-finite float {key!r} — filter or bucket the "
+                    "value before using it as a counter key"
+                ) from None
+            if key == as_int:
+                return as_int
         return key
 
     def __missing__(self, key):

@@ -299,3 +299,29 @@ def test_renumber_skips_dropped_rows(spark):
     out = p.run(spark.createDataFrame([(i,) for i in range(1, 8)], "v long"))
     live = sorted(r[PHASER_ROW_NUM] for r in out.collect() if not r[DROP_COL])
     assert live == [1, 2, 3]
+
+
+def test_delta_mapping_key_normalization_and_bad_keys():
+    """Counter keys: integral floats normalize to ints (pandas float64
+    round-trip), non-finite floats and compound keys fail loud with a
+    PhaserError instead of crashing later in the executor's JSON merge."""
+    import math
+
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.steps import DeltaMapping
+
+    m = DeltaMapping()
+    m[3.0] = 2
+    assert m[3] == 2 and m.drain() == {3: 2}
+    m["k"] = 1
+    m["k"] = 5  # delta tracks value - old, not blind accumulation
+    assert m.drain() == {"k": 5}
+    assert m["never_set"] == 0  # missing keys read as 0
+    with pytest.raises(PhaserError, match="non-finite"):
+        m[math.nan] = 1
+    with pytest.raises(PhaserError, match="non-finite"):
+        m[math.inf] = 1
+    with pytest.raises(PhaserError, match="JSON-serializable"):
+        m[("a", "b")] = 1
+    with pytest.raises(PhaserError, match="numeric accumulation"):
+        m["s"] = "not-a-number"
