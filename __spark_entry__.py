@@ -2548,6 +2548,26 @@ def pps_sample_docs(spark, sf_dir):
     return out.select("doc_id", "lang", "n_chars")
 
 
+def leakage_safe_split_docs(spark, sf_dir):
+    """Leakage-safe train/val/test assignment
+    (``ops.sampling.leakage_safe_split``): near-dup clusters (exact
+    3-gram Jaccard ≥ 0.8 pairs → connected components) are assigned
+    WHOLE by the md5-bucket rule keyed on the cluster representative,
+    so no near-duplicate ever straddles train and eval.  The oracle
+    recomputes components with a recursive transitive closure over the
+    identical exact pair set and applies the identical bucket rule."""
+    from phaser_spark.ops import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=1000
+    )
+    out = sampling.leakage_safe_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, pairs
+    )
+    return out.select("doc_id", "split_group", "split")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2683,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_surprisal": text_surprisal,
         "graph_pagerank": graph_pagerank,
         "pps_sample_docs": pps_sample_docs,
+        "leakage_safe_split_docs": leakage_safe_split_docs,
     }
 
 
@@ -4695,6 +4716,39 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
         """,
         "graph_pagerank": _pagerank_unrolled_sql(0.85, 4),
+        # Components via recursive transitive closure over the exact
+        # 3-gram Jaccard >= 0.8 pair set (the dedup_minhash_clusters
+        # pattern), then split_by_hash's exact bucket rule keyed on the
+        # cluster representative: round(.8*10000)=8000, round(.9*10000)=9000.
+        "leakage_safe_split_docs": (
+            "WITH RECURSIVE jac_pairs AS (\n"
+            + _NGRAM_SHINGLE_SQL.format(threshold=0.8)
+            + """
+            ), edges AS (
+                SELECT id_a AS s, id_b AS d FROM jac_pairs
+                UNION
+                SELECT id_b, id_a FROM jac_pairs
+            ), reach(id, r) AS (
+                SELECT DISTINCT s, s FROM edges
+                UNION
+                SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
+            ), comp AS (
+                SELECT id, MIN(r) AS component FROM reach GROUP BY id
+            ), grp AS (
+                SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_group
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+            )
+            SELECT doc_id, split_group,
+                   CASE
+                       WHEN CAST(('0x' || substring(md5(CAST(split_group AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 8000
+                           THEN 'train'
+                       WHEN CAST(('0x' || substring(md5(CAST(split_group AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9000
+                           THEN 'val'
+                       ELSE 'test'
+                   END AS split
+            FROM grp
+        """
+        ),
         # Mirrors ops/sampling.pps_sample's two-level rule with ONE global
         # window over the identical (bucket, md5, key) total order —
         # decimal cumsums are exact, so the split into per-bucket windows

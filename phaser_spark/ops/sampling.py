@@ -293,6 +293,62 @@ def token_budget_select(
     return full.unionByName(picked).drop(*drop_cols)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    split_col: str = "split",
+    group_col: str = "split_group",
+    remainder: str | None = None,
+) -> DataFrame:
+    """Train/val/test assignment that can never split a near-duplicate
+    cluster across splits — the leakage guard: with plain per-row hash
+    splits, a near-copy of a training document lands in the eval slice
+    ~(1-train_frac) of the time and silently inflates eval scores.
+
+    ``pairs`` is any duplicate/similarity edge list over ``id_col``
+    values (MinHash-LSH pairs, exact-fingerprint pairs, embedding
+    near-dups…).  Rows are first clustered with
+    :func:`phaser_spark.ops.graph.connected_components` (every df row is
+    a vertex, so pair-free rows are singletons), then the WHOLE cluster
+    is assigned by ``split_by_hash`` keyed on the cluster representative
+    — same deterministic md5-bucket rule, same ``fractions`` contract
+    (must sum to 1 or name a ``remainder``).  Returns ``df`` plus
+    ``group_col`` (the cluster representative id) and ``split_col``.
+
+    Note the statistical trade: split shares now hold over CLUSTERS,
+    not rows, so a giant duplicate cluster moves its whole row mass into
+    one split — exactly the point, but budget-sensitive callers should
+    check realized shares (one ``groupBy(split_col).count()``).
+
+    Scale: the component step is the iterative min-label propagation
+    (shuffle-on-key rounds, localCheckpoint lineage); everything after
+    is one broadcast-or-shuffle join of the (vertex-sized) label table
+    back onto ``df`` plus a pure projection — no new machinery beyond
+    the two audited operators it composes.
+    """
+    from .graph import connected_components
+
+    comp = connected_components(
+        pairs.select(F.col(src), F.col(dst)),
+        src=src,
+        dst=dst,
+        vertices=df.select(F.col(id_col).alias("__ls_id__")),
+        id_col="__ls_id__",
+        component_col=group_col,
+    )
+    joined = df.join(
+        comp, df[id_col] == comp["__ls_id__"], "left"
+    ).drop("__ls_id__")
+    # rows whose id was NULL never enter the vertex set: their group —
+    # and hence their split — stays NULL (visible, filterable), the same
+    # contract split_by_hash applies to NULL keys
+    return split_by_hash(joined, group_col, fractions, split_col, remainder)
+
+
 def pps_sample(
     df: DataFrame,
     key_col: str,

@@ -1660,6 +1660,49 @@ def test_pps_sample_heavier_rows_selected_more_often(spark):
     assert heavy_hits / 20 > light_hits / 180  # per-row rate ordering
 
 
+# --- leakage-safe splitting -----------------------------------------------
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Near-dup clusters must land whole in one split; singletons follow
+    the plain hash rule keyed on their own id."""
+    import hashlib
+
+    from phaser_spark.ops import sampling
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 41)], "doc_id long")
+    # two chains (1-2-3, 10-11) and a NULL-endpoint edge that must not
+    # create phantom vertices
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, None)], "id_a long, id_b long"
+    )
+    out = sampling.leakage_safe_split(
+        docs, "doc_id", {"train": 0.7, "val": 0.15, "test": 0.15}, pairs
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 40
+    # cluster members share representative AND split
+    assert by_id[1].split_group == by_id[2].split_group == by_id[3].split_group == 1
+    assert by_id[1].split == by_id[2].split == by_id[3].split
+    assert by_id[10].split_group == by_id[11].split_group == 10
+    assert by_id[10].split == by_id[11].split
+    # singleton (incl. the half-null edge's endpoint): own id, hash rule
+    def expect_split(key):
+        b = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % 10000
+        if b < 7000:
+            return "train"
+        if b < 8500:
+            return "val"
+        return "test"
+
+    for v in (4, 5, 20, 40):
+        assert by_id[v].split_group == v
+        assert by_id[v].split == expect_split(v)
+    assert by_id[2].split == expect_split(1)  # cluster keyed on representative
+    # every row got a split; shares hold over clusters, not rows
+    assert all(r.split in ("train", "val", "test") for r in out)
+
+
 # --- cluster representative / keep-best dedup ----------------------------
 
 
