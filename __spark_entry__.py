@@ -2568,6 +2568,21 @@ def leakage_safe_split_docs(spark, sf_dir):
     return out.select("doc_id", "split_group", "split")
 
 
+def drift_prices_by_flag(spark, sf_dir):
+    """Distribution-drift monitor (``ops.quality.distribution_drift``):
+    PSI of l_extendedprice between returnflag='A' (reference) and 'N'
+    (current), 16 equal-width bins from the REFERENCE min/max — the
+    "has my corpus shifted since tuning" check.  Counts are exact, the
+    smoothing/share/log2 expression is a fixed double tree the oracle
+    replays term-for-term, and results are truncated to 6 digits."""
+    from phaser_spark.ops.quality import distribution_drift
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    ref = li.filter(F.col("l_returnflag") == "A")
+    cur = li.filter(F.col("l_returnflag") == "N")
+    return distribution_drift(ref, cur, "l_extendedprice", bins=16)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2704,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "pps_sample_docs": pps_sample_docs,
         "leakage_safe_split_docs": leakage_safe_split_docs,
+        "drift_prices_by_flag": drift_prices_by_flag,
     }
 
 
@@ -4716,6 +4732,58 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
         """,
         "graph_pagerank": _pagerank_unrolled_sql(0.85, 4),
+        # Mirrors ops/quality.distribution_drift term-for-term: reference
+        # min/max edges, clamp-to-end-bins, '__null__' bucket, Laplace
+        # smoothing s=0.5 over K observed buckets, log2 psi, 6-digit trunc.
+        "drift_prices_by_flag": """
+            WITH stats AS (
+                SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
+                       MAX(CAST(l_extendedprice AS DOUBLE)) AS mx
+                FROM lineitem WHERE l_returnflag = 'A'
+            ), b AS (
+                SELECT mn, CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
+                                ELSE mx - mn END AS span
+                FROM stats
+            ), refb AS (
+                SELECT CASE WHEN v IS NULL THEN '__null__'
+                            ELSE CAST(CAST(LEAST(CAST(15 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),
+                                 floor((v - b.mn) / b.span * CAST(16 AS DOUBLE)))) AS BIGINT) AS VARCHAR)
+                       END AS bucket
+                FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+                      FROM lineitem WHERE l_returnflag = 'A') CROSS JOIN b
+            ), curb AS (
+                SELECT CASE WHEN v IS NULL THEN '__null__'
+                            ELSE CAST(CAST(LEAST(CAST(15 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),
+                                 floor((v - b.mn) / b.span * CAST(16 AS DOUBLE)))) AS BIGINT) AS VARCHAR)
+                       END AS bucket
+                FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+                      FROM lineitem WHERE l_returnflag = 'N') CROSS JOIN b
+            ), refc AS (
+                SELECT bucket, COUNT(*) AS n FROM refb GROUP BY bucket
+            ), curc AS (
+                SELECT bucket, COUNT(*) AS n FROM curb GROUP BY bucket
+            ), j AS (
+                SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+                       COALESCE(r.n, 0) AS n_ref,
+                       COALESCE(c.n, 0) AS n_cur
+                FROM refc r FULL JOIN curc c ON r.bucket = c.bucket
+            ), t AS (
+                SELECT *,
+                       CAST(COUNT(*) OVER () AS DOUBLE) AS k,
+                       CAST(SUM(n_ref) OVER () AS DOUBLE) AS ntr,
+                       CAST(SUM(n_cur) OVER () AS DOUBLE) AS ntc
+                FROM j
+            )
+            SELECT bucket, n_ref, n_cur,
+                   floor((CAST(n_ref AS DOUBLE) + 0.5) / (ntr + 0.5 * k) * 1000000) / 1000000 AS p_ref,
+                   floor((CAST(n_cur AS DOUBLE) + 0.5) / (ntc + 0.5 * k) * 1000000) / 1000000 AS p_cur,
+                   floor((((CAST(n_cur AS DOUBLE) + 0.5) / (ntc + 0.5 * k))
+                          - ((CAST(n_ref AS DOUBLE) + 0.5) / (ntr + 0.5 * k)))
+                         * log2(((CAST(n_cur AS DOUBLE) + 0.5) / (ntc + 0.5 * k))
+                                / ((CAST(n_ref AS DOUBLE) + 0.5) / (ntr + 0.5 * k)))
+                         * 1000000) / 1000000 AS psi
+            FROM t
+        """,
         # Components via recursive transitive closure over the exact
         # 3-gram Jaccard >= 0.8 pair set (the dedup_minhash_clusters
         # pattern), then split_by_hash's exact bucket rule keyed on the

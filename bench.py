@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "text_surprisal",
     "graph_pagerank",
     "pps_sample_docs",
+    "drift_prices_by_flag",
 ]
 
 

@@ -520,3 +520,106 @@ def robust_standardize(
             )
         drop += [f"__rs_med_{c}__", f"__rs_mad_{c}__"]
     return out.drop(*drop)
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    bins: int | None = None,
+    smoothing: float = 0.5,
+    digits: int = 6,
+) -> DataFrame:
+    """Population-stability drift between a REFERENCE corpus slice and a
+    CURRENT one — the standard monitor for "has my training data shifted
+    since the model/filters were tuned" (feature drift, source mix
+    changes, upstream schema accidents).
+
+    Buckets ``col`` on both sides — by VALUE when ``bins`` is None
+    (categorical columns; NULL is its own ``'__null__'`` bucket), or
+    into ``bins`` equal-width cells between the REFERENCE side's min and
+    max (out-of-range current values clamp into the end cells, so new
+    mass beyond the reference range is visible there) — and returns one
+    row per bucket::
+
+        (bucket string, n_ref, n_cur, p_ref, p_cur, psi)
+
+    ``psi`` is the bucket's population-stability-index contribution
+    ``(q̂−p̂)·log2(q̂/p̂)`` with Laplace smoothing
+    ``p̂=(n+s)/(N+s·K)`` (``s=smoothing``, ``K`` = buckets present in
+    either side) so buckets empty on one side contribute a finite,
+    smoothing-controlled penalty instead of ±inf.  Sum the column for
+    the headline PSI; the classic natural-log PSI is ``sum·ln(2)``
+    (log2 keeps the whole expression in the engine-verified function
+    set — see ``ops/text.char_entropy``).  Rule of thumb (ln scale):
+    <0.1 stable, 0.1–0.25 drifting, >0.25 shifted.
+
+    Scale: one map-side-combined count per side (shuffle on the bucket
+    key, cardinality ≤ bins+1 / distinct values), a full-outer join of
+    two bucket-sized tables, and one window pass over that tiny joined
+    table for the totals — nothing corpus-sized moves; the only driver
+    action is the two-scalar min/max job in binned mode.  Shares and
+    psi are truncated to ``digits`` so external engines reproduce them.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import trunc_digits
+
+    if bins is not None and bins < 2:
+        raise PhaserError(f"distribution_drift needs bins >= 2, got {bins}")
+    if smoothing <= 0:
+        raise PhaserError(
+            f"distribution_drift needs smoothing > 0 (it is what keeps "
+            f"one-sided buckets finite), got {smoothing}"
+        )
+
+    if bins is None:
+        bucket = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
+        bucket_of = lambda df: df.select(bucket.alias("bucket"))  # noqa: E731
+    else:
+        stats = ref.agg(
+            F.min(F.col(col).cast("double")).alias("mn"),
+            F.max(F.col(col).cast("double")).alias("mx"),
+        ).first()
+        mn, mx = stats["mn"], stats["mx"]
+        if mn is None:
+            raise PhaserError(
+                f"distribution_drift: reference side has no non-null '{col}'"
+            )
+        span = (mx - mn) or 1.0
+        v = F.col(col).cast("double")
+        idx = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((v - F.lit(mn)) / F.lit(span) * F.lit(float(bins))).cast(
+                    "long"
+                ),
+            ),
+        )
+        bucket = F.when(v.isNull(), F.lit("__null__")).otherwise(idx.cast("string"))
+        bucket_of = lambda df: df.select(bucket.alias("bucket"))  # noqa: E731
+
+    refc = bucket_of(ref).groupBy("bucket").agg(F.count(F.lit(1)).alias("n_ref"))
+    curc = bucket_of(cur).groupBy("bucket").agg(F.count(F.lit(1)).alias("n_cur"))
+    j = (
+        refc.join(curc, "bucket", "full")
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    k = F.count(F.lit(1)).over(w).cast("double")
+    nt_ref = F.sum("n_ref").over(w).cast("double")
+    nt_cur = F.sum("n_cur").over(w).cast("double")
+    s = F.lit(float(smoothing))
+    p = (F.col("n_ref").cast("double") + s) / (nt_ref + s * k)
+    q = (F.col("n_cur").cast("double") + s) / (nt_cur + s * k)
+    return j.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        trunc_digits(p, digits).alias("p_ref"),
+        trunc_digits(q, digits).alias("p_cur"),
+        trunc_digits((q - p) * F.log2(q / p), digits).alias("psi"),
+    )

@@ -2985,3 +2985,57 @@ def test_connected_components_null_endpoints_ignored(spark):
     out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert None not in out
     assert out[1] == out[2] == 1
+
+
+# --- distribution drift (PSI) ----------------------------------------------
+
+
+def test_distribution_drift_categorical_matches_hand_psi(spark):
+    import math
+
+    from phaser_spark.ops.quality import distribution_drift
+
+    ref = spark.createDataFrame([("a",)] * 60 + [("b",)] * 40, "v string")
+    cur = spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 60 + [(None,)] * 10, "v string"
+    )
+    rows = {r.bucket: r for r in distribution_drift(ref, cur, "v").collect()}
+    assert set(rows) == {"a", "b", "__null__"}
+    s, k = 0.5, 3
+    for bucket, n_ref, n_cur in (("a", 60, 30), ("b", 40, 60), ("__null__", 0, 10)):
+        p = (n_ref + s) / (100 + s * k)
+        q = (n_cur + s) / (100 + s * k)
+        want = (q - p) * math.log2(q / p)
+        got = rows[bucket]
+        assert got.n_ref == n_ref and got.n_cur == n_cur
+        assert abs(got.psi - want) < 1e-5, bucket
+        assert abs(got.p_ref - p) < 1e-5 and abs(got.p_cur - q) < 1e-5
+    # identical distributions -> every contribution ~0
+    same = distribution_drift(ref, ref, "v").collect()
+    assert all(abs(r.psi) < 1e-9 for r in same)
+
+
+def test_distribution_drift_binned_clamps_and_validates(spark):
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops.quality import distribution_drift
+
+    ref = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    # current values far beyond the reference range clamp into end bins
+    cur = spark.createDataFrame(
+        [(-500.0,), (1e6,), (50.0,), (None,)], "v double"
+    )
+    rows = {r.bucket: r for r in distribution_drift(ref, cur, "v", bins=4).collect()}
+    assert rows["0"].n_cur == 1  # -500 clamped low
+    assert rows["3"].n_cur == 1  # 1e6 clamped high
+    assert rows["__null__"].n_cur == 1 and rows["__null__"].n_ref == 0
+    assert rows["2"].n_cur == 1  # 50.0 lands mid-range
+    assert sum(r.n_ref for r in rows.values()) == 100
+    with _pytest.raises(PhaserError):
+        distribution_drift(ref, cur, "v", bins=1)
+    with _pytest.raises(PhaserError):
+        distribution_drift(ref, cur, "v", smoothing=0.0)
+    empty = spark.createDataFrame([(None,)], "v double")
+    with _pytest.raises(PhaserError, match="no non-null"):
+        distribution_drift(empty, cur, "v", bins=4)
