@@ -270,6 +270,36 @@ def main():
     ]
     print(f"per-language quality audit: {len(bad)} failing check(s) {bad or ''}")
 
+    # --- train/val split with the near-dup leakage guard ----------------
+    # A plain per-row hash split puts a near-copy of a training doc into
+    # the eval slice ~10% of the time; splitting on the dup-CLUSTER
+    # representative makes that impossible by construction.
+    dup_pairs = dedup.minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.85)
+    splits = sampling.leakage_safe_split(
+        out, "doc_id", {"train": 0.9, "val": 0.1}, dup_pairs
+    )
+    shares = {
+        r.split: r.n
+        for r in splits.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(f"leakage-safe split shares: {shares}")
+
+    # weighted eval subset: 25 systematic draws with inclusion ∝ token
+    # count (long docs proportionally more likely, no rand(), same set
+    # every run)
+    ev = sampling.pps_sample(out, "doc_id", "n_tokens", k=25)
+    print(
+        f"PPS eval sample: {ev.count()} docs / "
+        f"{ev.agg(F.sum('n_tokens')).first()[0]} tokens"
+    )
+
+    # drift monitor: did curation shift the length distribution vs the
+    # raw corpus?  (sum of per-bucket PSI contributions; ln-scale PSI =
+    # sum * ln 2 — <0.1 stable, >0.25 shifted)
+    drift = Q.distribution_drift(docs, out, "n_chars", bins=16)
+    psi = drift.agg(F.sum("psi")).first()[0]
+    print(f"curation drift on n_chars: PSI(log2) = {psi:.4f}")
+
     # --- semantic dedup over the embedding table (SemDeDup) ------------
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(emb_path):
