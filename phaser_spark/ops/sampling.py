@@ -293,6 +293,102 @@ def token_budget_select(
     return full.unionByName(picked).drop(*drop_cols)
 
 
+def pack_best_fit(
+    df: DataFrame,
+    key_col: str,
+    len_col: str,
+    capacity: int,
+    partition_col: str | None = None,
+    buckets: int = 256,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Best-fit-decreasing bin packing into fixed-``capacity`` bins — the
+    packing for documents that must NOT be split across training
+    sequences (contrast :func:`pack_sequences`, which concatenates and
+    chunks).  Minimizing per-bin slack is what BFD is for: items are
+    taken longest-first and each goes into the fullest bin it still
+    fits, opening a new bin only when none fits.
+
+    Items LONGER than ``capacity`` get a bin of their own (flagged
+    downstream by their length; dropping them is the caller's policy
+    call).  NULL/non-positive lengths and NULL keys are excluded.
+    Returns the input rows plus ``bin_col``; bins are unique within each
+    ``partition_col`` value (like ``pack_sequences``), never across.
+
+    Determinism: items order by ``(length desc, md5(key), key)`` inside
+    their pack group and the greedy is a pure function of that order, so
+    the assignment is identical on any partitioning (pytest asserts
+    repartition-invariance); ``key_col`` must be unique per row.
+
+    Scale: bin packing is inherently sequential, so the corpus is first
+    hashed into ``buckets`` pack groups per partition value (the
+    token_budget_select two-level idea): each group BFD-packs
+    independently in one Arrow batch (``applyInPandas`` — the documented
+    non-relational escape hatch), giving ~N/buckets-bounded state and
+    full parallelism.  The trade is documented honestly: bucketing costs
+    at most one partially-empty bin per bucket versus a corpus-wide BFD
+    (itself already a heuristic), bounded by ``buckets × capacity``
+    slack total.
+    """
+    from pyspark.sql import types as T
+
+    if capacity < 1:
+        raise ValueError(f"pack_best_fit needs capacity >= 1, got {capacity}")
+    if buckets < 1:
+        raise ValueError(f"pack_best_fit needs buckets >= 1, got {buckets}")
+    BKT = "__pbf_bkt__"
+    parts = [partition_col] if partition_col else []
+    base = (
+        df.withColumn(BKT, hash_bucket(F.col(key_col), buckets))
+        .filter(
+            F.col(BKT).isNotNull()
+            & F.col(len_col).isNotNull()
+            & (F.col(len_col) > 0)
+        )
+    )
+    out_schema = T.StructType(
+        [f for f in base.schema.fields if f.name != BKT]
+        + [T.StructField(bin_col, T.LongType())]
+    )
+    cap = int(capacity)
+    key_name, len_name = key_col, len_col
+
+    def pack(pdf):
+        import hashlib
+
+        import pandas as pd
+
+        bucket = int(pdf[BKT].iloc[0])
+        order = sorted(
+            range(len(pdf)),
+            key=lambda i: (
+                -int(pdf[len_name].iloc[i]),
+                hashlib.md5(str(pdf[key_name].iloc[i]).encode()).hexdigest(),
+                str(pdf[key_name].iloc[i]),
+            ),
+        )
+        remaining: list[int] = []  # slack per open bin, index = local bin id
+        assigned = [0] * len(pdf)
+        for i in order:
+            n = int(pdf[len_name].iloc[i])
+            best, best_slack = -1, None
+            for b, slack in enumerate(remaining):
+                if n <= slack and (best_slack is None or slack < best_slack):
+                    best, best_slack = b, slack
+            if best < 0:
+                remaining.append(max(cap - n, 0))
+                best = len(remaining) - 1
+            else:
+                remaining[best] -= n
+            # bins unique per partition value: bucket in the high bits
+            assigned[i] = (bucket << 33) | best
+        out = pdf.drop(columns=[BKT]).copy()
+        out[bin_col] = pd.array(assigned, dtype="int64")
+        return out
+
+    return base.groupBy(*parts, BKT).applyInPandas(pack, schema=out_schema)
+
+
 def leakage_safe_split(
     df: DataFrame,
     id_col: str,

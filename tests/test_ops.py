@@ -3039,3 +3039,55 @@ def test_distribution_drift_binned_clamps_and_validates(spark):
     empty = spark.createDataFrame([(None,)], "v double")
     with _pytest.raises(PhaserError, match="no non-null"):
         distribution_drift(empty, cur, "v", bins=4)
+
+
+# --- best-fit-decreasing packing -------------------------------------------
+
+
+def test_pack_best_fit_respects_capacity_and_is_deterministic(spark):
+    from pyspark.sql import functions as SF
+
+    from phaser_spark.ops import sampling
+
+    rows = [(f"d{i}", (i * 37) % 900 + 50, ["en", "fr"][i % 2]) for i in range(120)]
+    rows += [("huge", 5000, "en"), ("znull", None, "fr"), ("zneg", -3, "en")]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long, lang string")
+    out = sampling.pack_best_fit(
+        df, "doc_id", "n_tokens", capacity=1024, partition_col="lang", buckets=4
+    )
+    got = out.collect()
+    # junk rows excluded; every usable row got exactly one bin
+    assert {r.doc_id for r in got} == {f"d{i}" for i in range(120)} | {"huge"}
+    # no bin exceeds capacity except single-item oversize bins
+    fill = (
+        out.groupBy("lang", "bin_id")
+        .agg(SF.sum("n_tokens").alias("tot"), SF.count("*").alias("n"))
+        .collect()
+    )
+    for r in fill:
+        assert r.tot <= 1024 or r.n == 1, (r.lang, r.bin_id, r.tot, r.n)
+    # oversize item sits alone
+    huge_bin = next(r for r in got if r.doc_id == "huge").bin_id
+    assert sum(1 for r in got if r.lang == "en" and r.bin_id == huge_bin) == 1
+    # deterministic under any input layout
+    got2 = sampling.pack_best_fit(
+        df.repartition(7, "doc_id"), "doc_id", "n_tokens",
+        capacity=1024, partition_col="lang", buckets=4,
+    ).collect()
+    assert {(r.doc_id, r.bin_id) for r in got2} == {(r.doc_id, r.bin_id) for r in got}
+    # BFD never uses MORE bins than naive arrival-order next-fit packing
+    for lang in ("en", "fr"):
+        items = [r.n_tokens for r in got if r.lang == lang and r.doc_id != "huge"]
+        bins_bfd = len({r.bin_id for r in got if r.lang == lang and r.doc_id != "huge"})
+        nf_bins, slack = 1, 1024
+        for n in items:  # arbitrary arrival order is fine for an upper bound
+            if n <= slack:
+                slack -= n
+            else:
+                nf_bins += 1
+                slack = 1024 - n
+        assert bins_bfd <= nf_bins
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.pack_best_fit(df, "doc_id", "n_tokens", capacity=0)

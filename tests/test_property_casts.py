@@ -686,3 +686,57 @@ def test_remove_repeated_spans_matches_python(spark, docs, n):
                 covered.update(range(p, p + n))
         kept = [w for j, w in enumerate(ws) if j not in covered]
         assert got[i] == (" ".join(kept), len(covered))
+
+
+# --- PPS sampling equals the single-order naive rule ----------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 500),                      # key (dups collapse)
+            st.one_of(st.none(), st.integers(-5, 400)),  # weight incl. junk
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    k=st.integers(1, 40),
+    buckets=st.sampled_from([1, 4, 16]),
+)
+def test_pps_sample_property(spark, docs, k, buckets):
+    """For ANY weights (including NULL/zero/negative junk), k, and bucket
+    count, the two-level PPS selection must keep EXACTLY the rows the
+    naive single-order rule keeps: sort by (md5-bucket, md5(key), key),
+    exact cumulative weights, keep rows whose (lo, hi] interval crosses
+    an i*W/k threshold under the identical double floor test — and never
+    return more than k rows."""
+    import hashlib
+    import math
+
+    from phaser_spark.ops.sampling import pps_sample
+
+    rows = list({d: w for d, w in docs}.items())  # unique keys (API contract)
+    df = spark.createDataFrame(
+        [(f"k{key}", w) for key, w in rows], "doc_id string, w long"
+    )
+    got = {r.doc_id for r in pps_sample(df, "doc_id", "w", k=k, buckets=buckets).collect()}
+
+    def bkt(x):
+        return int(hashlib.md5(x.encode()).hexdigest()[:8], 16) % buckets
+
+    usable = [(f"k{key}", w) for key, w in rows if w is not None and w > 0]
+    if not usable:
+        assert got == set()
+        return
+    total = float(sum(w for _, w in usable))
+    want, run = set(), 0
+    for key, w in sorted(usable, key=lambda r: (bkt(r[0]), hashlib.md5(r[0].encode()).hexdigest(), r[0])):
+        lo, hi = run, run + w
+        if math.floor(float(hi) * float(k) / total) > math.floor(
+            float(lo) * float(k) / total
+        ):
+            want.add(key)
+        run = hi
+    assert got == want
+    assert len(got) <= k
