@@ -740,3 +740,34 @@ def test_pps_sample_property(spark, docs, k, buckets):
         run = hi
     assert got == want
     assert len(got) <= k
+
+
+# --- PageRank equals the driver-side reference on random graphs -----------
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=40,
+    ),
+    damping=st.sampled_from([0.5, 0.85]),
+    iters=st.integers(1, 5),
+)
+def test_pagerank_property(spark, edges, damping, iters):
+    """For ANY directed graph (self-loops, parallel edges, dangling
+    sinks, disconnected vertices), the distributed scores must match a
+    pure-Python replay of the same recurrence to well under the 12-digit
+    truncation, and total mass must stay 1."""
+    from tests.test_ops import _reference_pagerank
+
+    from phaser_spark.ops.graph import pagerank
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.pagerank for r in pagerank(e, damping=damping, n_iters=iters).collect()}
+    want = _reference_pagerank(set(edges), damping, iters)
+    assert set(got) == set(want)
+    for v, p in want.items():
+        assert abs(got[v] - p) < 1e-9, (v, got[v], p)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
