@@ -556,10 +556,17 @@ def distribution_drift(
 
     Scale: one map-side-combined count per side (shuffle on the bucket
     key, cardinality ≤ bins+1 / distinct values), a full-outer join of
-    two bucket-sized tables, and one window pass over that tiny joined
-    table for the totals — nothing corpus-sized moves; the only driver
-    action is the two-scalar min/max job in binned mode.  Shares and
-    psi are truncated to ``digits`` so external engines reproduce them.
+    two bucket-sized tables, and one window pass over that joined table
+    for the totals.  Nothing corpus-sized moves; the only driver action
+    is the two-scalar min/max job in binned mode.  The totals window
+    runs the BUCKET table through one task — bounded by ``bins`` in
+    binned mode and by the column's distinct-value count in categorical
+    mode (a separate one-row aggregate would avoid that single task but
+    re-executes the count subtree: two extra corpus scans, strictly
+    worse).  For an id-like categorical column — where per-value PSI is
+    smoothing-dominated noise anyway — use binned mode or pre-bucket
+    the values.  Shares and psi are truncated to ``digits`` so external
+    engines reproduce them.
     """
     from pyspark.sql import Window
 
