@@ -2583,6 +2583,34 @@ def drift_prices_by_flag(spark, sf_dir):
     return distribution_drift(ref, cur, "l_extendedprice", bins=16)
 
 
+def ewma_customer_orders(spark, sf_dir):
+    """Trailing EWMA smoother (``ops.timeseries.ewma``): per-customer
+    exponentially-weighted mean of order totals over the last 8 orders,
+    alpha=0.5 (exact dyadic weights — bit-identical literals on any
+    engine).  The weighted sum is an ordered left fold over the
+    collected window against a LITERAL coefficient array; the oracle
+    replays the identical fold with the identical literals."""
+    from phaser_spark.ops.timeseries import ewma
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    out = ewma(
+        orders,
+        "price",
+        ["o_orderdate", "o_orderkey"],
+        alpha=0.5,
+        window=8,
+        partition_by="o_custkey",
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", F.col("price_ewma").alias("ewma")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2720,6 +2748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_sample_docs": pps_sample_docs,
         "leakage_safe_split_docs": leakage_safe_split_docs,
         "drift_prices_by_flag": drift_prices_by_flag,
+        "ewma_customer_orders": ewma_customer_orders,
     }
 
 
@@ -4732,6 +4761,36 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
         """,
         "graph_pagerank": _pagerank_unrolled_sql(0.85, 4),
+        # Mirrors ops/timeseries.ewma: 8-row trailing frame, alpha=0.5
+        # dyadic coefficient literals (exact doubles), NULL-free column,
+        # ordered left folds for both the weighted and coefficient sums.
+        "ewma_customer_orders": """
+            WITH v AS (
+                SELECT o_orderkey, o_custkey,
+                       list(CAST(o_totalprice AS DOUBLE)) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+                FROM orders
+            ), t AS (
+                SELECT o_orderkey, o_custkey, vals,
+                       ([0.0078125, 0.015625, 0.03125, 0.0625,
+                         0.125, 0.25, 0.5, 1.0])[9 - len(vals):8] AS tail
+                FROM v
+            )
+            SELECT o_orderkey, o_custkey,
+                   floor(
+                       list_reduce(
+                           list_prepend(CAST(0 AS DOUBLE),
+                               list_transform(generate_series(1, len(vals)),
+                                              i -> vals[i] * tail[i])),
+                           (a, b) -> a + b)
+                       / list_reduce(
+                           list_prepend(CAST(0 AS DOUBLE), tail),
+                           (a, b) -> a + b)
+                       * 1000000) / 1000000 AS ewma
+            FROM t
+        """,
         # Mirrors ops/quality.distribution_drift term-for-term: reference
         # min/max edges, clamp-to-end-bins, '__null__' bucket, Laplace
         # smoothing s=0.5 over K observed buckets, log2 psi, 6-digit trunc.

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "pps_sample_docs",
     "drift_prices_by_flag",
+    "ewma_customer_orders",
 ]
 
 

@@ -136,3 +136,74 @@ def resample_time(
         F.timestamp_seconds(F.col("__rs_bkt")).alias(bucket_col),
         *[c.alias(n) for n, c in out_cols.items()],
     )
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    order_col: str | list[str],
+    alpha: float = 0.3,
+    window: int = 20,
+    partition_by: list[str] | str | None = None,
+    out_col: str | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Trailing exponentially-weighted moving average — the standard
+    smoother for monitoring metric trends (corpus volume per day, error
+    rates, quality-score drift) where a plain rolling mean lags and a
+    last-value signal is too noisy.
+
+    For each row, ``out_col`` is the EWMA of the last ``window`` values
+    in ``order_col`` order within the row's ``partition_by`` group::
+
+        ewma = Σ αᵏ·x[n−k] / Σ αᵏ   for k = 0..min(window, n)−1
+
+    with ``alpha`` in (0, 1) the per-step decay (newest point weight 1,
+    each older point ``alpha``× the next-newer).  The start of a series
+    uses only the points that exist (weights renormalize), so no warm-up
+    NULLs.  NULL values are EXCLUDED from the window (Spark's
+    ``collect_list`` drops them): the smoother skips gaps rather than
+    poisoning the trailing mean.
+
+    Determinism: the decay weights are a LITERAL double array computed
+    once on the driver, the weighted sum is an ordered left fold over
+    the collected window (``zip_with`` + ``aggregate`` — replayable
+    bit-for-bit in an external engine via the same literal list, like
+    the ops/similarity dot products), and the output truncates to
+    ``digits``.  ``order_col`` (plus tiebreak columns, passed as a
+    list) must give a total order or window membership is undefined.
+
+    Scale: one window per group with ``O(window)`` collected state per
+    row; without ``partition_by`` the window is GLOBAL — a single sort
+    task, only for series small enough to sort on one executor (the
+    ``pack_sequences`` caveat).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise PhaserError(f"ewma: alpha must be in (0, 1), got {alpha}")
+    if window < 1:
+        raise PhaserError(f"ewma: window must be >= 1, got {window}")
+    from .dedup import trunc_digits
+
+    out_col = out_col or f"{value_col}_ewma"
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    parts = (
+        [partition_by]
+        if isinstance(partition_by, str)
+        else list(partition_by or [])
+    )
+    base = Window.partitionBy(*parts) if parts else Window.partitionBy()
+    w = base.orderBy(*[F.col(c) for c in order]).rowsBetween(
+        -(window - 1), Window.currentRow
+    )
+    # oldest-first collected window; literal weights, oldest-first too:
+    # coeffs[i] pairs with the value (window-1-i) steps back
+    coeffs = [float(alpha) ** k for k in range(window - 1, -1, -1)]
+    vals = F.collect_list(F.col(value_col).cast("double")).over(w)
+    n = F.size(vals)
+    tail = F.slice(F.array(*[F.lit(c) for c in coeffs]), window - n + 1, n)
+    weighted = F.zip_with(vals, tail, lambda x, c: x * c)
+    fold = lambda arr: F.aggregate(  # noqa: E731 — ordered left fold
+        arr, F.lit(0.0), lambda acc, e: acc + e
+    )
+    score = F.when(n > 0, fold(weighted) / fold(tail))
+    return df.withColumn(out_col, trunc_digits(score, digits))

@@ -3091,3 +3091,51 @@ def test_pack_best_fit_respects_capacity_and_is_deterministic(spark):
 
     with _pytest.raises(ValueError):
         sampling.pack_best_fit(df, "doc_id", "n_tokens", capacity=0)
+
+
+# --- EWMA smoothing ---------------------------------------------------------
+
+
+def test_ewma_matches_python_replay(spark):
+    from phaser_spark.ops.timeseries import ewma
+
+    rows = []
+    vals = {"g1": [10.0, 20.0, None, 40.0, 5.0, 60.0], "g2": [100.0, 50.0]}
+    for g, series in vals.items():
+        for i, v in enumerate(series):
+            rows.append((g, i, v))
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = ewma(df, "v", "t", alpha=0.5, window=3, partition_by="g")
+    got = {(r.g, r.t): r.v_ewma for r in out.collect()}
+
+    def replay(series, alpha=0.5, window=3):
+        # frame = the last `window` ROWS; NULLs inside the frame are
+        # excluded from the weighted mean (the documented semantics)
+        import math
+
+        res = []
+        for i in range(len(series)):
+            tail = [v for v in series[max(0, i - window + 1): i + 1] if v is not None]
+            if not tail:
+                res.append(None)
+                continue
+            ws = [alpha ** k for k in range(len(tail) - 1, -1, -1)]
+            val = sum(x * c for x, c in zip(tail, ws)) / sum(ws)
+            res.append(math.floor(val * 1e6) / 1e6)
+        return res
+
+    for g, series in vals.items():
+        want = replay(series)
+        for i, expect in enumerate(want):
+            assert got[(g, i)] == expect or (
+                expect is not None and abs(got[(g, i)] - expect) < 1e-9
+            ), (g, i, got[(g, i)], expect)
+    # newest point dominates as alpha -> 0; window caps the history
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+
+    with _pytest.raises(PhaserError):
+        ewma(df, "v", "t", alpha=1.0)
+    with _pytest.raises(PhaserError):
+        ewma(df, "v", "t", window=0)
