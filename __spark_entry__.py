@@ -2568,6 +2568,26 @@ def leakage_safe_split_docs(spark, sf_dir):
     return out.select("doc_id", "split_group", "split")
 
 
+def leakage_split_shares_docs(spark, sf_dir):
+    """Realized per-split row/token mass after the leakage-safe cut
+    (``ops.sampling.split_shares`` — the audit the split docstring
+    prescribes, since cluster-keyed hashing only hits ``fractions`` in
+    expectation and a mega-cluster can move whole points of token mass
+    into one split).  Counts are exact; the token sums are IEEE-exact
+    (integer-valued doubles below 2^53) so the share divisions replay
+    bit-for-bit in the oracle."""
+    from phaser_spark.ops import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=1000
+    )
+    out = sampling.leakage_safe_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, pairs
+    )
+    return sampling.split_shares(out, "split", "n_chars")
+
+
 def drift_prices_by_flag(spark, sf_dir):
     """Distribution-drift monitor (``ops.quality.distribution_drift``):
     PSI of l_extendedprice between returnflag='A' (reference) and 'N'
@@ -2747,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "pps_sample_docs": pps_sample_docs,
         "leakage_safe_split_docs": leakage_safe_split_docs,
+        "leakage_split_shares_docs": leakage_split_shares_docs,
         "drift_prices_by_flag": drift_prices_by_flag,
         "ewma_customer_orders": ewma_customer_orders,
     }
@@ -4874,6 +4895,49 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'test'
                    END AS split
             FROM grp
+        """
+        ),
+        # Same component+bucket-rule CTE as leakage_safe_split_docs, then
+        # the split_shares aggregation: COUNT(*) exact, token sums exact
+        # IEEE (integer-valued doubles), shares a single double division.
+        "leakage_split_shares_docs": (
+            "WITH RECURSIVE jac_pairs AS (\n"
+            + _NGRAM_SHINGLE_SQL.format(threshold=0.8)
+            + """
+            ), edges AS (
+                SELECT id_a AS s, id_b AS d FROM jac_pairs
+                UNION
+                SELECT id_b, id_a FROM jac_pairs
+            ), reach(id, r) AS (
+                SELECT DISTINCT s, s FROM edges
+                UNION
+                SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
+            ), comp AS (
+                SELECT id, MIN(r) AS component FROM reach GROUP BY id
+            ), grp AS (
+                SELECT d.doc_id, d.n_chars,
+                       COALESCE(c.component, d.doc_id) AS split_group
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+            ), assigned AS (
+                SELECT n_chars,
+                       CASE
+                           WHEN CAST(('0x' || substring(md5(CAST(split_group AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 8000
+                               THEN 'train'
+                           WHEN CAST(('0x' || substring(md5(CAST(split_group AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9000
+                               THEN 'val'
+                           ELSE 'test'
+                       END AS split
+                FROM grp
+            )
+            SELECT split,
+                   COUNT(*) AS "rows",
+                   CAST(COUNT(*) AS DOUBLE)
+                       / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS row_share,
+                   SUM(CAST(n_chars AS DOUBLE)) AS weight,
+                   SUM(CAST(n_chars AS DOUBLE))
+                       / SUM(SUM(CAST(n_chars AS DOUBLE))) OVER () AS weight_share
+            FROM assigned
+            GROUP BY split
         """
         ),
         # Mirrors ops/sampling.pps_sample's two-level rule with ONE global

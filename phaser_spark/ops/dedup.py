@@ -377,6 +377,50 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_edges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    num_bands: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """Linear-size CONNECTIVITY edges from MinHash-LSH buckets — the
+    dup-heavy-corpus feeder for :func:`phaser_spark.ops.sampling.
+    leakage_safe_split` and anything else that only needs connected
+    components, not the pair list.
+
+    ``minhash_lsh_pairs`` self-joins each (band, bucket) group, which is
+    quadratic in copies-per-cluster: a 1000-copy boilerplate cluster
+    emits ~500k pairs per band before dedup.  Components never need
+    that — a star per bucket (every member → the bucket's min id)
+    connects the identical component set with ≤ ``num_bands`` edges per
+    document, linear at any duplication rate.  The trade is honesty
+    about precision: bucket edges are UNVERIFIED candidates (no Jaccard
+    check — verification is inherently pairwise and would reintroduce
+    the quadratic stage), so false-positive buckets over-merge
+    clusters.  For a leakage guard that is the conservative direction
+    (rows that only might be near-dups still land in the same split);
+    do NOT use these edges where pair precision matters — that is what
+    ``minhash_lsh_pairs(verify=True)`` is for.
+
+    Returns ``(id_a, id_b)`` with ``id_a`` the bucket hub (min id),
+    distinct, singleton buckets emitting nothing.
+    """
+    from pyspark.sql import Window
+
+    sig = minhash_signatures(df, id_col, text_col, num_perm, n)
+    bands = minhash_bands(sig, num_bands, num_perm)
+    # one shuffle on (band, bucket); the window min is the star hub
+    w = Window.partitionBy("band", "bucket")
+    hubs = bands.select("id", F.min("id").over(w).alias("hub"))
+    return (
+        hubs.filter(F.col("id") != F.col("hub"))
+        .select(F.col("hub").alias("id_a"), F.col("id").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

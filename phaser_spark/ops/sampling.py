@@ -314,6 +314,9 @@ def pack_best_fit(
     call).  NULL/non-positive lengths and NULL keys are excluded.
     Returns the input rows plus ``bin_col``; bins are unique within each
     ``partition_col`` value (like ``pack_sequences``), never across.
+    Bin ids encode ``(pack_group_bucket << 33) | local_bin`` in one
+    int64, which caps ``buckets`` at 2^30 (validated) and gives each
+    pack group a 33-bit local-bin space.
 
     Determinism: items order by ``(length desc, md5(key), key)`` inside
     their pack group and the greedy is a pure function of that order, so
@@ -336,6 +339,16 @@ def pack_best_fit(
         raise ValueError(f"pack_best_fit needs capacity >= 1, got {capacity}")
     if buckets < 1:
         raise ValueError(f"pack_best_fit needs buckets >= 1, got {buckets}")
+    if buckets > 2**30:
+        # bin ids encode as (bucket << 33) | local_bin in one int64: the
+        # bucket needs to stay below 2^30 for the shift not to overflow,
+        # and each bucket gets a 33-bit local-bin space (~8.6e9 bins —
+        # unreachable, since a bucket's item count bounds its bin count
+        # and a bucket holding 2^33 items has bigger problems)
+        raise ValueError(
+            f"pack_best_fit: buckets must be <= 2^30 for the int64 bin-id "
+            f"encoding (bucket << 33 | local_bin), got {buckets}"
+        )
     BKT = "__pbf_bkt__"
     parts = [partition_col] if partition_col else []
     base = (
@@ -418,13 +431,22 @@ def leakage_safe_split(
     Note the statistical trade: split shares now hold over CLUSTERS,
     not rows, so a giant duplicate cluster moves its whole row mass into
     one split — exactly the point, but budget-sensitive callers should
-    check realized shares (one ``groupBy(split_col).count()``).
+    check realized shares with :func:`split_shares` (one aggregate) and
+    re-cut if a mega-cluster skewed them.
 
-    Scale: the component step is the iterative min-label propagation
-    (shuffle-on-key rounds, localCheckpoint lineage); everything after
-    is one broadcast-or-shuffle join of the (vertex-sized) label table
-    back onto ``df`` plus a pure projection — no new machinery beyond
-    the two audited operators it composes.
+    Scale — and the one real hazard: the component step is the
+    iterative min-label propagation (shuffle-on-key rounds,
+    localCheckpoint lineage) and everything after is one join plus a
+    projection, so THIS operator is linear in ``df`` + ``pairs``.  The
+    hazard lives in how ``pairs`` was generated: all-pairs emitters
+    (LSH bucket self-joins, exact-fingerprint group cross-products)
+    grow QUADRATICALLY in copies-per-cluster — a 1000-copy boilerplate
+    cluster is ~500k pairs from a self-join.  Connectivity does not
+    need all pairs: feed :func:`phaser_spark.ops.dedup.
+    minhash_lsh_edges` (star edges per bucket, linear, and
+    over-merging is the SAFE direction for a leakage guard) or cap the
+    verified generators (``max_shingle_df`` for n-gram Jaccard, band
+    count for MinHash-LSH) when the corpus is dup-heavy.
     """
     from .graph import connected_components
 
@@ -445,6 +467,44 @@ def leakage_safe_split(
     return split_by_hash(joined, group_col, fractions, split_col, remainder)
 
 
+def split_shares(
+    df: DataFrame, split_col: str = "split", weight_col: str | None = None
+) -> DataFrame:
+    """Realized per-split shares after any split assignment — the one
+    call the ``leakage_safe_split`` docstring tells budget-sensitive
+    callers to make: cluster-level hashing only targets ``fractions``
+    in expectation, and a mega-cluster (boilerplate, templated spam)
+    can move whole percentage points of row or token mass into one
+    split.
+
+    Returns one row per ``split_col`` value (NULL splits — e.g. NULL-id
+    rows — stay visible as a NULL row): ``(split, rows, row_share)``
+    plus ``(weight, weight_share)`` when ``weight_col`` is given (token
+    budgets care about token share, not row share).
+
+    Scale: one map-side-combined aggregate down to ≤ #splits rows, then
+    share arithmetic on that tiny table (single-partition window over a
+    handful of rows — bounded by the split count, never by data size).
+    """
+    from pyspark.sql import Window
+
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    if weight_col is not None:
+        aggs.append(F.sum(F.col(weight_col).cast("double")).alias("weight"))
+    per = df.groupBy(F.col(split_col).alias("split")).agg(*aggs)
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = per.withColumn(
+        "row_share", F.col("rows") / F.sum("rows").over(whole)
+    )
+    if weight_col is not None:
+        out = out.withColumn(
+            "weight_share", F.col("weight") / F.sum("weight").over(whole)
+        )
+    return out
+
+
 def pps_sample(
     df: DataFrame,
     key_col: str,
@@ -454,9 +514,16 @@ def pps_sample(
 ) -> DataFrame:
     """Deterministic probability-proportional-to-size sampling WITHOUT
     replacement: ``k`` systematic draws along the weight axis, so a
-    row's inclusion probability is ``min(1, k·w/W)`` — "sample documents
-    proportional to their token count" without ``rand()`` and without a
-    weighted-reservoir pass.
+    row's inclusion probability is approximately ``min(1, k·w/W)`` under
+    the md5-order pseudo-randomization — "sample documents proportional
+    to their token count" without ``rand()`` and without a
+    weighted-reservoir pass.  Two caveats on that probability claim:
+    the order is a fixed function of the keys (deterministic given the
+    key set, "random" only in the sense that md5 scatters any key
+    structure), and the k-th threshold lands at exactly ``W``, so the
+    final row of the total order is always selected regardless of its
+    weight — a single end-of-axis boundary artifact, negligible for
+    ``k ≫ 1`` but worth knowing when auditing small samples.
 
     The rule: lay rows end-to-end in the deterministic
     ``(hash_bucket(key), md5(key), key)`` order (the same total order
@@ -470,7 +537,12 @@ def pps_sample(
     never larger.  Rows with NULL or non-positive weight (or a NULL
     key) are excluded from the output and the accounting; ``key_col``
     must be unique per row or the order between equal keys — and hence
-    the selection — is not deterministic.
+    the selection — is not deterministic.  Weights accumulate as
+    ``decimal(28,12)``, so a single weight must stay below 10^16
+    (16 integer digits) — larger (or NaN) weights raise a clear error
+    up front rather than an opaque ANSI cast overflow mid-job (or,
+    with ANSI off, a silent row drop that would skew both the sample
+    and the total).
 
     Reproducibility: cumulative weights accumulate as exact decimals
     (integer weights stay exact; float weights are pinned at 12
@@ -493,8 +565,25 @@ def pps_sample(
         raise ValueError(f"pps_sample needs buckets >= 1, got {buckets}")
     BKT, H, WT = "__pps_bkt__", "__pps_h__", "__pps_wt__"
     key = F.col(key_col)
+    # try_cast + explicit raise: a >=1e16 (or NaN) weight must fail with
+    # an actionable message, not an ANSI cast-overflow stack mid-job —
+    # and must NEVER silently vanish from the sample AND the total W
+    wt_try = F.col(weight_col).try_cast("decimal(28,12)")
+    wt = F.when(
+        F.col(weight_col).isNotNull() & wt_try.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("pps_sample: weight "),
+                F.col(weight_col).cast("string"),
+                F.lit(
+                    " does not fit decimal(28,12) (weights must be finite"
+                    " and < 1e16); rescale the weight column"
+                ),
+            )
+        ).cast("decimal(28,12)"),
+    ).otherwise(wt_try)
     base = (
-        df.withColumn(WT, F.col(weight_col).cast("decimal(28,12)"))
+        df.withColumn(WT, wt)
         .withColumn(BKT, hash_bucket(key, buckets))
         .filter(F.col(WT).isNotNull() & (F.col(WT) > 0) & F.col(BKT).isNotNull())
         .withColumn(H, F.md5(key.cast("string")))

@@ -46,6 +46,7 @@ SKIP = {
     "kmeans_embedding_cells",   # iterative: per-round centroid collect
     "graph_pagerank",           # iterative: per-round checkpoint + count
     "leakage_safe_split_docs",  # iterative: connected components inside
+    "leakage_split_shares_docs",  # iterative: same component step inside
 }
 
 

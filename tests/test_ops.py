@@ -1703,6 +1703,83 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert all(r.split in ("train", "val", "test") for r in out)
 
 
+def test_minhash_lsh_edges_linear_on_mega_cluster(spark):
+    """A 1000-copy cluster must produce O(copies) star edges, never the
+    ~500k an all-pairs bucket self-join would emit — and those edges
+    must still connect the whole cluster for the leakage guard."""
+    from phaser_spark.ops import sampling
+
+    boiler = "subscribe to our newsletter for the latest updates and offers"
+    rows = [(i, boiler) for i in range(1, 1001)] + [
+        (2001, "a genuinely unique document about spark physical planning"),
+        (2002, "another distinct document covering parquet row groups"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = dedup.minhash_lsh_edges(docs, "doc_id", "text").collect()
+    # star per bucket: every band buckets the identical copies together
+    # with hub=1, so distinct edges are exactly (1, i) for i in 2..1000
+    assert len(edges) == 999
+    assert all(r.id_a == 1 for r in edges)
+    # singletons emit nothing
+    assert not any(r.id_b in (2001, 2002) for r in edges)
+    # composed with the split: the whole cluster lands in ONE split
+    out = sampling.leakage_safe_split(
+        docs,
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        spark.createDataFrame(edges),
+    )
+    cluster_splits = (
+        out.filter(F.col("doc_id") <= 1000).select("split").distinct().collect()
+    )
+    assert len(cluster_splits) == 1
+
+
+def test_split_shares_reports_row_and_weight_mass(spark):
+    from phaser_spark.ops import sampling
+
+    df = spark.createDataFrame(
+        [
+            ("train", 10),
+            ("train", 30),
+            ("val", 40),
+            ("test", 10),
+            (None, 10),  # NULL split (e.g. NULL-id rows) stays visible
+        ],
+        "split string, tokens int",
+    )
+    got = {
+        r.split: r
+        for r in sampling.split_shares(df, "split", "tokens").collect()
+    }
+    assert set(got) == {"train", "val", "test", None}
+    assert got["train"].rows == 2 and got["train"].row_share == 0.4
+    assert got["train"].weight == 40.0 and got["train"].weight_share == 0.4
+    assert got["val"].weight_share == 0.4 and got["test"].weight_share == 0.1
+    assert got[None].rows == 1 and got[None].weight_share == 0.1
+    assert abs(sum(r.row_share for r in got.values()) - 1.0) < 1e-12
+
+
+def test_pps_sample_rejects_overflow_weight(spark):
+    """A weight >= 1e16 must fail loudly, not ANSI-throw opaquely or
+    silently drop the row from the sample and the total."""
+    from phaser_spark.ops import sampling
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 1e17)], "doc_id long, w double"
+    )
+    with pytest.raises(Exception, match="does not fit decimal"):
+        sampling.pps_sample(df, "doc_id", "w", k=1).collect()
+
+
+def test_pack_best_fit_rejects_bucket_overflow(spark):
+    from phaser_spark.ops import sampling
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n int")
+    with pytest.raises(ValueError, match="2\\^30"):
+        sampling.pack_best_fit(df, "doc_id", "n", capacity=16, buckets=2**30 + 1)
+
+
 # --- cluster representative / keep-best dedup ----------------------------
 
 
