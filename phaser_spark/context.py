@@ -49,11 +49,16 @@ class Context:
         working_dir: str | None = None,
         error_policy: str = ON_ERROR_COLLECT,
         verbose: bool = False,
+        strict_schemas: bool = False,
     ):
         self.spark = spark or SparkSession.active()
         self.working_dir = working_dir
         self.error_policy = error_policy
         self.verbose = verbose
+        # strict_schemas=True turns the 10-row sample-inference warning for
+        # schema-less row_steps into an error: at scale, a sparse column
+        # the sample misses would otherwise be dropped SILENTLY
+        self.strict_schemas = strict_schemas
         self.current_phase: str = "__pipeline__"
         self.variables: dict = {}
         # driver-originated events: list of dicts matching EVENT_SCHEMA

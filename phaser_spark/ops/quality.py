@@ -529,6 +529,7 @@ def distribution_drift(
     bins: int | None = None,
     smoothing: float = 0.5,
     digits: int = 6,
+    max_categories: int = 100_000,
 ) -> DataFrame:
     """Population-stability drift between a REFERENCE corpus slice and a
     CURRENT one — the standard monitor for "has my training data shifted
@@ -563,10 +564,15 @@ def distribution_drift(
     binned mode and by the column's distinct-value count in categorical
     mode (a separate one-row aggregate would avoid that single task but
     re-executes the count subtree: two extra corpus scans, strictly
-    worse).  For an id-like categorical column — where per-value PSI is
-    smoothing-dominated noise anyway — use binned mode or pre-bucket
-    the values.  Shares and psi are truncated to ``digits`` so external
-    engines reproduce them.
+    worse).  Categorical mode therefore FAILS LOUDLY when the bucket
+    table exceeds ``max_categories`` (default 100k): an id-like column
+    would otherwise silently funnel a corpus-distinct through one task,
+    and its per-value PSI is smoothing-dominated noise anyway — use
+    binned mode or pre-bucket such columns.  The guard rides the totals
+    window itself (zero extra jobs); it fires at execution time, after
+    the bucket counts aggregate but before any result row is emitted.
+    Shares and psi are truncated to ``digits`` so external engines
+    reproduce them.
     """
     from pyspark.sql import Window
 
@@ -617,6 +623,33 @@ def distribution_drift(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     k = F.count(F.lit(1)).over(w).cast("double")
+    if bins is None:
+        if max_categories < 2:
+            raise PhaserError(
+                f"distribution_drift needs max_categories >= 2, got "
+                f"{max_categories}"
+            )
+        # categorical cardinality guard inside the window expression: the
+        # count is computed anyway, so exceeding the cap raises with zero
+        # extra jobs instead of silently single-tasking an id-like column
+        k = F.when(
+            k > float(max_categories),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"distribution_drift: column '{col}' has more than "
+                        f"{max_categories} distinct values ("
+                    ),
+                    k.cast("long").cast("string"),
+                    F.lit(
+                        " buckets) — per-value PSI on an id-like column is "
+                        "smoothing noise and funnels the bucket table "
+                        "through one task; use bins= or pre-bucket, or "
+                        "raise max_categories deliberately"
+                    ),
+                )
+            ).cast("double"),
+        ).otherwise(k)
     nt_ref = F.sum("n_ref").over(w).cast("double")
     nt_cur = F.sum("n_cur").over(w).cast("double")
     s = F.lit(float(smoothing))

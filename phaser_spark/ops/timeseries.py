@@ -167,11 +167,17 @@ def ewma(
 
     Determinism: the decay weights are a LITERAL double array computed
     once on the driver, the weighted sum is an ordered left fold over
-    the collected window (``zip_with`` + ``aggregate`` — replayable
-    bit-for-bit in an external engine via the same literal list, like
-    the ops/similarity dot products), and the output truncates to
-    ``digits``.  ``order_col`` (plus tiebreak columns, passed as a
-    list) must give a total order or window membership is undefined.
+    the collected window (``zip_with`` + ``aggregate``), and the output
+    truncates to ``digits``.  External replay caveat: the fold is only
+    bit-replayable in another SQL engine for NULL-FREE series (or after
+    an engine-side list filter) — e.g. DuckDB's ``list()`` window
+    aggregate KEEPS NULLs where Spark's ``collect_list`` drops them, so
+    a NULL-bearing series needs the gap rows pre-filtered before the
+    external engine sees them (which changes window membership: rows
+    are then counted among the last ``window`` non-null points, not the
+    last ``window`` rows).  ``order_col`` (plus tiebreak columns,
+    passed as a list) must give a total order or window membership is
+    undefined.
 
     Scale: one window per group with ``O(window)`` collected state per
     row; without ``partition_by`` the window is GLOBAL — a single sort

@@ -450,6 +450,7 @@ class Phase:
                     extra_source_values=kwargs,
                     extra_output_names=tuple(out_names),
                     context_vars=self.context.variables,
+                    strict_schemas=getattr(self.context, "strict_schemas", False),
                 )
                 if out_names:
                     from .steps import _EXTRA_DELTA_COL

@@ -101,6 +101,7 @@ class Pipeline:
         error_policy: str | None = None,
         name: str = "pipeline",
         spark: SparkSession | None = None,
+        strict_schemas: bool = False,
     ):
         self.name = name if name != "pipeline" else (type(self).__name__ or name)
         self.working_dir = working_dir
@@ -111,6 +112,7 @@ class Pipeline:
             working_dir=working_dir,
             error_policy=error_policy or ON_ERROR_COLLECT,
             verbose=verbose,
+            strict_schemas=strict_schemas,
         )
         declared = phases if phases is not None else type(self).phases
         self.phase_instances: list[Phase] = []

@@ -291,6 +291,7 @@ def run_row_step(
     extra_output_names: tuple = (),
     context_vars: dict | None = None,
     output_schema=None,
+    strict_schemas: bool = False,
 ) -> DataFrame:
     """Execute a row step distributed via ``mapInPandas``.
 
@@ -306,6 +307,15 @@ def run_row_step(
     base_kwargs = dict(extra_source_values)
     wants_ctx = _wants_context(fn)
 
+    if declared is None and strict_schemas:
+        # at 100 TB a column the 10-row sample never sees is dropped with
+        # no error anywhere — strict pipelines refuse the gamble up front
+        raise PhaserError(
+            f"row_step {step_name!r} declares no output_schema and this "
+            "pipeline runs with strict_schemas=True: sample-based schema "
+            "inference can silently drop a column the sample misses — "
+            "declare @row_step(output_schema=\"col type, ...\")"
+        )
     if declared is not None:
         out_schema = _merge_schemas(df.schema, declared)
     else:

@@ -1660,6 +1660,88 @@ def test_pps_sample_heavier_rows_selected_more_often(spark):
     assert heavy_hits / 20 > light_hits / 180  # per-row rate ordering
 
 
+def test_pps_sample_certainty_property_random(spark):
+    """Seeded-random weights with several items above 2·W/k: every such
+    certainty item is selected, the output equals the naive replay, and
+    never exceeds k rows."""
+    import random
+
+    from phaser_spark.ops import sampling
+
+    rng = random.Random(8)
+    k = 12
+    for trial in range(3):
+        rows = [(f"t{trial}_d{i}", rng.randint(1, 50)) for i in range(120)]
+        base_w = sum(w for _, w in rows)
+        # each heavy item weighs base_w; final W = 4·base_w, so each is
+        # W/4 ≥ 2·W/k for k=12 — an unambiguous certainty item
+        heavies = [(f"t{trial}_whale{j}", base_w) for j in range(3)]
+        rows += heavies
+        df = spark.createDataFrame(rows, "doc_id string, w long")
+        got = {
+            r.doc_id
+            for r in sampling.pps_sample(df, "doc_id", "w", k=k, buckets=16).collect()
+        }
+        assert got == _naive_pps(rows, k, buckets=16)
+        assert {h for h, _ in heavies} <= got
+        assert len(got) <= k
+
+
+def _reference_ewma(series, alpha, window):
+    """Pure-Python replay of ewma's gap-skip semantics: the trailing
+    ``window`` ROWS, NULLs dropped, weights α^j counted over the
+    surviving values newest-first (pandas ewm(ignore_na=True) weighting
+    restricted to a row-bounded window)."""
+    out = []
+    for i in range(len(series)):
+        vals = [v for v in series[max(0, i - window + 1): i + 1] if v is not None]
+        if not vals:
+            out.append(None)
+            continue
+        ws = [alpha ** (len(vals) - 1 - j) for j in range(len(vals))]
+        out.append(sum(v * w for v, w in zip(vals, ws)) / sum(ws))
+    return out
+
+
+def test_ewma_null_gaps_match_reference_replay(spark):
+    """Seeded-random series with ~30% NULL gaps across several (alpha,
+    window) settings: the distributed smoother must match the
+    pure-Python gap-skip replay to within the 6-digit truncation —
+    including all-NULL prefixes and windows that are entirely gaps."""
+    import random
+
+    from phaser_spark.ops.timeseries import ewma
+
+    rng = random.Random(21)
+    for alpha, window in ((0.3, 5), (0.7, 3), (0.5, 8)):
+        series = {
+            g: [
+                None if rng.random() < 0.3 else round(rng.uniform(-50, 50), 3)
+                for _ in range(40)
+            ]
+            for g in ("a", "b")
+        }
+        # group 'c': NULL prefix then values; group 'd': all NULL
+        series["c"] = [None] * 6 + [1.0, 2.0, None, 4.0]
+        series["d"] = [None] * 5
+        rows = [
+            (g, t, v) for g, vals in series.items() for t, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows, "g string, t int, v double")
+        out = ewma(
+            df, "v", "t", alpha=alpha, window=window, partition_by="g"
+        ).collect()
+        got = {(r.g, r.t): r.v_ewma for r in out}
+        for g, vals in series.items():
+            want = _reference_ewma(vals, alpha, window)
+            for t, wv in enumerate(want):
+                gv = got[(g, t)]
+                if wv is None:
+                    assert gv is None, (g, t, gv)
+                else:
+                    assert gv is not None and abs(gv - wv) < 5e-6, (g, t, gv, wv)
+
+
 # --- leakage-safe splitting -----------------------------------------------
 
 
@@ -3090,6 +3172,25 @@ def test_distribution_drift_categorical_matches_hand_psi(spark):
     # identical distributions -> every contribution ~0
     same = distribution_drift(ref, ref, "v").collect()
     assert all(abs(r.psi) < 1e-9 for r in same)
+
+
+def test_distribution_drift_rejects_id_like_categorical(spark):
+    """Categorical mode must fail loudly above max_categories — an
+    id-like column funnels a corpus-distinct through one task and its
+    per-value PSI is smoothing noise."""
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops.quality import distribution_drift
+
+    ref = spark.createDataFrame([(str(i),) for i in range(50)], "v string")
+    cur = spark.createDataFrame([(str(i),) for i in range(40, 90)], "v string")
+    with _pytest.raises(Exception, match="distinct values"):
+        distribution_drift(ref, cur, "v", max_categories=10).collect()
+    # at/below the cap the same data passes (90 distinct <= 100)
+    assert len(distribution_drift(ref, cur, "v", max_categories=100).collect()) == 90
+    with _pytest.raises(PhaserError, match="max_categories"):
+        distribution_drift(ref, cur, "v", max_categories=1)
 
 
 def test_distribution_drift_binned_clamps_and_validates(spark):

@@ -62,6 +62,63 @@ def test_row_step_declared_schema_does_not_warn(spark):
     assert not any("output_schema" in str(w.message) for w in caught)
 
 
+def test_strict_schemas_rejects_schema_less_row_step(spark):
+    """strict_schemas=True: the sample-inference WARNING becomes an ERROR
+    (a sparse column the 10-row sample misses would silently drop at
+    scale); the same step with output_schema declared runs fine."""
+    from phaser_spark.exceptions import PhaserError
+
+    @row_step
+    def add(row):
+        row["total"] = int(row["a"]) + 1
+        return row
+
+    df = spark.createDataFrame([("1",), ("2",)], ["a"])
+    ph = Phase(name="S", steps=[add], context=ctx(spark, strict_schemas=True))
+    with pytest.raises(PhaserError, match="strict_schemas"):
+        ph.run(df)
+
+    @row_step(output_schema="total long")
+    def add_declared(row):
+        row["total"] = int(row["a"]) + 1
+        return row
+
+    ph2 = Phase(
+        name="S2", steps=[add_declared], context=ctx(spark, strict_schemas=True)
+    )
+    assert sorted(r["total"] for r in ph2.run(df).collect()) == [2, 3]
+
+
+def test_pipeline_threads_strict_schemas(spark, tmp_path):
+    import os
+
+    from phaser_spark import Pipeline
+    from phaser_spark.exceptions import PhaserError
+
+    src = os.path.join(str(tmp_path), "src.csv")
+    with open(src, "w") as f:
+        f.write("a\n1\n2\n")
+
+    @row_step
+    def add(row):
+        row["total"] = int(row["a"]) + 1
+        return row
+
+    class S(Phase):
+        name = "S"
+        steps = [add]
+
+    pipe = Pipeline(
+        working_dir=os.path.join(str(tmp_path), "out"),
+        source=src,
+        phases=[S],
+        spark=spark,
+        strict_schemas=True,
+    )
+    with pytest.raises(PhaserError, match="strict_schemas"):
+        pipe.run()
+
+
 def test_row_step_declared_schema(spark):
     @row_step(output_schema="doubled long")
     def add(row):
