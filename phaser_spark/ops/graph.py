@@ -58,6 +58,12 @@ def connected_components(
             f"connected_components: edges needs columns {src!r}/{dst!r}, "
             f"has {edges.columns}"
         )
+    if max_iters < 1:
+        # zero rounds would "return" the initial all-singleton labels
+        # with only a warning — a silent full mis-clustering
+        raise PhaserError(
+            f"connected_components: max_iters must be >= 1, got {max_iters}"
+        )
     # a NULL endpoint can neither join nor propagate, so only fully
     # non-null edges feed the propagation — but the OTHER endpoint of a
     # half-null edge is still a real vertex and must stay in the vertex

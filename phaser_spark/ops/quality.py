@@ -540,8 +540,9 @@ def distribution_drift(
     (categorical columns; NULL is its own ``'__null__'`` bucket), or
     into ``bins`` equal-width cells between the REFERENCE side's min and
     max (out-of-range current values clamp into the end cells, so new
-    mass beyond the reference range is visible there) — and returns one
-    row per bucket::
+    mass beyond the reference range is visible there; NULL and NaN get
+    their own ``'__null__'`` / ``'__nan__'`` buckets and NaN never
+    feeds the min/max) — and returns one row per bucket::
 
         (bucket string, n_ref, n_cur, p_ref, p_cur, psi)
 
@@ -590,14 +591,21 @@ def distribution_drift(
         bucket = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
         bucket_of = lambda df: df.select(bucket.alias("bucket"))  # noqa: E731
     else:
+        # NaN sorts ABOVE every double in Spark: an unguarded max() would
+        # return NaN off a single bad value, making span NaN and silently
+        # collapsing the whole histogram into bucket 0 (found by NaN
+        # probe) — so the range ignores NaN and NaN rows get their own
+        # visible bucket instead of clamping into cell 0
+        vd = F.col(col).cast("double")
+        finite = F.when(~F.isnan(vd), vd)
         stats = ref.agg(
-            F.min(F.col(col).cast("double")).alias("mn"),
-            F.max(F.col(col).cast("double")).alias("mx"),
+            F.min(finite).alias("mn"), F.max(finite).alias("mx")
         ).first()
         mn, mx = stats["mn"], stats["mx"]
         if mn is None:
             raise PhaserError(
-                f"distribution_drift: reference side has no non-null '{col}'"
+                f"distribution_drift: reference side has no non-null, "
+                f"non-NaN '{col}'"
             )
         span = (mx - mn) or 1.0
         v = F.col(col).cast("double")
@@ -610,7 +618,11 @@ def distribution_drift(
                 ),
             ),
         )
-        bucket = F.when(v.isNull(), F.lit("__null__")).otherwise(idx.cast("string"))
+        bucket = (
+            F.when(v.isNull(), F.lit("__null__"))
+            .when(F.isnan(v), F.lit("__nan__"))
+            .otherwise(idx.cast("string"))
+        )
         bucket_of = lambda df: df.select(bucket.alias("bucket"))  # noqa: E731
 
     refc = bucket_of(ref).groupBy("bucket").agg(F.count(F.lit(1)).alias("n_ref"))

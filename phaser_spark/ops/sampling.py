@@ -311,7 +311,7 @@ def pack_best_fit(
 
     Items LONGER than ``capacity`` get a bin of their own (flagged
     downstream by their length; dropping them is the caller's policy
-    call).  NULL/non-positive lengths and NULL keys are excluded.
+    call).  NULL/NaN/non-positive lengths and NULL keys are excluded.
     Returns the input rows plus ``bin_col``; bins are unique within each
     ``partition_col`` value (like ``pack_sequences``), never across.
     Bin ids encode ``(pack_group_bucket << 33) | local_bin`` in one
@@ -356,6 +356,10 @@ def pack_best_fit(
         .filter(
             F.col(BKT).isNotNull()
             & F.col(len_col).isNotNull()
+            # NaN > 0 is TRUE under Spark's NaN-is-greatest ordering, and
+            # a NaN length would die as an opaque int(NaN) ValueError in
+            # the Arrow batch — exclude it with the other non-lengths
+            & ~F.isnan(F.col(len_col).cast("double"))
             & (F.col(len_col) > 0)
         )
     )

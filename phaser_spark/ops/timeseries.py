@@ -162,8 +162,9 @@ def ewma(
     each older point ``alpha``× the next-newer).  The start of a series
     uses only the points that exist (weights renormalize), so no warm-up
     NULLs.  NULL values are EXCLUDED from the window (Spark's
-    ``collect_list`` drops them): the smoother skips gaps rather than
-    poisoning the trailing mean.
+    ``collect_list`` drops them), and NaN — which Spark does NOT treat
+    as NULL — is mapped to a gap too: the smoother skips both rather
+    than poisoning the trailing mean.
 
     Determinism: the decay weights are a LITERAL double array computed
     once on the driver, the weighted sum is an ordered left fold over
@@ -204,7 +205,11 @@ def ewma(
     # oldest-first collected window; literal weights, oldest-first too:
     # coeffs[i] pairs with the value (window-1-i) steps back
     coeffs = [float(alpha) ** k for k in range(window - 1, -1, -1)]
-    vals = F.collect_list(F.col(value_col).cast("double")).over(w)
+    # NaN is NOT NULL in Spark: collect_list would KEEP it and one bad
+    # value would poison every window that spans it for `window` rows —
+    # map NaN to NULL so it gap-skips exactly like a missing point
+    vd = F.col(value_col).cast("double")
+    vals = F.collect_list(F.when(~F.isnan(vd), vd)).over(w)
     n = F.size(vals)
     tail = F.slice(F.array(*[F.lit(c) for c in coeffs]), window - n + 1, n)
     weighted = F.zip_with(vals, tail, lambda x, c: x * c)

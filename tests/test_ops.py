@@ -1687,6 +1687,44 @@ def test_pps_sample_certainty_property_random(spark):
         assert len(got) <= k
 
 
+def test_ewma_nan_treated_as_gap(spark):
+    """NaN is not NULL in Spark — collect_list would keep it and poison
+    `window` rows of trailing means; it must gap-skip like NULL."""
+    from phaser_spark.ops.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(0, 2.0), (1, float("nan")), (2, 4.0)], "t int, v double"
+    )
+    got = {r.t: r.v_ewma for r in ewma(df, "v", "t", alpha=0.5, window=3).collect()}
+    import math
+
+    assert not any(v is not None and math.isnan(v) for v in got.values())
+    assert got[1] == 2.0  # window {2.0, NaN} -> just 2.0
+    # window {2.0, NaN, 4.0}: weights 0.5/1 over the two real points
+    assert abs(got[2] - (0.5 * 2.0 + 4.0) / 1.5) < 1e-6
+
+
+def test_connected_components_rejects_nonpositive_max_iters(spark):
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops.graph import connected_components
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(PhaserError, match="max_iters"):
+        connected_components(e, max_iters=0)
+
+
+def test_pack_best_fit_excludes_nan_lengths(spark):
+    from phaser_spark.ops import sampling
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", float("nan")), ("c", 7.0)], "doc_id string, n double"
+    )
+    out = sampling.pack_best_fit(df, "doc_id", "n", capacity=16)
+    assert {r.doc_id for r in out.collect()} == {"a", "c"}
+
+
 def _reference_ewma(series, alpha, window):
     """Pure-Python replay of ewma's gap-skip semantics: the trailing
     ``window`` ROWS, NULLs dropped, weights α^j counted over the
@@ -3172,6 +3210,26 @@ def test_distribution_drift_categorical_matches_hand_psi(spark):
     # identical distributions -> every contribution ~0
     same = distribution_drift(ref, ref, "v").collect()
     assert all(abs(r.psi) < 1e-9 for r in same)
+
+
+def test_distribution_drift_nan_isolated_not_poisoning(spark):
+    """NaN must neither poison the reference min/max (NaN sorts above
+    every double in Spark, so an unguarded max() collapses the whole
+    histogram into bucket 0) nor silently clamp into cell 0 on the
+    current side — it gets its own visible bucket."""
+    from phaser_spark.ops.quality import distribution_drift
+
+    nan = float("nan")
+    ref = spark.createDataFrame([(float(i),) for i in range(100)] + [(nan,)],
+                                "v double")
+    cur = spark.createDataFrame([(nan,), (50.0,), (None,)], "v double")
+    rows = {r.bucket: r for r in distribution_drift(ref, cur, "v", bins=4).collect()}
+    # reference range is 0..99 despite the NaN: 50.0 lands mid-histogram
+    assert rows["2"].n_cur == 1
+    assert rows["__nan__"].n_ref == 1 and rows["__nan__"].n_cur == 1
+    assert rows["__null__"].n_cur == 1
+    # all four real cells exist with ~25 reference rows each
+    assert all(20 <= rows[str(b)].n_ref <= 30 for b in range(4))
 
 
 def test_distribution_drift_rejects_id_like_categorical(spark):
