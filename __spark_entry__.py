@@ -2534,6 +2534,42 @@ def graph_pagerank(spark, sf_dir):
     return pr.select(F.col("id").alias("node_id"), "pagerank")
 
 
+def graph_pagerank_weighted(spark, sf_dir):
+    """WEIGHTED PageRank with last-round convergence deltas
+    (``ops.graph.pagerank(weight_col=, delta_col=)``): the same modular
+    link graph but each edge carries a deterministic small-integer
+    weight, parallel weights sum as exact decimals, and every vertex
+    reports |pr₄ − pr₃| so the caller can read the L1 residual without
+    a data-dependent convergence loop.  The oracle unrolls the same 4
+    weighted rounds and joins the last two for the delta."""
+    from phaser_spark.ops import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    edges = (
+        docs.select(
+            did.alias("src"), (did % 211).alias("dst"), ((did % 7) + 1).alias("w")
+        )
+        .union(
+            docs.select(
+                did.alias("src"),
+                ((did % 97) + 300).alias("dst"),
+                ((did % 5) + 1).alias("w"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    pr = graph.pagerank(
+        edges,
+        damping=0.85,
+        n_iters=4,
+        digits=12,
+        weight_col="w",
+        delta_col="pr_delta",
+    )
+    return pr.select(F.col("id").alias("node_id"), "pagerank", "pr_delta")
+
+
 def pps_sample_docs(spark, sf_dir):
     """Deterministic weighted (PPS) sampling without replacement
     (``ops.sampling.pps_sample``): 60 systematic draws proportional to
@@ -2765,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_mix_langs": epoch_mix_langs,
         "text_surprisal": text_surprisal,
         "graph_pagerank": graph_pagerank,
+        "graph_pagerank_weighted": graph_pagerank_weighted,
         "pps_sample_docs": pps_sample_docs,
         "leakage_safe_split_docs": leakage_safe_split_docs,
         "leakage_split_shares_docs": leakage_split_shares_docs,
@@ -2881,35 +2918,66 @@ def _kmeans_unrolled_sql(k: int, iters: int, dim: int) -> str:
     return ",\n".join(parts) + final
 
 
-def _pagerank_unrolled_sql(damping: float, iters: int) -> str:
+def _pagerank_unrolled_sql(
+    damping: float, iters: int, weighted: bool = False, delta: bool = False
+) -> str:
     """Unrolled PageRank rounds mirroring ops/graph.pagerank on the
     doc-id modular link graph: distinct non-null edges, vertex set from
     raw (pre-distinct) endpoints, decimal(38,18) contribution/dangling
     sums, the same double expression tree per round, floor-truncated to
-    12 digits."""
+    12 digits.  ``weighted`` switches to the weighted variant (parallel
+    weights summed as exact decimal(28,12), out-weight totals instead of
+    out-degree); ``delta`` appends the last round's |pr_n − pr_{n−1}|."""
     d = repr(float(damping))
-    parts = [
-        """WITH raww AS (
-            SELECT src, dst FROM (
-                SELECT doc_id AS src, doc_id % 211 AS dst FROM documents
-                UNION ALL
-                SELECT doc_id AS src, (doc_id % 97) + 300 AS dst FROM documents
-            ) WHERE src <> dst
-        )""",
-        """e AS (SELECT DISTINCT src, dst FROM raww
-               WHERE src IS NOT NULL AND dst IS NOT NULL)""",
-        """verts AS (
-            SELECT DISTINCT id FROM (
-                SELECT src AS id FROM raww UNION ALL SELECT dst FROM raww
-            ) WHERE id IS NOT NULL)""",
-        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
-        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src)",
-        """pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS pr
-                   FROM verts CROSS JOIN nn)""",
-    ]
+    if weighted:
+        parts = [
+            """WITH raww AS (
+                SELECT src, dst, w FROM (
+                    SELECT doc_id AS src, doc_id % 211 AS dst,
+                           (doc_id % 7) + 1 AS w FROM documents
+                    UNION ALL
+                    SELECT doc_id AS src, (doc_id % 97) + 300 AS dst,
+                           (doc_id % 5) + 1 AS w FROM documents
+                ) WHERE src <> dst
+            )""",
+            """e AS (SELECT src, dst, SUM(CAST(w AS DECIMAL(28,12))) AS w
+                   FROM raww
+                   WHERE src IS NOT NULL AND dst IS NOT NULL AND w > 0
+                   GROUP BY src, dst)""",
+            """verts AS (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM raww UNION ALL SELECT dst FROM raww
+                ) WHERE id IS NOT NULL)""",
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+            "deg AS (SELECT src, CAST(SUM(w) AS DOUBLE) AS deg FROM e GROUP BY src)",
+            """pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS pr
+                       FROM verts CROSS JOIN nn)""",
+        ]
+        contrib = "CAST(p.pr * CAST(e.w AS DOUBLE) / d.deg AS DECIMAL(38,18))"
+    else:
+        parts = [
+            """WITH raww AS (
+                SELECT src, dst FROM (
+                    SELECT doc_id AS src, doc_id % 211 AS dst FROM documents
+                    UNION ALL
+                    SELECT doc_id AS src, (doc_id % 97) + 300 AS dst FROM documents
+                ) WHERE src <> dst
+            )""",
+            """e AS (SELECT DISTINCT src, dst FROM raww
+                   WHERE src IS NOT NULL AND dst IS NOT NULL)""",
+            """verts AS (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM raww UNION ALL SELECT dst FROM raww
+                ) WHERE id IS NOT NULL)""",
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+            "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src)",
+            """pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS pr
+                       FROM verts CROSS JOIN nn)""",
+        ]
+        contrib = "CAST(p.pr / d.deg AS DECIMAL(38,18))"
     for r in range(iters):
         parts.append(f"""c{r} AS (
-            SELECT e.dst AS id, SUM(CAST(p.pr / d.deg AS DECIMAL(38,18))) AS s
+            SELECT e.dst AS id, SUM({contrib}) AS s
             FROM e JOIN pr{r} p ON e.src = p.id JOIN deg d ON e.src = d.src
             GROUP BY e.dst)""")
         parts.append(f"""g{r} AS (
@@ -2925,7 +2993,16 @@ def _pagerank_unrolled_sql(damping: float, iters: int) -> str:
                        + COALESCE(CAST(c.s AS DOUBLE), CAST(0.0 AS DOUBLE))) AS pr
             FROM verts v LEFT JOIN c{r} c ON v.id = c.id
             CROSS JOIN g{r} g CROSS JOIN nn)""")
-    final = f"""
+    if delta:
+        final = f"""
+        SELECT a.id AS node_id,
+               floor(a.pr * CAST(1000000000000 AS DOUBLE))
+                   / CAST(1000000000000 AS DOUBLE) AS pagerank,
+               floor(abs(a.pr - b.pr) * CAST(1000000000000 AS DOUBLE))
+                   / CAST(1000000000000 AS DOUBLE) AS pr_delta
+        FROM pr{iters} a JOIN pr{iters - 1} b ON a.id = b.id"""
+    else:
+        final = f"""
         SELECT id AS node_id,
                floor(pr * CAST(1000000000000 AS DOUBLE))
                    / CAST(1000000000000 AS DOUBLE) AS pagerank
@@ -4782,6 +4859,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
         """,
         "graph_pagerank": _pagerank_unrolled_sql(0.85, 4),
+        "graph_pagerank_weighted": _pagerank_unrolled_sql(
+            0.85, 4, weighted=True, delta=True
+        ),
         # Mirrors ops/timeseries.ewma: 8-row trailing frame, alpha=0.5
         # dyadic coefficient literals (exact doubles), NULL-free column,
         # ordered left folds for both the weighted and coefficient sums.

@@ -163,6 +163,8 @@ def pagerank(
     id_col: str = "id",
     rank_col: str = "pagerank",
     digits: int = 12,
+    weight_col: str | None = None,
+    delta_col: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge DataFrame — the authority signal a
     web-curation pipeline ranks domains/pages by (engine addition; the
@@ -181,6 +183,26 @@ def pagerank(
     mass.  Returns ``(id_col, rank_col)`` with the rank truncated to
     ``digits`` decimal digits (reproducible cross-engine; see
     ``ops/dedup.trunc_digits``).
+
+    ``weight_col`` switches to WEIGHTED PageRank — the curation shape
+    where links carry fetch quality / click counts: vertex u spreads
+    its mass proportional to each out-edge's share of u's total
+    out-weight (``pr[u]·w(u,v)/W_out(u)``).  Parallel edges SUM their
+    weights instead of collapsing; NULL and non-positive weights drop
+    the edge (its endpoints stay vertices, like half-null edges);
+    weights accumulate as exact ``decimal(28,12)`` so per-vertex
+    out-weights are shuffle-order-independent, and a weight that does
+    not fit (>= 1e16, or NaN) raises up front with a rescale hint
+    rather than an ANSI overflow mid-round — the same loud contract as
+    ``ops.sampling.pps_sample``.
+
+    ``delta_col`` adds the LAST round's per-vertex movement
+    ``|pr_n − pr_{n−1}|`` (same truncation) to the output — sum it for
+    the L1 convergence residual, max it for the worst vertex.  This is
+    the deterministic alternative to a convergence LOOP (which would
+    make the iteration count data-dependent): run fixed ``n_iters``,
+    read the residual, decide whether to rerun deeper.  Costs one extra
+    vertex-sized join at the end, zero extra driver actions.
 
     Determinism contract: the cross-row sums (per-vertex contribution
     sum, the dangling-mass total) accumulate as ``decimal(38,18)`` so
@@ -207,10 +229,46 @@ def pagerank(
         raise PhaserError(f"pagerank: n_iters must be >= 1, got {n_iters}")
     from .dedup import trunc_digits
 
+    if weight_col is not None and weight_col not in edges.columns:
+        raise PhaserError(
+            f"pagerank: weight_col {weight_col!r} not in edge columns "
+            f"{edges.columns}"
+        )
     raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    e = raw.filter(
-        F.col("src").isNotNull() & F.col("dst").isNotNull()
-    ).distinct()
+    if weight_col is None:
+        e = raw.filter(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
+        ).distinct()
+    else:
+        # exact decimal weights: per-vertex out-weight sums must be
+        # shuffle-order independent or scores drift run-to-run
+        wtry = F.col(weight_col).try_cast("decimal(28,12)")
+        w = F.when(
+            F.col(weight_col).isNotNull() & wtry.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("pagerank: edge weight "),
+                    F.col(weight_col).cast("string"),
+                    F.lit(
+                        " does not fit decimal(28,12) (weights must be "
+                        "finite and < 1e16); rescale the weight column"
+                    ),
+                )
+            ).cast("decimal(28,12)"),
+        ).otherwise(wtry)
+        e = (
+            edges.select(
+                F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+            )
+            .filter(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & F.col("w").isNotNull()
+                & (F.col("w") > 0)
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
     verts = (
         raw.select(F.col("src").alias("id"))
         .union(raw.select(F.col("dst").alias("id")))
@@ -227,23 +285,32 @@ def pagerank(
         return verts.select(
             F.col("id").alias(id_col), F.lit(None).cast("double").alias(rank_col)
         )
-    outdeg = e.groupBy("src").agg(
-        F.count(F.lit(1)).cast("double").alias("deg")
-    )
+    if weight_col is None:
+        outdeg = e.groupBy("src").agg(
+            F.count(F.lit(1)).cast("double").alias("deg")
+        )
+    else:
+        # decimal sum (exact) then one cast: deterministic out-weight
+        outdeg = e.groupBy("src").agg(
+            F.sum("w").cast("double").alias("deg")
+        )
+        e = e.select("src", "dst", F.col("w").cast("double").alias("w"))
     # join the degree in once: each iteration then only joins pr by src
     e_deg = e.join(outdeg, "src").localCheckpoint(eager=True)
     n_lit = F.lit(float(n))
     teleport = (F.lit(1.0) - F.lit(damping)) / n_lit
     pr = verts.select("id", (F.lit(1.0) / n_lit).alias("pr"))
+    prev = pr
+    contrib_term = (
+        F.col("pr") / F.col("deg")
+        if weight_col is None
+        else F.col("pr") * F.col("w") / F.col("deg")
+    )
     for _ in range(n_iters):
         contribs = (
             e_deg.join(pr.select(F.col("id").alias("src"), "pr"), "src")
             .groupBy("dst")
-            .agg(
-                F.sum((F.col("pr") / F.col("deg")).cast("decimal(38,18)")).alias(
-                    "s"
-                )
-            )
+            .agg(F.sum(contrib_term.cast("decimal(38,18)")).alias("s"))
         )
         dangling = (
             pr.join(outdeg.select(F.col("src").alias("id")), "id", "left_anti")
@@ -269,8 +336,23 @@ def pagerank(
                 ).alias("pr"),
             )
         )
+        prev = pr
         pr = stepped.localCheckpoint(eager=True)
         gc.collect()  # free the previous round's checkpoint blocks promptly
-    return pr.select(
-        F.col("id").alias(id_col), trunc_digits(F.col("pr"), digits).alias(rank_col)
+    if delta_col is None:
+        return pr.select(
+            F.col("id").alias(id_col),
+            trunc_digits(F.col("pr"), digits).alias(rank_col),
+        )
+    # last-round movement off the two already-checkpointed frames: one
+    # vertex-sized join, no recompute, no driver action
+    return (
+        pr.join(prev.select("id", F.col("pr").alias("__prev_pr__")), "id")
+        .select(
+            F.col("id").alias(id_col),
+            trunc_digits(F.col("pr"), digits).alias(rank_col),
+            trunc_digits(
+                F.abs(F.col("pr") - F.col("__prev_pr__")), digits
+            ).alias(delta_col),
+        )
     )

@@ -45,6 +45,7 @@ SKIP = {
     "dedup_best_of_cluster",    # iterative: connected components inside
     "kmeans_embedding_cells",   # iterative: per-round centroid collect
     "graph_pagerank",           # iterative: per-round checkpoint + count
+    "graph_pagerank_weighted",  # iterative: per-round checkpoint + count
     "leakage_safe_split_docs",  # iterative: connected components inside
     "leakage_split_shares_docs",  # iterative: same component step inside
 }

@@ -1008,6 +1008,88 @@ def test_pagerank_matches_reference_implementation(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
+def _reference_pagerank_weighted(edges, damping, n_iters, extra_vertices=()):
+    """Weighted replay: edges = {(s, d): w} with parallel weights summed."""
+    verts = sorted({v for pair in edges for v in pair} | set(extra_vertices))
+    n = len(verts)
+    outw = {}
+    for (s, _), w in edges.items():
+        outw[s] = outw.get(s, 0.0) + w
+    pr = {v: 1.0 / n for v in verts}
+    history = [dict(pr)]
+    for _ in range(n_iters):
+        dangling = sum(pr[v] for v in verts if v not in outw)
+        contrib = {v: 0.0 for v in verts}
+        for (s, d), w in edges.items():
+            contrib[d] += pr[s] * w / outw[s]
+        pr = {
+            v: (1.0 - damping) / n + damping * (dangling / n + contrib[v])
+            for v in verts
+        }
+        history.append(dict(pr))
+    return pr, history
+
+
+def test_pagerank_weighted_matches_reference_and_reports_delta(spark):
+    """Random weighted digraph (parallel edges whose weights must SUM,
+    dangling sinks, an excluded zero/NaN/NULL-weight edge): scores match
+    the pure-Python weighted replay, and delta_col carries the last
+    round's |pr_n - pr_{n-1}| per vertex."""
+    import random
+
+    from phaser_spark.ops.graph import pagerank
+
+    rng = random.Random(5)
+    raw = [
+        (rng.randrange(20), rng.randrange(20), float(rng.randint(1, 9)))
+        for _ in range(60)
+    ]
+    raw += [(s, d, w) for s, d, w in raw[:8]]  # parallel edges: weights sum
+    # excluded-but-vertex-preserving edges: zero and NULL weight
+    extra = [(77, 1, 0.0), (78, 2, -3.0), (79, 3, None)]
+    e = spark.createDataFrame(raw + extra, "src long, dst long, w double")
+    got = {
+        r.id: (r.pagerank, r.pr_delta)
+        for r in pagerank(
+            e, n_iters=5, weight_col="w", delta_col="pr_delta"
+        ).collect()
+    }
+    edges = {}
+    for s, d, w in raw:
+        edges[(s, d)] = edges.get((s, d), 0.0) + w
+    # dropped-weight edges keep their endpoints as vertices: 77/78/79
+    # are dangling singletons that still hold and shed teleport mass
+    want, hist = _reference_pagerank_weighted(
+        edges, 0.85, 5, extra_vertices=(77, 78, 79)
+    )
+    assert set(got) == set(want)
+    for v, p in want.items():
+        assert abs(got[v][0] - p) < 1e-9, v
+        assert abs(got[v][1] - abs(hist[5][v] - hist[4][v])) < 1e-9, v
+    assert abs(sum(p for p, _ in got.values()) - 1.0) < 1e-6
+    # unweighted result with all-equal weights == weighted result
+    eq = spark.createDataFrame(
+        [(s, d, 2.5) for (s, d) in edges], "src long, dst long, w double"
+    )
+    w_scores = {
+        r.id: r.pagerank for r in pagerank(eq, n_iters=4, weight_col="w").collect()
+    }
+    u_scores = {
+        r.id: r.pagerank
+        for r in pagerank(eq.select("src", "dst"), n_iters=4).collect()
+    }
+    assert all(abs(w_scores[v] - u_scores[v]) < 1e-9 for v in u_scores)
+    # NaN weight raises loudly (the pps_sample contract), never a
+    # silent drop or an opaque ANSI overflow
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, float("nan"))], "src long, dst long, w double"
+    )
+    with _pytest.raises(Exception, match="does not fit decimal"):
+        pagerank(bad, n_iters=2, weight_col="w").collect()
+
+
 def test_pagerank_star_ranks_center_highest_and_handles_nulls(spark):
     from phaser_spark.ops.graph import pagerank
 
