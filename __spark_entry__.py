@@ -2534,6 +2534,31 @@ def graph_pagerank(spark, sf_dir):
     return pr.select(F.col("id").alias("node_id"), "pagerank")
 
 
+def dedup_cluster_size_stats(spark, sf_dir):
+    """Cluster-size histogram over the near-dup components
+    (``ops.graph.component_size_stats`` on the same exact 3-gram
+    Jaccard ≥ 0.8 clustering the leakage split uses): the
+    how-duplicated-is-my-corpus audit — size 1 rows are uniques, the
+    tail shows whether dup mass is organic near-dups or boilerplate
+    mega-clusters.  The oracle recomputes components with the recursive
+    transitive closure and aggregates the identical histogram."""
+    from phaser_spark.ops import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=1000
+    )
+    comp = graph.connected_components(
+        pairs,
+        src="id_a",
+        dst="id_b",
+        vertices=docs.select("doc_id"),
+        id_col="doc_id",
+        component_col="component",
+    )
+    return graph.component_size_stats(comp)
+
+
 def graph_pagerank_weighted(spark, sf_dir):
     """WEIGHTED PageRank with last-round convergence deltas
     (``ops.graph.pagerank(weight_col=, delta_col=)``): the same modular
@@ -2802,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_surprisal": text_surprisal,
         "graph_pagerank": graph_pagerank,
         "graph_pagerank_weighted": graph_pagerank_weighted,
+        "dedup_cluster_size_stats": dedup_cluster_size_stats,
         "pps_sample_docs": pps_sample_docs,
         "leakage_safe_split_docs": leakage_safe_split_docs,
         "leakage_split_shares_docs": leakage_split_shares_docs,
@@ -3996,6 +4022,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        """
+        ),
+        "dedup_cluster_size_stats": (
+            "WITH RECURSIVE exact_pairs AS (\n"
+            + _NGRAM_SHINGLE_SQL.format(threshold=0.8)
+            + """
+            ), edges AS (
+                SELECT id_a AS s, id_b AS d FROM exact_pairs
+                UNION
+                SELECT id_b, id_a FROM exact_pairs
+            ), reach(id, r) AS (
+                SELECT DISTINCT s, s FROM edges
+                UNION
+                SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
+            ), comp AS (
+                SELECT id, MIN(r) AS component FROM reach GROUP BY id
+            ), comp_rows AS (
+                SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+            ), grouped AS (
+                SELECT component, COUNT(*) AS n FROM comp_rows GROUP BY component
+            )
+            SELECT n AS "size",
+                   COUNT(*) AS n_clusters,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(SUM(n) AS DOUBLE)
+                       / CAST(SUM(SUM(n)) OVER () AS DOUBLE) AS row_share
+            FROM grouped GROUP BY n
         """
         ),
         "heavy_hitters_users": """

@@ -153,6 +153,56 @@ def connected_components(
     )
 
 
+def component_size_stats(
+    components: DataFrame,
+    component_col: str = "component",
+    size_col: str = "size",
+) -> DataFrame:
+    """Cluster-size histogram over any component/cluster labeling — the
+    "how duplicated is my corpus" audit that pairs with
+    :func:`connected_components` / dedup clustering / leakage splits:
+    one output row per distinct cluster SIZE::
+
+        (size, n_clusters, n_rows, row_share)
+
+    ``size=1`` rows are the unique documents; the tail tells you whether
+    dup mass sits in many small clusters (organic near-dups) or a few
+    mega-clusters (boilerplate, templated spam — the case that skews
+    cluster-keyed split shares and quadratic pair generators).  Rows
+    with a NULL label count as a single ``size``-NULL bucket (visible,
+    like ``split_shares``'s NULL row) rather than one giant phantom
+    cluster.
+
+    Scale: two map-side-combined aggregates (corpus → cluster sizes →
+    size histogram) and share arithmetic over the tiny histogram (its
+    row count is bounded by the number of DISTINCT sizes — ≤ √(2·rows)
+    even adversarially, in practice dozens).  ``row_share`` is an exact
+    bigint ratio evaluated in one double division, so external engines
+    reproduce it bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    grouped = components.groupBy(F.col(component_col).alias("__c__")).agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+    # NULL-labeled rows form the size-NULL bucket with their true row
+    # mass but ZERO clusters — never one giant phantom cluster
+    hist = grouped.groupBy(
+        F.when(F.col("__c__").isNotNull(), F.col("__n__")).alias(size_col)
+    ).agg(
+        F.count(F.when(F.col("__c__").isNotNull(), F.lit(1))).alias(
+            "n_clusters"
+        ),
+        F.sum("__n__").alias("n_rows"),
+    )
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.withColumn(
+        "row_share", F.col("n_rows") / F.sum("n_rows").over(whole)
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

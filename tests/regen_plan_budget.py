@@ -48,6 +48,7 @@ SKIP = {
     "graph_pagerank_weighted",  # iterative: per-round checkpoint + count
     "leakage_safe_split_docs",  # iterative: connected components inside
     "leakage_split_shares_docs",  # iterative: same component step inside
+    "dedup_cluster_size_stats",   # iterative: connected components inside
 }
 
 

@@ -1090,6 +1090,28 @@ def test_pagerank_weighted_matches_reference_and_reports_delta(spark):
         pagerank(bad, n_iters=2, weight_col="w").collect()
 
 
+def test_component_size_stats_histogram_and_null_bucket(spark):
+    """Histogram over cluster labels: sizes bucket correctly, NULL labels
+    carry their row mass as size-NULL with ZERO clusters (never one
+    phantom mega-cluster), shares sum to 1."""
+    from phaser_spark.ops.graph import component_size_stats
+
+    rows = (
+        [(i, "a") for i in range(5)]        # one 5-cluster
+        + [(10, "b"), (11, "b")]            # one 2-cluster
+        + [(20, "c"), (21, "d"), (22, "e")]  # three singletons
+        + [(30, None), (31, None)]          # two unlabeled rows
+    )
+    df = spark.createDataFrame(rows, "id long, component string")
+    got = {r.size: r for r in component_size_stats(df).collect()}
+    assert got[5].n_clusters == 1 and got[5].n_rows == 5
+    assert got[2].n_clusters == 1 and got[2].n_rows == 2
+    assert got[1].n_clusters == 3 and got[1].n_rows == 3
+    assert got[None].n_clusters == 0 and got[None].n_rows == 2
+    assert abs(sum(r.row_share for r in got.values()) - 1.0) < 1e-12
+    assert got[5].row_share == 5 / 12
+
+
 def test_pagerank_star_ranks_center_highest_and_handles_nulls(spark):
     from phaser_spark.ops.graph import pagerank
 
