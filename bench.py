@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "epoch_mix_langs",
     "text_surprisal",
     "graph_pagerank",
+    "graph_pagerank_weighted",
     "pps_sample_docs",
     "drift_prices_by_flag",
     "ewma_customer_orders",
