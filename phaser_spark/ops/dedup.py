@@ -406,16 +406,20 @@ def minhash_lsh_edges(
 
     Returns ``(id_a, id_b)`` with ``id_a`` the bucket hub (min id),
     distinct, singleton buckets emitting nothing.
-    """
-    from pyspark.sql import Window
 
+    The hub lookup is a ``groupBy`` + equi-join rather than a
+    ``partitionBy(band, bucket)`` window on purpose: the whole point of
+    this function is mega-buckets, and a window materializes each
+    bucket in ONE task (unsplittable), while the aggregate map-side
+    combines and AQE's skew-join splitting handles the join back onto
+    a hot bucket key.
+    """
     sig = minhash_signatures(df, id_col, text_col, num_perm, n)
     bands = minhash_bands(sig, num_bands, num_perm)
-    # one shuffle on (band, bucket); the window min is the star hub
-    w = Window.partitionBy("band", "bucket")
-    hubs = bands.select("id", F.min("id").over(w).alias("hub"))
+    hubs = bands.groupBy("band", "bucket").agg(F.min("id").alias("hub"))
     return (
-        hubs.filter(F.col("id") != F.col("hub"))
+        bands.join(hubs, ["band", "bucket"])
+        .filter(F.col("id") != F.col("hub"))
         .select(F.col("hub").alias("id_a"), F.col("id").alias("id_b"))
         .distinct()
     )

@@ -284,6 +284,11 @@ def pagerank(
             f"pagerank: weight_col {weight_col!r} not in edge columns "
             f"{edges.columns}"
         )
+    if delta_col is not None and delta_col in (id_col, rank_col):
+        raise PhaserError(
+            f"pagerank: delta_col {delta_col!r} collides with "
+            f"id_col/rank_col — the output would carry duplicate names"
+        )
     raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if weight_col is None:
         e = raw.filter(

@@ -494,7 +494,11 @@ def split_shares(
 
     aggs = [F.count(F.lit(1)).alias("rows")]
     if weight_col is not None:
-        aggs.append(F.sum(F.col(weight_col).cast("double")).alias("weight"))
+        # NaN-safe: one NaN weight would otherwise turn EVERY split's
+        # weight and share into NaN (sum propagates it); treat NaN like
+        # NULL — absent from the mass — as ewma does for gaps
+        wd = F.col(weight_col).cast("double")
+        aggs.append(F.sum(F.when(~F.isnan(wd), wd)).alias("weight"))
     per = df.groupBy(F.col(split_col).alias("split")).agg(*aggs)
     whole = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

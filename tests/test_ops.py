@@ -1982,6 +1982,19 @@ def test_split_shares_reports_row_and_weight_mass(spark):
     assert got["val"].weight_share == 0.4 and got["test"].weight_share == 0.1
     assert got[None].rows == 1 and got[None].weight_share == 0.1
     assert abs(sum(r.row_share for r in got.values()) - 1.0) < 1e-12
+    # one NaN weight must not turn every share into NaN
+    import math
+
+    dirty = spark.createDataFrame(
+        [("train", 10.0), ("train", float("nan")), ("val", 30.0)],
+        "split string, tokens double",
+    )
+    got2 = {
+        r.split: r
+        for r in sampling.split_shares(dirty, "split", "tokens").collect()
+    }
+    assert got2["train"].weight == 10.0 and not math.isnan(got2["train"].weight_share)
+    assert got2["train"].weight_share == 0.25 and got2["val"].weight_share == 0.75
 
 
 def test_pps_sample_rejects_overflow_weight(spark):
