@@ -274,15 +274,29 @@ def main():
     # A plain per-row hash split puts a near-copy of a training doc into
     # the eval slice ~10% of the time; splitting on the dup-CLUSTER
     # representative makes that impossible by construction.
-    dup_pairs = dedup.minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.85)
+    # dup-heavy corpora: feed star EDGES (linear in duplication), not the
+    # quadratic bucket self-join — components only need connectivity
+    dup_edges = dedup.minhash_lsh_edges(corpus, "doc_id", "text")
     splits = sampling.leakage_safe_split(
-        out, "doc_id", {"train": 0.9, "val": 0.1}, dup_pairs
+        out, "doc_id", {"train": 0.9, "val": 0.1}, dup_edges
     )
+    # realized mass per split: cluster-keyed hashing is exact only in
+    # expectation, so audit rows AND token share in one aggregate
     shares = {
-        r.split: r.n
-        for r in splits.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        r.split: (r.rows, round(r.weight_share, 3))
+        for r in sampling.split_shares(splits, "split", "n_tokens").collect()
     }
-    print(f"leakage-safe split shares: {shares}")
+    print(f"leakage-safe split shares (rows, token share): {shares}")
+    # how duplicated was the corpus?  size-1 rows are uniques; a fat tail
+    # means boilerplate mega-clusters
+    from phaser_spark.ops import graph as G
+
+    comp = G.connected_components(
+        dup_edges, src="id_a", dst="id_b",
+        vertices=out.select("doc_id"), id_col="doc_id",
+    )
+    hist = {r.size: r.n_clusters for r in G.component_size_stats(comp, "component").collect()}
+    print(f"dup cluster-size histogram: {dict(sorted(hist.items()))}")
 
     # weighted eval subset: 25 systematic draws with inclusion ∝ token
     # count (long docs proportionally more likely, no rand(), same set
