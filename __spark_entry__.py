@@ -2629,6 +2629,29 @@ def leakage_safe_split_docs(spark, sf_dir):
     return out.select("doc_id", "split_group", "split")
 
 
+def leakage_split_incremental_docs(spark, sf_dir):
+    """Versioned-corpus split stability
+    (``ops.sampling.leakage_safe_split_incremental``): a simulated v1
+    corpus (doc_id % 10 < 9, plain md5 splits keyed on doc_id) anchors
+    the v2 assignment — clusters touching a v1 document inherit the
+    min-id prior member's split, fresh clusters get the from-scratch
+    cluster-hash rule, and the source column says which happened.  The
+    oracle replays components (recursive CTE), the arg-min inheritance,
+    and both md5 rules."""
+    from phaser_spark.ops import sampling
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = _t(spark, sf_dir, "documents")
+    prior = sampling.split_by_hash(
+        docs.filter(F.col("doc_id") % 10 < 9).select("doc_id"), "doc_id", fr
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=1000
+    )
+    out = sampling.leakage_safe_split_incremental(docs, "doc_id", fr, pairs, prior)
+    return out.select("doc_id", "split_group", "split", "split_source")
+
+
 def leakage_split_shares_docs(spark, sf_dir):
     """Realized per-split row/token mass after the leakage-safe cut
     (``ops.sampling.split_shares`` — the audit the split docstring
@@ -2830,6 +2853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_size_stats": dedup_cluster_size_stats,
         "pps_sample_docs": pps_sample_docs,
         "leakage_safe_split_docs": leakage_safe_split_docs,
+        "leakage_split_incremental_docs": leakage_split_incremental_docs,
         "leakage_split_shares_docs": leakage_split_shares_docs,
         "drift_prices_by_flag": drift_prices_by_flag,
         "ewma_customer_orders": ewma_customer_orders,
@@ -5034,6 +5058,51 @@ def oracle_sql() -> dict[str, str]:
         # Same component+bucket-rule CTE as leakage_safe_split_docs, then
         # the split_shares aggregation: COUNT(*) exact, token sums exact
         # IEEE (integer-valued doubles), shares a single double division.
+        "leakage_split_incremental_docs": (
+            "WITH RECURSIVE jac_pairs AS (\n"
+            + _NGRAM_SHINGLE_SQL.format(threshold=0.8)
+            + """
+            ), edges AS (
+                SELECT id_a AS s, id_b AS d FROM jac_pairs
+                UNION
+                SELECT id_b, id_a FROM jac_pairs
+            ), reach(id, r) AS (
+                SELECT DISTINCT s, s FROM edges
+                UNION
+                SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
+            ), comp AS (
+                SELECT id, MIN(r) AS component FROM reach GROUP BY id
+            ), grp AS (
+                SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_group
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+            ), prior AS (
+                SELECT doc_id,
+                       CASE
+                           WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 8000
+                               THEN 'train'
+                           WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9000
+                               THEN 'val'
+                           ELSE 'test'
+                       END AS split
+                FROM documents WHERE doc_id % 10 < 9
+            ), inherit AS (
+                SELECT g.split_group, arg_min(p.split, p.doc_id) AS inh
+                FROM grp g JOIN prior p ON g.doc_id = p.doc_id
+                GROUP BY g.split_group
+            )
+            SELECT g.doc_id, g.split_group,
+                   COALESCE(i.inh,
+                       CASE
+                           WHEN CAST(('0x' || substring(md5(CAST(g.split_group AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 8000
+                               THEN 'train'
+                           WHEN CAST(('0x' || substring(md5(CAST(g.split_group AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9000
+                               THEN 'val'
+                           ELSE 'test'
+                       END) AS split,
+                   CASE WHEN i.inh IS NOT NULL THEN 'prior' ELSE 'hash' END AS split_source
+            FROM grp g LEFT JOIN inherit i ON g.split_group = i.split_group
+        """
+        ),
         "leakage_split_shares_docs": (
             "WITH RECURSIVE jac_pairs AS (\n"
             + _NGRAM_SHINGLE_SQL.format(threshold=0.8)

@@ -12,6 +12,8 @@ from pyspark.sql import Column as SparkCol
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..exceptions import PhaserError
+
 _BUCKETS = 10_000
 
 
@@ -469,6 +471,110 @@ def leakage_safe_split(
     # and hence their split — stays NULL (visible, filterable), the same
     # contract split_by_hash applies to NULL keys
     return split_by_hash(joined, group_col, fractions, split_col, remainder)
+
+
+def leakage_safe_split_incremental(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    pairs: DataFrame,
+    prior: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    prior_id_col: str | None = None,
+    prior_split_col: str | None = None,
+    split_col: str = "split",
+    group_col: str = "split_group",
+    source_col: str = "split_source",
+    remainder: str | None = None,
+) -> DataFrame:
+    """:func:`leakage_safe_split` for a GROWING corpus: rows whose
+    near-dup cluster touches a previously assigned document INHERIT that
+    assignment instead of being rehashed — the versioned-corpus
+    invariant that a new near-copy of a train document can never land
+    in eval just because the cluster's representative (and hence its
+    hash) changed between corpus versions.
+
+    ``prior`` is the previous version's assignment table (``id, split``
+    — column names default to ``id_col``/``split_col``).  Per cluster:
+
+    * any member with a prior split → the whole cluster adopts the
+      prior split of the MINIMUM-id prior-assigned member
+      (deterministic; when new edges merge two old clusters that were
+      split apart — the one genuinely ambiguous case — the rule is
+      stable and the losing side is visible as ``source_col =
+      'prior'`` rows whose split changed vs their own prior row);
+    * no prior member → the fresh-cluster md5 rule of
+      :func:`leakage_safe_split`, bit-identical to what a from-scratch
+      split would assign (``source_col = 'hash'``).
+
+    Returns ``df`` + ``group_col`` + ``split_col`` + ``source_col``.
+    NULL-id rows keep NULL split/group/source (the standing contract).
+    ``prior`` must hold ONE row per id — duplicate ids with conflicting
+    splits would make the min-by tie-break nondeterministic.
+
+    Scale: the component step plus TWO extra vertex-sized hops — a join
+    of prior assignments onto the label table and one
+    ``min_by``-shaped aggregate per cluster — both shuffle-on-key and
+    bounded by the vertex table, nothing corpus-sized beyond what the
+    non-incremental operator already moves.
+    """
+    from .graph import connected_components
+
+    prior_id = prior_id_col or id_col
+    prior_split = prior_split_col or split_col
+    if prior_id not in prior.columns or prior_split not in prior.columns:
+        raise PhaserError(
+            f"leakage_safe_split_incremental: prior needs columns "
+            f"{prior_id!r}/{prior_split!r}, has {prior.columns}"
+        )
+    comp = connected_components(
+        pairs.select(F.col(src), F.col(dst)),
+        src=src,
+        dst=dst,
+        vertices=df.select(F.col(id_col).alias("__ls_id__")).union(
+            prior.select(F.col(prior_id).alias("__ls_id__"))
+        ),
+        id_col="__ls_id__",
+        component_col=group_col,
+    )
+    # prior splits onto the label table, then one min_by per cluster:
+    # the minimum-id prior-assigned member's split is the inheritance
+    labeled = comp.join(
+        prior.select(
+            F.col(prior_id).alias("__ls_id__"),
+            F.col(prior_split).alias("__prior_split__"),
+        ),
+        "__ls_id__",
+        "left",
+    )
+    inherited = (
+        labeled.filter(F.col("__prior_split__").isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.min_by(F.col("__prior_split__"), F.col("__ls_id__")).alias(
+                "__inherit__"
+            )
+        )
+    )
+    joined = (
+        df.join(comp, df[id_col] == comp["__ls_id__"], "left")
+        .drop("__ls_id__")
+        .join(inherited, group_col, "left")
+    )
+    hashed = split_by_hash(joined, group_col, fractions, "__hash_split__", remainder)
+    return (
+        hashed.withColumn(
+            split_col, F.coalesce(F.col("__inherit__"), F.col("__hash_split__"))
+        )
+        .withColumn(
+            source_col,
+            F.when(F.col("__inherit__").isNotNull(), F.lit("prior")).otherwise(
+                F.when(F.col("__hash_split__").isNotNull(), F.lit("hash"))
+            ),
+        )
+        .drop("__inherit__", "__hash_split__")
+    )
 
 
 def split_shares(

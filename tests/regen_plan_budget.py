@@ -49,6 +49,7 @@ SKIP = {
     "leakage_safe_split_docs",  # iterative: connected components inside
     "leakage_split_shares_docs",  # iterative: same component step inside
     "dedup_cluster_size_stats",   # iterative: connected components inside
+    "leakage_split_incremental_docs",  # iterative: components inside
 }
 
 

@@ -2017,6 +2017,67 @@ def test_pack_best_fit_rejects_bucket_overflow(spark):
         sampling.pack_best_fit(df, "doc_id", "n", capacity=16, buckets=2**30 + 1)
 
 
+def test_leakage_safe_split_incremental_inherits_and_hashes(spark):
+    """Versioned-corpus invariants: clusters touching a prior assignment
+    inherit it (min-id prior member wins on merges), fresh clusters get
+    exactly the from-scratch hash assignment, and re-running with the
+    output as prior is a fixpoint."""
+    from phaser_spark.ops import sampling
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = spark.createDataFrame([(i,) for i in range(1, 61)], "doc_id long")
+    # prior: v1 corpus assigned 3='val', 10='train', 11='test'
+    prior = spark.createDataFrame(
+        [(3, "val"), (10, "train"), (11, "test")], "doc_id long, split string"
+    )
+    # cluster A: new docs 1,2 near-dup of prior doc 3 -> inherit 'val'
+    # cluster B: new edge MERGES prior 10 ('train') and 11 ('test')
+    #            -> min prior id (10) wins: 'train'
+    # cluster C: 40-41, no prior member -> fresh hash rule
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (40, 41)], "id_a long, id_b long"
+    )
+    out = sampling.leakage_safe_split_incremental(
+        docs, "doc_id", fr, pairs, prior
+    )
+    by_id = {r.doc_id: r for r in out.collect()}
+    assert len(by_id) == 60
+    assert {by_id[i].split for i in (1, 2, 3)} == {"val"}
+    assert {by_id[i].split_source for i in (1, 2, 3)} == {"prior"}
+    assert by_id[10].split == by_id[11].split == "train"
+    # fresh clusters/singletons match the from-scratch operator exactly
+    scratch = {
+        r.doc_id: r.split
+        for r in sampling.leakage_safe_split(
+            docs, "doc_id", fr, pairs
+        ).collect()
+    }
+    for i in (40, 41, 5, 25, 59):
+        assert by_id[i].split == scratch[i], i
+        assert by_id[i].split_source == "hash"
+    # idempotence: feeding the output back as prior changes nothing
+    prior2 = out.select("doc_id", "split")
+    again = {
+        r.doc_id: r.split
+        for r in sampling.leakage_safe_split_incremental(
+            docs, "doc_id", fr, pairs, prior2
+        ).collect()
+    }
+    assert again == {i: r.split for i, r in by_id.items()}
+    # prior ids absent from df still anchor their clusters but don't
+    # appear in the output
+    prior3 = spark.createDataFrame([(999, "test")], "doc_id long, split string")
+    pairs3 = spark.createDataFrame([(999, 7)], "id_a long, id_b long")
+    out3 = {
+        r.doc_id: r
+        for r in sampling.leakage_safe_split_incremental(
+            docs, "doc_id", fr, pairs3, prior3
+        ).collect()
+    }
+    assert set(out3) == set(range(1, 61))
+    assert out3[7].split == "test" and out3[7].split_source == "prior"
+
+
 # --- cluster representative / keep-best dedup ----------------------------
 
 
