@@ -771,3 +771,72 @@ def test_pagerank_property(spark, edges, damping, iters):
     for v, p in want.items():
         assert abs(got[v] - p) < 1e-9, (v, got[v], p)
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+# --- split invariants on arbitrary keys ------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    keys=st.lists(
+        st.one_of(st.text(min_size=0, max_size=12), st.none()),
+        min_size=1,
+        max_size=30,
+    ),
+    fracs=st.sampled_from(
+        [{"train": 0.8, "val": 0.2}, {"a": 0.5, "b": 0.3, "c": 0.2}]
+    ),
+)
+def test_split_by_hash_property(spark, keys, fracs):
+    """For ANY key set (unicode, empty strings, NULLs, duplicates):
+    every non-null key gets exactly one split matching the pure-Python
+    md5 replay, duplicates agree, NULL keys get NULL."""
+    import hashlib
+
+    from phaser_spark.ops import sampling
+
+    df = spark.createDataFrame([(i, k) for i, k in enumerate(keys)], "i long, k string")
+    out = {r.i: r.split for r in sampling.split_by_hash(df, "k", fracs).collect()}
+
+    def replay(k):
+        b = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 10000
+        lo = 0.0
+        for name, frac in fracs.items():
+            hi = lo + frac
+            if round(lo * 10000) <= b < round(hi * 10000):
+                return name
+            lo = hi
+        return list(fracs)[-1]
+
+    for i, k in enumerate(keys):
+        if k is None:
+            assert out[i] is None
+        else:
+            assert out[i] == replay(k), (k, out[i])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    labels=st.lists(
+        st.one_of(st.integers(0, 6), st.none()), min_size=1, max_size=40
+    )
+)
+def test_component_size_stats_property(spark, labels):
+    """For ANY labeling (including NULLs): total row mass is conserved,
+    labeled mass equals size·clusters per bucket, shares sum to 1, and
+    the NULL bucket reports zero clusters."""
+    from phaser_spark.ops.graph import component_size_stats
+
+    df = spark.createDataFrame(
+        [(i, str(l) if l is not None else None) for i, l in enumerate(labels)],
+        "id long, component string",
+    )
+    rows = component_size_stats(df).collect()
+    assert sum(r.n_rows for r in rows) == len(labels)
+    assert abs(sum(r.row_share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        if r.size is None:
+            assert r.n_clusters == 0
+            assert r.n_rows == sum(1 for l in labels if l is None)
+        else:
+            assert r.n_rows == r.size * r.n_clusters
