@@ -675,3 +675,135 @@ def distribution_drift(
         trunc_digits(q, digits).alias("p_cur"),
         trunc_digits((q - p) * F.log2(q / p), digits).alias("psi"),
     )
+
+
+def drift_monitor_step(
+    ref: DataFrame,
+    col: str,
+    bins: int | None = None,
+    smoothing: float = 0.5,
+    warn_above: float = 0.1,
+    fail_above: float | None = 0.25,
+    max_categories: int = 100_000,
+):
+    """Phase-step drift ALARM against a reference snapshot — drop it into
+    ``Phase.steps`` and every run (and, under ``run_stream``, every
+    micro-batch) of the pipeline checks whether ``col``'s distribution
+    still looks like it did when the filters/models were tuned.  Rows
+    pass through untouched; the PSI (natural-log scale — the classic
+    rule: <0.1 stable, 0.1–0.25 drifting, >0.25 shifted) lands in the
+    run report as a WARNING above ``warn_above`` and raises — stopping
+    the pipeline/stream — above ``fail_above`` (``None`` disables the
+    hard stop).
+
+    Same bucketing/smoothing semantics as :func:`distribution_drift`
+    (ref-range equal-width bins or by-value categories; NULL/NaN get
+    their own buckets; categorical cardinality capped loudly at
+    ``max_categories``).
+
+    Scale — why this is not just ``distribution_drift`` per batch: the
+    reference is bucket-counted ONCE at construction into a driver-side
+    histogram (bounded: ≤ bins+2 rows binned, ≤ ``max_categories``
+    categorical), so each batch costs ONE aggregate over the live rows
+    plus pure-Python PSI arithmetic over the tiny joined histogram —
+    no reference rescan per micro-batch.  An empty batch is skipped
+    (no rows carry no drift signal; smoothing would otherwise report a
+    spurious shift toward uniform).
+    """
+    import math
+
+    from ..steps import batch_step
+
+    if bins is not None and bins < 2:
+        raise PhaserError(f"drift_monitor_step needs bins >= 2, got {bins}")
+    if smoothing <= 0:
+        raise PhaserError(
+            f"drift_monitor_step needs smoothing > 0, got {smoothing}"
+        )
+    if fail_above is not None and fail_above < warn_above:
+        raise PhaserError(
+            f"drift_monitor_step: fail_above ({fail_above}) must be >= "
+            f"warn_above ({warn_above})"
+        )
+
+    if bins is None:
+        bucket = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
+    else:
+        vd = F.col(col).cast("double")
+        finite = F.when(~F.isnan(vd), vd)
+        stats = ref.agg(F.min(finite).alias("mn"), F.max(finite).alias("mx")).first()
+        mn, mx = stats["mn"], stats["mx"]
+        if mn is None:
+            raise PhaserError(
+                f"drift_monitor_step: reference has no non-null, non-NaN "
+                f"'{col}'"
+            )
+        span = (mx - mn) or 1.0
+        idx = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((vd - F.lit(mn)) / F.lit(span) * F.lit(float(bins))).cast(
+                    "long"
+                ),
+            ),
+        )
+        bucket = (
+            F.when(vd.isNull(), F.lit("__null__"))
+            .when(F.isnan(vd), F.lit("__nan__"))
+            .otherwise(idx.cast("string"))
+        )
+
+    def _counts(df: DataFrame) -> dict:
+        rows = (
+            df.select(bucket.alias("__b__"))
+            .groupBy("__b__")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .collect()
+        )
+        if len(rows) > max_categories:
+            raise PhaserError(
+                f"drift_monitor_step: column '{col}' has more than "
+                f"{max_categories} distinct values — use bins= or "
+                "pre-bucket (id-like columns are smoothing noise)"
+            )
+        return {r["__b__"]: r["__n__"] for r in rows}
+
+    ref_counts = _counts(ref)
+    n_ref_total = sum(ref_counts.values())
+    s = float(smoothing)
+
+    @batch_step(internal=True)
+    def drift_monitor(df: DataFrame, context=None) -> DataFrame:
+        from ..constants import DROP_COL
+
+        live = df.filter(~F.col(DROP_COL)) if DROP_COL in df.columns else df
+        cur_counts = _counts(live)
+        n_cur_total = sum(cur_counts.values())
+        if n_cur_total == 0:
+            return df
+        keys = set(ref_counts) | set(cur_counts)
+        k = len(keys)
+        psi = 0.0
+        for b in keys:
+            p = (ref_counts.get(b, 0) + s) / (n_ref_total + s * k)
+            q = (cur_counts.get(b, 0) + s) / (n_cur_total + s * k)
+            psi += (q - p) * math.log2(q / p)
+        psi_ln = psi * math.log(2.0)
+        if fail_above is not None and psi_ln > fail_above:
+            raise PhaserError(
+                f"drift_monitor_step: PSI(ln) = {psi_ln:.4f} on '{col}' "
+                f"exceeds fail_above={fail_above} — the {n_cur_total}-row "
+                "batch no longer matches the reference distribution"
+            )
+        if psi_ln > warn_above and context is not None:
+            context.add_warning(
+                "drift_monitor",
+                None,
+                f"PSI(ln) = {psi_ln:.4f} on '{col}' exceeds "
+                f"warn_above={warn_above} ({n_cur_total} rows vs "
+                f"{n_ref_total}-row reference)",
+            )
+        return df
+
+    return drift_monitor

@@ -3410,6 +3410,52 @@ def test_distribution_drift_nan_isolated_not_poisoning(spark):
     assert all(20 <= rows[str(b)].n_ref <= 30 for b in range(4))
 
 
+def test_drift_monitor_step_warns_and_fails_by_threshold(spark):
+    """Phase-step drift alarm: a matching batch passes silently, a
+    moderately shifted one records a WARNING, a hard shift raises and
+    stops the pipeline; empty batches are skipped."""
+    import pytest as _pytest
+
+    from phaser_spark import Phase
+    from phaser_spark.context import Context
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops.quality import drift_monitor_step
+
+    ref = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "v double"
+    )
+    step = drift_monitor_step(ref, "v", bins=10, warn_above=0.1, fail_above=1.0)
+
+    def run(df):
+        ctx = Context(spark=spark)
+        Phase(name="D", steps=[step], context=ctx).run(df)
+        return [e for e in ctx.driver_events if "drift" in str(e)]
+
+    # same distribution: silent
+    same = spark.createDataFrame([(float(i % 100),) for i in range(200)], "v double")
+    assert run(same) == []
+    # moderate shift (half the rows move to the upper bins -> PSI(ln)
+    # ~0.28, between warn_above and fail_above): warning, rows flow
+    shifted = spark.createDataFrame(
+        [(float(i % 100),) for i in range(100)]
+        + [(float(50 + i % 50),) for i in range(100)],
+        "v double",
+    )
+    events = run(shifted)
+    assert events and any("PSI" in str(e) for e in events)
+    # hard shift beyond fail_above: raises
+    hard = spark.createDataFrame([(1e6,)] * 100, "v double")
+    with _pytest.raises(PhaserError, match="fail_above"):
+        ctx = Context(spark=spark)
+        Phase(name="D", steps=[step], context=ctx).run(hard)
+    # empty frame: skipped, no warning, no error
+    empty = spark.createDataFrame([], "v double")
+    assert run(empty) == []
+    # threshold sanity validation
+    with _pytest.raises(PhaserError, match="fail_above"):
+        drift_monitor_step(ref, "v", bins=4, warn_above=0.5, fail_above=0.1)
+
+
 def test_distribution_drift_rejects_id_like_categorical(spark):
     """Categorical mode must fail loudly above max_categories — an
     id-like column funnels a corpus-distinct through one task and its

@@ -882,3 +882,45 @@ def test_run_stream_multiphase_dropped_numbers_not_reused(spark, tmp_path):
     # batch 1 numbers rows 1 (live) and 2 (dropped in phase 1 of 2);
     # batch 2 must start at 3 even though Keep's output never saw row 2
     assert out_nums == {1: 1, 3: 3}
+
+
+def test_drift_monitor_step_runs_per_micro_batch(spark, tmp_path):
+    """The drift alarm evaluates each micro-batch against the tuning-time
+    reference: an in-distribution batch flows, a hard-shifted one stops
+    the stream; the reference histogram is computed once at construction
+    (no per-batch reference rescans)."""
+    import pytest
+
+    from phaser_spark.ops.quality import drift_monitor_step
+
+    ref = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(1000)], "id long, score double"
+    )
+    ok = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(200)], "id long, score double"
+    )
+    bad = spark.createDataFrame(
+        [(10_000 + i, 1e6) for i in range(100)], "id long, score double"
+    )
+    src_dir = _stage_files(spark, tmp_path, [ok, bad])
+
+    class Monitored(Phase):
+        name = "Monitored"
+        steps = [drift_monitor_step(ref, "score", bins=10, fail_above=0.25)]
+
+    out_dir = os.path.join(str(tmp_path), "out")
+    pipe = Pipeline(phases=[Monitored], spark=spark)
+    stream = (
+        spark.readStream.schema(ok.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="fail_above"):
+        pipe.run_stream(
+            stream, out_dir, checkpoint_dir=os.path.join(str(tmp_path), "ckpt")
+        )
+    # the in-distribution batch's rows landed before the alarm tripped
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 200
