@@ -2629,6 +2629,26 @@ def leakage_safe_split_docs(spark, sf_dir):
     return out.select("doc_id", "split_group", "split")
 
 
+def contamination_report_docs(spark, sf_dir):
+    """Per-benchmark contamination rates
+    (``ops.cleaning.contamination_report``): two deterministic "eval
+    sets" carved from the corpus (doc_id % 97 / % 89) checked in ONE
+    doc-side 8-gram shingle pass — the release-gate summary.  The
+    oracle rebuilds the identical shingle sets (empty for <8-word docs,
+    matching ``cleaning._shingles``) and both rates."""
+    from phaser_spark.ops.cleaning import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_report(
+        docs,
+        {
+            "mod97": docs.filter(F.col("doc_id") % 97 == 0).select("text"),
+            "mod89": docs.filter(F.col("doc_id") % 89 == 0).select("text"),
+        },
+        n=8,
+    )
+
+
 def leakage_split_incremental_docs(spark, sf_dir):
     """Versioned-corpus split stability
     (``ops.sampling.leakage_safe_split_incremental``): a simulated v1
@@ -2854,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_sample_docs": pps_sample_docs,
         "leakage_safe_split_docs": leakage_safe_split_docs,
         "leakage_split_incremental_docs": leakage_split_incremental_docs,
+        "contamination_report_docs": contamination_report_docs,
         "leakage_split_shares_docs": leakage_split_shares_docs,
         "drift_prices_by_flag": drift_prices_by_flag,
         "ewma_customer_orders": ewma_customer_orders,
@@ -5058,6 +5079,46 @@ def oracle_sql() -> dict[str, str]:
         # Same component+bucket-rule CTE as leakage_safe_split_docs, then
         # the split_shares aggregation: COUNT(*) exact, token sums exact
         # IEEE (integer-valued doubles), shares a single double division.
+        "contamination_report_docs": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                           '\\s+', ' ', 'g')) AS nt
+                FROM documents
+            ), words AS (
+                SELECT doc_id, string_split(nt, ' ') AS w FROM norm
+            ), flat AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(w) >= 8
+                         THEN list_transform(generate_series(1, len(w) - 7),
+                                             i -> array_to_string(w[i:i+7], ' '))
+                         ELSE CAST([] AS VARCHAR[]) END)) AS sh
+                FROM words
+            ), bench AS (
+                SELECT 'mod97' AS benchmark, sh
+                FROM (SELECT DISTINCT f.sh FROM flat f WHERE f.doc_id % 97 = 0)
+                UNION ALL
+                SELECT 'mod89', sh
+                FROM (SELECT DISTINCT f.sh FROM flat f WHERE f.doc_id % 89 = 0)
+            ), per_doc AS (
+                SELECT b.benchmark, f.doc_id
+                FROM flat f JOIN bench b ON f.sh = b.sh
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= 1
+            ), counts AS (
+                SELECT benchmark, COUNT(*) AS n_contaminated
+                FROM per_doc GROUP BY benchmark
+            ), tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+            names(benchmark) AS (VALUES ('mod97'), ('mod89'))
+            SELECT n.benchmark,
+                   CAST(COALESCE(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+                   t.n_docs,
+                   CAST(COALESCE(c.n_contaminated, 0) AS DOUBLE)
+                       / CAST(GREATEST(t.n_docs, 1) AS DOUBLE) AS contamination_rate
+            FROM names n
+            LEFT JOIN counts c ON n.benchmark = c.benchmark
+            CROSS JOIN tot t
+        """,
         "leakage_split_incremental_docs": (
             "WITH RECURSIVE jac_pairs AS (\n"
             + _NGRAM_SHINGLE_SQL.format(threshold=0.8)

@@ -28,6 +28,7 @@ from pyspark.sql import Column as SparkCol
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..exceptions import PhaserError
 from .text import normalize_text
 
 
@@ -286,6 +287,78 @@ def decontaminate(
             ),
         )
     return joined.filter(F.col("__dc_id").isNull()).select(*[F.col(c) for c in df.columns])
+
+
+def contamination_report(
+    df: DataFrame,
+    benchmarks: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Contamination RATE per benchmark — the release-gate summary that
+    pairs with :func:`decontaminate`: for each eval set, how many
+    training documents share ``min_overlap``+ distinct word ``n``-grams
+    with it, and what fraction of the corpus that is.  One row per
+    benchmark::
+
+        (benchmark, n_contaminated, n_docs, contamination_rate)
+
+    Scale: ALL benchmarks ride ONE doc-side shingle pass — the
+    benchmark shingle sets are tagged with their name, unioned, and
+    broadcast (eval sets are small; the union is their combined
+    distinct-shingle count), so the corpus is exploded and joined once
+    regardless of how many benchmarks are checked.  Per-benchmark
+    aggregation happens on the (benchmark, doc) overlap table — never
+    K rescans of the corpus.  ``n_docs`` rides in on a one-row
+    broadcast crossJoin.
+    """
+    if not benchmarks:
+        raise PhaserError("contamination_report needs at least one benchmark")
+    bench_text_col = bench_text_col or text_col
+    doc_sh = df.select(
+        F.col(id_col).alias("__cr_id"),
+        F.explode(_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    tagged = None
+    for name, bench in benchmarks.items():
+        b = (
+            bench.select(F.explode(_shingles(F.col(bench_text_col), n)).alias("sh"))
+            .distinct()
+            .select(F.lit(name).alias("benchmark"), "sh")
+        )
+        tagged = b if tagged is None else tagged.unionByName(b)
+    per_doc = (
+        doc_sh.join(F.broadcast(tagged), "sh")
+        .groupBy("benchmark", "__cr_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    # benchmarks with ZERO hits still get a row (a silent absence reads
+    # as "not checked"): aggregate onto the literal benchmark list
+    names = None
+    for name in benchmarks:
+        row = df.sparkSession.createDataFrame([(name,)], "benchmark string")
+        names = row if names is None else names.unionByName(row)
+    counts = per_doc.groupBy("benchmark").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    totals = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        names.join(counts, "benchmark", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "benchmark",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            "n_docs",
+            (
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.greatest(F.col("n_docs"), F.lit(1))
+            ).alias("contamination_rate"),
+        )
+    )
 
 
 def semantic_decontaminate(

@@ -3410,6 +3410,47 @@ def test_distribution_drift_nan_isolated_not_poisoning(spark):
     assert all(20 <= rows[str(b)].n_ref <= 30 for b in range(4))
 
 
+def test_contamination_report_per_benchmark(spark):
+    """One row per benchmark including zero-hit ones; counts agree with
+    decontaminate(flag_only=True) run per benchmark."""
+    from phaser_spark.ops import cleaning
+
+    base = "the quick brown fox jumps over the lazy dog every single day"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " with extra trailing words attached"),
+            (3, "completely different text about spark physical planning"
+                " and adaptive query execution at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    bench_a = spark.createDataFrame([(base,)], "text string")
+    bench_b = spark.createDataFrame(
+        [("nothing here overlaps with any training document at all ever",)],
+        "text string",
+    )
+    got = {
+        r.benchmark: r
+        for r in cleaning.contamination_report(
+            docs, {"a": bench_a, "b": bench_b}, n=8
+        ).collect()
+    }
+    assert set(got) == {"a", "b"}
+    assert got["a"].n_contaminated == 2 and got["a"].n_docs == 3
+    assert abs(got["a"].contamination_rate - 2 / 3) < 1e-12
+    assert got["b"].n_contaminated == 0 and got["b"].contamination_rate == 0.0
+    # agreement with the per-benchmark flag form
+    flagged = cleaning.decontaminate(docs, bench_a, n=8, flag_only=True)
+    assert flagged.filter("contaminated").count() == got["a"].n_contaminated
+    import pytest as _pytest
+
+    from phaser_spark.exceptions import PhaserError
+
+    with _pytest.raises(PhaserError, match="at least one"):
+        cleaning.contamination_report(docs, {})
+
+
 def test_drift_monitor_step_warns_and_fails_by_threshold(spark):
     """Phase-step drift alarm: a matching batch passes silently, a
     moderately shifted one records a WARNING, a hard shift raises and
