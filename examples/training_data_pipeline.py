@@ -107,6 +107,16 @@ def curate_and_pack(df, context=None):
     # decontaminate against a (stand-in) benchmark set: here, the 10
     # lowest doc_ids play the role of an eval set loaded from elsewhere
     bench = df.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    # release-gate summary FIRST (one doc-side shingle pass for every
+    # benchmark, zero-hit sets still report), then the actual drop
+    report = cleaning.contamination_report(
+        out, {"stand_in_eval": bench, "empty_probe": bench.limit(0)}, n=8
+    )
+    for r in report.collect():
+        print(
+            f"contamination[{r.benchmark}]: {r.n_contaminated}/{r.n_docs} "
+            f"docs ({r.contamination_rate:.4f})"
+        )
     out = cleaning.decontaminate(out, bench, n=8)
     # cut cross-document repeated passages (quoted licenses, templated
     # intros) from the redacted text — passage-level, not whole-doc, dedup
