@@ -840,3 +840,83 @@ def test_component_size_stats_property(spark, labels):
             assert r.n_rows == sum(1 for l in labels if l is None)
         else:
             assert r.n_rows == r.size * r.n_clusters
+
+
+# --- incremental leakage split equals the union-find replay ----------------
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 25), st.integers(1, 25)),
+        min_size=0,
+        max_size=30,
+    ),
+    prior_ids=st.sets(st.integers(1, 30), max_size=8),
+)
+def test_leakage_split_incremental_property(spark, edges, prior_ids):
+    """For ANY pair graph and ANY prior-assignment subset: every cluster
+    is split-uniform; a cluster containing prior ids takes the min
+    prior id's split; prior-free clusters match the from-scratch md5
+    rule on the component representative."""
+    import hashlib
+
+    from phaser_spark.ops import sampling
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    n_docs = 30
+    docs = spark.createDataFrame([(i,) for i in range(1, n_docs + 1)], "doc_id long")
+
+    def md5_split(key):
+        b = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % 10000
+        return "train" if b < 8000 else ("val" if b < 9000 else "test")
+
+    prior_rows = [(i, md5_split(i * 7919)) for i in sorted(prior_ids)]
+    prior = spark.createDataFrame(
+        prior_rows or [(None, None)], "doc_id long, split string"
+    ).filter("doc_id is not null")
+    pairs = spark.createDataFrame(
+        edges or [(None, None)], "id_a long, id_b long"
+    ).filter("id_a is not null")
+    out = {
+        r.doc_id: r
+        for r in sampling.leakage_safe_split_incremental(
+            docs, "doc_id", fr, pairs, prior
+        ).collect()
+    }
+    assert set(out) == set(range(1, n_docs + 1))
+
+    # union-find replay over vertices = docs + prior ids + edge endpoints
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    verts = set(range(1, n_docs + 1)) | set(prior_ids)
+    for a, b in edges:
+        verts |= {a, b}
+    for v in verts:
+        parent[v] = v
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters = {}
+    for v in verts:
+        clusters.setdefault(find(v), set()).add(v)
+    prior_split = dict(prior_rows)
+    for rep, members in clusters.items():
+        with_prior = sorted(m for m in members if m in prior_split)
+        want = (
+            prior_split[with_prior[0]] if with_prior else md5_split(min(members))
+        )
+        for m in members:
+            if m in out:
+                assert out[m].split == want, (m, members, out[m].split, want)
+                assert out[m].split_group == min(members)
+                assert out[m].split_source == (
+                    "prior" if with_prior else "hash"
+                )
