@@ -337,11 +337,11 @@ def contamination_report(
         .filter(F.col("n_overlap") >= min_overlap)
     )
     # benchmarks with ZERO hits still get a row (a silent absence reads
-    # as "not checked"): aggregate onto the literal benchmark list
-    names = None
-    for name in benchmarks:
-        row = df.sparkSession.createDataFrame([(name,)], "benchmark string")
-        names = row if names is None else names.unionByName(row)
+    # as "not checked"): aggregate onto the literal benchmark list —
+    # ONE local relation, not N unioned single-row frames
+    names = df.sparkSession.createDataFrame(
+        [(name,) for name in benchmarks], "benchmark string"
+    )
     counts = per_doc.groupBy("benchmark").agg(
         F.count(F.lit(1)).alias("n_contaminated")
     )

@@ -755,10 +755,14 @@ def drift_monitor_step(
         )
 
     def _counts(df: DataFrame) -> dict:
+        # limit BEFORE collect: the cap must bound the driver transfer
+        # itself, not fire after an id-like column already shipped a
+        # corpus-distinct to the driver
         rows = (
             df.select(bucket.alias("__b__"))
             .groupBy("__b__")
             .agg(F.count(F.lit(1)).alias("__n__"))
+            .limit(max_categories + 1)
             .collect()
         )
         if len(rows) > max_categories:
