@@ -176,3 +176,13 @@ def test_cli_describe_json(workdir, capsys):
     assert ph["name"] == "Clean"
     assert {c["name"] for c in ph["columns"]} == {"name", "score"}
     assert any("filter" in s for s in ph["steps"])
+    # the USAGE.md contract: these keys are stable (additions-only, never
+    # renamed) — CI consumers parse them with .get() and ignore unknowns
+    documented = {
+        "name", "renumber", "error_policy", "columns", "steps",
+        "extra_sources", "extra_outputs", "checkpoint_bucket_by",
+        "checkpoint_sort_by", "checkpoint_partition_by",
+    }
+    assert documented <= set(ph), sorted(documented - set(ph))
+    assert isinstance(ph["renumber"], bool)
+    assert all({"name", "type"} <= set(c) for c in ph["columns"])
