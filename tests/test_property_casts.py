@@ -920,3 +920,59 @@ def test_leakage_split_incremental_property(spark, edges, prior_ids):
                 assert out[m].split_source == (
                     "prior" if with_prior else "hash"
                 )
+
+
+# --- contamination report equals the pure-Python shingle replay -------------
+
+
+def _py_shingles(text, n):
+    import re
+
+    nt = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", "", text.lower())).strip()
+    w = nt.split(" ")
+    if len(w) < n:
+        return set()
+    return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="abcd efg", min_size=0, max_size=60),
+        min_size=1,
+        max_size=12,
+    ),
+    bench_idx=st.sets(st.integers(0, 11), max_size=4),
+    n=st.sampled_from([2, 3]),
+    min_overlap=st.integers(1, 3),
+)
+def test_contamination_report_property(spark, docs, bench_idx, n, min_overlap):
+    """For ANY corpus/benchmark pair (short docs below the shingle width,
+    empty strings, duplicate shingles): counts match a pure-Python
+    replay of the distinct-n-gram overlap rule."""
+    from phaser_spark.ops import cleaning
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    bench_texts = [docs[i] for i in bench_idx if i < len(docs)]
+    bench = spark.createDataFrame(
+        [(t,) for t in bench_texts] or [(None,)], "text string"
+    ).filter("text is not null")
+    got = {
+        r.benchmark: r
+        for r in cleaning.contamination_report(
+            df, {"b": bench}, n=n, min_overlap=min_overlap
+        ).collect()
+    }
+    bench_sh = set()
+    for t in bench_texts:
+        bench_sh |= _py_shingles(t, n)
+    want = sum(
+        1
+        for t in docs
+        if len(_py_shingles(t, n) & bench_sh) >= min_overlap
+    )
+    assert got["b"].n_contaminated == want
+    assert got["b"].n_docs == len(docs)
+    assert abs(got["b"].contamination_rate - want / max(len(docs), 1)) < 1e-12
