@@ -1561,6 +1561,34 @@ def multimodal_binary(spark, sf_dir):
     )
 
 
+def media_header_triage(spark, sf_dir):
+    """Header-level media triage (r9): deterministic spec-valid container
+    blobs (PNG/GIF/JPEG/WAV) built per doc_id, then sniffed, dimensioned,
+    and corruption-checked purely from magic bytes / container headers —
+    zero decode, zero Python workers, zero shuffle (one scan-speed
+    projection).  The oracle recomputes every field arithmetically from
+    doc_id, so a hash match proves the byte-level construction AND the
+    Catalyst header parse (incl. the JPEG segment walk over a
+    variable-length COM segment) round-trip exactly."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    blobs = multimodal.synth_media(docs)
+    out = multimodal.sniff_format(blobs)
+    out = multimodal.extract_dimensions(out, format_col="format")
+    out = multimodal.detect_corrupt(
+        out, format_col="format", declared_mime_col="mime"
+    )
+    return out.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        "sample_rate",
+        "channels",
+        "is_corrupt",
+        F.octet_length("content").cast("long").alias("n_bytes"),
+    )
+
+
 def _events_stream(spark: SparkSession, sf_dir: str):
     """file-stream sources must be directories: expose the single parquet
     file through a symlinked temp dir; nanos ts normalized like _events."""
@@ -2751,33 +2779,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # order were compared, the rest silently skipped).  Order therefore
         # matters: the first 50 are curated so every SURVEY.md S2 operator
         # ID and every LLM-data op module has at least one hash-checked
-        # representative.  Entries past the cap are redundant SECOND
-        # queries for already-hash-checked operators (A5<-a8, A6<-a7,
-        # O3<-o3, sampling<-stratified_sample, embeddings<-centroids,
-        # text<-text_stats) -- all still run green under
-        # tests/oracle_parity.py.
+        # representative.  Round 9 ROTATION: ten entries whose operator
+        # family keeps another in-window representative (q3/q5/topk <-
+        # q1+j1 relational; a3 <- a4 window family; a7 <- a1 pivot;
+        # u7 <- u6 flatten; o3 <- o1/o2 builtin ordering; ann_lsh <-
+        # ann_cosine+ann_ivf; ngram_jaccard <- 4 other dedup variants;
+        # streaming_dedup <- 3 other streaming) moved past the cap to
+        # admit ten queries that had NEVER been externally hash-checked
+        # (pagerank x2, kmeans, scd2, pps, drift, ewma, leakage splits,
+        # contamination report).  Entries past the cap all still run
+        # green under tests/oracle_parity.py (mandatory in the oracle
+        # tier, see tests/test_driver_contract.py).
         "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_orders": q3_top_orders,
-        "q5_nation_revenue": q5_nation_revenue,
-        "topk_orders_per_customer": topk_orders_per_customer,
         "events_sessionize": events_sessionize,
         "a1_pivot_events": a1_pivot_events,
         "a2_user_event_counts": a2_user_event_counts,
-        "a3_running_sum": a3_running_sum,
         "a4_consecutive_runs": a4_consecutive_runs,
-        "a7_time_rollup": a7_time_rollup,
         "a8_percentiles": a8_percentiles,
         "j1_brand_revenue": j1_brand_revenue,
         "j4_asof_join": j4_asof_join,
         "o1_sort_rank": o1_sort_rank,
         "o2_dedup_keep_last": o2_dedup_keep_last,
-        "o3_duplicate_keys": o3_duplicate_keys,
         "p4_filter_rows": p4_filter_rows,
         "p1_column_casts": p1_column_casts,
         "e1_quarantine_events": e1_quarantine_events,
         "s7_checkpoint_lifecycle": s7_checkpoint_lifecycle,
         "u6_flatten_props": u6_flatten_props,
-        "u7_flatten_all": u7_flatten_all,
         "u8_fix_functions": u8_fix_functions,
         "u1_row_step_derive": u1_row_step_derive,
         "u2_batch_step": u2_batch_step,
@@ -2788,25 +2815,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": dedup_embedding,
         "embedding_centroids": embedding_centroids,
         "streaming_stateful_user_stats": streaming_stateful_user_stats,
-        "streaming_dedup_keys": streaming_dedup_keys,
         "streaming_session_window": streaming_session_window,
         "streaming_event_window": streaming_event_window,
         "stratified_sample": stratified_sample,
         "web_domains": web_domains,
         "pack_sequences_by_lang": pack_sequences_by_lang,
         "dedup_exact_docs": dedup_exact_docs,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "ann_cosine_topk": ann_cosine_topk,
-        "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "text_stats": text_stats,
         "pii_redaction": pii_redaction,
         "boilerplate_removal": boilerplate_removal,
         "decontaminate_docs": decontaminate_docs,
         "multimodal_binary": multimodal_binary,
+        # -- rotated INTO the window in round 9 (first external check) --
+        "graph_pagerank": graph_pagerank,
+        "graph_pagerank_weighted": graph_pagerank_weighted,
+        "kmeans_embedding_cells": kmeans_embedding_cells,
+        "scd2_customer_history": scd2_customer_history,
+        "pps_sample_docs": pps_sample_docs,
+        "leakage_safe_split_docs": leakage_safe_split_docs,
+        "leakage_split_incremental_docs": leakage_split_incremental_docs,
+        "contamination_report_docs": contamination_report_docs,
+        "drift_prices_by_flag": drift_prices_by_flag,
+        "ewma_customer_orders": ewma_customer_orders,
         # ---- past the driver's 50-query cap (redundant coverage) ----
+        # -- rotated OUT of the window in round 9 (sibling stays in) --
+        "q3_top_orders": q3_top_orders,
+        "q5_nation_revenue": q5_nation_revenue,
+        "topk_orders_per_customer": topk_orders_per_customer,
+        "a3_running_sum": a3_running_sum,
+        "a7_time_rollup": a7_time_rollup,
+        "o3_duplicate_keys": o3_duplicate_keys,
+        "u7_flatten_all": u7_flatten_all,
+        "ann_lsh_topk": ann_lsh_topk,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "streaming_dedup_keys": streaming_dedup_keys,
         "text_quality": text_quality,
         "text_repetition": text_repetition,
         "a5_batch_stats": a5_batch_stats,
@@ -2839,14 +2885,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_span_scrub": repeated_span_scrub,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "profile_orders": profile_orders,
-        "kmeans_embedding_cells": kmeans_embedding_cells,
         "web_canonical_urls": web_canonical_urls,
         "funnel_view_click_purchase": funnel_view_click_purchase,
         "cohort_retention_weekly": cohort_retention_weekly,
         "rolling_user_value": rolling_user_value,
         "fuzzy_part_names": fuzzy_part_names,
         "standardize_prices": standardize_prices,
-        "scd2_customer_history": scd2_customer_history,
         "ri_orphan_lineitems": ri_orphan_lineitems,
         "mask_customers": mask_customers,
         "quality_budget_mix": quality_budget_mix,
@@ -2868,16 +2912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_char_entropy": text_char_entropy,
         "epoch_mix_langs": epoch_mix_langs,
         "text_surprisal": text_surprisal,
-        "graph_pagerank": graph_pagerank,
-        "graph_pagerank_weighted": graph_pagerank_weighted,
         "dedup_cluster_size_stats": dedup_cluster_size_stats,
-        "pps_sample_docs": pps_sample_docs,
-        "leakage_safe_split_docs": leakage_safe_split_docs,
-        "leakage_split_incremental_docs": leakage_split_incremental_docs,
-        "contamination_report_docs": contamination_report_docs,
         "leakage_split_shares_docs": leakage_split_shares_docs,
-        "drift_prices_by_flag": drift_prices_by_flag,
-        "ewma_customer_orders": ewma_customer_orders,
+        "media_header_triage": media_header_triage,
     }
 
 
@@ -3908,6 +3945,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sha256(text) AS content_sha256,
                    16 AS feature_dim,
                    CAST(octet_length(CAST(text AS BLOB)) % 1024 AS INTEGER) AS meta_width
+            FROM documents
+        """,
+        # Independent arithmetic reformulation: the Spark side builds real
+        # container bytes and parses them back; the oracle derives every
+        # field (incl. exact blob length per format/corruption branch)
+        # straight from doc_id.
+        "media_header_triage": """
+            SELECT doc_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                        WHEN 2 THEN 'jpeg' ELSE 'wav' END AS format,
+                   CASE WHEN doc_id % 4 IN (0, 1, 2)
+                        THEN CAST(16 + doc_id % 640 AS INTEGER) END AS width,
+                   CASE WHEN doc_id % 4 IN (0, 1, 2)
+                        THEN CAST(16 + doc_id % 480 AS INTEGER) END AS height,
+                   CASE WHEN doc_id % 4 = 3
+                        THEN CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) END AS sample_rate,
+                   CASE WHEN doc_id % 4 = 3
+                        THEN CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+                   (doc_id % 7 = 3) AS is_corrupt,
+                   CAST(CASE doc_id % 4
+                        WHEN 0 THEN 67 + doc_id % 16
+                                    - CASE WHEN doc_id % 7 = 3 THEN 12 ELSE 0 END
+                        WHEN 1 THEN 19
+                        WHEN 2 THEN 27 + doc_id % 32
+                        ELSE 52 + doc_id % 8 END AS BIGINT) AS n_bytes
             FROM documents
         """,
         "streaming_event_window": """

@@ -4,6 +4,18 @@ JSON line {"metric", "value", "unit", "queries", "sf"}.
 
 Each query executes its full plan into a no-op sink (format("noop")) so
 timings measure compute + shuffle, not driver collection.
+
+Expected log noise — NOT scale hazards: a handful of `WindowExec: No
+Partition Defined for Window operation` warnings come from unpartitioned
+windows that run over already-aggregated COARSE tables, each bounded by
+construction well below a single partition's capacity:
+  * pps_sample_docs — cumulative prefix over <= n_buckets rows
+    (ops/sampling.py, two-level bucketed prefix; the per-doc pass IS
+    partitioned by bucket)
+  * leakage_split_shares_docs — share normalization over <= n_splits rows
+  * drift/profile summary ranks over <= n_bins / <= max_categories rows
+Every such site documents its bound in its docstring; the raw-table
+passes all use partitioned windows.
 """
 
 from __future__ import annotations
@@ -135,16 +147,19 @@ def main():
                 break
             got.append(t)
         samples[name] = got
-    # the top-10 slowest get ONE extra run (best-of-3): sub-5 s queries on
-    # this shared host swing 1.3–1.5× run-to-run, and the slowest queries
-    # are exactly where a noise swing burns an adjudication cycle
+    # the top-10 slowest get TWO extra runs (best-of-4): sub-5 s queries on
+    # this shared host swing 1.3–1.5× run-to-run, the slowest queries are
+    # exactly where a noise swing burns an adjudication cycle, and a
+    # 2-sample spread estimate systematically understates the true band
+    # (r8's profile_orders recorded 0.01 from two lucky adjacent runs)
     slowest = sorted(
         (n for n, g in samples.items() if g), key=lambda n: min(samples[n]), reverse=True
     )[:10]
-    for name in slowest:
-        t = timed_run(name, queries[name])
-        if t is not None:
-            samples[name].append(t)
+    for _ in range(2):
+        for name in slowest:
+            t = timed_run(name, queries[name])
+            if t is not None:
+                samples[name].append(t)
     timings = {n: (min(g) if g else -1.0) for n, g in samples.items()}
     # run-to-run spread (max-min)/min per query: drift flags compare
     # against THIS, not a fixed 1.3× — a delta inside the query's own
@@ -239,6 +254,7 @@ def _update_history(
     total: float,
     exponents: dict[str, float] | None = None,
     spread: dict[str, float] | None = None,
+    root: str | None = None,
 ) -> None:
     """Maintain bench_history.json: query -> {round/label -> seconds}.
 
@@ -246,19 +262,28 @@ def _update_history(
     by hand twice (r3's noise episode, r4's events-family drift); keep
     them machine-readable instead.  The file is merge-preserving: existing
     round keys are kept (r6/r7 driver snapshots were truncated, so the
-    committed history is the only durable copy of some rounds), driver
-    BENCH_r{N}.json snapshots that DID parse refresh their round, and the
-    current run lands under both ``local`` (scratch, always current) and
-    ``r{max_snapshot_round + 1}`` (the round the driver is about to stamp
-    — bench runs before the snapshot is written, so max existing + 1)."""
+    committed history is the only durable copy of some rounds) and driver
+    BENCH_r{N}.json snapshots that DID parse refresh their round.
+
+    Round keys are OWNED by driver snapshots; local runs never stamp a
+    round key directly (an r8 local re-run after BENCH_r08.json existed
+    would have been mis-attributed to r9).  Instead the current run lands
+    under ``local`` (scratch, always current) plus a ``local_pending``
+    block tagged with the round the driver is about to stamp
+    (max snapshot round + 1); when that round's BENCH_r{N}.json later
+    appears, the pending data is promoted to back-fill whatever the
+    snapshot lost to stdout truncation, with parsed snapshot values
+    winning where both exist."""
     import glob
     import re
 
-    root = os.path.dirname(os.path.abspath(__file__))
+    if root is None:
+        root = os.path.dirname(os.path.abspath(__file__))
     history: dict[str, dict[str, float]] = {}
     totals: dict[str, float] = {}
     prior_exponents: dict[str, float] = {}
     prior_spread: dict[str, float] = {}
+    pending: dict = {}
     try:
         with open(os.path.join(root, "bench_history.json")) as f:
             prior = json.load(f)
@@ -267,15 +292,25 @@ def _update_history(
             history[q] = dict(per_round)
         prior_exponents = prior.get("scaling_exponent") or {}
         prior_spread = prior.get("spread") or {}
+        pending = prior.get("local_pending") or {}
     except (OSError, ValueError):
         pass
     max_round = 0
+    snap_labels: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
             continue
         max_round = max(max_round, int(m.group(1)))
         label = f"r{int(m.group(1))}"
+        snap_labels.add(label)
+        # promote pending local data for this round FIRST so parsed
+        # snapshot values overwrite it below where both exist
+        if pending.get("for_round") == label:
+            if pending.get("total") is not None:
+                totals.setdefault(label, pending["total"])
+            for q, sec in (pending.get("queries") or {}).items():
+                history.setdefault(q, {}).setdefault(label, sec)
         try:
             with open(path) as f:
                 snap = json.load(f)
@@ -289,16 +324,29 @@ def _update_history(
         totals[label] = snap.get("value")
         for q, sec in (snap.get("queries") or {}).items():
             history.setdefault(q, {})[label] = sec
+    if pending.get("for_round") in snap_labels:
+        pending = {}  # consumed above (or superseded by the parsed snapshot)
     round_label = f"r{max_round + 1}"
     for q, sec in timings.items():
         history.setdefault(q, {})["local"] = sec
-        history[q][round_label] = sec
     totals["local"] = total
-    totals[round_label] = total
     totals = {k: v for k, v in totals.items() if v is not None}
-    out = {"total": totals, "queries": dict(sorted(history.items()))}
+    pending = {"for_round": round_label, "total": total, "queries": timings}
+    out = {
+        "total": totals,
+        "queries": dict(sorted(history.items())),
+        "local_pending": pending,
+    }
     exponents = {**prior_exponents, **(exponents or {})}
-    spread = {**prior_spread, **(spread or {})}
+    # spread merge RATCHETS per query (capped at 0.5): a 2-sample run that
+    # happens to land two adjacent timings must not shrink the noise band a
+    # wider earlier estimate established (r8's profile_orders: 0.01 band on
+    # the suite's slowest query).  Bands reset only when a query is renamed
+    # or explicitly cleared.
+    merged_spread: dict[str, float] = dict(prior_spread)
+    for q, s in (spread or {}).items():
+        merged_spread[q] = min(round(max(s, prior_spread.get(q, 0.0)), 2), 0.5)
+    spread = merged_spread
     if exponents:
         # slope of t(sf0.01) -> t(sf0.1); >= 1.3 means super-linear and
         # needs a written adjudication in SCALE.md

@@ -39,7 +39,7 @@ from pyspark.sql import Column as SparkCol
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .constants import EVENT_ERROR
+from .constants import EVENT_ERROR, normalize_policy
 from .exceptions import PhaserError
 from .io import NULL_LITERALS
 
@@ -155,7 +155,7 @@ class Column:
         self.fix_value_fn = fix_value_fn
         self.rename = [rename] if isinstance(rename, str) else list(rename or [])
         self.save = save
-        self.on_error = on_error
+        self.on_error = normalize_policy(on_error)
         if default is not None and null is False:
             raise PhaserError(
                 f"Column '{name}': default= is incompatible with null=False "

@@ -29,6 +29,34 @@ ERROR_POLICIES = (
     ON_ERROR_STOP_NOW,
 )
 
+# The reference's constants carry their own NAME as the value
+# (phaser/constants.py:4-7: ON_ERROR_WARN = "ON_ERROR_WARN").  Pipelines
+# ported from it may therefore hold literal "ON_ERROR_*" strings where we
+# use the short spellings — accept both so porting is truly drop-in.
+_POLICY_ALIASES = {p: p for p in ERROR_POLICIES} | {
+    "ON_ERROR_COLLECT": ON_ERROR_COLLECT,
+    "ON_ERROR_WARN": ON_ERROR_WARN,
+    "ON_ERROR_DROP_ROW": ON_ERROR_DROP_ROW,
+    "ON_ERROR_STOP_NOW": ON_ERROR_STOP_NOW,
+}
+
+
+def normalize_policy(value, where: str = "on_error"):
+    """Map a policy spelling (ours or the reference's) to the canonical
+    value; None passes through; anything else raises like the reference
+    does (phaser/column.py:83-85)."""
+    if value is None:
+        return None
+    try:
+        return _POLICY_ALIASES[value]
+    except KeyError:
+        from .exceptions import PhaserError
+
+        raise PhaserError(
+            f"Supported {where} values are [{', '.join(ERROR_POLICIES)}] "
+            f"(or the reference's ON_ERROR_* spellings); got {value!r}"
+        ) from None
+
 # I/O format tags (reference: phaser/constants.py:9-11).
 CSV_FORMAT = "csv"
 JSON_RECORD_FORMAT = "json"
@@ -49,6 +77,19 @@ DROP_COL = "__phaser_drop__"
 DROP_STEP_COL = "__phaser_drop_step__"
 
 INTERNAL_COLS = (ERROR_COL, WARNING_COL, DROP_COL, DROP_STEP_COL)
+
+# Row steps receive extra sources as driver-materialized Python values
+# (reference semantics: phaser assumes small dims —
+# tests/pipelines/multi_source_and_outputs.py:65-77).  Materialization
+# pulls the whole side into the driver and every task closure, so it is
+# CAPPED: oversized sides raise a PhaserError routing the user to
+# ops.relational.join_step (broadcast/shuffle), which is the scale path.
+# Env-overridable for users who know their executors can hold the map.
+import os as _os
+
+ROW_STEP_SOURCE_MAX_ROWS = int(
+    _os.environ.get("PHASER_SPARK_ROW_STEP_SOURCE_MAX_ROWS", "100000")
+)
 
 # Event types recorded in the events table
 # (reference: phaser/context.py:40-76 — ERROR / WARNING / DROPPED_ROW).

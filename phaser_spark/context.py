@@ -25,6 +25,7 @@ from .constants import (
     EVENT_WARNING,
     ON_ERROR_COLLECT,
     PHASER_ROW_NUM,
+    normalize_policy,
 )
 from .exceptions import PhaserError
 from .io import SavableObject
@@ -53,7 +54,7 @@ class Context:
     ):
         self.spark = spark or SparkSession.active()
         self.working_dir = working_dir
-        self.error_policy = error_policy
+        self.error_policy = normalize_policy(error_policy, where="error_policy")
         self.verbose = verbose
         # strict_schemas=True turns the 10-row sample-inference warning for
         # schema-less row_steps into an error: at scale, a sparse column

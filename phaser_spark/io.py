@@ -35,7 +35,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .constants import CSV_FORMAT, JSON_RECORD_FORMAT, PHASER_ROW_NUM
+from .constants import (
+    CSV_FORMAT,
+    JSON_RECORD_FORMAT,
+    PHASER_ROW_NUM,
+    ROW_STEP_SOURCE_MAX_ROWS,
+)
 from .exceptions import DataException, PhaserError
 from .lineage import with_row_numbers
 
@@ -848,7 +853,25 @@ class ExtraMapping(SavableObject):
         self.df = df.select(F.col(f"`{cols[0]}`").alias("key"), F.col(f"`{cols[1]}`").alias("value"))
 
     def to_dict(self) -> dict:
-        """Driver-side dict for small maps (broadcast into row steps)."""
+        """Driver-side dict for small maps (broadcast into row steps).
+
+        Bounded: materializing the mapping pulls every row into the
+        driver AND into every task closure, so maps past
+        ``ROW_STEP_SOURCE_MAX_ROWS`` fail loudly instead of silently
+        OOMing a 1000-executor job — route big sides through
+        ``ops.relational.join_step`` (a broadcast/shuffle join) instead.
+        """
         if self.df is None:
             return {}
-        return {r["key"]: r["value"] for r in self.df.collect()}
+        rows = self.df.limit(ROW_STEP_SOURCE_MAX_ROWS + 1).collect()
+        if len(rows) > ROW_STEP_SOURCE_MAX_ROWS:
+            raise PhaserError(
+                f"ExtraMapping {self.name!r} has more than "
+                f"{ROW_STEP_SOURCE_MAX_ROWS} rows and cannot be "
+                "materialized into the driver for a row step. Join it "
+                "instead: phaser_spark.ops.relational.join_step broadcasts "
+                "small sides and shuffle-joins large ones. (Raise the cap "
+                "via PHASER_SPARK_ROW_STEP_SOURCE_MAX_ROWS only if every "
+                "executor can hold the whole map in memory.)"
+            )
+        return {r["key"]: r["value"] for r in rows}

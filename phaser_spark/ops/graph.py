@@ -337,9 +337,16 @@ def pagerank(
     verts = verts.localCheckpoint(eager=True)
     n = verts.count()  # one driver long; every other aggregate stays lazy
     if n == 0:
-        return verts.select(
-            F.col("id").alias(id_col), F.lit(None).cast("double").alias(rank_col)
-        )
+        # schema must be invariant with the non-empty path: include the
+        # delta column (NULL-cast) whenever it was requested so unions /
+        # downstream selects don't break on a degenerate empty edge frame
+        empty_cols = [
+            F.col("id").alias(id_col),
+            F.lit(None).cast("double").alias(rank_col),
+        ]
+        if delta_col is not None:
+            empty_cols.append(F.lit(None).cast("double").alias(delta_col))
+        return verts.select(*empty_cols)
     if weight_col is None:
         outdeg = e.groupBy("src").agg(
             F.count(F.lit(1)).cast("double").alias("deg")

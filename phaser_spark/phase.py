@@ -42,7 +42,9 @@ from .constants import (
     ON_ERROR_STOP_NOW,
     ON_ERROR_WARN,
     PHASER_ROW_NUM,
+    ROW_STEP_SOURCE_MAX_ROWS,
     WARNING_COL,
+    normalize_policy,
 )
 from .context import Context
 from .exceptions import DataErrorException, DataException, PhaserError
@@ -132,7 +134,9 @@ class Phase:
         self.extra_outputs = list(
             extra_outputs if extra_outputs is not None else type(self).extra_outputs
         )
-        self.error_policy = error_policy or type(self).error_policy
+        self.error_policy = normalize_policy(
+            error_policy or type(self).error_policy, where="error_policy"
+        )
         # lineage_cache: None (default) = decide automatically — pin the
         # input for row numbering only when the plan is NOT a deterministic
         # scan (see lineage._is_deterministic_narrow_plan); a .cache() of a
@@ -409,11 +413,29 @@ class Phase:
         return self.context.get_source(str(spec))
 
     def _source_value_for_row_step(self, obj: SavableObject):
+        # Row steps get extra sources as plain Python values, which means
+        # a full driver materialization shipped in every task closure —
+        # reference semantics assume small dims
+        # (tests/pipelines/multi_source_and_outputs.py:65-77).  Bounded
+        # here so a big DataFrame wired as a row-step source fails loudly
+        # instead of silently OOMing the driver at cluster scale; the
+        # scale path is ops.relational.join_step (broadcast/shuffle).
         if isinstance(obj, ExtraMapping):
             return TolerantDict(obj.to_dict())
         if obj.df is None:
             return []
-        return [r.asDict(recursive=True) for r in obj.df.collect()]
+        rows = obj.df.limit(ROW_STEP_SOURCE_MAX_ROWS + 1).collect()
+        if len(rows) > ROW_STEP_SOURCE_MAX_ROWS:
+            raise PhaserError(
+                f"Extra source {obj.name!r} has more than "
+                f"{ROW_STEP_SOURCE_MAX_ROWS} rows and cannot be "
+                "materialized into the driver for a row step. Join it "
+                "instead: phaser_spark.ops.relational.join_step broadcasts "
+                "small sides and shuffle-joins large ones. (Raise the cap "
+                "via PHASER_SPARK_ROW_STEP_SOURCE_MAX_ROWS only if every "
+                "executor can hold the whole source in memory.)"
+            )
+        return [r.asDict(recursive=True) for r in rows]
 
     def _run_steps(self, df: DataFrame) -> DataFrame:
         declared_outputs = {o.name: o for o in self.extra_outputs}
@@ -603,8 +625,13 @@ class Phase:
             if col in INTERNAL_COLS or col == PHASER_ROW_NUM:
                 continue
             if col not in declared and col not in original:
+                # reference attributes this to a pseudo-step named
+                # 'consistency_check' (phaser/phase.py:326); match it, but
+                # keep row attribution None — the reference's per-row
+                # attribution is its own acknowledged bug (its TODO at
+                # phase.py:322: everything lands on the current row)
                 self.context.add_warning(
-                    None,
+                    "consistency_check",
                     None,
                     f"New column '{col}' was added by steps but not declared "
                     f"in phase {self.name}",

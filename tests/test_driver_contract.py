@@ -16,25 +16,37 @@ def test_first_50_cover_every_operator_family():
     # each family must keep at least one representative INSIDE the checked
     # window; entries past the cap are never hash-compared by the driver
     first = set(list(entrymod.queries())[:CAP])
+    # Round-9 curation: ten redundant siblings rotated past the cap to
+    # admit ten queries that had never been externally hash-checked
+    # (VERDICT r8 next-round #1).  Every §2 operator family still keeps
+    # at least one in-window representative.
     required = {
         "s1_csv_roundtrip", "s7_checkpoint_lifecycle",       # sources/checkpoint
         "p1_column_casts", "p4_filter_rows",                  # contracts/filters
         "e1_quarantine_events",                               # error policies
         "u1_row_step_derive", "u2_batch_step",                # step surface
         "u5_lookup_enrichment", "j3_pipe_segment_peers",      # extra sources/piping
-        "u6_flatten_props", "u7_flatten_all", "u8_fix_functions",
-        "o1_sort_rank", "o2_dedup_keep_last", "o3_duplicate_keys",
+        "u6_flatten_props", "u8_fix_functions",               # flatten/fix family
+        "o1_sort_rank", "o2_dedup_keep_last",                 # ordering/builtin dedup
         "d1_table_diff",                                      # diff
         "q1_pricing_summary", "j4_asof_join",                 # relational/asof
         "streaming_event_window", "streaming_session_window", # streaming
-        "streaming_dedup_keys", "streaming_stateful_user_stats",
-        "dedup_exact_docs", "dedup_ngram_jaccard",            # dedup suite
+        "streaming_stateful_user_stats",
+        "dedup_exact_docs",                                   # dedup suite
         "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
-        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",    # similarity
+        "ann_cosine_topk", "ann_ivf_topk",                    # similarity
         "text_stats", "pii_redaction", "boilerplate_removal", # text/cleaning
         "decontaminate_docs", "multimodal_binary",            # multimodal
         "stratified_sample", "pack_sequences_by_lang",        # sampling/packing
         "web_domains", "embedding_centroids",                 # web/embeddings
+        # rotated in r9 — first external hash check for each:
+        "graph_pagerank", "graph_pagerank_weighted",          # graph
+        "kmeans_embedding_cells",                             # clustering
+        "scd2_customer_history",                              # SCD2
+        "pps_sample_docs",                                    # PPS sampling
+        "leakage_safe_split_docs", "leakage_split_incremental_docs",
+        "contamination_report_docs",                          # decontamination
+        "drift_prices_by_flag", "ewma_customer_orders",       # drift/timeseries
     }
     missing = required - first
     assert not missing, f"operator families pushed past the {CAP}-entry cap: {sorted(missing)}"

@@ -176,6 +176,115 @@ def test_multimodal_real_decode_raises(spark, docs):
         multimodal.decode_and_featurize(wrapped, real_decode=True)
 
 
+def _golden_media_blobs():
+    """Hand-assembled spec-minimal container files — independent of
+    synth_media, so a symmetric encode/decode bug cannot cancel out."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", 320, 240, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        + struct.pack(">I", 3) + b"IDAT" + b"\x00\x01\x02" + b"\x00\x00\x00\x00"
+        + struct.pack(">I", 0) + b"IEND" + b"\xaeB`\x82"
+    )
+    gif = (
+        b"GIF89a" + struct.pack("<HH", 640, 350) + b"\x00\x00\x00" + b"\x3b"
+    )
+    # JPEG: SOI, APP0(JFIF), COM, SOF0 (h=99, w=77), EOI — SOF is the
+    # THIRD segment so extraction must actually walk
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 99, 77)
+        + b"\x03\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+        + b"\xff\xd9"
+    )
+    data = b"\x00" * 4
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 2 * 2, 4, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return png, gif, jpeg, wav
+
+
+def test_media_sniff_and_dims_on_golden_bytes(spark):
+    png, gif, jpeg, wav = _golden_media_blobs()
+    rows = [
+        (1, png, "image/png"),
+        (2, gif, "image/gif"),
+        (3, jpeg, "image/jpeg"),
+        (4, wav, "audio/x-wav"),
+        (5, b"%PDF-1.4\n1 0 obj\nendobj\n%%EOF", "application/pdf"),
+        (6, b"\x00\x01", None),
+        (7, None, None),
+        (8, jpeg[:-2] + b"\x00\x00", "image/jpeg"),  # EOI garbled
+        (9, png[:-12], "image/png"),                  # IEND dropped
+        (10, png, "image/jpeg"),                      # mislabeled mime
+    ]
+    df = spark.createDataFrame(rows, "id int, content binary, mime string")
+    out = multimodal.sniff_format(df)
+    out = multimodal.extract_dimensions(out, format_col="format")
+    out = multimodal.detect_corrupt(
+        out, format_col="format", declared_mime_col="mime"
+    )
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["format"] == "png" and (got[1]["width"], got[1]["height"]) == (320, 240)
+    assert got[2]["format"] == "gif" and (got[2]["width"], got[2]["height"]) == (640, 350)
+    assert got[3]["format"] == "jpeg" and (got[3]["width"], got[3]["height"]) == (77, 99)
+    assert got[4]["format"] == "wav"
+    assert (got[4]["sample_rate"], got[4]["channels"]) == (44100, 2)
+    assert got[5]["format"] == "pdf"
+    assert got[6]["format"] == "unknown" and got[7]["format"] == "unknown"
+    for ok_id in (1, 2, 3, 4, 5):
+        assert not got[ok_id]["is_corrupt"], ok_id
+    for bad_id in (6, 7, 8, 9, 10):
+        assert got[bad_id]["is_corrupt"], bad_id
+    # corrupt trailer does not block header-level dimension extraction
+    assert (got[8]["width"], got[8]["height"]) == (77, 99)
+    # images carry no audio fields and vice versa
+    assert got[1]["sample_rate"] is None and got[4]["width"] is None
+
+
+def test_media_synth_roundtrip_and_stats(spark):
+    ids = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    blobs = multimodal.synth_media(ids)
+    out = multimodal.sniff_format(blobs)
+    out = multimodal.extract_dimensions(out, format_col="format")
+    out = multimodal.detect_corrupt(
+        out, format_col="format", declared_mime_col="mime"
+    )
+    for r in out.collect():
+        i = r["doc_id"]
+        want_fmt = ["png", "gif", "jpeg", "wav"][i % 4]
+        assert r["format"] == want_fmt, (i, r["format"])
+        assert r["is_corrupt"] == (i % 7 == 3), i
+        if want_fmt in ("png", "gif", "jpeg"):
+            assert r["width"] == 16 + i % 640, i
+            assert r["height"] == 16 + i % 480, i
+        else:
+            assert r["sample_rate"] == 8000 + (i % 5) * 8000, i
+            assert r["channels"] == 1 + i % 2, i
+    stats = {
+        r["format"]: r
+        for r in multimodal.media_size_stats(
+            out, format_col="format", corrupt_col="is_corrupt"
+        ).collect()
+    }
+    assert set(stats) == {"png", "gif", "jpeg", "wav"}
+    assert stats["gif"]["n_blobs"] == 50
+    assert sum(s["n_corrupt"] for s in stats.values()) == len(
+        [i for i in range(200) if i % 7 == 3]
+    )
+    # the whole triage is Catalyst-only: no Python workers in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
 def test_relational_topk_step(spark):
     df = spark.createDataFrame(
         [("a", 3), ("a", 1), ("a", 2), ("b", 9)], ["k", "v"]
@@ -1145,6 +1254,25 @@ def test_pagerank_isolated_vertices_and_validation(spark):
         pagerank(e, n_iters=0)
     with _pytest.raises(PhaserError):
         pagerank(e.withColumnRenamed("src", "from"))
+
+
+def test_pagerank_empty_graph_schema_invariant_with_delta(spark):
+    # ADVICE r8: the n == 0 early return must carry the same columns as
+    # the non-empty path, including delta_col when requested, so unions
+    # over a degenerate empty edge frame don't fail
+    from phaser_spark.ops.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    some = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got_e = pagerank(empty, n_iters=2, delta_col="pr_delta")
+    got_s = pagerank(some, n_iters=2, delta_col="pr_delta")
+    assert got_e.columns == got_s.columns == ["id", "pagerank", "pr_delta"]
+    assert [f.dataType for f in got_e.schema.fields] == [
+        f.dataType for f in got_s.schema.fields
+    ]
+    assert got_e.unionByName(got_s).count() == 2
+    # and without delta the empty path stays two-column
+    assert pagerank(empty, n_iters=2).columns == ["id", "pagerank"]
 
 
 def test_kll_daily_sketches_merge_close_to_exact_quantiles(spark):
