@@ -1584,6 +1584,7 @@ def media_header_triage(spark, sf_dir):
         "height",
         "sample_rate",
         "channels",
+        "duration_ms",
         "is_corrupt",
         F.octet_length("content").cast("long").alias("n_bytes"),
     )
@@ -3963,13 +3964,19 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) END AS sample_rate,
                    CASE WHEN doc_id % 4 = 3
                         THEN CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+                   CASE WHEN doc_id % 4 = 3
+                        THEN CAST(floor(
+                            (8 + doc_id % 8) * 1000 * 1000.0
+                            / ((8000 + (doc_id % 5) * 8000)
+                               * (1 + doc_id % 2) * 2)) AS BIGINT)
+                        END AS duration_ms,
                    (doc_id % 7 = 3) AS is_corrupt,
                    CAST(CASE doc_id % 4
                         WHEN 0 THEN 67 + doc_id % 16
                                     - CASE WHEN doc_id % 7 = 3 THEN 12 ELSE 0 END
                         WHEN 1 THEN 19
                         WHEN 2 THEN 27 + doc_id % 32
-                        ELSE 52 + doc_id % 8 END AS BIGINT) AS n_bytes
+                        ELSE 44 + (8 + doc_id % 8) * 1000 END AS BIGINT) AS n_bytes
             FROM documents
         """,
         "streaming_event_window": """

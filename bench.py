@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "pps_sample_docs",
     "drift_prices_by_flag",
     "ewma_customer_orders",
+    "media_header_triage",
 ]
 
 

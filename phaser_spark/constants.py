@@ -49,7 +49,7 @@ def normalize_policy(value, where: str = "on_error"):
         return None
     try:
         return _POLICY_ALIASES[value]
-    except KeyError:
+    except (KeyError, TypeError):  # TypeError: unhashable (e.g. a list)
         from .exceptions import PhaserError
 
         raise PhaserError(

@@ -156,6 +156,16 @@ def remove_repeated_spans(
     """
     from ..lineage import spread_for_compute
 
+    if n < 1:
+        raise PhaserError(f"span n-gram size must be >= 1, got {n}")
+    if min_doc_freq < 2:
+        # every gram occurs in >= 1 document (its own), so min_doc_freq
+        # below 2 cuts EVERY word of every document with >= n words —
+        # silent total text destruction, never what the caller meant
+        raise PhaserError(
+            f"min_doc_freq must be >= 2, got {min_doc_freq} (a gram always "
+            "occurs in its own document; < 2 would cut all text)"
+        )
     words_raw = F.split(F.col(text_col), r"\s+")
     # stage the normalized word array behind an exchange (CollapseProject
     # barrier) so the gram lambda below slices a plain ATTRIBUTE — an
@@ -227,6 +237,10 @@ def remove_repeated_spans(
 
 
 def _shingles(text_col: SparkCol, n: int) -> SparkCol:
+    if n < 1:
+        # n=0 would make every document emit the empty shingle "" and
+        # match every benchmark: 100% contamination, silently
+        raise PhaserError(f"n-gram size must be >= 1, got {n}")
     words = F.split(normalize_text(text_col), " ")
     return F.when(
         F.size(words) >= n,
@@ -317,6 +331,11 @@ def contamination_report(
     """
     if not benchmarks:
         raise PhaserError("contamination_report needs at least one benchmark")
+    if min_overlap < 1:
+        raise PhaserError(
+            f"min_overlap must be >= 1, got {min_overlap} (overlap counting "
+            "starts at one shared shingle; lower thresholds are meaningless)"
+        )
     bench_text_col = bench_text_col or text_col
     doc_sh = df.select(
         F.col(id_col).alias("__cr_id"),

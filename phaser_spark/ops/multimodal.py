@@ -211,7 +211,9 @@ def synth_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.unhex(F.lit("03011100021100031100")),                # 3 components
         F.when(corrupt, F.unhex(F.lit("0000"))).otherwise(F.unhex(F.lit("FFD9"))),
     )
-    dsize = (F.lit(8) + i % 8).cast("long")                    # WAV data bytes
+    # kilobyte-scale data chunks so the header-derived duration
+    # (data_bytes·1000/byte_rate) is a non-trivial value to cross-check
+    dsize = ((F.lit(8) + i % 8) * 1000).cast("long")           # WAV data bytes
     total = F.lit(44).cast("long") + dsize                     # canonical size
     riff_field = F.when(corrupt, total - 8 + 1).otherwise(total - 8)
     wav = F.concat(
@@ -227,7 +229,7 @@ def synth_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         _le_bytes(F.lit(16), 2),                               # bits/sample
         F.unhex(F.lit("64617461")),                            # data
         _le_bytes(dsize, 4),
-        _fill(0x00, dsize.cast("int")),
+        F.unhex(F.repeat(F.lit("00"), dsize.cast("int"))),     # payload
     )
     sel = i % 4
     content = (
@@ -452,7 +454,9 @@ def extract_dimensions(
         .otherwise(F.lit(None).cast("int"))
     )
     # canonical WAV: RIFF(4) size(4) WAVE(4) 'fmt '(4) len(4) audfmt(2)
-    # channels LE16 @23, sample_rate LE32 @25
+    # channels LE16 @23, sample_rate LE32 @25, byte_rate LE32 @29,
+    # 'data' @37 with its LE32 size @41 — duration falls out of the
+    # header too: data_bytes * 1000 / byte_rate
     is_canon_wav = (
         (fmt == "wav")
         & (n >= 36)
@@ -464,11 +468,45 @@ def extract_dimensions(
     channels = F.when(is_canon_wav, _le16(c, F.lit(23))).otherwise(
         F.lit(None).cast("int")
     )
+    byte_rate = _le32(c, F.lit(29))
+    has_data_chunk = (
+        is_canon_wav
+        & (n >= 44)
+        & (F.hex(F.substring(c, F.lit(37), F.lit(4))) == "64617461")
+        & (byte_rate > 0)
+    )
+    duration_ms = F.when(
+        has_data_chunk,
+        (_le32(c, F.lit(41)) * F.lit(1000) / byte_rate).cast("long"),
+    ).otherwise(F.lit(None).cast("long"))
+    # WEBP extended header (VP8X): canvas dims as LE24 minus-one fields —
+    # the common container for animation/alpha; simple VP8/VP8L frames
+    # keep NULL dims (their bitstream parse is past header territory)
+    is_vp8x = (
+        (fmt == "webp")
+        & (n >= 30)
+        & (F.hex(F.substring(c, F.lit(13), F.lit(4))) == "56503858")
+    )
+
+    def _le24(pos):
+        return F.conv(
+            F.concat(
+                F.hex(F.substring(c, F.lit(pos + 2), F.lit(1))),
+                F.hex(F.substring(c, F.lit(pos + 1), F.lit(1))),
+                F.hex(F.substring(c, F.lit(pos), F.lit(1))),
+            ),
+            16,
+            10,
+        ).cast("int")
+
+    width = F.when(is_vp8x, _le24(25) + F.lit(1)).otherwise(width)
+    height = F.when(is_vp8x, _le24(28) + F.lit(1)).otherwise(height)
     return (
         df.withColumn("width", width)
         .withColumn("height", height)
         .withColumn("sample_rate", sample_rate)
         .withColumn("channels", channels)
+        .withColumn("duration_ms", duration_ms)
     )
 
 

@@ -595,17 +595,21 @@ def distribution_drift(
         # return NaN off a single bad value, making span NaN and silently
         # collapsing the whole histogram into bucket 0 (found by NaN
         # probe) — so the range ignores NaN and NaN rows get their own
-        # visible bucket instead of clamping into cell 0
+        # visible bucket instead of clamping into cell 0.  ±Infinity does
+        # the same through an infinite span (r9 sweep), so the bounds are
+        # FINITE-only; ±Inf data rows clamp into the edge cells like any
+        # other out-of-range value
         vd = F.col(col).cast("double")
-        finite = F.when(~F.isnan(vd), vd)
+        finite = F.when(
+            ~F.isnan(vd) & (vd > float("-inf")) & (vd < float("inf")), vd
+        )
         stats = ref.agg(
             F.min(finite).alias("mn"), F.max(finite).alias("mx")
         ).first()
         mn, mx = stats["mn"], stats["mx"]
         if mn is None:
             raise PhaserError(
-                f"distribution_drift: reference side has no non-null, "
-                f"non-NaN '{col}'"
+                f"distribution_drift: reference side has no finite '{col}'"
             )
         span = (mx - mn) or 1.0
         v = F.col(col).cast("double")
@@ -730,13 +734,19 @@ def drift_monitor_step(
         bucket = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
     else:
         vd = F.col(col).cast("double")
-        finite = F.when(~F.isnan(vd), vd)
+        # bounds must come from FINITE reference values: one ±Infinity in
+        # the reference would make span infinite and silently collapse
+        # every live row into bin 0 (r9 sweep — the NaN exclusion alone
+        # left this open); live ±Inf values still clamp into the edge
+        # bins via least/greatest below
+        finite = F.when(
+            ~F.isnan(vd) & (vd > float("-inf")) & (vd < float("inf")), vd
+        )
         stats = ref.agg(F.min(finite).alias("mn"), F.max(finite).alias("mx")).first()
         mn, mx = stats["mn"], stats["mx"]
         if mn is None:
             raise PhaserError(
-                f"drift_monitor_step: reference has no non-null, non-NaN "
-                f"'{col}'"
+                f"drift_monitor_step: reference has no finite '{col}'"
             )
         span = (mx - mn) or 1.0
         idx = F.least(

@@ -548,13 +548,18 @@ def leakage_safe_split_incremental(
         "__ls_id__",
         "left",
     )
+    # min over (id, split) structs rather than min_by(split, id): when the
+    # prior violates its one-row-per-id contract with CONFLICTING splits,
+    # min_by ties on the id and picks nondeterministically per run — the
+    # lexicographic struct min stays deterministic (and is identical for
+    # contract-honoring priors)
     inherited = (
         labeled.filter(F.col("__prior_split__").isNotNull())
         .groupBy(group_col)
         .agg(
-            F.min_by(F.col("__prior_split__"), F.col("__ls_id__")).alias(
-                "__inherit__"
-            )
+            F.min(
+                F.struct(F.col("__ls_id__"), F.col("__prior_split__"))
+            )["__prior_split__"].alias("__inherit__")
         )
     )
     joined = (
@@ -600,11 +605,14 @@ def split_shares(
 
     aggs = [F.count(F.lit(1)).alias("rows")]
     if weight_col is not None:
-        # NaN-safe: one NaN weight would otherwise turn EVERY split's
-        # weight and share into NaN (sum propagates it); treat NaN like
-        # NULL — absent from the mass — as ewma does for gaps
+        # NaN/Inf-safe: one NaN weight would otherwise turn EVERY split's
+        # weight and share into NaN (sum propagates it), and a single
+        # ±Infinity poisons every share the same way (inf/inf = NaN);
+        # treat both like NULL — absent from the mass — as ewma does for
+        # gaps (r9 sweep: the r8 fix covered NaN but not Inf)
         wd = F.col(weight_col).cast("double")
-        aggs.append(F.sum(F.when(~F.isnan(wd), wd)).alias("weight"))
+        finite = ~F.isnan(wd) & (wd > float("-inf")) & (wd < float("inf"))
+        aggs.append(F.sum(F.when(finite, wd)).alias("weight"))
     per = df.groupBy(F.col(split_col).alias("split")).agg(*aggs)
     whole = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

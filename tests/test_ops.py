@@ -203,17 +203,23 @@ def _golden_media_blobs():
         + b"\x03\x01\x11\x00\x02\x11\x00\x03\x11\x00"
         + b"\xff\xd9"
     )
-    data = b"\x00" * 4
+    data = b"\x00" * 88200  # 0.5 s at 44.1 kHz stereo 16-bit
     wav = (
         b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
         + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 2 * 2, 4, 16)
         + b"data" + struct.pack("<I", len(data)) + data
     )
-    return png, gif, jpeg, wav
+    # WEBP extended (VP8X): canvas 800x601 as minus-one LE24 fields
+    vp8x_payload = (
+        b"VP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00"
+        + (800 - 1).to_bytes(3, "little") + (601 - 1).to_bytes(3, "little")
+    )
+    webp = b"RIFF" + struct.pack("<I", 4 + len(vp8x_payload)) + b"WEBP" + vp8x_payload
+    return png, gif, jpeg, wav, webp
 
 
 def test_media_sniff_and_dims_on_golden_bytes(spark):
-    png, gif, jpeg, wav = _golden_media_blobs()
+    png, gif, jpeg, wav, webp = _golden_media_blobs()
     rows = [
         (1, png, "image/png"),
         (2, gif, "image/gif"),
@@ -225,6 +231,7 @@ def test_media_sniff_and_dims_on_golden_bytes(spark):
         (8, jpeg[:-2] + b"\x00\x00", "image/jpeg"),  # EOI garbled
         (9, png[:-12], "image/png"),                  # IEND dropped
         (10, png, "image/jpeg"),                      # mislabeled mime
+        (11, webp, "image/webp"),
     ]
     df = spark.createDataFrame(rows, "id int, content binary, mime string")
     out = multimodal.sniff_format(df)
@@ -238,9 +245,12 @@ def test_media_sniff_and_dims_on_golden_bytes(spark):
     assert got[3]["format"] == "jpeg" and (got[3]["width"], got[3]["height"]) == (77, 99)
     assert got[4]["format"] == "wav"
     assert (got[4]["sample_rate"], got[4]["channels"]) == (44100, 2)
+    assert got[4]["duration_ms"] == 500  # 88200 bytes at 176400 B/s
     assert got[5]["format"] == "pdf"
     assert got[6]["format"] == "unknown" and got[7]["format"] == "unknown"
-    for ok_id in (1, 2, 3, 4, 5):
+    assert got[11]["format"] == "webp"
+    assert (got[11]["width"], got[11]["height"]) == (800, 601)  # VP8X canvas
+    for ok_id in (1, 2, 3, 4, 5, 11):
         assert not got[ok_id]["is_corrupt"], ok_id
     for bad_id in (6, 7, 8, 9, 10):
         assert got[bad_id]["is_corrupt"], bad_id
@@ -248,6 +258,7 @@ def test_media_sniff_and_dims_on_golden_bytes(spark):
     assert (got[8]["width"], got[8]["height"]) == (77, 99)
     # images carry no audio fields and vice versa
     assert got[1]["sample_rate"] is None and got[4]["width"] is None
+    assert got[1]["duration_ms"] is None
 
 
 def test_media_synth_roundtrip_and_stats(spark):
@@ -267,8 +278,10 @@ def test_media_synth_roundtrip_and_stats(spark):
             assert r["width"] == 16 + i % 640, i
             assert r["height"] == 16 + i % 480, i
         else:
-            assert r["sample_rate"] == 8000 + (i % 5) * 8000, i
-            assert r["channels"] == 1 + i % 2, i
+            sr, ch = 8000 + (i % 5) * 8000, 1 + i % 2
+            assert r["sample_rate"] == sr, i
+            assert r["channels"] == ch, i
+            assert r["duration_ms"] == (8 + i % 8) * 1000 * 1000 // (sr * ch * 2), i
     stats = {
         r["format"]: r
         for r in multimodal.media_size_stats(
@@ -2123,6 +2136,61 @@ def test_split_shares_reports_row_and_weight_mass(spark):
     }
     assert got2["train"].weight == 10.0 and not math.isnan(got2["train"].weight_share)
     assert got2["train"].weight_share == 0.25 and got2["val"].weight_share == 0.75
+    # r9 sweep: a single ±Infinity poisons every share the same way NaN
+    # did (inf/inf = NaN) — must be excluded from the mass like NaN/NULL
+    inf_dirty = spark.createDataFrame(
+        [("train", 10.0), ("train", float("inf")), ("val", float("-inf")),
+         ("val", 30.0)],
+        "split string, tokens double",
+    )
+    got3 = {
+        r.split: r
+        for r in sampling.split_shares(inf_dirty, "split", "tokens").collect()
+    }
+    assert got3["train"].weight == 10.0 and got3["val"].weight == 30.0
+    assert got3["train"].weight_share == 0.25 and got3["val"].weight_share == 0.75
+
+
+def test_leakage_split_incremental_deterministic_on_dup_prior(spark):
+    """r9 sweep: a prior that violates its one-row-per-id contract with
+    CONFLICTING splits must still produce a deterministic inheritance
+    (lexicographic (id, split) min), not a per-run min_by coin flip."""
+    from phaser_spark.ops import sampling
+
+    fr = {"train": 0.8, "val": 0.2}
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    dup_prior = spark.createDataFrame(
+        [(1, "val"), (1, "train")], "doc_id long, split string"
+    )
+    outs = set()
+    for _ in range(3):
+        got = sampling.leakage_safe_split_incremental(
+            docs, "doc_id", fr, pairs, dup_prior
+        ).collect()
+        outs.add(tuple(sorted((r.doc_id, r.split, r.split_source) for r in got)))
+    assert len(outs) == 1  # stable across replans
+    rows = dict((r[0], r[1]) for r in next(iter(outs)))
+    assert rows == {1: "train", 2: "train"}  # ("train" < "val" at id 1)
+
+
+def test_cleaning_validation_rejects_degenerate_params(spark, docs):
+    """r9 sweep: n=0 shingles would match everything via the empty
+    shingle; min_doc_freq < 2 would cut every word of every document."""
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops import cleaning
+
+    bench = docs.limit(1)
+    with pytest.raises(PhaserError, match=">= 1"):
+        cleaning.contamination_report(docs, {"b": bench}, n=0)
+    with pytest.raises(PhaserError, match="min_overlap"):
+        cleaning.contamination_report(docs, {"b": bench}, min_overlap=0)
+    with pytest.raises(PhaserError, match=">= 1"):
+        cleaning.decontaminate(docs, bench, n=0)
+    with pytest.raises(PhaserError, match="min_doc_freq"):
+        cleaning.remove_repeated_spans(docs, min_doc_freq=1)
+    with pytest.raises(PhaserError, match=">= 1"):
+        cleaning.remove_repeated_spans(docs, n=0)
 
 
 def test_pps_sample_rejects_overflow_weight(spark):
@@ -3538,6 +3606,28 @@ def test_distribution_drift_nan_isolated_not_poisoning(spark):
     assert all(20 <= rows[str(b)].n_ref <= 30 for b in range(4))
 
 
+def test_distribution_drift_infinity_isolated_not_poisoning(spark):
+    """r9 sweep: one ±Infinity in the REFERENCE would make the bin span
+    infinite and silently collapse every row into bin 0 (the same class
+    as the NaN poisoning, through arithmetic instead of ordering); the
+    bounds must be finite-only, with ±Inf data rows clamping into the
+    edge cells like any out-of-range value."""
+    from phaser_spark.ops.quality import distribution_drift
+
+    inf = float("inf")
+    ref = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,), (inf,)], "v double"
+    )
+    cur = spark.createDataFrame([(1.5,), (inf,), (-inf,)], "v double")
+    rows = {r.bucket: r for r in distribution_drift(ref, cur, "v", bins=3).collect()}
+    # reference span is 1..4 despite the Inf: 1.5 lands in cell 0,
+    # +Inf clamps to the last cell, -Inf to cell 0
+    assert rows["0"].n_cur == 2 and rows["2"].n_cur == 1
+    # the top cell holds 3.0, 4.0 (span-edge) and the clamped ref Inf row
+    assert rows["2"].n_ref == 3
+    assert sum(r.n_ref for r in rows.values()) == 5
+
+
 def test_contamination_report_per_benchmark(spark):
     """One row per benchmark including zero-hit ones; counts agree with
     decontaminate(flag_only=True) run per benchmark."""
@@ -3666,7 +3756,7 @@ def test_distribution_drift_binned_clamps_and_validates(spark):
     with _pytest.raises(PhaserError):
         distribution_drift(ref, cur, "v", smoothing=0.0)
     empty = spark.createDataFrame([(None,)], "v double")
-    with _pytest.raises(PhaserError, match="no non-null"):
+    with _pytest.raises(PhaserError, match="no finite"):
         distribution_drift(empty, cur, "v", bins=4)
 
 

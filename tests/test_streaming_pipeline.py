@@ -924,3 +924,97 @@ def test_drift_monitor_step_runs_per_micro_batch(spark, tmp_path):
     # the in-distribution batch's rows landed before the alarm tripped
     got = spark.read.parquet(out_dir)
     assert got.count() == 200
+
+
+import pytest
+
+
+@pytest.mark.oracle
+def test_run_stream_survives_process_kill(spark, tmp_path):
+    # HARD restart: the first run happens in a SEPARATE python process
+    # that is SIGKILLed after its first micro-batch lands — no graceful
+    # q.stop(), no checkpoint finalization, driver state gone with the
+    # process.  The resume (fresh process state, same checkpoint +
+    # output table) must continue row-number lineage monotonically and
+    # keep exactly-once output.  Oracle tier: boots a second JVM (~30 s).
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    src_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(src_dir)
+    schema = "id long, score double"
+    out_dir = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    _stage_file(spark, tmp_path, src_dir,
+                spark.createDataFrame([(1, 5.0), (2, 6.0)], schema), "b1")
+
+    child_src = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+        from phaser_spark import FloatColumn, Phase, Pipeline
+        from phaser_spark.session import get_spark
+
+        spark = get_spark(app_name="kill_me", master="local[4]",
+                          shuffle_partitions=4)
+        stream = (spark.readStream
+                  .schema("id long, score double")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet({repr(src_dir)}))
+        pipe = Pipeline(phases=[Phase(name="Clean",
+                                      columns=[FloatColumn("score")])],
+                        spark=spark)
+        q = pipe.run_stream(stream, {repr(out_dir)},
+                            checkpoint_dir={repr(ckpt)},
+                            available_now=False)
+        print("STREAM_STARTED", flush=True)
+        q.awaitTermination()
+    """)
+    script = os.path.join(str(tmp_path), "child.py")
+    with open(script, "w") as f:
+        f.write(child_src)
+    proc = subprocess.Popen([sys.executable, script],
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    try:
+        # wait for batch 1 to land in the output table, then KILL -9
+        deadline = time.time() + 180
+        seen = 0
+        while time.time() < deadline:
+            try:
+                seen = spark.read.parquet(out_dir).count()
+            except Exception:
+                seen = 0
+            if seen >= 2:
+                break
+            if proc.poll() is not None:
+                raise AssertionError("child stream process died before batch 1")
+            time.sleep(1)
+        assert seen >= 2, "child never produced batch 1 within 180s"
+    finally:
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)
+        proc.wait()
+
+    # resume from the killed run's checkpoint with a new input file
+    _stage_file(spark, tmp_path, src_dir,
+                spark.createDataFrame([(3, 7.0), (4, 8.0)], schema), "b2")
+    pipe2 = Pipeline(
+        phases=[Phase(name="Clean", columns=[FloatColumn("score")])],
+        spark=spark,
+    )
+    stream2 = (spark.readStream
+               .schema(spark.createDataFrame([], schema).schema)
+               .option("maxFilesPerTrigger", 1)
+               .parquet(src_dir))
+    pipe2.run_stream(stream2, out_dir, checkpoint_dir=ckpt)
+
+    got = spark.read.parquet(out_dir).collect()
+    assert sorted(r.id for r in got) == [1, 2, 3, 4]  # exactly-once
+    nums = sorted(r[PHASER_ROW_NUM] for r in got)
+    assert nums == [1, 2, 3, 4]  # lineage continued monotonically
+    by_id = {r.id: r[PHASER_ROW_NUM] for r in got}
+    assert max(by_id[1], by_id[2]) < min(by_id[3], by_id[4])
