@@ -161,6 +161,26 @@ def main():
         Q.row_count(at_least=10),
     ])
 
+    # --- attached-media triage (codec-free): a multimodal corpus carries
+    # binary blobs next to the text; header-level sniff + corruption
+    # checks quarantine broken/mislabeled media at scan speed, before any
+    # decode budget is spent.  (Synthetic blobs stand in for a crawl's
+    # real attachments at the same schema.)
+    from phaser_spark.ops import multimodal
+
+    media = multimodal.synth_media(docs.select("doc_id"))
+    media = multimodal.sniff_format(media)
+    media = multimodal.detect_corrupt(
+        media, format_col="format", declared_mime_col="mime"
+    )
+    for r in multimodal.media_size_stats(
+        media, format_col="format", corrupt_col="is_corrupt"
+    ).collect():
+        print(
+            f"media[{r.format}]: {r.n_blobs} blobs, {r.total_bytes} B, "
+            f"{r.n_corrupt} corrupt"
+        )
+
     # ID-level takedown list (DMCA/opt-out): a bloom bitmap prunes the
     # corpus BEFORE any shuffle; only the matches + fpp sliver pay the
     # exact anti join, and results are exactly the plain anti join.
