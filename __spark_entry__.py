@@ -1590,6 +1590,21 @@ def media_header_triage(spark, sf_dir):
     )
 
 
+def top_p_docs_by_lang(spark, sf_dir):
+    """Nucleus (top-p) corpus selection (r9): per language, keep the
+    longest documents until they cover 60% of the language's character
+    mass — the mass-targeted curation cut (ops/sampling.top_p_by_group).
+    Deterministic (score desc, md5(id), id) ranking; decimal-exact
+    cumulative mass, reproduced verbatim by the window-SQL oracle."""
+    from phaser_spark.ops import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.top_p_by_group(docs, "doc_id", "n_chars", "lang", p=0.6)
+    return out.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
 def _events_stream(spark: SparkSession, sf_dir: str):
     """file-stream sources must be directories: expose the single parquet
     file through a symlinked temp dir; nanos ts normalized like _events."""
@@ -2916,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_size_stats": dedup_cluster_size_stats,
         "leakage_split_shares_docs": leakage_split_shares_docs,
         "media_header_triage": media_header_triage,
+        "top_p_docs_by_lang": top_p_docs_by_lang,
     }
 
 
@@ -3947,6 +3963,31 @@ def oracle_sql() -> dict[str, str]:
                    16 AS feature_dim,
                    CAST(octet_length(CAST(text AS BLOB)) % 1024 AS INTEGER) AS meta_width
             FROM documents
+        """,
+        # Window-SQL reformulation of the nucleus cut: same deterministic
+        # (score desc, md5(id), id) order, same exclusive-prefix mass
+        # boundary in double against the decimal-exact running sums.
+        "top_p_docs_by_lang": """
+            WITH scored AS (
+                SELECT doc_id, lang,
+                       CAST(round(CAST(n_chars AS DOUBLE), 6)
+                            AS DECIMAL(38,6)) AS s,
+                       n_chars
+                FROM documents
+                WHERE n_chars IS NOT NULL
+            ), ranked AS (
+                SELECT doc_id, lang, n_chars,
+                       COALESCE(SUM(s) OVER (
+                           PARTITION BY lang
+                           ORDER BY s DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), CAST(0 AS DECIMAL(38,6))) AS mass_before,
+                       SUM(s) OVER (PARTITION BY lang) AS total
+                FROM scored
+            )
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+            FROM ranked
+            WHERE CAST(mass_before AS DOUBLE) < 0.6 * CAST(total AS DOUBLE)
         """,
         # Independent arithmetic reformulation: the Spark side builds real
         # container bytes and parses them back; the oracle derives every

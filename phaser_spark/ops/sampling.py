@@ -797,6 +797,84 @@ def temperature_resample(
     )
 
 
+def top_p_by_group(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    group_col: str | list[str],
+    p: float,
+    digits: int = 6,
+) -> DataFrame:
+    """Nucleus (top-p) selection per group: keep the highest-scoring rows
+    of each group until they cover fraction ``p`` of the group's total
+    score mass — "keep the best documents per domain until 60% of the
+    quality mass" — the mass-targeted counterpart to the count-targeted
+    :func:`sample_n_per_group` and the share-targeted
+    :func:`temperature_resample`.  Unlike a fixed per-group quota, the
+    kept COUNT adapts to the score distribution: a domain whose quality
+    is concentrated in a few documents keeps few; a flat domain keeps
+    many.
+
+    Rows are ranked by ``(score desc, md5(key), key)`` — deterministic
+    across runs, partitionings, and engines — and a row is kept while
+    the mass BEFORE it is still under ``p × total`` (so the boundary-
+    crossing row is included, and at least one row survives per group
+    with any positive mass).  Scores must be non-negative (a negative
+    score makes "mass" meaningless — raises on sight, job-side);
+    NULL/NaN/±Inf scores exclude the row from both the mass and the
+    output.  Score sums accumulate as ``decimal(38, digits)`` so the
+    cumulative boundaries are exact and reproducible in an external SQL
+    engine (same discipline as :func:`pps_sample`).
+
+    Scale: one shuffle on the group key + two window passes over each
+    group's rows (running sum and the per-group total) — per-group state
+    is a running decimal, groups are assumed to fit a sort task each
+    (the same contract as every keyed window here); nothing global, no
+    driver action.
+    """
+    from pyspark.sql import Window
+
+    if not (0.0 < p <= 1.0):
+        raise PhaserError(f"top_p_by_group needs 0 < p <= 1, got {p}")
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    key = F.col(key_col)
+    sd = F.col(score_col).cast("double")
+    finite = ~F.isnan(sd) & (sd > float("-inf")) & (sd < float("inf"))
+    checked = F.when(
+        finite & (sd < 0),
+        F.raise_error(
+            F.concat(
+                F.lit("top_p_by_group: negative score "),
+                sd.cast("string"),
+                F.lit(f" in column '{score_col}' — score mass needs >= 0"),
+            )
+        ),
+    ).otherwise(
+        F.when(finite, F.round(sd, digits).cast(f"decimal(38,{digits})"))
+    )
+    staged = df.withColumn("__tp_score__", checked).filter(
+        F.col("__tp_score__").isNotNull()
+    )
+    order = [F.desc("__tp_score__"), F.md5(key.cast("string")), key]
+    w_rank = Window.partitionBy(*groups).orderBy(*order)
+    w_all = Window.partitionBy(*groups)
+    mass_before = F.coalesce(
+        F.sum("__tp_score__").over(
+            w_rank.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast(f"decimal(38,{digits})"),
+    )
+    total = F.sum("__tp_score__").over(w_all)
+    return (
+        staged.withColumn(
+            "__tp_keep__",
+            mass_before.cast("double") < F.lit(float(p)) * total.cast("double"),
+        )
+        .filter(F.col("__tp_keep__"))
+        .drop("__tp_score__", "__tp_keep__")
+    )
+
+
 def sample_n_per_group(
     df: DataFrame,
     key_col: str,

@@ -92,6 +92,22 @@ def _make_step(mod, kind: str):
             return row
 
         return warn_big_amount
+    if kind == "count_status":
+
+        @mod.row_step(extra_outputs=["status_counts"])
+        def count_status(row, status_counts):
+            status_counts[row["status"]] += 1
+            return row
+
+        return count_status
+    if kind == "merge_status_counts":
+
+        @mod.row_step(extra_sources=["status_counts"])
+        def merge_status_counts(row, status_counts):
+            row["status_peers"] = status_counts[row["status"]] - 1
+            return row
+
+        return merge_status_counts
     if kind == "filter_active":
         return mod.filter_rows(lambda row: row["status"] != "retired")
     if kind == "sort_by_first":
@@ -121,12 +137,20 @@ def _build_columns(mod, specs):
 
 
 def _build_pipeline(mod, workdir: Path, csv_path: str, scenario: dict):
+    from collections import defaultdict
+
     phases = [
         mod.Phase(
             name=p["name"],
             columns=_build_columns(mod, p.get("columns", [])),
             steps=[_make_step(mod, k) for k in p.get("steps", [])],
             renumber=p.get("renumber", False),
+            extra_outputs=[
+                mod.ExtraMapping(n, defaultdict(int))
+                for n in p.get("extra_outputs", [])
+            ]
+            or None,
+            extra_sources=list(p.get("extra_sources", [])) or None,
         )
         for p in scenario["phases"]
     ]
@@ -226,6 +250,24 @@ SCENARIOS = {
                     {"kind": "float", "name": "amount", "kwargs": {"null": True}},
                 ],
                 "steps": ["error_negative_amount"],
+            },
+        ]
+    },
+    "extra_output_pipe": {
+        # the reference 'families' idiom: phase 1 accumulates counts into
+        # an ExtraMapping extra-output, phase 2 merges them back per row
+        # via an extra-source — checkpoint parity covers the counts
+        "phases": [
+            {
+                "name": "CountStatus",
+                "columns": [{"kind": "any", "name": "status"}],
+                "steps": ["count_status"],
+                "extra_outputs": ["status_counts"],
+            },
+            {
+                "name": "EnrichStatus",
+                "steps": ["merge_status_counts"],
+                "extra_sources": ["status_counts"],
             },
         ]
     },

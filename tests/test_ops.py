@@ -261,6 +261,37 @@ def test_media_sniff_and_dims_on_golden_bytes(spark):
     assert got[1]["duration_ms"] is None
 
 
+def test_jpeg_walk_edge_cases(spark):
+    """The bounded SOF walk must return NULL dims (never wrong ones, never
+    an error) on adversarial headers: >24 segments before SOF, SOS before
+    SOF, truncated mid-segment, zero-length segment, bare SOI."""
+    import struct
+
+    def seg(marker, payload=b""):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+    sof = seg(0xC0, b"\x08" + struct.pack(">HH", 10, 20) + b"\x03" + b"\x00" * 9)
+    com = seg(0xFE, b"x")
+    soi, eoi = b"\xff\xd8", b"\xff\xd9"
+    rows = [
+        (1, soi + com * 30 + sof + eoi),     # SOF past the 24-segment bound
+        (2, soi + seg(0xDA, b"\x00") + sof + eoi),  # SOS before SOF
+        (3, soi + com[:3]),                   # truncated mid-segment
+        (4, soi + b"\xff\xc0\x00\x01" + eoi),  # seglen < 2 (malformed)
+        (5, soi + eoi),                       # bare SOI+EOI, no SOF
+        (6, soi + com * 10 + sof + eoi),      # SOF after 10 COMs: FOUND
+        (7, soi + b"\xff\x01" + sof + eoi),   # TEM standalone (no length), then SOF
+    ]
+    df = spark.createDataFrame(rows, "id int, content binary")
+    out = multimodal.extract_dimensions(
+        multimodal.sniff_format(df), format_col="format"
+    )
+    got = {r["id"]: (r["width"], r["height"]) for r in out.collect()}
+    for null_id in (1, 2, 3, 4, 5):
+        assert got[null_id] == (None, None), null_id
+    assert got[6] == (20, 10) and got[7] == (20, 10)
+
+
 def test_media_synth_roundtrip_and_stats(spark):
     ids = spark.range(0, 200).select(F.col("id").alias("doc_id"))
     blobs = multimodal.synth_media(ids)
@@ -2191,6 +2222,42 @@ def test_cleaning_validation_rejects_degenerate_params(spark, docs):
         cleaning.remove_repeated_spans(docs, min_doc_freq=1)
     with pytest.raises(PhaserError, match=">= 1"):
         cleaning.remove_repeated_spans(docs, n=0)
+
+
+def test_top_p_by_group_nucleus_selection(spark):
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops import sampling
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 5.0), ("a", 2, 3.0), ("a", 3, 2.0),
+            ("b", 4, 1.0), ("b", 5, 1.0),
+            ("c", 6, float("nan")), ("c", 7, None), ("c", 8, 4.0),
+        ],
+        "g string, k long, s double",
+    )
+    # p=0.5 in group a: the 5.0 row alone crosses half the mass of 10
+    got = sampling.top_p_by_group(df, "k", "s", "g", p=0.5)
+    kept = {(r.g, r.k) for r in got.collect()}
+    assert ("a", 1) in kept and ("a", 2) not in kept and ("a", 3) not in kept
+    # group b is flat: the first-ranked row covers exactly half; the
+    # boundary-crossing row is included, the next is not
+    assert len([k for k in kept if k[0] == "b"]) == 1
+    # NaN/NULL scores are excluded; the finite row survives
+    assert [k for k in kept if k[0] == "c"] == [("c", 8)]
+    # p=0.8 keeps 5.0 + 3.0 in group a
+    kept8 = {(r.g, r.k) for r in
+             sampling.top_p_by_group(df, "k", "s", "g", p=0.8).collect()}
+    assert {k for k in kept8 if k[0] == "a"} == {("a", 1), ("a", 2)}
+    # determinism across replans
+    again = {(r.g, r.k) for r in
+             sampling.top_p_by_group(df, "k", "s", "g", p=0.5).collect()}
+    assert again == kept
+    with pytest.raises(PhaserError, match="0 < p <= 1"):
+        sampling.top_p_by_group(df, "k", "s", "g", p=0.0)
+    bad = spark.createDataFrame([("a", 1, -2.0)], "g string, k long, s double")
+    with pytest.raises(Exception, match="negative score"):
+        sampling.top_p_by_group(bad, "k", "s", "g", p=0.5).collect()
 
 
 def test_pps_sample_rejects_overflow_weight(spark):
