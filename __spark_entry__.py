@@ -1605,6 +1605,85 @@ def top_p_docs_by_lang(spark, sf_dir):
     )
 
 
+def quality_classifier_docs(spark, sf_dir):
+    """Cluster-trained quality filter (r9): fit a linear classifier over
+    cheap text statistics by full-batch gradient descent — each of the 4
+    iterations is ONE aggregate of d integer-decimal gradient sums over a
+    cached feature frame (ops/features.linear_classifier_fit) — then
+    apply the weights as a pure projection.  The IEEE-exact rational
+    sigmoid link means the oracle replays the whole TRAINING RUN in
+    unrolled SQL, bit-for-bit, not just the final scoring pass."""
+    from phaser_spark.ops import features as FE
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.filter(
+        F.col("n_chars").isNotNull() & F.col("doc_id").isNotNull()
+    ).select(
+        "doc_id",
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x0"),
+        ((F.col("doc_id") % 5).cast("double") / F.lit(5.0)).alias("x1"),
+        F.lit(1.0).alias("x2"),
+        F.when(F.col("n_chars") >= 300, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    w = FE.linear_classifier_fit(feats, ["x0", "x1", "x2"], "y", lr=1.0, n_iters=4)
+    scored = FE.linear_classifier_score(feats, ["x0", "x1", "x2"], w)
+    return scored.select(
+        "doc_id", F.col("y").cast("int").alias("label"), "score"
+    )
+
+
+def _linclf_unrolled_sql(iters: int, lr: float = 1.0) -> str:
+    """Unrolled gradient-descent rounds mirroring
+    features.linear_classifier_fit on the documents feature frame: same
+    left-associated z expression, same rational-sigmoid residual, same
+    floor-truncated integer-decimal gradient sums, same
+    ``w + lr·(g/scale)/n`` update — every operation IEEE/decimal-exact,
+    so the fitted weights (and hence every score) match to the bit."""
+    lrs = repr(float(lr))
+    s = "1000000000000.0"  # 10^12, the fit's truncation scale
+    feats = """f AS (
+        SELECT doc_id,
+               CAST(n_chars AS DOUBLE) / 1000.0 AS x0,
+               CAST(doc_id % 5 AS DOUBLE) / 5.0 AS x1,
+               CAST(1.0 AS DOUBLE) AS x2,
+               CASE WHEN n_chars >= 300 THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS y
+        FROM documents
+        WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+    )"""
+    parts = [
+        "WITH " + feats,
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f)",
+        "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1, "
+        "CAST(0.0 AS DOUBLE) AS w2)",
+    ]
+    z = "(0.0 + w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2)"
+    resid = f"(f.y - (0.5 + {z} / (2.0 * (1.0 + abs({z})))))"
+    for t in range(iters):
+        gsums = ", ".join(
+            f"SUM(CAST(floor({resid} * f.x{j} * {s}) AS DECIMAL(38,0))) AS g{j}"
+            for j in range(3)
+        )
+        parts.append(f"g{t} AS (SELECT {gsums} FROM f CROSS JOIN w{t} w)")
+        wexpr = ", ".join(
+            f"w.w{j} + {lrs} * (CAST(g.g{j} AS DOUBLE) / {s}) / nn.n AS w{j}"
+            for j in range(3)
+        )
+        parts.append(
+            f"w{t + 1} AS (SELECT {wexpr} FROM w{t} w CROSS JOIN g{t} g "
+            "CROSS JOIN nn)"
+        )
+    zf = "(0.0 + w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2)"
+    final = f"""
+        SELECT f.doc_id, CAST(f.y AS INTEGER) AS label,
+               floor((0.5 + {zf} / (2.0 * (1.0 + abs({zf}))))
+                     * 1000000000.0) / 1000000000.0 AS score
+        FROM f CROSS JOIN w{iters} w"""
+    return ",\n".join(parts) + final
+
+
 def _events_stream(spark: SparkSession, sf_dir: str):
     """file-stream sources must be directories: expose the single parquet
     file through a symlinked temp dir; nanos ts normalized like _events."""
@@ -2932,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split_shares_docs": leakage_split_shares_docs,
         "media_header_triage": media_header_triage,
         "top_p_docs_by_lang": top_p_docs_by_lang,
+        "quality_classifier_docs": quality_classifier_docs,
     }
 
 
@@ -3964,6 +4044,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(CAST(text AS BLOB)) % 1024 AS INTEGER) AS meta_width
             FROM documents
         """,
+        # Full TRAINING replay: 4 unrolled gradient-descent rounds with
+        # integer-decimal gradient sums and the IEEE-exact rational
+        # sigmoid — the hash match covers the fit, not just the scoring.
+        "quality_classifier_docs": _linclf_unrolled_sql(4, lr=1.0),
         # Window-SQL reformulation of the nucleus cut: same deterministic
         # (score desc, md5(id), id) order, same exclusive-prefix mass
         # boundary in double against the decimal-exact running sums.

@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "drift_prices_by_flag",
     "ewma_customer_orders",
     "media_header_triage",
+    "top_p_docs_by_lang",
+    "quality_classifier_docs",
 ]
 
 

@@ -203,3 +203,123 @@ def collapse_rare(
         )
     )
     return joined.withColumn(out_col, collapsed).drop("__cr_val")
+
+
+# --- distributed linear classifier (quality-filter training) --------------
+#
+# A corpus-quality filter is usually a tiny linear model over cheap text
+# statistics — the expensive part is that the TRAINING DATA is the 100 TB
+# corpus itself.  `linear_classifier_fit` trains one with full-batch
+# gradient descent where each iteration is exactly ONE map-side-combined
+# aggregate (d+1 decimal sums) over a cached feature frame: per-iteration
+# cost is a scan-free re-aggregation of the cache, driver state is the
+# d-vector of weights, and nothing row-sized ever reaches the driver.
+#
+# Engine-exact reproducibility: the link is the RATIONAL sigmoid
+# s(z) = 0.5 + z / (2·(1+|z|)) — built from +,·,/,abs only, every one of
+# which is IEEE-exact, so an external SQL engine replays training to the
+# LAST BIT (a transcendental exp() differs in the final ulp across libms
+# and compounds over iterations).  It is a proper link for classification
+# (monotone, (0,1), s(0)=.5); it is NOT the logistic function, and the
+# fitted weights are not maximum-likelihood logistic weights — for a
+# corpus FILTER the ranking behavior is what matters, and determinism
+# across engines/partitionings is worth more than the exact link shape.
+# Gradient sums accumulate as decimal(38,12) of 12-digit-truncated
+# per-row terms, so iteration order and partitioning cannot change them.
+
+
+def _rational_sigmoid(z):  # IEEE-exact link: 0.5 + z/(2(1+|z|))
+    return 0.5 + z / (2.0 * (1.0 + abs(z)))
+
+
+def linear_classifier_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    lr: float = 1.0,
+    n_iters: int = 8,
+    digits: int = 12,
+) -> list[float]:
+    """Fit weights (one per feature — include a literal 1.0 column for a
+    bias) by full-batch gradient descent on squared-error-free logistic-
+    style updates: ``w += lr · mean((y − s(w·x)) · x)`` with the rational
+    sigmoid link (see module comment).  Returns the Python weight list
+    (d floats — the ONLY driver state; broadcastable into
+    :func:`linear_classifier_score`).
+
+    Rows with any NULL/NaN/±Inf feature or label are excluded from every
+    iteration (dropped once, up front).  Labels must be 0/1.
+
+    Scale: the feature projection is computed once and cached; each
+    iteration is one aggregate producing d+1 decimals (map-side
+    combined), so total cost is ``n_iters`` cheap re-aggregations of a
+    cached columnar frame + O(d) driver arithmetic per round — the
+    pattern that holds at any corpus size and any executor count.
+    """
+    if not feature_cols:
+        raise PhaserError("linear_classifier_fit needs at least one feature")
+    if n_iters < 1 or lr <= 0:
+        raise PhaserError(
+            f"linear_classifier_fit needs n_iters >= 1 and lr > 0, got "
+            f"n_iters={n_iters}, lr={lr}"
+        )
+    d = len(feature_cols)
+    cols = [F.col(c).cast("double").alias(f"x{j}") for j, c in enumerate(feature_cols)]
+    y = F.col(label_col).cast("double").alias("y")
+
+    def _finite(c):
+        return c.isNotNull() & ~F.isnan(c) & (c > float("-inf")) & (c < float("inf"))
+
+    feats = df.select(*cols, y)
+    cond = _finite(F.col("y")) & (F.col("y").isin(0.0, 1.0))
+    for j in range(d):
+        cond = cond & _finite(F.col(f"x{j}"))
+    feats = feats.filter(cond).localCheckpoint(eager=True)
+    n = feats.count()
+    if n == 0:
+        raise PhaserError(
+            "linear_classifier_fit: no rows with finite features and 0/1 labels"
+        )
+    w = [0.0] * d
+    scale = float(10**digits)
+    for _ in range(n_iters):
+        z = F.lit(0.0)
+        for j in range(d):
+            z = z + F.lit(w[j]) * F.col(f"x{j}")
+        resid = F.col("y") - (F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z))))
+        # per-row terms floor-truncated to integers of 10^-digits units,
+        # summed as exact decimal INTEGERS: no double→decimal re-rounding
+        # anywhere, so the sums are identical on any engine/partitioning
+        aggs = [
+            F.sum(
+                F.floor(resid * F.col(f"x{j}") * F.lit(scale)).cast("decimal(38,0)")
+            ).alias(f"g{j}")
+            for j in range(d)
+        ]
+        g = feats.agg(*aggs).first()
+        w = [w[j] + lr * (float(g[f"g{j}"]) / scale) / n for j in range(d)]
+    return w
+
+
+def linear_classifier_score(
+    df: DataFrame,
+    feature_cols: list[str],
+    weights: list[float],
+    out_col: str = "score",
+    digits: int = 9,
+) -> DataFrame:
+    """Apply fitted weights as a pure projection: ``out_col`` is the
+    rational-sigmoid score in (0,1), truncated to ``digits`` so external
+    engines reproduce it bit-for-bit.  Zero shuffle, zero Python — the
+    100 TB apply path is the scan itself."""
+    if len(weights) != len(feature_cols):
+        raise PhaserError(
+            f"weights ({len(weights)}) and feature_cols ({len(feature_cols)}) "
+            "must align"
+        )
+    z = F.lit(0.0)
+    for wj, c in zip(weights, feature_cols):
+        z = z + F.lit(float(wj)) * F.col(c).cast("double")
+    s = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+    truncated = F.floor(s * F.lit(float(10**digits))) / F.lit(float(10**digits))
+    return df.withColumn(out_col, truncated)

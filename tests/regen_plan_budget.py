@@ -50,6 +50,7 @@ SKIP = {
     "leakage_split_shares_docs",  # iterative: same component step inside
     "dedup_cluster_size_stats",   # iterative: connected components inside
     "leakage_split_incremental_docs",  # iterative: components inside
+    "quality_classifier_docs",  # iterative: per-round gradient collect
 }
 
 

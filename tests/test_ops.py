@@ -261,6 +261,53 @@ def test_media_sniff_and_dims_on_golden_bytes(spark):
     assert got[1]["duration_ms"] is None
 
 
+def test_media_dims_random_sweep_independent_construction(spark):
+    """Randomized round-trip with blobs built by plain-Python struct
+    packing (independent of synth_media's Catalyst builder): random dims
+    across the full u16/u24 field ranges must parse back exactly."""
+    import random
+    import struct
+
+    rng = random.Random(90)
+    rows = []
+    for i in range(60):
+        w, h = rng.randint(1, 65535), rng.randint(1, 65535)
+        kind = i % 4
+        if kind == 0:
+            ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+            blob = (
+                b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+                + b"\x00" * 4 + struct.pack(">I", 0) + b"IEND" + b"\xaeB`\x82"
+            )
+        elif kind == 1:
+            blob = b"GIF87a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
+        elif kind == 2:
+            ncom = rng.randint(0, 5)
+            blob = b"\xff\xd8"
+            for _ in range(ncom):
+                pay = b"c" * rng.randint(0, 40)
+                blob += b"\xff\xfe" + struct.pack(">H", 2 + len(pay)) + pay
+            blob += (
+                b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+                + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9 + b"\xff\xd9"
+            )
+        else:
+            cw, ch = rng.randint(1, 1 << 24), rng.randint(1, 1 << 24)
+            w, h = cw, ch
+            pay = (
+                b"VP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00"
+                + (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+            )
+            blob = b"RIFF" + struct.pack("<I", 4 + len(pay)) + b"WEBP" + pay
+        rows.append((i, w, h, blob))
+    df = spark.createDataFrame(rows, "id int, w long, h long, content binary")
+    out = multimodal.extract_dimensions(
+        multimodal.sniff_format(df), format_col="format"
+    )
+    for r in out.collect():
+        assert (r["width"], r["height"]) == (r["w"], r["h"]), r["id"]
+
+
 def test_jpeg_walk_edge_cases(spark):
     """The bounded SOF walk must return NULL dims (never wrong ones, never
     an error) on adversarial headers: >24 segments before SOF, SOS before
@@ -2222,6 +2269,33 @@ def test_cleaning_validation_rejects_degenerate_params(spark, docs):
         cleaning.remove_repeated_spans(docs, min_doc_freq=1)
     with pytest.raises(PhaserError, match=">= 1"):
         cleaning.remove_repeated_spans(docs, n=0)
+
+
+def test_linear_classifier_fit_scores_separate_classes(spark):
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops import features as FE
+
+    rows = [(float(i), 1.0, 1.0 if i > 0 else 0.0) for i in range(-20, 21) if i]
+    rows += [(5.0, 1.0, float("nan")), (None, 1.0, 1.0)]  # excluded rows
+    df = spark.createDataFrame(rows, "x double, bias double, y double")
+    w = FE.linear_classifier_fit(df, ["x", "bias"], "y", lr=1.0, n_iters=6)
+    assert len(w) == 2 and w[0] > 0  # positive slope separates the classes
+    # determinism: same data -> bit-identical weights
+    assert FE.linear_classifier_fit(df, ["x", "bias"], "y", lr=1.0, n_iters=6) == w
+    scored = FE.linear_classifier_score(df, ["x", "bias"], w).collect()
+    pos = [r["score"] for r in scored if r["y"] == 1.0 and r["x"] is not None]
+    neg = [r["score"] for r in scored if r["y"] == 0.0]
+    assert min(pos) > max(neg)  # the fitted score ranks every pos above every neg
+    assert all(0.0 < s < 1.0 for s in pos + neg)
+    with pytest.raises(PhaserError, match="at least one feature"):
+        FE.linear_classifier_fit(df, [], "y")
+    with pytest.raises(PhaserError, match="n_iters"):
+        FE.linear_classifier_fit(df, ["x"], "y", n_iters=0)
+    bad = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    with pytest.raises(PhaserError, match="0/1 labels"):
+        FE.linear_classifier_fit(bad, ["x"], "y")
+    with pytest.raises(PhaserError, match="align"):
+        FE.linear_classifier_score(df, ["x"], [1.0, 2.0])
 
 
 def test_top_p_by_group_nucleus_selection(spark):
