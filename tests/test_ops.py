@@ -2298,6 +2298,44 @@ def test_linear_classifier_fit_scores_separate_classes(spark):
         FE.linear_classifier_score(df, ["x"], [1.0, 2.0])
 
 
+def test_linear_classifier_matches_python_replay_bitexact(spark):
+    """Third-party check (beyond the DuckDB oracle): a pure-Python replay
+    of the gradient descent — same left-associated z, same rational
+    sigmoid, same floor-truncated integer gradient sums, same update
+    associativity — must reproduce the Spark-fitted weights to the BIT.
+    This is the determinism claim the docstring makes, tested literally."""
+    import math
+    import random
+
+    from phaser_spark.ops import features as FE
+
+    rng = random.Random(17)
+    rows = [
+        (rng.uniform(-3, 3), rng.uniform(0, 1), 1.0,
+         1.0 if rng.random() < 0.5 else 0.0)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, bias double, y double")
+    cols = ["a", "b", "bias"]
+    got = FE.linear_classifier_fit(df, cols, "y", lr=0.7, n_iters=5, digits=12)
+
+    scale = float(10**12)
+    w = [0.0, 0.0, 0.0]
+    n = len(rows)
+    for _ in range(5):
+        sums = [0, 0, 0]
+        for a, b, bias, y in rows:
+            x = (a, b, bias)
+            z = 0.0
+            for j in range(3):
+                z = z + w[j] * x[j]
+            resid = y - (0.5 + z / (2.0 * (1.0 + abs(z))))
+            for j in range(3):
+                sums[j] += math.floor(resid * x[j] * scale)
+        w = [w[j] + 0.7 * (float(sums[j]) / scale) / n for j in range(3)]
+    assert got == w  # bit-identical, not approximately equal
+
+
 def test_top_p_by_group_nucleus_selection(spark):
     from phaser_spark.exceptions import PhaserError
     from phaser_spark.ops import sampling
