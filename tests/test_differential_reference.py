@@ -108,6 +108,8 @@ def _make_step(mod, kind: str):
             return row
 
         return merge_status_counts
+    if kind == "flatten_props":
+        return mod.flatten_column("props")
     if kind == "filter_active":
         return mod.filter_rows(lambda row: row["status"] != "retired")
     if kind == "sort_by_first":
@@ -124,6 +126,7 @@ def _build_columns(mod, specs):
         "any": mod.Column,
         "int": mod.IntColumn,
         "float": mod.FloatColumn,
+        "date": mod.DateColumn,
     }
     cols = []
     for s in specs:
@@ -162,7 +165,7 @@ def _build_pipeline(mod, workdir: Path, csv_path: str, scenario: dict):
 def _write_csv(path: str, seed: int, n: int = 18) -> None:
     rng = random.Random(seed)
     # header variants exercise canonicalization + rename on both engines
-    headers = ["Emp ID", "first", "LAST", "status", "amount", "code"]
+    headers = ["Emp ID", "first", "LAST", "status", "amount", "code", "joined"]
     statuses = ["active", "inactive", "retired", "active", "active"]
     firsts = ["ada", "grace", "alan", "edsger", "barbara", "donald"]
     with open(path, "w", newline="") as f:
@@ -177,10 +180,59 @@ def _write_csv(path: str, seed: int, n: int = 18) -> None:
                 [f"{rng.uniform(-50, 1000):.2f}", f"{rng.randint(0, 500)}", ""]
             )
             code = rng.choice([str(rng.randint(1, 99)), f"x{i}", ""])
-            w.writerow([emp, first, last, status, amount, code])
+            d = (rng.randint(2020, 2025), rng.randint(1, 12), rng.randint(1, 28))
+            joined = rng.choice(
+                ["%04d-%02d-%02d", "%04d/%02d/%02d", "%04d%02d%02d"]
+            ) % d
+            w.writerow([emp, first, last, status, amount, code, joined])
+
+
+def _write_json(path: str, seed: int, n: int = 14) -> None:
+    import json as _json
+
+    rng = random.Random(seed)
+    recs = []
+    for i in range(1, n + 1):
+        recs.append(
+            {
+                "Emp ID": i,
+                "status": rng.choice(["active", "inactive"]),
+                "props": {
+                    "grade": rng.randint(1, 9),
+                    "org": {"team": rng.choice(["ops", "ml", "web"])},
+                },
+            }
+        )
+    with open(path, "w") as f:
+        _json.dump(recs, f)
 
 
 SCENARIOS = {
+    "date_column_parity": {
+        # DateColumn multi-format parsing (ISO, %Y/%m/%d, %Y%m%d) must
+        # yield the same calendar dates and the same checkpoint spelling
+        "phases": [
+            {
+                "name": "Dates",
+                "columns": [{"kind": "date", "name": "joined"}],
+            },
+        ]
+    },
+    "json_flatten": {
+        # JSON records source + deep flatten_column: nested dicts become
+        # props__grade / props__org__team on both engines
+        "source": "json",
+        "phases": [
+            {
+                "name": "Flatten",
+                "columns": [
+                    {"kind": "int", "name": "emp_id",
+                     "kwargs": {"rename": ["Emp ID"]}},
+                ],
+                "steps": ["flatten_props"],
+            },
+        ]
+    },
     "transform_with_drops": {
         "phases": [
             {
@@ -396,8 +448,12 @@ def _run_one(mod, tmp: Path, tag: str, csv_path: str, scenario: dict):
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_pipeline_matches_reference(spark, tmp_path, scenario_name, seed):
     scenario = SCENARIOS[scenario_name]
-    csv_path = str(tmp_path / "input.csv")
-    _write_csv(csv_path, seed=seed)
+    if scenario.get("source") == "json":
+        csv_path = str(tmp_path / "input.json")
+        _write_json(csv_path, seed=seed)
+    else:
+        csv_path = str(tmp_path / "input.csv")
+        _write_csv(csv_path, seed=seed)
 
     ref_outcome, ref_ckpts, ref_events = _run_one(
         _reference_module(), tmp_path, "ref", csv_path, scenario
