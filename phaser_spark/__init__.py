@@ -37,7 +37,16 @@ from .exceptions import (
     PhaserError,
     WarningException,
 )
-from .io import ExtraMapping, ExtraRecords, read_csv, read_json, save_csv, save_json
+from .io import (
+    ExtraMapping,
+    ExtraRecords,
+    read_csv,
+    read_json,
+    read_jsonl,
+    save_csv,
+    save_json,
+    save_jsonl,
+)
 from .builtin_steps import (
     check_unique,
     drop_duplicate_rows,
@@ -65,7 +74,7 @@ __all__ = [
     "drop_duplicate_rows",
     "Column", "IntColumn", "DateColumn", "DateTimeColumn", "FloatColumn",
     "BooleanColumn",
-    "read_csv", "read_json", "save_csv", "save_json",
+    "read_csv", "read_json", "read_jsonl", "save_csv", "save_json", "save_jsonl",
     "ExtraMapping", "ExtraRecords",
     "HtmlTableFormat", "FormatterBase", "IndexedTableDiffer",
     "get_spark", "make_strict_name",

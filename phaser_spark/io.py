@@ -426,6 +426,46 @@ def save_json(df: DataFrame, filename: str, single_file: bool = True) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def read_jsonl(
+    spark: SparkSession, source: str, row_numbers: bool = True
+) -> DataFrame:
+    """NDJSON scan (``.jsonl``/``.ndjson``: one JSON object per line) —
+    the SCALE-PATH JSON encoding (engine addition; the reference only
+    reads array-of-records files, phaser/io.py:14-26).  A top-level
+    array must be parsed as one document (unsplittable, whole-file in
+    one task); NDJSON splits on newlines, so a 100 TB corpus scans in
+    parallel like any line format.  Nested objects become ``StructType``
+    columns, same as :func:`read_json`."""
+    df = spark.read.json(source)  # multiLine=False: line-splittable
+    if df.columns == [_CORRUPT] or not df.columns:
+        raise DataException(f"{source}: not NDJSON (one JSON object per line)")
+    if row_numbers:
+        df = with_row_numbers(df)
+    return df
+
+
+def save_jsonl(df: DataFrame, filename: str, single_file: bool = True) -> None:
+    """NDJSON sink: one JSON object per line.  ``single_file=False``
+    writes a part-file directory (the cluster path — each task streams
+    its own split); ``single_file=True`` concatenates parts with
+    constant driver memory (the reference-parity convenience path)."""
+    if not single_file:
+        df.write.mode("overwrite").json(filename)
+        return
+    tmp = tempfile.mkdtemp(prefix="phaser_jsonl_")
+    try:
+        df.coalesce(1).write.mode("overwrite").json(tmp)
+        parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
+        with open(filename, "w", encoding="utf-8") as out:
+            for part in parts:
+                with open(part, encoding="utf-8") as f:
+                    for line in f:
+                        if line.strip():
+                            out.write(line if line.endswith("\n") else line + "\n")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def save_parquet_bucketed(
     df: DataFrame,
     table: str,
@@ -749,6 +789,8 @@ def load_any(spark: SparkSession, source: str, save_format: str | None = None) -
     fmt = save_format or _format_of(source)
     if fmt == JSON_RECORD_FORMAT:
         return read_json(spark, source)
+    if fmt == JSONL_FORMAT_NAME:
+        return read_jsonl(spark, source)
     if fmt == PARQUET_FORMAT_NAME:
         return spark.read.parquet(source)
     if fmt == ORC_FORMAT_NAME:
@@ -758,12 +800,15 @@ def load_any(spark: SparkSession, source: str, save_format: str | None = None) -
 
 PARQUET_FORMAT_NAME = "parquet"
 ORC_FORMAT_NAME = "orc"
+JSONL_FORMAT_NAME = "jsonl"
 
 
 def _format_of(source: str) -> str:
     ext = os.path.splitext(str(source))[1].lower()
     if ext == ".json":
         return JSON_RECORD_FORMAT
+    if ext in (".jsonl", ".ndjson"):
+        return JSONL_FORMAT_NAME
     if ext == ".parquet":
         return PARQUET_FORMAT_NAME
     if ext == ".orc":
@@ -774,6 +819,8 @@ def _format_of(source: str) -> str:
 def save_any(df: DataFrame, filename: str, save_format: str) -> None:
     if save_format == JSON_RECORD_FORMAT:
         save_json(df, filename)
+    elif save_format == JSONL_FORMAT_NAME:
+        save_jsonl(df, filename)
     elif save_format == PARQUET_FORMAT_NAME:
         save_parquet(df, filename)
     elif save_format == ORC_FORMAT_NAME:

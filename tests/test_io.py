@@ -174,6 +174,56 @@ def test_json_records_roundtrip(spark, tmp_path):
     assert isinstance(data, list) and len(data) == 2
 
 
+def test_jsonl_roundtrip_and_dispatch(spark, tmp_path):
+    # NDJSON (.jsonl/.ndjson): one object per line — the splittable
+    # scale-path JSON encoding
+    from phaser_spark.io import load_any, read_jsonl, save_jsonl
+
+    p = w(
+        tmp_path,
+        "a.jsonl",
+        '{"id": 1, "msg": {"content": "hi"}}\n{"id": 2, "msg": {"content": "yo"}}\n',
+    )
+    df = read_jsonl(spark, p)
+    assert df.count() == 2
+    assert df.schema["msg"].dataType.typeName() == "struct"
+    # extension dispatch, incl. .ndjson
+    assert load_any(spark, p).count() == 2
+    p2 = w(tmp_path, "b.ndjson", '{"id": 3}\n')
+    assert load_any(spark, p2).count() == 1
+    # sink: one object per line, round-trips through load_any
+    out = os.path.join(str(tmp_path), "out.jsonl")
+    save_jsonl(df.drop(PHASER_ROW_NUM), out)
+    import json
+
+    lines = [ln for ln in open(out).read().splitlines() if ln.strip()]
+    assert len(lines) == 2 and all(isinstance(json.loads(ln), dict) for ln in lines)
+    assert load_any(spark, out).count() == 2
+
+
+def test_jsonl_pipeline_checkpoints(spark, tmp_path):
+    # save_format="jsonl" checkpoints phases as NDJSON and re-loads them
+    from phaser_spark import Column, Phase, Pipeline
+
+    src = w(tmp_path, "in.jsonl", '{"k": "a"}\n{"k": "b"}\n{"k": "c"}\n')
+    pipe = Pipeline(
+        working_dir=str(tmp_path),
+        source=src,
+        phases=[Phase(name="P1", columns=[Column("k")])],
+        spark=spark,
+    )
+    pipe.save_format = "jsonl"
+    out = pipe.run()
+    assert out.count() == 3
+    ck = os.path.join(str(tmp_path), "P1_output.jsonl")
+    assert os.path.exists(ck)
+    import json
+
+    rows = [json.loads(ln) for ln in open(ck).read().splitlines() if ln.strip()]
+    assert sorted(r["k"] for r in rows) == ["a", "b", "c"]
+    assert all(PHASER_ROW_NUM in r for r in rows)
+
+
 def test_save_csv_nulls_empty_and_lists(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, None, ["a", "b"]), (2, "x", ["c"])],
