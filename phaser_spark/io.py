@@ -68,10 +68,26 @@ def _sniff_headers(
 
     sniff_risky = False  # remote fallback asked to decode non-UTF-8
 
+    def _open_local():
+        # compressed local files: stdlib-decodable codecs sniff driver-
+        # side like plain text (Spark's scan decodes them via Hadoop
+        # codecs on the executors); .zst has no stdlib codec — its
+        # header sniff goes through the distributed fallback below
+        low = str(source).lower()
+        if low.endswith(".gz"):
+            import gzip
+
+            return gzip.open(source, "rt", encoding=encoding, newline="")
+        if low.endswith(".bz2"):
+            import bz2
+
+            return bz2.open(source, "rt", encoding=encoding, newline="")
+        return open(source, encoding=encoding, newline="")
+
     def _lines():
         nonlocal sniff_risky
         try:
-            f = open(source, encoding=encoding, newline="")
+            f = _open_local()
         except OSError:
             if spark is None:
                 raise
@@ -803,8 +819,22 @@ ORC_FORMAT_NAME = "orc"
 JSONL_FORMAT_NAME = "jsonl"
 
 
+#: Compression suffixes stripped before extension dispatch: Spark's text
+#: readers (csv/json) decode these transparently via Hadoop codecs.
+#: CAVEAT for 100 TB inputs: gzip is NOT splittable — each .gz file is
+#: one task, so a corpus should arrive as MANY files (bzip2 splits, at
+#: a high CPU cost; prefer uncompressed/zstd-framed parquet for scale).
+_COMPRESSION_SUFFIXES = (".gz", ".bz2", ".zst")
+
+
 def _format_of(source: str) -> str:
-    ext = os.path.splitext(str(source))[1].lower()
+    base = str(source)
+    low = base.lower()
+    for suf in _COMPRESSION_SUFFIXES:
+        if low.endswith(suf):
+            base = base[: -len(suf)]
+            break
+    ext = os.path.splitext(base)[1].lower()
     if ext == ".json":
         return JSON_RECORD_FORMAT
     if ext in (".jsonl", ".ndjson"):

@@ -224,6 +224,35 @@ def test_jsonl_pipeline_checkpoints(spark, tmp_path):
     assert all(PHASER_ROW_NUM in r for r in rows)
 
 
+def test_compressed_sources_read_and_dispatch(spark, tmp_path):
+    # .csv.gz / .jsonl.gz / .csv.bz2: compression suffix is stripped for
+    # format dispatch, header sniffing decodes driver-side, and the scan
+    # itself decodes via Hadoop codecs (gzip caveat: unsplittable — one
+    # task per file — documented at _COMPRESSION_SUFFIXES)
+    import bz2
+    import gzip
+
+    from phaser_spark.io import load_any, read_csv
+
+    gz_csv = os.path.join(str(tmp_path), "a.csv.gz")
+    with gzip.open(gz_csv, "wt", encoding="utf-8") as f:
+        f.write("# comment\nid,name\n1,ada\n2,grace\n")
+    df = read_csv(spark, gz_csv)
+    assert sorted(r["name"] for r in df.collect()) == ["ada", "grace"]
+    assert load_any(spark, gz_csv).count() == 2  # dispatches as CSV
+
+    bz_csv = os.path.join(str(tmp_path), "b.csv.bz2")
+    with bz2.open(bz_csv, "wt", encoding="utf-8") as f:
+        f.write("id,name\n3,alan\n")
+    assert load_any(spark, bz_csv).count() == 1
+
+    gz_jsonl = os.path.join(str(tmp_path), "c.jsonl.gz")
+    with gzip.open(gz_jsonl, "wt", encoding="utf-8") as f:
+        f.write('{"id": 1}\n{"id": 2}\n{"id": 3}\n')
+    got = load_any(spark, gz_jsonl)  # dispatches as NDJSON, not CSV
+    assert got.count() == 3 and "id" in got.columns
+
+
 def test_save_csv_nulls_empty_and_lists(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, None, ["a", "b"]), (2, "x", ["c"])],
