@@ -804,6 +804,7 @@ def top_p_by_group(
     group_col: str | list[str],
     p: float,
     digits: int = 6,
+    octave_bins: int = 64,
 ) -> DataFrame:
     """Nucleus (top-p) selection per group: keep the highest-scoring rows
     of each group until they cover fraction ``p`` of the group's total
@@ -826,16 +827,46 @@ def top_p_by_group(
     cumulative boundaries are exact and reproducible in an external SQL
     engine (same discipline as :func:`pps_sample`).
 
-    Scale: one shuffle on the group key + two window passes over each
-    group's rows (running sum and the per-group total) — per-group state
-    is a running decimal, groups are assumed to fit a sort task each
-    (the same contract as every keyed window here); nothing global, no
-    driver action.
+    Scale — two-level selection, NEVER a full per-group sort.  Group
+    keys here are often low-cardinality and heavily skewed (per-language
+    curation: the top language of a web corpus is 40%+ of the data, tens
+    of TB at 100 TB), so a ``Window.partitionBy(group)`` sort would put
+    one group in one task.  Instead:
+
+    1. every row gets a log-scale score bin — ``floor(log2(score) ×
+       octave_bins)`` (zero scores get a sentinel bottom bin) — a pure
+       projection, monotone in score, so bins partition the per-group
+       ranking into contiguous runs;
+    2. ONE map-side-combined aggregate sums mass per (group, bin): the
+       coarse table, ≤ a few thousand rows per group regardless of data
+       size;
+    3. a window over that bounded coarse table (the documented
+       coarse-table window class) yields each bin's exclusive
+       higher-mass prefix and the group total — bins whose prefix
+       already reaches ``p × total`` are dropped by a plain filter
+       before any sort;
+    4. the per-row boundary rule runs inside a window partitioned by
+       (group, bin): each sort task holds ONE bin of one group — rows
+       within a ``2^(1/octave_bins)`` (~1.1% at the default 64) score
+       ratio — not the whole group.
+
+    The kept set is bit-identical to the single-window formulation
+    (decimal sums are exact and associative; bin prefix + in-bin prefix
+    equals the global exclusive prefix), so the plain window-SQL oracle
+    still reproduces it verbatim.  Degenerate case: if a group's entire
+    mass sits inside one bin (all scores within ~1.1% of each other, or
+    all equal), that bin is the boundary bin and its sort task holds the
+    group — the same place a quantile-histogram scheme degenerates when
+    the distribution collapses to a point.
     """
     from pyspark.sql import Window
 
     if not (0.0 < p <= 1.0):
         raise PhaserError(f"top_p_by_group needs 0 < p <= 1, got {p}")
+    if octave_bins < 1:
+        raise PhaserError(
+            f"top_p_by_group needs octave_bins >= 1, got {octave_bins}"
+        )
     groups = [group_col] if isinstance(group_col, str) else list(group_col)
     key = F.col(key_col)
     sd = F.col(score_col).cast("double")
@@ -852,26 +883,77 @@ def top_p_by_group(
     ).otherwise(
         F.when(finite, F.round(sd, digits).cast(f"decimal(38,{digits})"))
     )
+    zero_dec = F.lit(0).cast(f"decimal(38,{digits})")
     staged = df.withColumn("__tp_score__", checked).filter(
         F.col("__tp_score__").isNotNull()
     )
-    order = [F.desc("__tp_score__"), F.md5(key.cast("string")), key]
-    w_rank = Window.partitionBy(*groups).orderBy(*order)
-    w_all = Window.partitionBy(*groups)
-    mass_before = F.coalesce(
-        F.sum("__tp_score__").over(
-            w_rank.rowsBetween(Window.unboundedPreceding, -1)
-        ),
-        F.lit(0).cast(f"decimal(38,{digits})"),
+    # log-scale bin: equal scores share a bin, higher bins hold strictly
+    # higher scores, and the bin is a pure function of the score (no
+    # per-group max pre-pass, no sampling) — deterministic across jobs
+    sb = F.col("__tp_score__").cast("double")
+    bin_expr = F.when(sb <= 0, F.lit(-(1 << 31)).cast("long")).otherwise(
+        F.floor(F.log2(sb) * F.lit(float(octave_bins))).cast("long")
     )
-    total = F.sum("__tp_score__").over(w_all)
+    binned = staged.withColumn("__tp_bin__", bin_expr)
+    bmass = binned.groupBy(*groups, "__tp_bin__").agg(
+        F.sum("__tp_score__").alias("__tp_bmass__")
+    )
+    cw = (
+        Window.partitionBy(*groups)
+        .orderBy(F.desc("__tp_bin__"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cw_all = Window.partitionBy(*groups).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    galias = [f"__tp_g{i}__" for i in range(len(groups))]
+    coarse = bmass.select(
+        *[F.col(g).alias(a) for g, a in zip(groups, galias)],
+        F.col("__tp_bin__").alias("__tp_cbin__"),
+        F.coalesce(F.sum("__tp_bmass__").over(cw), zero_dec).alias(
+            "__tp_above__"
+        ),
+        F.sum("__tp_bmass__").over(cw_all).alias("__tp_total__"),
+    )
+    # null-safe group equality: NULL group values form a real group in
+    # the coarse aggregate and must rejoin their own rows
+    cond = F.col("__tp_bin__") == F.col("__tp_cbin__")
+    for g, a in zip(groups, galias):
+        cond = cond & F.col(g).eqNullSafe(F.col(a))
+    pd_ = F.lit(float(p))
+    total_d = F.col("__tp_total__").cast("double")
+    # bins whose higher-score prefix already covers p×total can't keep a
+    # row (every row's mass_before ≥ the bin prefix) — plain filter, no
+    # sort; what remains is the fully-kept bins plus ONE boundary bin
+    survivors = binned.join(coarse, cond).filter(
+        F.col("__tp_above__").cast("double") < pd_ * total_d
+    )
+    w_bin = Window.partitionBy(*groups, "__tp_bin__").orderBy(
+        F.desc("__tp_score__"), F.md5(key.cast("string")), key
+    )
+    in_bin_before = F.coalesce(
+        F.sum("__tp_score__").over(
+            w_bin.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        zero_dec,
+    )
+    # bin prefix + exclusive in-bin prefix == the global exclusive prefix
+    # (decimal addition is exact), so this is the original rule verbatim
+    mass_before = F.col("__tp_above__") + in_bin_before
     return (
-        staged.withColumn(
-            "__tp_keep__",
-            mass_before.cast("double") < F.lit(float(p)) * total.cast("double"),
+        survivors.withColumn(
+            "__tp_keep__", mass_before.cast("double") < pd_ * total_d
         )
         .filter(F.col("__tp_keep__"))
-        .drop("__tp_score__", "__tp_keep__")
+        .drop(
+            "__tp_score__",
+            "__tp_bin__",
+            "__tp_keep__",
+            "__tp_cbin__",
+            "__tp_above__",
+            "__tp_total__",
+            *galias,
+        )
     )
 
 

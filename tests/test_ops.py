@@ -339,6 +339,39 @@ def test_jpeg_walk_edge_cases(spark):
     assert got[6] == (20, 10) and got[7] == (20, 10)
 
 
+def test_detect_corrupt_mime_aliases_and_riff_padding(spark):
+    """Declared-mime checks are alias-set membership, not substring
+    containment: `image/jpg` is a valid JPEG label, `audio/wavpack` is
+    NOT a valid wav label; RIFF blobs whose size field omits the final
+    odd-chunk pad byte (size = n-9) are spec-valid, not corrupt."""
+    import struct
+
+    png, gif, jpeg, wav, webp = _golden_media_blobs()
+    # wav with an odd final data chunk + pad byte the size field omits:
+    # payload 7 bytes, pad to 8 on disk, RIFF size counts only 7
+    odd = b"\x00" * 7
+    wav_oddpad = (
+        b"RIFF" + struct.pack("<I", 36 + len(odd)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+        + b"data" + struct.pack("<I", len(odd)) + odd + b"\x00"
+    )
+    rows = [
+        (1, jpeg, "image/jpg"),        # alias: must NOT be corrupt
+        (2, jpeg, "image/pjpeg"),      # alias: must NOT be corrupt
+        (3, wav, "audio/wavpack"),     # wrong mime: substring trap
+        (4, wav_oddpad, "audio/wave"),  # RIFF odd-pad: must NOT be corrupt
+        (5, wav_oddpad, None),          # null mime: structural check only
+        (6, png, " IMAGE/PNG "),        # case/space-normalized alias
+    ]
+    df = spark.createDataFrame(rows, "id int, content binary, mime string")
+    out = multimodal.detect_corrupt(
+        multimodal.sniff_format(df), format_col="format",
+        declared_mime_col="mime",
+    )
+    got = {r["id"]: r["is_corrupt"] for r in out.collect()}
+    assert got == {1: False, 2: False, 3: True, 4: False, 5: False, 6: False}
+
+
 def test_media_synth_roundtrip_and_stats(spark):
     ids = spark.range(0, 200).select(F.col("id").alias("doc_id"))
     blobs = multimodal.synth_media(ids)
@@ -2370,6 +2403,76 @@ def test_top_p_by_group_nucleus_selection(spark):
     bad = spark.createDataFrame([("a", 1, -2.0)], "g string, k long, s double")
     with pytest.raises(Exception, match="negative score"):
         sampling.top_p_by_group(bad, "k", "s", "g", p=0.5).collect()
+
+
+def test_top_p_by_group_two_level_matches_single_window(spark):
+    """The two-level (bin histogram → boundary-bin sort) selection keeps
+    the EXACT row set the naive single-window formulation keeps, on a
+    skewed replica where one group holds 50% of rows — and its row-level
+    sort is partitioned by (group, bin), never by the group alone."""
+    from pyspark.sql import Window
+
+    from phaser_spark.ops import sampling
+    from phaser_spark.plan import plan_text
+
+    # group 'en' = 1000 rows (50%), 'de' 600, 'fr' 400; scores spread over
+    # several octaves plus a tie-heavy plateau to exercise the md5 break
+    rows = []
+    for i in range(1000):
+        rows.append(("en", i, float(1 + (i % 97) * (i % 13))))
+    for i in range(600):
+        rows.append(("de", 10_000 + i, float(50.0)))  # all-equal: one bin
+    for i in range(400):
+        rows.append(("fr", 20_000 + i, float(2 ** (i % 20))))
+    df = spark.createDataFrame(rows, "g string, k long, s double")
+    for p in (0.3, 0.6, 0.95, 1.0):
+        got = sampling.top_p_by_group(df, "k", "s", "g", p=p)
+        kept = {(r.g, r.k) for r in got.collect()}
+        # naive reference: exclusive-prefix mass under the same order
+        sd = F.round(F.col("s"), 6).cast("decimal(38,6)")
+        order = [F.desc("__s__"), F.md5(F.col("k").cast("string")), F.col("k")]
+        staged = df.withColumn("__s__", sd)
+        mb = F.coalesce(
+            F.sum("__s__").over(
+                Window.partitionBy("g").orderBy(*order)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("decimal(38,6)"),
+        )
+        tot = F.sum("__s__").over(Window.partitionBy("g"))
+        want = {
+            (r.g, r.k)
+            for r in staged.withColumn(
+                "__keep__", mb.cast("double") < F.lit(p) * tot.cast("double")
+            ).filter("__keep__").collect()
+        }
+        assert kept == want, f"p={p}: two-level diverges from single-window"
+    # plan shape: every row-level ranked window (the one ordering by the
+    # staged score) must be partitioned by the bin too — a windowspec of
+    # the bare group key would be the one-task-per-group shape
+    plan = plan_text(sampling.top_p_by_group(df, "k", "s", "g", p=0.6))
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "__tp_score__" in line and "DESC" in line:
+            assert "__tp_bin__" in line, f"full-group sort in plan: {line}"
+
+
+def test_top_p_by_group_null_group_and_zero_scores(spark):
+    from phaser_spark.ops import sampling
+
+    df = spark.createDataFrame(
+        [
+            (None, 1, 4.0), (None, 2, 4.0), (None, 3, 0.0),
+            ("z", 4, 0.0), ("z", 5, 0.0),
+        ],
+        "g string, k long, s double",
+    )
+    kept = {(r.g, r.k) for r in
+            sampling.top_p_by_group(df, "k", "s", "g", p=0.5).collect()}
+    # NULL group is a real group: exactly one of its two 4.0 rows crosses
+    # half the mass of 8; the zero-score row never enters
+    assert len([k for k in kept if k[0] is None]) == 1
+    # an all-zero-mass group keeps nothing (0 < 0.5×0 is false)
+    assert not [k for k in kept if k[0] == "z"]
 
 
 def test_pps_sample_rejects_overflow_weight(spark):
