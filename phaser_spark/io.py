@@ -49,6 +49,12 @@ from .lineage import with_row_numbers
 _NULL_SENTINEL = "\x01"
 _CORRUPT = "_corrupt_record"
 
+# Corrupt-sliver materialization cap: a systematically malformed file
+# (wrong delimiter / not NDJSON at all) must not checkpoint its ENTIRE
+# input to executor storage just to raise DataException — under the cap
+# counts stay exact, at the cap errors report a lower bound.
+_SLIVER_CAP = 100_000
+
 #: Literal strings treated as null by the reference (phaser/io.py:115-162).
 NULL_LITERALS = ("NULL", "None", "null", "none")
 
@@ -205,7 +211,6 @@ def read_csv(
     # storage just to raise DataException.  Under the cap the missing-field
     # count stays exact; at the cap the error reports a lower bound.
     corrupt_rows = df.filter(F.col(_CORRUPT).isNotNull())
-    _SLIVER_CAP = 100_000
     if corrupt_rows.first() is not None:
         sliver = corrupt_rows.limit(_SLIVER_CAP).localCheckpoint(eager=True)
         capped = sliver.count() >= _SLIVER_CAP
@@ -451,10 +456,35 @@ def read_jsonl(
     array must be parsed as one document (unsplittable, whole-file in
     one task); NDJSON splits on newlines, so a 100 TB corpus scans in
     parallel like any line format.  Nested objects become ``StructType``
-    columns, same as :func:`read_json`."""
+    columns, same as :func:`read_json`.
+
+    Fail-loud on PARTIAL corruption: unlike multiLine ``read_json``
+    (where parsing is all-or-nothing), the common NDJSON failure mode is
+    one bad line in millions — silently yielding an all-NULL row plus a
+    leaked ``_corrupt_record`` column would poison phases and
+    checkpoints downstream.  Mirrors ``read_csv``'s discipline: probe
+    the corrupt sliver (clean files early-exit at the first task that
+    returns rows), raise ``DataException`` with an exact-under-cap count
+    and examples."""
     df = spark.read.json(source)  # multiLine=False: line-splittable
     if df.columns == [_CORRUPT] or not df.columns:
         raise DataException(f"{source}: not NDJSON (one JSON object per line)")
+    if _CORRUPT in df.columns:
+        # .first() references every column, so the raw-scan restriction
+        # on corrupt-column-only queries never trips; the sliver is
+        # materialized once (localCheckpoint) before the corrupt column
+        # alone is selected for examples
+        corrupt_rows = df.filter(F.col(_CORRUPT).isNotNull())
+        if corrupt_rows.first() is not None:
+            sliver = corrupt_rows.limit(_SLIVER_CAP).localCheckpoint(eager=True)
+            n_bad = sliver.count()
+            at_least = "at least " if n_bad >= _SLIVER_CAP else ""
+            examples = [r[0] for r in sliver.select(_CORRUPT).limit(3).collect()]
+            raise DataException(
+                f"{source}: {at_least}{n_bad} malformed NDJSON line(s), "
+                f"e.g. {examples}"
+            )
+        df = df.drop(_CORRUPT)
     if row_numbers:
         df = with_row_numbers(df)
     return df

@@ -510,6 +510,27 @@ def extract_dimensions(
     )
 
 
+# Accepted declared-mime spellings per sniffed container (IANA types
+# plus the aliases that dominate real crawls); comparison is exact
+# set membership, never substring containment.
+_MIME_ALIASES = {
+    "png": ("image/png", "image/x-png"),
+    "jpeg": ("image/jpeg", "image/jpg", "image/pjpeg"),
+    "gif": ("image/gif",),
+    "wav": ("audio/wav", "audio/x-wav", "audio/wave", "audio/vnd.wave"),
+    "webp": ("image/webp",),
+    "pdf": ("application/pdf", "application/x-pdf"),
+}
+
+
+def _riff_size_ok(c, n):
+    """RIFF size field matches the payload — tolerating the one-byte
+    odd-chunk pad (size = n-8 exactly, or n-9 when the final chunk's
+    payload is odd and padded)."""
+    riff = _le32(c, F.lit(5))
+    return (riff == (n - 8).cast("long")) | (riff == (n - 9).cast("long"))
+
+
 def detect_corrupt(
     df: DataFrame,
     content_col: str = "content",
@@ -531,18 +552,25 @@ def detect_corrupt(
         F.when(fmt == "png", tail(8).startswith("49454E44"))  # IEND + CRC
         .when(fmt == "jpeg", tail(2) == "FFD9")
         .when(fmt == "gif", tail(1) == "3B")
-        .when(fmt == "wav", _le32(c, F.lit(5)) == (n - 8).cast("long"))
-        .when(fmt == "webp", _le32(c, F.lit(5)) == (n - 8).cast("long"))
+        # RIFF odd-size padding: a final chunk with an odd payload
+        # carries a pad byte the size field may not count, so spec-valid
+        # real-world WAV/WEBP blobs land at riff_size = n-8 OR n-9
+        .when(fmt == "wav", _riff_size_ok(c, n))
+        .when(fmt == "webp", _riff_size_ok(c, n))
         .when(fmt == "pdf", F.lit(True))
         .otherwise(F.lit(False))  # unknown container
     )
     bad = (c.isNull() | (n < 12)) | ~structurally_ok
     if declared_mime_col is not None:
-        # mime suffix match: image/png ~ png, audio/x-wav ~ wav …
-        declared = F.lower(F.col(declared_mime_col))
-        bad = bad | ~F.when(
-            declared.isNull(), F.lit(True)
-        ).otherwise(declared.contains(fmt))
+        # exact membership in a per-format alias set — substring
+        # containment gets BOTH directions wrong: the common `image/jpg`
+        # alias never *contains* 'jpeg' (false corrupt), while
+        # `audio/wavpack` contains 'wav' (false pass)
+        declared = F.lower(F.trim(F.col(declared_mime_col)))
+        alias_ok = F.lit(False)
+        for f, mimes in _MIME_ALIASES.items():
+            alias_ok = F.when(fmt == f, declared.isin(*mimes)).otherwise(alias_ok)
+        bad = bad | ~F.when(declared.isNull(), F.lit(True)).otherwise(alias_ok)
     return df.withColumn(out_col, bad)
 
 

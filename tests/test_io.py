@@ -201,6 +201,26 @@ def test_jsonl_roundtrip_and_dispatch(spark, tmp_path):
     assert load_any(spark, out).count() == 2
 
 
+def test_jsonl_partial_corruption_raises(spark, tmp_path):
+    """One malformed line among good ones must raise, not silently yield
+    an all-NULL row plus a leaked _corrupt_record column (the common
+    NDJSON failure mode: one bad line in millions)."""
+    from phaser_spark.exceptions import DataException
+    from phaser_spark.io import read_jsonl
+
+    p = w(
+        tmp_path,
+        "bad.jsonl",
+        '{"id": 1}\n{"id": 2, "oops\n{"id": 3}\n',
+    )
+    with pytest.raises(DataException, match="1 malformed NDJSON line"):
+        read_jsonl(spark, p)
+    # clean files still read fine and carry no corrupt column
+    p2 = w(tmp_path, "ok.jsonl", '{"id": 1}\n{"id": 2}\n')
+    df = read_jsonl(spark, p2)
+    assert df.count() == 2 and "_corrupt_record" not in df.columns
+
+
 def test_jsonl_pipeline_checkpoints(spark, tmp_path):
     # save_format="jsonl" checkpoints phases as NDJSON and re-loads them
     from phaser_spark import Column, Phase, Pipeline
