@@ -122,19 +122,61 @@ def window_step(new_col: str, expr_fn, partition_by: list | None = None, order_b
     return _window
 
 
-def running_sum_step(col: str, new_col: str | None = None):
+def running_sum_step(col: str, new_col: str | None = None, bucket_rows: int = 65536):
     """Ordered cumulative sum by row number (reference sum_so_far,
-    SURVEY.md A3).  NOTE: a single global ordered window is a one-task
-    bottleneck at scale — prefer a partitioned variant when a natural key
-    exists."""
+    SURVEY.md A3) — two-level, never a single global ordered window.
+
+    Row numbers are already globally ordered, so rows bucket by
+    ``floor(row_num / bucket_rows)`` (a pure projection, no sampling, no
+    driver action): ONE map-side-combined aggregate sums each bucket, a
+    window over the bounded coarse table (``data_rows / bucket_rows``
+    entries — the documented coarse-table window class) yields each
+    bucket's exclusive prefix, and the in-bucket running sum runs in a
+    window partitioned BY BUCKET: every sort task holds at most
+    ``bucket_rows`` rows, never the whole batch.  NULL semantics match
+    the single-window formulation exactly (the running value is NULL
+    until the first non-null, and null-only buckets forward the prior
+    prefix).  For integer/decimal columns the result is bit-identical to
+    the sequential sum; double columns may differ from a strictly
+    sequential accumulation in the last ulp (bucketed association).
+    """
     out = new_col or f"{col}_running"
-    return window_step(
-        out,
-        lambda w: F.sum(F.col(col)).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-        order_by=[PHASER_ROW_NUM],
-    )
+
+    @batch_step(internal=True)
+    def _running_sum(df: DataFrame, context=None) -> DataFrame:
+        bkt = F.floor(
+            F.col(PHASER_ROW_NUM) / F.lit(int(bucket_rows))
+        ).cast("long")
+        tagged = df.withColumn("__rs_bucket__", bkt)
+        bsum = tagged.groupBy("__rs_bucket__").agg(
+            F.sum(F.col(col)).alias("__rs_bsum__")
+        )
+        cw = Window.orderBy("__rs_bucket__").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        # exclusive prefix per bucket; NULL means "no non-null value in
+        # any prior bucket", which must stay NULL (not 0) to reproduce
+        # the ordered-sum semantics on leading all-null runs
+        coarse = bsum.select(
+            F.col("__rs_bucket__").alias("__rs_cb__"),
+            F.sum("__rs_bsum__").over(cw).alias("__rs_prefix__"),
+        )
+        wb = Window.partitionBy("__rs_bucket__").orderBy(PHASER_ROW_NUM)
+        in_bucket = F.sum(F.col(col)).over(
+            wb.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        running = (
+            F.when(F.col("__rs_prefix__").isNull(), in_bucket)
+            .when(in_bucket.isNull(), F.col("__rs_prefix__"))
+            .otherwise(F.col("__rs_prefix__") + in_bucket)
+        )
+        return (
+            tagged.join(coarse, F.col("__rs_bucket__") == F.col("__rs_cb__"))
+            .withColumn(out, running)
+            .drop("__rs_bucket__", "__rs_cb__", "__rs_prefix__")
+        )
+
+    return _running_sum
 
 
 def explode_step(col: str, into: str, delimiter: str = ","):
@@ -237,7 +279,14 @@ def limit_step(n: int):
 
 
 def topk_per_group_step(partition_by: list[str], order_by: list, k: int):
-    """Top-k rows per group via row_number window — the standard pattern."""
+    """Top-k rows per group via row_number window — the standard pattern.
+
+    Scale contract: the window sorts each group in one task — right for
+    high-cardinality entity keys (per-customer, per-query), wrong for a
+    low-cardinality skewed key (per-language on a web corpus).  For the
+    latter, a fixed per-group fraction via ``sample_by_hash`` stays
+    scan-only, and mass-targeted cuts have the two-level
+    ``top_p_by_group``."""
 
     @batch_step(internal=True)
     def _topk(df: DataFrame, context=None) -> DataFrame:

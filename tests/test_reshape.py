@@ -288,3 +288,43 @@ def test_unpivot_intersect_except_steps(spark):
         context=ctx2, extra_sources=["other"],
     ).run(left)
     assert sorted((r.k, r.v) for r in exc.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_running_sum_step_two_level_matches_global_window(spark):
+    """The bucketed running sum equals the naive global ordered window —
+    including NULL semantics (NULL until the first non-null value,
+    null-only buckets forward the prior prefix) — with every sort task
+    bounded by bucket_rows, and its plan free of unpartitioned row-level
+    windows."""
+    from pyspark.sql import Window
+
+    from phaser_spark.lineage import with_row_numbers
+    from phaser_spark.plan import plan_text
+
+    rows = [(i, None if i % 7 == 3 else i * 10) for i in range(1, 401)]
+    # leading all-null run: rows 1..12 null — the running value must stay
+    # NULL across the first bucket boundary (bucket_rows=8 below)
+    rows = [(i, None) if i <= 12 else (i, v) for i, v in rows]
+    df = with_row_numbers(
+        spark.createDataFrame(rows, "id long, v long").orderBy("id")
+    )
+    step = relational.running_sum_step("v", "run", bucket_rows=8)
+    ph = Phase(name="RS", steps=[step], context=Context(spark=spark))
+    out = ph.run(df)
+    got = {r["id"]: r["run"] for r in out.collect()}
+    w = Window.orderBy(PHASER_ROW_NUM).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["run"]
+        for r in df.withColumn("run", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+    # leading nulls stayed NULL, later values are real sums
+    assert got[1] is None and got[12] is None and got[13] == 130
+    # plan shape: no row-level window without a partition spec — the only
+    # unpartitioned windowspec allowed is the coarse per-bucket prefix
+    # (operates on n_rows/bucket_rows aggregate rows, not data rows)
+    inner = relational.running_sum_step("v", "run", bucket_rows=8)(df)
+    plan = plan_text(inner)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and PHASER_ROW_NUM in line:
+            assert "__rs_bucket__" in line, f"global row-level window: {line}"
