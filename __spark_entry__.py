@@ -2882,24 +2882,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming_dedup <- 3 other streaming) moved past the cap to
         # admit ten queries that had NEVER been externally hash-checked
         # (pagerank x2, kmeans, scd2, pps, drift, ewma, leakage splits,
-        # contamination report).  Entries past the cap all still run
-        # green under tests/oracle_parity.py (mandatory in the oracle
-        # tier, see tests/test_driver_contract.py).
+        # contamination report).  Round 10 ROTATION (same cadence, VERDICT
+        # r9 next-round #3): ten more never-externally-checked queries
+        # admitted (ann_lsh, bloom decontaminate, interval join, winsorize,
+        # robust-z, top-p, quality classifier, media triage, cube, heavy
+        # hitters) by rotating out ten whose family keeps an in-window
+        # sibling (u6 <- u8 fix/flatten pair; session_window <- event+
+        # stateful; pagerank_weighted <- pagerank; dedup_embedding <- 3
+        # other dedup variants; ann_ivf <- ann_cosine+ann_lsh; o1 <- o2
+        # ordering; events_sessionize <- streaming windows + a4 runs;
+        # stratified+pack <- pps+top_p sampling; embedding_centroids <-
+        # kmeans).  Entries past the cap all still run green under
+        # tests/oracle_parity.py (mandatory in the oracle tier, see
+        # tests/test_driver_contract.py).
         "q1_pricing_summary": q1_pricing_summary,
-        "events_sessionize": events_sessionize,
         "a1_pivot_events": a1_pivot_events,
         "a2_user_event_counts": a2_user_event_counts,
         "a4_consecutive_runs": a4_consecutive_runs,
         "a8_percentiles": a8_percentiles,
         "j1_brand_revenue": j1_brand_revenue,
         "j4_asof_join": j4_asof_join,
-        "o1_sort_rank": o1_sort_rank,
         "o2_dedup_keep_last": o2_dedup_keep_last,
         "p4_filter_rows": p4_filter_rows,
         "p1_column_casts": p1_column_casts,
         "e1_quarantine_events": e1_quarantine_events,
         "s7_checkpoint_lifecycle": s7_checkpoint_lifecycle,
-        "u6_flatten_props": u6_flatten_props,
         "u8_fix_functions": u8_fix_functions,
         "u1_row_step_derive": u1_row_step_derive,
         "u2_batch_step": u2_batch_step,
@@ -2907,19 +2914,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_pipe_segment_peers": j3_pipe_segment_peers,
         "s1_csv_roundtrip": s1_csv_roundtrip,
         "d1_table_diff": d1_table_diff,
-        "dedup_embedding": dedup_embedding,
-        "embedding_centroids": embedding_centroids,
         "streaming_stateful_user_stats": streaming_stateful_user_stats,
-        "streaming_session_window": streaming_session_window,
         "streaming_event_window": streaming_event_window,
-        "stratified_sample": stratified_sample,
         "web_domains": web_domains,
-        "pack_sequences_by_lang": pack_sequences_by_lang,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "ann_cosine_topk": ann_cosine_topk,
-        "ann_ivf_topk": ann_ivf_topk,
         "text_stats": text_stats,
         "pii_redaction": pii_redaction,
         "boilerplate_removal": boilerplate_removal,
@@ -2927,7 +2928,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary": multimodal_binary,
         # -- rotated INTO the window in round 9 (first external check) --
         "graph_pagerank": graph_pagerank,
-        "graph_pagerank_weighted": graph_pagerank_weighted,
         "kmeans_embedding_cells": kmeans_embedding_cells,
         "scd2_customer_history": scd2_customer_history,
         "pps_sample_docs": pps_sample_docs,
@@ -2936,7 +2936,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report_docs": contamination_report_docs,
         "drift_prices_by_flag": drift_prices_by_flag,
         "ewma_customer_orders": ewma_customer_orders,
+        # -- rotated INTO the window in round 10 (first external check) --
+        "ann_lsh_topk": ann_lsh_topk,
+        "bloom_decontaminate": bloom_decontaminate,
+        "j5_interval_match": j5_interval_match,
+        "winsorize_prices": winsorize_prices,
+        "robust_z_prices": robust_z_prices,
+        "top_p_docs_by_lang": top_p_docs_by_lang,
+        "quality_classifier_docs": quality_classifier_docs,
+        "media_header_triage": media_header_triage,
+        "a9_cube_revenue": a9_cube_revenue,
+        "heavy_hitters_users": heavy_hitters_users,
         # ---- past the driver's 50-query cap (redundant coverage) ----
+        # -- rotated OUT of the window in round 10 (sibling stays in) --
+        "events_sessionize": events_sessionize,
+        "o1_sort_rank": o1_sort_rank,
+        "u6_flatten_props": u6_flatten_props,
+        "dedup_embedding": dedup_embedding,
+        "embedding_centroids": embedding_centroids,
+        "streaming_session_window": streaming_session_window,
+        "stratified_sample": stratified_sample,
+        "pack_sequences_by_lang": pack_sequences_by_lang,
+        "ann_ivf_topk": ann_ivf_topk,
+        "graph_pagerank_weighted": graph_pagerank_weighted,
         # -- rotated OUT of the window in round 9 (sibling stays in) --
         "q3_top_orders": q3_top_orders,
         "q5_nation_revenue": q5_nation_revenue,
@@ -2945,7 +2967,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_time_rollup": a7_time_rollup,
         "o3_duplicate_keys": o3_duplicate_keys,
         "u7_flatten_all": u7_flatten_all,
-        "ann_lsh_topk": ann_lsh_topk,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "streaming_dedup_keys": streaming_dedup_keys,
         "text_quality": text_quality,
@@ -2963,20 +2984,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_hotkey_join": salted_hotkey_join,
         "dedup_incremental_minhash": dedup_incremental_minhash,
         "text_tfidf_top_terms": text_tfidf_top_terms,
-        "a9_cube_revenue": a9_cube_revenue,
-        "j5_interval_match": j5_interval_match,
         "sketch_distinct_accuracy": sketch_distinct_accuracy,
         "dedup_minhash_clusters": dedup_minhash_clusters,
         "sketch_set_overlap": sketch_set_overlap,
         "a10_unpivot_metrics": a10_unpivot_metrics,
         "temperature_rebalance": temperature_rebalance,
-        "heavy_hitters_users": heavy_hitters_users,
         "heavy_hitters_by_type": heavy_hitters_by_type,
-        "bloom_decontaminate": bloom_decontaminate,
         "quality_checks_orders": quality_checks_orders,
         "token_budget_mix": token_budget_mix,
         "dedup_best_of_cluster": dedup_best_of_cluster,
-        "winsorize_prices": winsorize_prices,
         "repeated_span_scrub": repeated_span_scrub,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "profile_orders": profile_orders,
@@ -3003,15 +3019,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_window": streaming_sliding_window,
         "collapse_rare_sources": collapse_rare_sources,
         "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
-        "robust_z_prices": robust_z_prices,
         "text_char_entropy": text_char_entropy,
         "epoch_mix_langs": epoch_mix_langs,
         "text_surprisal": text_surprisal,
         "dedup_cluster_size_stats": dedup_cluster_size_stats,
         "leakage_split_shares_docs": leakage_split_shares_docs,
-        "media_header_triage": media_header_triage,
-        "top_p_docs_by_lang": top_p_docs_by_lang,
-        "quality_classifier_docs": quality_classifier_docs,
     }
 
 

@@ -512,6 +512,13 @@ def asof_join_step(
     return _asof
 
 
+# Hard cap on how many bins one interval may replicate into when the
+# bin width is auto-derived: width >= max_span / _MAX_REPLICATION, so a
+# single pathological interval (a year in a minutes-scale table) costs
+# at most this many copies instead of span/median.
+_MAX_REPLICATION = 1024
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -538,9 +545,13 @@ def range_join(
     residual filter.  Each qualifying (point, interval) pair meets in
     exactly one bin (the point's), so no dedup pass is needed.  Cost:
     intervals are replicated ``span/bin_width + 1`` times — pick
-    ``bin_width`` near the median interval span so replication stays
-    O(1) while bins stay selective.  Skew (a hot bin) is AQE's case, or
-    compose with ``salted_join`` on the bin key.
+    ``bin_width`` near the typical interval span so replication stays
+    O(1) while bins stay selective.  The auto-derived width uses the p95
+    span with a ``max_span/1024`` floor, so even a single interval many
+    orders of magnitude wider than the rest replicates into at most
+    ~1024 bins (the cap plus one boundary partial; pass ``bin_width``
+    explicitly to trade selectivity against replication yourself).  Skew (a hot bin) is AQE's case, or compose
+    with ``salted_join`` on the bin key.
 
     Timestamp columns are handled by casting to epoch seconds
     (``bin_width`` is then in seconds).  When ``bin_width`` is omitted
@@ -591,18 +602,26 @@ def range_join(
                 p.join(i, on=keys, how="inner") if keys else p.crossJoin(i)
             )
             return joined.filter(cond).drop(P, S, E)
-        # derive a bin width from the interval-span distribution: the
-        # median span keeps replication O(1) per interval while bins
-        # stay selective.  One one-row aggregate over the (usually much
-        # smaller) interval side — bounded driver traffic by design.
+        # derive a bin width from the interval-span distribution.  The
+        # p95 span (not the median: one interval 1000× the median would
+        # replicate across ~1000 bins) keeps replication O(1) for 95% of
+        # intervals, and the max-span term hard-caps EVERY interval's
+        # replication at _MAX_REPLICATION bins — a single pathological
+        # year-long interval in a minutes-scale table costs at most that
+        # many copies, never span/median.  One one-row aggregate over
+        # the (usually much smaller) interval side — bounded driver
+        # traffic by design.
+        span = F.col(E) - F.col(S)
         span_row = i.agg(
-            F.percentile_approx(F.col(E) - F.col(S), F.lit(0.5), F.lit(1000))
-            .alias("med")
+            F.percentile_approx(span, F.lit(0.95), F.lit(1000)).alias("p95"),
+            F.max(span).alias("mx"),
         ).collect()[0]
-        med = span_row["med"]
+        p95, mx = span_row["p95"], span_row["mx"]
         # zero-length / empty / degenerate spans: any positive width is
         # correct (each point still meets each interval in one bin)
-        bin_width = float(med) if med is not None and med > 0 else 1.0
+        bin_width = float(p95) if p95 is not None and p95 > 0 else 1.0
+        if mx is not None and mx > 0:
+            bin_width = max(bin_width, float(mx) / _MAX_REPLICATION)
     BIN = "__phaser_bin__"
     w = float(bin_width)
     p = p.withColumn(BIN, F.floor(F.col(P) / F.lit(w)).cast("long"))

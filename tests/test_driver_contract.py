@@ -16,9 +16,9 @@ def test_first_50_cover_every_operator_family():
     # each family must keep at least one representative INSIDE the checked
     # window; entries past the cap are never hash-compared by the driver
     first = set(list(entrymod.queries())[:CAP])
-    # Round-9 curation: ten redundant siblings rotated past the cap to
-    # admit ten queries that had never been externally hash-checked
-    # (VERDICT r8 next-round #1).  Every §2 operator family still keeps
+    # Round-10 curation (continuing the r9 cadence): ten more redundant
+    # siblings rotated past the cap to admit ten queries that had never
+    # been externally hash-checked.  Every §2 operator family still keeps
     # at least one in-window representative.
     required = {
         "s1_csv_roundtrip", "s7_checkpoint_lifecycle",       # sources/checkpoint
@@ -26,27 +26,36 @@ def test_first_50_cover_every_operator_family():
         "e1_quarantine_events",                               # error policies
         "u1_row_step_derive", "u2_batch_step",                # step surface
         "u5_lookup_enrichment", "j3_pipe_segment_peers",      # extra sources/piping
-        "u6_flatten_props", "u8_fix_functions",               # flatten/fix family
-        "o1_sort_rank", "o2_dedup_keep_last",                 # ordering/builtin dedup
+        "u8_fix_functions",                                   # fix/flatten family (u6 out r10)
+        "o2_dedup_keep_last",                                 # ordering/builtin dedup (o1 out r10)
         "d1_table_diff",                                      # diff
         "q1_pricing_summary", "j4_asof_join",                 # relational/asof
-        "streaming_event_window", "streaming_session_window", # streaming
+        "streaming_event_window",                             # streaming (session out r10)
         "streaming_stateful_user_stats",
-        "dedup_exact_docs",                                   # dedup suite
-        "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
-        "ann_cosine_topk", "ann_ivf_topk",                    # similarity
+        "dedup_exact_docs",                                   # dedup suite (embedding out r10)
+        "dedup_minhash_lsh", "dedup_simhash",
+        "ann_cosine_topk",                                    # similarity (ivf out r10)
         "text_stats", "pii_redaction", "boilerplate_removal", # text/cleaning
         "decontaminate_docs", "multimodal_binary",            # multimodal
-        "stratified_sample", "pack_sequences_by_lang",        # sampling/packing
-        "web_domains", "embedding_centroids",                 # web/embeddings
+        "web_domains",                                        # web
         # rotated in r9 — first external hash check for each:
-        "graph_pagerank", "graph_pagerank_weighted",          # graph
-        "kmeans_embedding_cells",                             # clustering
+        "graph_pagerank",                                     # graph (weighted out r10)
+        "kmeans_embedding_cells",                             # clustering (centroids out r10)
         "scd2_customer_history",                              # SCD2
-        "pps_sample_docs",                                    # PPS sampling
+        "pps_sample_docs",                                    # sampling (stratified/pack out r10)
         "leakage_safe_split_docs", "leakage_split_incremental_docs",
         "contamination_report_docs",                          # decontamination
         "drift_prices_by_flag", "ewma_customer_orders",       # drift/timeseries
+        # rotated in r10 — first external hash check for each:
+        "ann_lsh_topk",                                       # LSH similarity
+        "bloom_decontaminate",                                # bloom filter
+        "j5_interval_match",                                  # interval join
+        "winsorize_prices", "robust_z_prices",                # outlier/quality
+        "top_p_docs_by_lang",                                 # nucleus sampling
+        "quality_classifier_docs",                            # classifier fit
+        "media_header_triage",                                # media triage
+        "a9_cube_revenue",                                    # cube/rollup
+        "heavy_hitters_users",                                # frequency sketch
     }
     missing = required - first
     assert not missing, f"operator families pushed past the {CAP}-entry cap: {sorted(missing)}"

@@ -455,6 +455,44 @@ def test_range_join_default_derives_bin_never_cartesian(spark):
     assert "__phaser_bin__" not in plan_of(naive)
 
 
+def test_range_join_span_skew_bounds_replication(spark):
+    """Pathological span skew: one interval 100,000× wider than the rest.
+    A median-derived width would replicate it across ~100,000 bins; the
+    p95 + max/1024 derivation bounds EVERY interval's replication, and
+    results still match the naive join."""
+    from pyspark.sql import functions as F
+
+    from phaser_spark.ops.relational import range_join
+
+    points = spark.createDataFrame(
+        [(i, float(i * 37 % 1000)) for i in range(200)], "pid long, p double"
+    )
+    ivs = [(j, float(j * 10), float(j * 10 + 1)) for j in range(50)]
+    ivs.append((999, 0.0, 100_000.0))  # the one monster interval
+    intervals = spark.createDataFrame(ivs, "iid long, s double, e double")
+    out = range_join(points, intervals, "p", "s", "e")
+    got = {(r.pid, r.iid) for r in out.collect()}
+    want = {
+        (r.pid, r.iid)
+        for r in points.crossJoin(intervals)
+        .filter((F.col("p") >= F.col("s")) & (F.col("p") < F.col("e")))
+        .collect()
+    }
+    assert got == want
+    # replication bound: reproduce the derived width and count each
+    # interval's bins — no interval may exceed the documented cap
+    spans = intervals.select((F.col("e") - F.col("s")).alias("sp"))
+    p95, mx = spans.agg(
+        F.percentile_approx("sp", F.lit(0.95), F.lit(1000)),
+        F.max("sp"),
+    ).collect()[0]
+    width = max(float(p95), float(mx) / 1024)
+    reps = [int(e // width) - int(s // width) + 1 for _, s, e in ivs]
+    assert max(reps) <= 1025  # span/width bins + 1 boundary partial
+    # and the typical interval still lands in O(1) bins
+    assert sorted(reps)[len(reps) // 2] <= 2
+
+
 def test_sketch_report_stays_jvm_side(spark):
     plan = plan_of(entrymod.sketch_distinct_accuracy(spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
