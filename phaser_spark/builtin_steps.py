@@ -149,6 +149,13 @@ def sort_by(column):
 
     @batch_step(internal=True)
     def _sort_by(df: DataFrame, context=None) -> DataFrame:
+        # record the new physical order as phase state: the reference's
+        # list model carries row order implicitly, and keep-LAST dedup
+        # after a sort must pick "last in SORTED order", not "last by
+        # original row number" (found by the randomized differential
+        # generator, round 10)
+        if context is not None:
+            context.sort_state = [col]
         # backticks: a dotted column name would otherwise resolve as
         # struct-field access (check_unique already escapes)
         return df.orderBy(
@@ -173,13 +180,20 @@ def drop_duplicate_rows(columns=None):
         tag = _mint_drop_tag(context, "drop_duplicate_rows")
 
         key = [f"`{c}`" for c in (cols or _data_columns(df))]
+        # "last duplicate" follows the phase's CURRENT physical order: by
+        # default the row number, but after an in-phase sort_by the
+        # keeper is the row that sorts last (reversed sort spec: desc
+        # nulls last, row-number tiebreak) — reference list semantics,
+        # pinned by the randomized differential suite
+        last_order = [
+            F.col(f"`{c}`").desc_nulls_last()
+            for c in (getattr(context, "sort_state", None) or [])
+        ] + [F.col(PHASER_ROW_NUM).desc()]
         # one window over ALL rows: already-dropped markers sort after live
-        # rows, so the keeper (live row with the highest row number) is
+        # rows, so the keeper (live row latest in current order) is
         # rank 1 and markers are never re-tagged — single shuffle, no
         # filter/union split of the input
-        w = Window.partitionBy(*key).orderBy(
-            F.col(DROP_COL).asc(), F.col(PHASER_ROW_NUM).desc()
-        )
+        w = Window.partitionBy(*key).orderBy(F.col(DROP_COL).asc(), *last_order)
         rn = F.row_number().over(w)
         newly = (~F.col(DROP_COL)) & (rn > 1)
         out = (

@@ -76,7 +76,12 @@ DROP_COL = "__phaser_drop__"
 # instead of re-executing the pre-filter plan.
 DROP_STEP_COL = "__phaser_drop_step__"
 
-INTERNAL_COLS = (ERROR_COL, WARNING_COL, DROP_COL, DROP_STEP_COL)
+#: original row number stashed by a ``renumber=True`` phase so events keep
+#: their error-time attribution (the reference records events at raise
+#: time; renumbering must not rewrite the report's row references)
+EVENT_ROW_COL = "__phaser_event_row__"
+
+INTERNAL_COLS = (ERROR_COL, WARNING_COL, DROP_COL, DROP_STEP_COL, EVENT_ROW_COL)
 
 # Row steps receive extra sources as driver-materialized Python values
 # (reference semantics: phaser assumes small dims —

@@ -62,6 +62,12 @@ class Context:
         self.strict_schemas = strict_schemas
         self.current_phase: str = "__pipeline__"
         self.variables: dict = {}
+        # the phase's CURRENT physical-order spec: list of column names an
+        # in-phase sort_by established (None = original row-number order).
+        # The reference's list model makes "row order" implicit pipeline
+        # state; here order-consuming steps (drop_duplicate_rows'
+        # keep-LAST) read this instead — reset at each phase start.
+        self.sort_state: list[str] | None = None
         # driver-originated events: list of dicts matching EVENT_SCHEMA
         self._driver_events: list[dict] = []
         # lazily-computed events (e.g. dropped-row counts that need a Spark

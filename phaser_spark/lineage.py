@@ -242,9 +242,11 @@ def renumber(df: DataFrame, order_by=None, start: int = 1, pins: list | None = N
         # cache is decided automatically (see with_row_numbers): a sort
         # over a deterministic scan re-executes for the second pass rather
         # than pinning a full sorted copy — at 100 TB a re-sort streams,
-        # while a pinned copy is storage pressure
+        # while a pinned copy is storage pressure.  Order BEFORE dropping
+        # the old numbering so order_by may reference it (the stable
+        # "renumber in prior order" path).
         return with_row_numbers(
-            df.drop(PHASER_ROW_NUM).orderBy(*order), start=start, pins=pins
+            df.orderBy(*order).drop(PHASER_ROW_NUM), start=start, pins=pins
         )
     return with_row_numbers(df.drop(PHASER_ROW_NUM), start=start, pins=pins)
 

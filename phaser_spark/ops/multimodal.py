@@ -72,6 +72,33 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return out[:dim]
 
 
+def _real_image_features(payload: bytes, dim: int = FEATURE_DIM):
+    """Real decode (PIL, executor-side): [width, height, n_bands,
+    per-RGB-channel means, 3×3 grayscale grid] padded/truncated to
+    ``dim``.  Deterministic (NEAREST resampling, integer pixel data).
+    Returns None for undecodable payloads — corrupt media is a data
+    fact, not a job failure."""
+    import io as _io
+
+    from PIL import Image
+
+    try:
+        img = Image.open(_io.BytesIO(payload or b""))
+        img.load()
+    except Exception:
+        return None
+    w, h = img.size
+    feats = [float(w), float(h), float(len(img.getbands()))]
+    rgb = img.convert("RGB")
+    for band in rgb.split():
+        data = list(band.getdata())
+        feats.append(sum(data) / (255.0 * max(len(data), 1)))
+    grid = img.convert("L").resize((3, 3), Image.NEAREST)
+    feats.extend(p / 255.0 for p in grid.getdata())
+    feats = feats[:dim]
+    return feats + [0.0] * (dim - len(feats))
+
+
 def decode_and_featurize(
     df: DataFrame,
     content_col: str = "content",
@@ -81,9 +108,12 @@ def decode_and_featurize(
     """Decode binary payloads and extract a feature vector per row via
     ``mapInPandas`` (Arrow batches; bytes never leave the executor).
 
-    ``real_decode=True`` requires an image library (absent here →
-    ``NotImplementedError``); the default path produces deterministic fake
-    features so the distributed plumbing is exercised end-to-end."""
+    ``real_decode=True`` decodes with PIL when it is importable (probed
+    at module load) — undecodable payloads get NULL features, never a
+    task failure — and raises ``NotImplementedError`` when no codec
+    exists in the environment; the default path produces deterministic
+    fake features so the distributed plumbing is exercised end-to-end
+    even in codec-less sandboxes."""
     if real_decode and not _HAS_PIL:
         raise NotImplementedError(
             "real_decode=True needs an image codec (PIL); not available in "
@@ -100,11 +130,14 @@ def decode_and_featurize(
         ]
     )
 
+    use_real = bool(real_decode and _HAS_PIL)
+
     def gen(batches):
+        featurize = _real_image_features if use_real else _fake_features
         for pdf in batches:
             payloads = pdf[content_col]
             pdf = pdf.assign(
-                features=[_fake_features(p) for p in payloads],
+                features=[featurize(p) for p in payloads],
                 content_sha256=[
                     hashlib.sha256(p or b"").hexdigest() for p in payloads
                 ],

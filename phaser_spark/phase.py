@@ -35,6 +35,7 @@ from .constants import (
     ERROR_COL,
     EVENT_DROPPED_ROW,
     EVENT_ERROR,
+    EVENT_ROW_COL,
     EVENT_WARNING,
     INTERNAL_COLS,
     ON_ERROR_COLLECT,
@@ -237,6 +238,9 @@ class Phase:
             raise PhaserError(f"Phase {self.name}: no data loaded")
         self.context.current_phase = self.name
         self.context.reset_drop_tags(self.name)
+        # each phase starts in checkpoint (row-number) order; an in-phase
+        # sort_by re-establishes this for order-consuming steps
+        self.context.sort_state = None
         df = with_row_numbers(
             self.df, cache=self.lineage_cache, pins=self.context.pinned_inputs
         )
@@ -260,8 +264,30 @@ class Phase:
             # leave gaps in the visible 1..N.  Dropped rows keep their
             # ORIGINAL numbers (their DROPPED_ROW events were recorded
             # against those).
+            # deterministic numbering order: the in-phase sort_by's keys
+            # (reference list order after a sort) with the prior row
+            # number as tiebreak/default — NEVER raw partition order,
+            # which for a reloaded checkpoint is file-listing order
+            # (size-binned, effectively random) rather than row order
+            order = [
+                F.col(f"`{c}`").asc_nulls_first()
+                for c in (self.context.sort_state or [])
+                if c in df.columns
+            ]
+            if PHASER_ROW_NUM in df.columns:
+                order.append(F.col(PHASER_ROW_NUM).asc())
+            # stash the error-time numbering: events were recorded against
+            # these rows BEFORE the renumber, and the report must keep
+            # naming them that way (reference records at raise time)
+            orig = (
+                F.col(PHASER_ROW_NUM)
+                if PHASER_ROW_NUM in df.columns
+                else F.lit(None).cast("long")
+            )
+            df = df.withColumn(EVENT_ROW_COL, orig)
             live = _renumber(
-                df.filter(~F.col(DROP_COL)).drop(PHASER_ROW_NUM),
+                df.filter(~F.col(DROP_COL)),
+                order_by=order or None,
                 pins=self.context.pinned_inputs,
             )
             df = live.unionByName(df.filter(F.col(DROP_COL)))

@@ -36,6 +36,7 @@ from .constants import (
     DROP_COL,
     ERROR_COL,
     EVENT_ERROR,
+    EVENT_ROW_COL,
     INTERNAL_COLS,
     ON_ERROR_COLLECT,
     PHASER_ROW_NUM,
@@ -64,9 +65,17 @@ def extract_events(df: DataFrame, phase_name: str) -> DataFrame:
     errors from ``__phaser_error__``, warnings + dropped-row events from
     ``__phaser_warnings__`` (SURVEY.md §1.1 "Events")."""
     err = F.col(ERROR_COL)
+    # events keep their error-time row attribution: a renumber=True phase
+    # stashes the pre-renumber number in EVENT_ROW_COL (reference records
+    # events at raise time, so the report must not follow the renumbering)
+    rn = (
+        F.coalesce(F.col(EVENT_ROW_COL), F.col(PHASER_ROW_NUM))
+        if EVENT_ROW_COL in df.columns
+        else F.col(PHASER_ROW_NUM)
+    )
     errors = df.filter(err.isNotNull()).select(
         F.lit(phase_name).alias("phase"),
-        F.col(PHASER_ROW_NUM).alias("row_num"),
+        rn.alias("row_num"),
         err["type"].alias("type"),
         F.coalesce(err["step"], err["column"]).alias("step"),
         err["message"].alias("message"),
@@ -74,7 +83,7 @@ def extract_events(df: DataFrame, phase_name: str) -> DataFrame:
     w = F.col("w")
     warnings = (
         df.filter(F.col(WARNING_COL).isNotNull() & (F.size(WARNING_COL) > 0))
-        .select(F.col(PHASER_ROW_NUM), F.explode(WARNING_COL).alias("w"))
+        .select(rn.alias(PHASER_ROW_NUM), F.explode(WARNING_COL).alias("w"))
         .select(
             F.lit(phase_name).alias("phase"),
             F.col(PHASER_ROW_NUM).alias("row_num"),

@@ -346,7 +346,12 @@ def run_row_step(
             rows_out = []
             for rec in pdf.to_dict("records"):
                 err = rec.get(ERROR_COL)
-                warnings = list(rec.get(WARNING_COL) or [])
+                # no `or []`: two-plus accumulated warnings arrive as a
+                # numpy array, whose truth value raises (found by the
+                # randomized differential generator — any row warned twice
+                # before a row step crashed the whole stage)
+                prior_warnings = rec.get(WARNING_COL)
+                warnings = [] if prior_warnings is None else list(prior_warnings)
                 drop = bool(rec.get(DROP_COL) or False)
                 drop_step = rec.get(DROP_STEP_COL)
                 base = {k: rec.get(k) for k in visible_names}

@@ -4140,3 +4140,46 @@ def test_ewma_matches_python_replay(spark):
         ewma(df, "v", "t", alpha=1.0)
     with _pytest.raises(PhaserError):
         ewma(df, "v", "t", window=0)
+
+
+@pytest.mark.skipif(
+    not multimodal._HAS_PIL, reason="no image codec in this environment"
+)
+def test_decode_and_featurize_real_decode_with_pil(spark):
+    """Guarded real-decode path: with PIL present, real_decode=True
+    extracts actual image features (dims, band count, channel means) and
+    NULLs features for undecodable payloads instead of failing the task."""
+    import io as _io
+
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (6, 4), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, png), (2, b"\x00\x01not an image")], "id int, content binary"
+    )
+    out = {r["id"]: r for r in
+           multimodal.decode_and_featurize(df, real_decode=True).collect()}
+    feats = out[1]["features"]
+    assert feats[:3] == [6.0, 4.0, 3.0]          # width, height, bands
+    assert abs(feats[3] - 1.0) < 1e-9            # all-red: R mean = 1
+    assert feats[4] == 0.0 and feats[5] == 0.0   # G/B means
+    assert out[2]["features"] is None            # corrupt: NULL, no crash
+    assert out[2]["content_sha256"]              # hash still computed
+
+
+def test_decode_and_featurize_stub_parity_unchanged(spark):
+    """The codec-less default path is byte-identical to the documented
+    deterministic stub (repeated sha256) — the oracle contract for
+    multimodal_binary depends on it."""
+    import hashlib as _hl
+
+    df = spark.createDataFrame([(1, b"hello")], "id int, content binary")
+    (row,) = multimodal.decode_and_featurize(df).collect()
+    h = _hl.sha256(b"hello").digest()
+    out = []
+    while len(out) < multimodal.FEATURE_DIM:
+        out.extend(b / 255.0 for b in h)
+        h = _hl.sha256(h).digest()
+    assert row["features"] == out[: multimodal.FEATURE_DIM]

@@ -423,3 +423,45 @@ def test_delta_mapping_key_normalization_and_bad_keys():
         m[("a", "b")] = 1
     with pytest.raises(PhaserError, match="numeric accumulation"):
         m["s"] = "not-a-number"
+
+
+def test_row_step_survives_multiple_prior_warnings(spark):
+    """A row that accumulated TWO OR MORE warnings arrives at the next
+    row step with its warnings as a numpy array — whose truth value
+    raises if touched with `or`.  Regression for the stage-crash the
+    randomized differential generator found: the warned row must flow
+    through later row steps (warnings never cause the error-skip), and
+    both warnings must survive to the report."""
+    from phaser_spark import Phase, WarningException, row_step
+    from phaser_spark.context import Context
+
+    @row_step
+    def warn_twice_then_derive(row, **kwargs):
+        row["doubled"] = row["v"] * 2
+        return row
+
+    @row_step
+    def warn_small(row, **kwargs):
+        if row["v"] < 10:
+            raise WarningException("small v")
+        return row
+
+    @row_step
+    def warn_odd(row, **kwargs):
+        if row["v"] % 2 == 1:
+            raise WarningException("odd v")
+        return row
+
+    df = spark.createDataFrame([(1,), (2,), (15,)], "v long")
+    ctx = Context(spark=spark)
+    out = Phase(
+        name="W",
+        steps=[warn_small, warn_odd, warn_twice_then_derive],
+        context=ctx,
+    ).run(df)
+    rows = {r["v"]: r for r in out.collect()}
+    # v=1 warned twice and STILL ran the final derive step
+    assert rows[1]["doubled"] == 2
+    assert len(rows[1]["__phaser_warnings__"]) == 2
+    assert rows[2]["doubled"] == 4 and len(rows[2]["__phaser_warnings__"]) == 1
+    assert rows[15]["doubled"] == 30 and len(rows[15]["__phaser_warnings__"]) == 1
