@@ -969,11 +969,18 @@ def sample_n_per_group(
     eval slices, debugging subsets).  Same row set every run, on any
     engine.
 
-    One shuffle on the group key + a rank window (per-group state is
-    the running rank, not the group) — groups are assumed to fit a
-    sort task each; for quota-sampling a handful of giant groups,
-    ``sample_by_hash`` with a per-group fraction is the scan-only
-    alternative.
+    Scale — two-level selection, NEVER a full per-group sort (same
+    design as :func:`top_p_by_group`; the flagship per-language use
+    keys on a low-cardinality skewed column).  The md5 order makes the
+    bucketing trivial: the first md5 byte is uniform over 256 buckets,
+    so ONE map-side-combined count per (group, bucket) + a window over
+    that bounded coarse table gives each bucket's exclusive prefix
+    count; buckets whose prefix already reaches ``n`` are dropped by a
+    plain filter, and the exact rank rule (``prefix + in-bucket rank <=
+    n``) sorts only the surviving buckets — each task holds ~1/256th of
+    one group.  The kept set is identical to the single-window
+    ``row_number() <= n`` formulation (bucket order is a prefix of the
+    md5 order), so oracle SQL replaying that rule is unchanged.
     """
     from pyspark.sql import Window
 
@@ -981,11 +988,39 @@ def sample_n_per_group(
         raise ValueError(f"sample_n_per_group needs n >= 1, got {n}")
     groups = [group_col] if isinstance(group_col, str) else list(group_col)
     key = F.col(key_col)
-    w = Window.partitionBy(*groups).orderBy(F.md5(key.cast("string")), key)
+    md5 = F.md5(key.cast("string"))
+    # first md5 byte: 256 uniform buckets, monotone prefix of the order
+    bucket = F.conv(F.substring(md5, 1, 2), 16, 10).cast("int")
+    staged = df.withColumn("__sn_bkt__", bucket)
+    bcnt = staged.groupBy(*groups, "__sn_bkt__").agg(
+        F.count(F.lit(1)).alias("__sn_bn__")
+    )
+    cw = (
+        Window.partitionBy(*groups)
+        .orderBy("__sn_bkt__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    galias = [f"__sn_g{i}__" for i in range(len(groups))]
+    coarse = bcnt.select(
+        *[F.col(g).alias(a) for g, a in zip(groups, galias)],
+        F.col("__sn_bkt__").alias("__sn_cbkt__"),
+        F.coalesce(F.sum("__sn_bn__").over(cw), F.lit(0)).alias("__sn_before__"),
+    )
+    # null-safe throughout: a NULL key has a NULL md5/bucket but is still
+    # a rankable row (it sorts first, like the single-window formulation)
+    cond = F.col("__sn_bkt__").eqNullSafe(F.col("__sn_cbkt__"))
+    for g, a in zip(groups, galias):
+        cond = cond & F.col(g).eqNullSafe(F.col(a))
+    # buckets whose lower-md5 prefix already filled the quota can't
+    # contribute — plain filter, no sort; each surviving (group, bucket)
+    # is its own bounded sort task
+    w_bkt = Window.partitionBy(*groups, "__sn_bkt__").orderBy(md5, key)
     return (
-        df.withColumn("__sn_rn__", F.row_number().over(w))
-        .filter(F.col("__sn_rn__") <= n)
-        .drop("__sn_rn__")
+        staged.join(coarse, cond)
+        .filter(F.col("__sn_before__") < n)
+        .withColumn("__sn_rn__", F.row_number().over(w_bkt))
+        .filter(F.col("__sn_before__") + F.col("__sn_rn__") <= n)
+        .drop("__sn_bkt__", "__sn_rn__", "__sn_cbkt__", "__sn_before__", *galias)
     )
 
 

@@ -3697,6 +3697,41 @@ def test_sample_n_per_group(spark):
     assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
 
 
+def test_sample_n_per_group_two_level_matches_single_window(spark):
+    """The md5-bucketed two-level quota selection keeps EXACTLY the rows
+    the naive row_number window keeps — on a skewed frame where one
+    group holds most rows — and its rank window is partitioned by
+    (group, bucket), never the group alone."""
+    from pyspark.sql import Window
+
+    from phaser_spark.ops import sampling
+    from phaser_spark.plan import plan_text
+
+    rows = [(f"en{i}", "en") for i in range(900)]
+    rows += [(f"de{i}", "de") for i in range(90)]
+    rows += [("one", "fr"), (None, "fr"), ("x", None)]  # null key + null group
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    for n in (1, 7, 40, 2000):
+        got = {
+            (r.lang, r.doc_id)
+            for r in sampling.sample_n_per_group(df, "doc_id", "lang", n).collect()
+        }
+        w = Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+        want = {
+            (r.lang, r.doc_id)
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .collect()
+        }
+        assert got == want, f"n={n}"
+    plan = plan_text(sampling.sample_n_per_group(df, "doc_id", "lang", 5))
+    for line in plan.splitlines():
+        if "row_number" in line and "windowspecdefinition" in line:
+            assert "__sn_bkt__" in line, f"full-group rank in plan: {line}"
+
+
 def test_resample_global_alignment_and_grouped_histogram(spark):
     import datetime as dt
 
