@@ -189,7 +189,9 @@ def _write_csv(path: str, seed: int, n: int = 18) -> None:
             amount = rng.choice(
                 [f"{rng.uniform(-50, 1000):.2f}", f"{rng.randint(0, 500)}", ""]
             )
-            code = rng.choice([str(rng.randint(1, 99)), f"x{i}", ""])
+            # literal "None"/"NULL" are null-literals in BOTH engines
+            # (reference is_nan_or_null; our NULL_LITERALS)
+            code = rng.choice([str(rng.randint(1, 99)), f"x{i}", "", "None"])
             d = (rng.randint(2020, 2025), rng.randint(1, 12), rng.randint(1, 28))
             joined = rng.choice(
                 ["%04d-%02d-%02d", "%04d/%02d/%02d", "%04d%02d%02d"]
@@ -522,6 +524,13 @@ def _gen_scenario(seed: int) -> dict:
         phases.append(
             {"name": "P2", "steps": p2_steps, "renumber": rng.random() < 0.5}
         )
+        if rng.random() < 0.4:
+            # the extra-output "families" idiom: P1 accumulates counts
+            # into an ExtraMapping, P2 merges them back per row
+            phases[0]["steps"] = steps + ["count_status"]
+            phases[0]["extra_outputs"] = ["status_counts"]
+            phases[1]["steps"] = ["merge_status_counts"] + p2_steps
+            phases[1]["extra_sources"] = ["status_counts"]
     return {"phases": phases}
 
 
