@@ -1378,6 +1378,28 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+def ann_recall_ivf(spark, sf_dir):
+    """Recall@k of the IVF candidate path against the exact brute-force
+    baseline (r10: ops/similarity.recall_at_k) — the ANN tuning metric as
+    a first-class relational result.  Both sides run the SAME
+    configurations the `ann_cosine_topk`/`ann_ivf_topk` oracles already
+    verify bit-for-bit (ordered double folds), so the recall oracle
+    simply composes those two SQL bodies."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries_df, k=5)
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = similarity.medoid_centroids(
+            emb, "vec_id", "embedding", n_centroids=16
+        )
+    approx = similarity.ivf_topk(
+        emb, queries_df, k=5, n_centroids=16, n_probe=4,
+        centroids=_IVF_CENTROIDS[sf_dir],
+        broadcast_queries=True,
+    )
+    return similarity.recall_at_k(exact, approx)
+
+
 def text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents", spread=True)
     c = F.col("text")
@@ -1603,6 +1625,39 @@ def top_p_docs_by_lang(spark, sf_dir):
     return out.select(
         "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+def topk_docs_by_lang(spark, sf_dir):
+    """Count-targeted curation cut (r10): the 25 highest-scoring documents
+    per language, where the score is signed (length above/below a 400-char
+    pivot) — the generalization of the two-level bucket trick to an
+    arbitrary numeric ordering (ops/sampling.topk_by_group), closing the
+    SCALE.md follow-up on topk_per_group_step's one-task-per-group window.
+    Same deterministic (score desc, md5(id), id) rule as the plain
+    row_number formulation the oracle replays."""
+    from phaser_spark.ops import sampling
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    scored = docs.withColumn(
+        "score", F.col("n_chars").cast("double") - F.lit(400.0)
+    )
+    out = sampling.topk_by_group(scored, "doc_id", "score", "lang", k=25)
+    return out.select("doc_id", "lang", "score")
+
+
+def shard_assign_docs(spark, sf_dir):
+    """Deterministic token-balanced shard assignment (r10:
+    ops/sampling.assign_shards, the relational core of
+    io.save_training_shards): shard = floor(exclusive-prefix mass × n /
+    total) over the (md5(id), id) order, decimal-exact prefixes, no
+    global sort (two-level md5-bucket prefix sums)."""
+    from phaser_spark.ops import sampling
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    out = sampling.assign_shards(docs, "doc_id", 16, len_col="n_chars")
+    return out.select("doc_id", "lang", "shard")
 
 
 def quality_classifier_docs(spark, sf_dir):
@@ -2948,6 +3003,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_cube_revenue": a9_cube_revenue,
         "heavy_hitters_users": heavy_hitters_users,
         # ---- past the driver's 50-query cap (redundant coverage) ----
+        # -- new in round 10 (local parity first; rotate in next round) --
+        "topk_docs_by_lang": topk_docs_by_lang,
+        "ann_recall_ivf": ann_recall_ivf,
+        "shard_assign_docs": shard_assign_docs,
         # -- rotated OUT of the window in round 10 (sibling stays in) --
         "events_sessionize": events_sessionize,
         "o1_sort_rank": o1_sort_rank,
@@ -3243,7 +3302,7 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(len(regexp_extract_all(txt, '{_pat}')) AS BIGINT) AS n_{_name}"
         for _name, _pat, _rep in pii.PII_PATTERNS
     )
-    return {
+    sqls = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_qty,
@@ -4084,6 +4143,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
             FROM ranked
             WHERE CAST(mass_before AS DOUBLE) < 0.6 * CAST(total AS DOUBLE)
+        """,
+        # Single-window reformulation of the two-level shard cut: same
+        # (md5(id), id) order, same decimal-exact exclusive prefix, same
+        # floor + clamp in double.
+        "shard_assign_docs": """
+            WITH w AS (
+                SELECT doc_id, lang,
+                       COALESCE(CAST(round(CAST(n_chars AS DOUBLE), 6)
+                                     AS DECIMAL(38,6)),
+                                CAST(0 AS DECIMAL(38,6))) AS wt,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+                WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+            ), c AS (
+                SELECT *,
+                       COALESCE(SUM(wt) OVER (ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           CAST(0 AS DECIMAL(38,6))) AS lo,
+                       SUM(wt) OVER () AS tot
+                FROM w
+            )
+            SELECT doc_id, lang,
+                   CAST(LEAST(floor(CAST(lo AS DOUBLE) * 16.0
+                                    / CAST(tot AS DOUBLE)), 15) AS INTEGER)
+                       AS shard
+            FROM c
+        """,
+        # Plain row_number reformulation of the two-level top-k cut: same
+        # deterministic (score desc, md5(id), id) order, same k-per-group
+        # rule — the bin histogram is an implementation detail the oracle
+        # never sees.
+        "topk_docs_by_lang": """
+            WITH scored AS (
+                SELECT doc_id, lang,
+                       CAST(n_chars AS DOUBLE) - 400.0 AS score
+                FROM documents
+                WHERE n_chars IS NOT NULL
+            ), ranked AS (
+                SELECT doc_id, lang, score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY score DESC,
+                                    md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM scored
+            )
+            SELECT doc_id, lang, score FROM ranked WHERE rn <= 25
         """,
         # Independent arithmetic reformulation: the Spark side builds real
         # container bytes and parses them back; the oracle derives every
@@ -5435,3 +5541,18 @@ def oracle_sql() -> dict[str, str]:
                 > floor(CAST(lo AS DOUBLE) * CAST(60 AS DOUBLE) / CAST(tot AS DOUBLE))
         """,
     }
+    # recall@k composes the two already-verified top-k oracles (exact
+    # brute force vs IVF) — the metric itself is a join + per-query
+    # count, so the oracle reuses both result sets verbatim.
+    sqls["ann_recall_ivf"] = f"""
+        SELECT e.query_id,
+               count(*) AS n_exact,
+               count(a.neighbor_id) AS n_hit,
+               CAST(count(a.neighbor_id) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS recall
+        FROM ({sqls["ann_cosine_topk"]}) e
+        LEFT JOIN ({sqls["ann_ivf_topk"]}) a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """
+    return sqls

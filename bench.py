@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "ewma_customer_orders",
     "media_header_triage",
     "top_p_docs_by_lang",
+    "topk_docs_by_lang",
+    "shard_assign_docs",
     "quality_classifier_docs",
 ]
 

@@ -377,6 +377,23 @@ def main():
     )
     print(f"retrieval chunks: {out.count()} curated docs -> {chunks.count()} chunks")
 
+    # --- curation cut + training shard layout ---------------------------
+    # best k docs per language, skew-safe even when one language dominates
+    # the corpus (two-level bin-histogram selection, no full-group sort)
+    best = sampling.topk_by_group(out, "doc_id", "n_tokens", "lang", k=50)
+    print(f"per-language top-k: {out.count()} docs -> {best.count()} kept")
+    # write-side: near-equal token-mass shards whose membership is a pure
+    # function of corpus content — rerunning the pipeline reproduces the
+    # exact same shards; the manifest records per-shard row/token totals
+    from phaser_spark.io import save_training_shards
+
+    manifest = save_training_shards(
+        best, os.path.join(wd, "training_shards"), n_shards=8,
+        key_col="doc_id", len_col="n_tokens",
+    )
+    for e in manifest:
+        print(f"shard {e['shard']}: {e['n_rows']} docs, {e['weight']:.0f} tokens")
+
 
 if __name__ == "__main__":
     main()

@@ -594,6 +594,75 @@ def save_parquet_sorted(
     writer.parquet(path)
 
 
+def save_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+    len_col: str | None = None,
+    manifest: bool = True,
+) -> list[dict]:
+    """Training-shard parquet sink: write the frame as ``n_shards``
+    near-equal token-mass shards (hive-partitioned ``shard=<i>``
+    directories, one file per shard), plus a driver-written
+    ``_shards_manifest.json`` recording per-shard row and weight totals.
+
+    The assignment is :func:`phaser_spark.ops.sampling.assign_shards` —
+    a pure function of corpus content (md5 order + exclusive prefix
+    mass), so re-running the pipeline reproduces byte-identical shard
+    MEMBERSHIP (training jobs can resume / compare across runs), and no
+    shard exceeds its neighbors by more than one document's weight.
+
+    Scale: the assignment is two aggregates and a bucketed window (no
+    global sort); the write is ONE range shuffle on the shard id —
+    ``repartitionByRange`` keeps shard i wholly in partition i, so
+    exactly one file per shard without a post-pass.  Rows are sorted by
+    the md5 order within each shard, so a shard is also a deterministic
+    SEQUENCE, not just a set.  The manifest aggregate is n_shards rows.
+    Returns the manifest entries."""
+    from .ops.sampling import assign_shards
+
+    assigned = assign_shards(df, key_col, n_shards, len_col=len_col)
+    md5 = F.md5(F.col(key_col).cast("string"))
+    (
+        assigned.repartitionByRange(n_shards, F.col("shard"))
+        .sortWithinPartitions(F.col("shard"), md5, F.col(key_col))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    entries: list[dict] = []
+    if manifest:
+        wt = (
+            F.col(len_col).cast("double") if len_col else F.lit(1.0)
+        )
+        stats = (
+            assigned.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.coalesce(wt, F.lit(0.0))).alias("weight"),
+            )
+            .orderBy("shard")
+            .collect()
+        )
+        entries = [
+            {
+                "shard": int(r["shard"]),
+                "n_rows": int(r["n_rows"]),
+                "weight": float(r["weight"]),
+            }
+            for r in stats
+        ]
+        with open(os.path.join(path, "_shards_manifest.json"), "w") as f:
+            json.dump(
+                {"n_shards": n_shards, "key": key_col, "len": len_col,
+                 "shards": entries},
+                f,
+                indent=1,
+            )
+    return entries
+
+
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
     """Z-order (Morton) key over numeric/temporal columns: each column is
     linearly bucketed into ``2^bits`` cells between its min and max (two

@@ -284,9 +284,11 @@ def topk_per_group_step(partition_by: list[str], order_by: list, k: int):
     Scale contract: the window sorts each group in one task — right for
     high-cardinality entity keys (per-customer, per-query), wrong for a
     low-cardinality skewed key (per-language on a web corpus).  For the
-    latter, a fixed per-group fraction via ``sample_by_hash`` stays
-    scan-only, and mass-targeted cuts have the two-level
-    ``top_p_by_group``."""
+    latter use :func:`phaser_spark.ops.sampling.topk_by_group` — the
+    two-level (score-bin histogram → boundary-bin sort) formulation of
+    the same rule whose sort tasks hold one bin of one group; fixed
+    per-group fractions stay scan-only via ``sample_by_hash``, and
+    mass-targeted cuts have ``top_p_by_group``."""
 
     @batch_step(internal=True)
     def _topk(df: DataFrame, context=None) -> DataFrame:

@@ -1024,6 +1024,239 @@ def sample_n_per_group(
     )
 
 
+def topk_by_group(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    group_col: str | list[str],
+    k: int,
+    descending: bool = True,
+    octave_bins: int = 64,
+) -> DataFrame:
+    """Top-``k`` rows per group by a numeric score — the count-targeted
+    generalization of the two-level bucket trick to an arbitrary ordering
+    column ("best k documents per language", "k most expensive orders per
+    region").  This closes the designated follow-up on
+    ``topk_per_group_step`` (SCALE.md keyed-window audit): that step's
+    ``row_number`` window sorts each group in one task, which is right
+    for per-customer/per-query keys but wrong for a low-cardinality
+    skewed key where the dominant group is tens of TB at 100 TB.
+
+    Rows are ranked ``(score desc|asc, md5(key), key)`` — deterministic
+    across runs, partitionings, and engines — and the first ``k`` per
+    group are kept, exactly like the single-window ``row_number() <= k``
+    rule the SQL oracle replays.  NULL/NaN scores exclude the row (a row
+    that cannot be ordered cannot hold a rank); ±Inf participate
+    normally (they order to the extremes).
+
+    Scale — two-level selection, NEVER a full per-group sort (same shape
+    as :func:`top_p_by_group`, counts instead of mass):
+
+    1. every row gets a sign-aware log-scale score bin — a pure
+       projection, monotone over ALL doubles (positives by
+       ``floor(log2(x)·octave_bins)``, zero at a sentinel between the
+       sign ranges, negatives mirrored below it) — equal scores always
+       share a bin, so bins split the per-group ranking into contiguous
+       runs;
+    2. ONE map-side-combined count per (group, bin) builds the bounded
+       coarse table;
+    3. a window over the coarse table (the documented coarse-table
+       window class) yields each bin's exclusive better-score prefix
+       count; bins whose prefix already reaches ``k`` cannot contribute
+       a row and are dropped by a plain filter before any sort;
+    4. the exact rule (``prefix + in-bin rank <= k``) sorts only the
+       surviving bins — each task holds one bin of one group, rows
+       within a ~``2^(1/octave_bins)`` score ratio, not the whole group.
+
+    Degenerate case: a group whose entire score range sits inside one
+    bin (all equal, or within ~1.1% at the default 64 bins/octave) puts
+    that group in one sort task — same place a quantile-histogram scheme
+    degenerates when the distribution collapses to a point.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise PhaserError(f"topk_by_group needs k >= 1, got {k}")
+    if octave_bins < 1:
+        raise PhaserError(
+            f"topk_by_group needs octave_bins >= 1, got {octave_bins}"
+        )
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    key = F.col(key_col)
+    sd = F.col(score_col).cast("double")
+    # ascending top-k == descending top-k of the negated score (exact for
+    # doubles); ranking below is always score-descending on __tk_ord__
+    ord_score = sd if descending else -sd
+    staged = df.withColumn(
+        "__tk_ord__",
+        F.when(~F.isnan(ord_score), ord_score),
+    ).filter(F.col("__tk_ord__").isNotNull())
+    # sign-aware log bin, monotone over all doubles:
+    #   x > 0:  floor(log2(x)·B)            in  [-1074·B, 1024·B]
+    #   x = 0:  -2^31                        (between the sign ranges)
+    #   x < 0:  -2^32 - floor(log2(-x)·B)   in  [-2^32 - 1024·B, -2^32 + 1074·B]
+    # (+Inf -> 2^31 above every finite bin, -Inf below; log2(inf)=inf and
+    # floor(inf) is not castable, so the infinite cases get sentinels)
+    ob = F.lit(float(octave_bins))
+    x = F.col("__tk_ord__")
+    pos_inf, neg_inf = F.lit(float("inf")), F.lit(float("-inf"))
+    bin_expr = (
+        F.when(x == pos_inf, F.lit(1 << 31).cast("long"))
+        .when(x == neg_inf, F.lit(-(1 << 33)).cast("long"))
+        .when(x > 0, F.floor(F.log2(x) * ob).cast("long"))
+        .when(x == 0, F.lit(-(1 << 31)).cast("long"))
+        .otherwise(
+            (F.lit(-(1 << 32)) - F.floor(F.log2(-x) * ob)).cast("long")
+        )
+    )
+    binned = staged.withColumn("__tk_bin__", bin_expr)
+    bcnt = binned.groupBy(*groups, "__tk_bin__").agg(
+        F.count(F.lit(1)).alias("__tk_bn__")
+    )
+    cw = (
+        Window.partitionBy(*groups)
+        .orderBy(F.desc("__tk_bin__"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    galias = [f"__tk_g{i}__" for i in range(len(groups))]
+    coarse = bcnt.select(
+        *[F.col(g).alias(a) for g, a in zip(groups, galias)],
+        F.col("__tk_bin__").alias("__tk_cbin__"),
+        F.coalesce(F.sum("__tk_bn__").over(cw), F.lit(0)).alias(
+            "__tk_before__"
+        ),
+    )
+    # null-safe group equality: NULL group values form a real group in
+    # the coarse aggregate and must rejoin their own rows
+    cond = F.col("__tk_bin__") == F.col("__tk_cbin__")
+    for g, a in zip(groups, galias):
+        cond = cond & F.col(g).eqNullSafe(F.col(a))
+    # bin prefix + in-bin rank == the global rank (equal scores share a
+    # bin), so this is the single-window row_number rule verbatim
+    w_bin = Window.partitionBy(*groups, "__tk_bin__").orderBy(
+        F.desc("__tk_ord__"), F.md5(key.cast("string")), key
+    )
+    return (
+        binned.join(coarse, cond)
+        .filter(F.col("__tk_before__") < k)
+        .withColumn("__tk_rn__", F.row_number().over(w_bin))
+        .filter(F.col("__tk_before__") + F.col("__tk_rn__") <= k)
+        .drop(
+            "__tk_ord__",
+            "__tk_bin__",
+            "__tk_rn__",
+            "__tk_cbin__",
+            "__tk_before__",
+            *galias,
+        )
+    )
+
+
+def assign_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    len_col: str | None = None,
+    shard_col: str = "shard",
+    digits: int = 6,
+) -> DataFrame:
+    """Deterministic, weight-balanced shard assignment — the write-side
+    counterpart of the packing/budget family: split a corpus into
+    ``n_shards`` near-equal TOKEN-mass shards (``len_col``; row-balanced
+    when None) for training-data output layout.  A document's shard is a
+    pure function of the corpus content — ``floor(mass_before × n /
+    total)`` over the (md5(key), key) order — so re-running the pipeline
+    reproduces the exact same shards on any engine or partitioning, and
+    each shard's mass is within one document of ``total / n``.
+
+    Weights must be non-negative (raises on sight, job-side); NULL
+    weights count as 0 (the row still gets a shard — it sits between its
+    md5 neighbors).  NULL keys order first, like every md5-ordered
+    sampler here.  An all-zero-mass frame puts everything in shard 0.
+
+    Scale — two-level prefix sums, NEVER a global sort: the first md5
+    byte gives 256 uniform buckets that form a PREFIX of the row order,
+    so ONE map-side-combined decimal sum per bucket + a window over that
+    ≤256-row coarse table yields each bucket's exclusive prefix mass and
+    the grand total; the in-bucket exclusive prefix runs partitioned by
+    bucket (each task ~1/256th of the data).  Decimal accumulation keeps
+    the boundaries exact and engine-reproducible; the final ``floor``
+    runs in double with the same expression the SQL oracle uses."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise PhaserError(f"assign_shards needs n_shards >= 1, got {n_shards}")
+    key = F.col(key_col)
+    md5 = F.md5(key.cast("string"))
+    dec = f"decimal(38,{digits})"
+    zero = F.lit(0).cast(dec)
+    if len_col is None:
+        wt = F.lit(1).cast(dec)
+    else:
+        ld = F.col(len_col).cast("double")
+        wt = F.when(
+            ld < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("assign_shards: negative weight "),
+                    ld.cast("string"),
+                    F.lit(f" in column '{len_col}'"),
+                )
+            ),
+        ).otherwise(F.coalesce(F.round(ld, digits).cast(dec), zero))
+    bucket = F.conv(F.substring(md5, 1, 2), 16, 10).cast("int")
+    staged = df.withColumn("__sh_wt__", wt).withColumn("__sh_bkt__", bucket)
+    bmass = staged.groupBy("__sh_bkt__").agg(
+        F.sum("__sh_wt__").alias("__sh_bm__")
+    )
+    # NULL bucket (NULL key) orders first — asc_nulls_first matches the
+    # single-window (md5, key) order where NULL md5 sorts first
+    cw = (
+        Window.partitionBy()
+        .orderBy(F.col("__sh_bkt__").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cw_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # bounded coarse-table window: <= 257 rows regardless of data size
+    coarse = bmass.select(
+        F.col("__sh_bkt__").alias("__sh_cbkt__"),
+        F.coalesce(F.sum("__sh_bm__").over(cw), zero).alias("__sh_before__"),
+        F.sum("__sh_bm__").over(cw_all).alias("__sh_total__"),
+    )
+    w_bkt = Window.partitionBy("__sh_bkt__").orderBy(md5, key)
+    in_bkt = F.coalesce(
+        F.sum("__sh_wt__").over(
+            w_bkt.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        zero,
+    )
+    lo = (F.col("__sh_before__") + in_bkt).cast("double")
+    tot = F.col("__sh_total__").cast("double")
+    shard = (
+        F.when(tot <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(lo * F.lit(float(n_shards)) / tot),
+                F.lit(n_shards - 1),
+            )
+        )
+        .cast("int")
+    )
+    return (
+        staged.join(
+            F.broadcast(coarse),
+            F.col("__sh_bkt__").eqNullSafe(F.col("__sh_cbkt__")),
+        )
+        .withColumn(shard_col, shard)
+        .drop(
+            "__sh_wt__", "__sh_bkt__", "__sh_cbkt__",
+            "__sh_before__", "__sh_total__",
+        )
+    )
+
+
 def repeat_to_budget(
     df: DataFrame,
     key_col: str,

@@ -62,12 +62,34 @@ def _cosine(exact: bool) -> SparkCol:
     )
 
 
-def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+def _rank_topk(scored: DataFrame, k: int, salt_buckets: int = 0) -> DataFrame:
     """Per-query rank over (cosine desc, neighbor_id asc) and keep k —
-    the shared tail of every top-k variant."""
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
+    the shared tail of every top-k variant.
+
+    ``salt_buckets > 0`` prepends a partial top-k: rows first rank inside
+    (query_id, crc32(neighbor_id) % salt_buckets) — every global top-k
+    row is also in its bucket's top-k, so keeping k per bucket is a
+    provably lossless prefilter — and the final per-query sort sees at
+    most ``salt_buckets × k`` survivors instead of the full candidate
+    set.  The brute-force exact baseline needs this (its candidate set
+    per query IS the corpus — a single-task corpus-sized sort at 100 TB
+    otherwise); the LSH/IVF paths skip it (their candidate sets are
+    already bounded by the probed buckets/cells, and a second window
+    would be pure overhead)."""
+    order = [F.col("cosine").desc(), F.col("neighbor_id").asc()]
+    if salt_buckets > 0:
+        bucket = F.pmod(
+            F.crc32(F.col("neighbor_id").cast("string")),
+            F.lit(salt_buckets),
+        )
+        wb = Window.partitionBy("query_id", "__tb__").orderBy(*order)
+        scored = (
+            scored.withColumn("__tb__", bucket)
+            .withColumn("__brn__", F.row_number().over(wb))
+            .filter(F.col("__brn__") <= k)
+            .drop("__tb__", "__brn__")
+        )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -89,7 +111,10 @@ def cosine_topk(
 
     Broadcast-joins the query set (must be driver-small) against the
     corpus — no shuffle of the corpus itself; the only shuffle is the
-    per-query top-k window over Q·N similarity rows.
+    per-query top-k ranking over Q·N similarity rows, which runs through
+    a lossless salted prefilter (rank inside (query, crc32-bucket), keep
+    k per bucket) so no task ever sorts a corpus-sized candidate list —
+    the final per-query sort sees ≤ 64·k rows.
     ``exact=True`` accumulates dot products in decimal so results are
     bit-reproducible against an external oracle (slower; benchmarking uses
     the double path).
@@ -116,7 +141,7 @@ def cosine_topk(
     scored = scored.select(
         "query_id", "neighbor_id", _cosine(exact).alias("cosine")
     )
-    return _rank_topk(scored, k)
+    return _rank_topk(scored, k, salt_buckets=64)
 
 
 def deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
@@ -420,6 +445,51 @@ def ivf_topk(
         "query_id", "neighbor_id", _cosine(exact).alias("cosine")
     )
     return _rank_topk(scored, k)
+
+
+def recall_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_id_col: str = "query_id",
+    neighbor_id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the exact
+    one — the standard tuning loop for the ANN family: sweep ``n_probe``
+    (IVF) or ``probe_hamming``/plane count (LSH) and read recall@k
+    directly, instead of eyeballing neighbor lists.
+
+    Both inputs are top-k result frames in the shared output shape of
+    ``cosine_topk``/``lsh_topk``/``ivf_topk`` (query_id, neighbor_id,
+    cosine, rank) — ``exact`` from the brute-force baseline over a
+    bounded evaluation query sample, ``approx`` from the candidate path
+    under test.  recall = |approx ∩ exact| / |exact| per query; queries
+    the approximate path missed entirely still appear (n_hit 0, recall
+    0.0), and ties at the boundary follow each input's own deterministic
+    (cosine desc, id asc) rule, so the metric is reproducible run to run.
+
+    Scale: both inputs are already ≤ |queries|·k rows by construction —
+    everything here is a broadcast-sized join and a per-query count."""
+    e = exact.select(
+        F.col(query_id_col).alias("__r_qid__"),
+        F.col(neighbor_id_col).alias("__r_nid__"),
+    )
+    a = approx.select(
+        F.col(query_id_col).alias("__r_qid__"),
+        F.col(neighbor_id_col).alias("__r_nid__"),
+        F.lit(1).alias("__r_hit__"),
+    )
+    joined = e.join(a, ["__r_qid__", "__r_nid__"], "left")
+    return (
+        joined.groupBy(F.col("__r_qid__").alias(query_id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__r_hit__").alias("n_hit"),
+            (
+                F.count("__r_hit__").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("recall"),
+        )
+    )
 
 
 def kmeans_fit(

@@ -401,6 +401,54 @@ def test_sorted_parquet_row_groups_are_skippable(spark, tmp_path):
     )
 
 
+def test_save_training_shards_layout_and_manifest(spark, tmp_path):
+    """save_training_shards: hive shard dirs with ONE data file each,
+    membership identical to assign_shards, manifest totals exact, and a
+    shard's in-file row order is the md5 sequence (shards are sequences,
+    not just sets)."""
+    import glob
+
+    import json as _json
+
+    from phaser_spark.io import save_training_shards
+    from phaser_spark.ops.sampling import assign_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", float(1 + (i * 13) % 97)) for i in range(500)],
+        "doc_id long, text string, n_tokens double",
+    )
+    path = os.path.join(str(tmp_path), "shards")
+    entries = save_training_shards(
+        df, path, n_shards=4, key_col="doc_id", len_col="n_tokens"
+    )
+    assert [e["shard"] for e in entries] == [0, 1, 2, 3]
+    assert sum(e["n_rows"] for e in entries) == 500
+    total = sum(float(1 + (i * 13) % 97) for i in range(500))
+    assert abs(sum(e["weight"] for e in entries) - total) < 1e-6
+    for e in entries:
+        files = glob.glob(os.path.join(path, f"shard={e['shard']}", "*.parquet"))
+        assert len(files) == 1, files
+    with open(os.path.join(path, "_shards_manifest.json")) as f:
+        man = _json.load(f)
+    assert man["n_shards"] == 4 and man["shards"] == entries
+    # membership matches the pure assignment op
+    want = {
+        r["doc_id"]: r["shard"]
+        for r in assign_shards(df, "doc_id", 4, len_col="n_tokens").collect()
+    }
+    back = spark.read.parquet(path)
+    got = {r["doc_id"]: r["shard"] for r in back.collect()}
+    assert got == want
+    # in-file order of one shard follows (md5(key), key)
+    import pyarrow.parquet as pq
+
+    f0 = glob.glob(os.path.join(path, "shard=0", "*.parquet"))[0]
+    ids = pq.read_table(f0, columns=["doc_id"]).column("doc_id").to_pylist()
+    import hashlib
+
+    assert ids == sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+
+
 def test_zordered_parquet_skips_on_both_dimensions(spark, tmp_path):
     """Z-order layout: a narrow predicate on EITHER dimension must prune
     most row groups; a single-column sort can only prune on its prefix

@@ -137,6 +137,95 @@ def test_lsh_topk_high_recall_on_tight_cluster(spark, vecs):
     assert any(r["neighbor_id"] in (2, 5) for r in out)
 
 
+def test_cosine_topk_salted_prefilter_is_lossless(spark):
+    """The salted partial top-k (rank inside (query, crc32 bucket), keep
+    k per bucket) must keep the EXACT set the plain per-query window
+    keeps — on a corpus large enough that every bucket is populated —
+    and the row-level plan must carry no window partitioned by the bare
+    query_id over unbucketed candidates."""
+    import math
+
+    from pyspark.sql import Window
+
+    from phaser_spark.plan import plan_text
+
+    rows = [
+        (i, [math.sin(i * 0.7 + d) for d in range(8)]) for i in range(800)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = corpus.filter(F.col("vec_id") < 3)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.cosine_topk(corpus, q, k=7).collect()
+    }
+    # naive reference: score everything, one window per query
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+    )
+    qq = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("cv", "qv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(col, col, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = (
+        c.crossJoin(qq)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.floor(dot / (nrm(F.col("cv")) * nrm(F.col("qv"))) * 1e6) / 1e6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7)
+        .collect()
+    }
+    assert got == want
+    plan = plan_text(similarity.cosine_topk(corpus, q, k=7))
+    saw_bucketed = False
+    for line in plan.splitlines():
+        if "windowspecdefinition(query_id" in line and "__tb__" not in line:
+            # the final window is fine: its input is already <= 64·k rows
+            # (post-prefilter); the prefilter itself must be bucketed
+            assert "__brn__" not in line, f"unbucketed prefilter: {line}"
+        if "__tb__" in line:
+            saw_bucketed = True
+    assert saw_bucketed, "salted prefilter missing from plan"
+
+
+def test_recall_at_k_metric(spark):
+    exact = spark.createDataFrame(
+        [(1, 10, 0.9, 1), (1, 11, 0.8, 2), (2, 20, 0.7, 1), (2, 21, 0.6, 2),
+         (3, 30, 0.5, 1)],
+        "query_id long, neighbor_id long, cosine double, rank int",
+    )
+    # q1 fully recovered, q2 half, q3 missed entirely (no approx rows);
+    # an approx-only neighbor (2, 99) must not inflate anything
+    approx = spark.createDataFrame(
+        [(1, 10, 0.9, 1), (1, 11, 0.8, 2), (2, 20, 0.7, 1), (2, 99, 0.1, 2)],
+        "query_id long, neighbor_id long, cosine double, rank int",
+    )
+    got = {
+        r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+        for r in similarity.recall_at_k(exact, approx).collect()
+    }
+    assert got == {1: (2, 2, 1.0), 2: (2, 1, 0.5), 3: (1, 0, 0.0)}
+
+
 def test_text_stats_shapes(spark, docs):
     out = text.add_text_stats(docs).collect()
     by_id = {r["doc_id"]: r for r in out}
@@ -2473,6 +2562,149 @@ def test_top_p_by_group_null_group_and_zero_scores(spark):
     assert len([k for k in kept if k[0] is None]) == 1
     # an all-zero-mass group keeps nothing (0 < 0.5×0 is false)
     assert not [k for k in kept if k[0] == "z"]
+
+
+def test_topk_by_group_two_level_matches_single_window(spark):
+    """topk_by_group (the count-targeted generalization of the bucket
+    trick to an arbitrary numeric ordering) keeps the EXACT row set of
+    the naive row_number window, on a skewed replica where one group
+    holds 50% of the rows — including negative / zero / ±Inf scores and
+    tie plateaus — and its row-level sort is partitioned by (group, bin),
+    never by the group alone."""
+    from pyspark.sql import Window
+
+    from phaser_spark.ops import sampling
+    from phaser_spark.plan import plan_text
+
+    rows = []
+    for i in range(1000):  # en = 50%: signed scores over many octaves
+        rows.append(("en", i, float((i % 97) - 48) * float(2 ** (i % 9))))
+    for i in range(600):  # de: all-equal plateau — one bin
+        rows.append(("de", 10_000 + i, 50.0))
+    for i in range(400):  # fr: zeros, infinities, tiny magnitudes
+        s = [0.0, float("inf"), float("-inf"), 1e-300, -1e-300][i % 5]
+        rows.append(("fr", 20_000 + i, s))
+    df = spark.createDataFrame(rows, "g string, k long, s double")
+    for k, desc in [(7, True), (120, True), (2000, True), (7, False)]:
+        got = sampling.topk_by_group(df, "k", "s", "g", k=k, descending=desc)
+        kept = {(r.g, r.k) for r in got.collect()}
+        order = [
+            F.desc("s") if desc else F.asc("s"),
+            F.md5(F.col("k").cast("string")),
+            F.col("k"),
+        ]
+        w = Window.partitionBy("g").orderBy(*order)
+        want = {
+            (r.g, r.k)
+            for r in df.filter(~F.isnan("s"))
+            .withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= k)
+            .collect()
+        }
+        assert kept == want, f"k={k} desc={desc}: diverges from single-window"
+    plan = plan_text(sampling.topk_by_group(df, "k", "s", "g", k=7))
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "__tk_ord__" in line and "DESC" in line:
+            assert "__tk_bin__" in line, f"full-group sort in plan: {line}"
+
+
+def test_topk_by_group_edges(spark):
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops import sampling
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 5.0), ("a", 2, float("nan")), ("a", 3, None),
+            ("a", 4, 3.0),
+            (None, 5, 2.0), (None, 6, 1.0),
+        ],
+        "g string, k long, s double",
+    )
+    # NaN/NULL scores cannot hold a rank; k exceeding group size keeps all
+    kept = {(r.g, r.k) for r in
+            sampling.topk_by_group(df, "k", "s", "g", k=10).collect()}
+    assert kept == {("a", 1), ("a", 4), (None, 5), (None, 6)}
+    # NULL group is a real group with its own quota
+    top1 = {(r.g, r.k) for r in
+            sampling.topk_by_group(df, "k", "s", "g", k=1).collect()}
+    assert top1 == {("a", 1), (None, 5)}
+    # ascending flips the kept end
+    asc1 = {(r.g, r.k) for r in
+            sampling.topk_by_group(df, "k", "s", "g", k=1,
+                                   descending=False).collect()}
+    assert asc1 == {("a", 4), (None, 6)}
+    with pytest.raises(PhaserError, match="k >= 1"):
+        sampling.topk_by_group(df, "k", "s", "g", k=0)
+
+
+def test_assign_shards_balanced_matches_single_window(spark):
+    """assign_shards' two-level bucketed prefix equals the naive global
+    (md5, key)-ordered exclusive-prefix rule, every shard's mass is
+    within one document of total/n, and assignment is stable across
+    replans."""
+    from pyspark.sql import Window
+
+    from phaser_spark.ops import sampling
+
+    rows = [(i, float(1 + (i * 37) % 199)) for i in range(3000)]
+    rows += [(None, 50.0), (99999, None)]  # NULL key / NULL weight
+    df = spark.createDataFrame(rows, "k long, w double")
+    n = 8
+    got = sampling.assign_shards(df, "k", n, len_col="w")
+    by_key = {r["k"]: r["shard"] for r in got.collect()}
+    # naive single-window reference
+    wt = F.coalesce(F.round(F.col("w"), 6).cast("decimal(38,6)"),
+                    F.lit(0).cast("decimal(38,6)"))
+    ww = Window.orderBy(F.md5(F.col("k").cast("string")), F.col("k"))
+    lo = F.coalesce(
+        F.sum(wt).over(ww.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("decimal(38,6)"),
+    ).cast("double")
+    tot = F.sum(wt).over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    ).cast("double")
+    want = {
+        r["k"]: r["s"]
+        for r in df.select(
+            "k",
+            F.least(F.floor(lo * n / tot), F.lit(n - 1)).cast("int").alias("s"),
+        ).collect()
+    }
+    assert by_key == want
+    # balance: every shard within one max-weight of total/n
+    mass = {}
+    for r in got.collect():
+        mass[r["shard"]] = mass.get(r["shard"], 0.0) + (r["w"] or 0.0)
+    total = sum(v for _, v in ((k, w or 0.0) for k, w in rows))
+    assert set(mass) == set(range(n))
+    for s, m in mass.items():
+        assert abs(m - total / n) <= 199.0 + 1e-6, (s, m, total / n)
+    # determinism across replans
+    again = {r["k"]: r["shard"] for r in
+             sampling.assign_shards(df, "k", n, len_col="w").collect()}
+    assert again == by_key
+
+
+def test_assign_shards_edges(spark):
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops import sampling
+
+    zero = spark.createDataFrame([(1, 0.0), (2, 0.0)], "k long, w double")
+    assert {r["shard"] for r in
+            sampling.assign_shards(zero, "k", 4, len_col="w").collect()} == {0}
+    # row-balanced mode (len_col=None): 100 rows into 10 shards of 10
+    rows = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    cnt = {}
+    for r in sampling.assign_shards(rows, "k", 10).collect():
+        cnt[r["shard"]] = cnt.get(r["shard"], 0) + 1
+    assert cnt == {i: 10 for i in range(10)}
+    with pytest.raises(PhaserError, match="n_shards >= 1"):
+        sampling.assign_shards(rows, "k", 0)
+    neg = spark.createDataFrame([(1, -2.0)], "k long, w double")
+    with pytest.raises(Exception, match="negative weight"):
+        sampling.assign_shards(neg, "k", 2, len_col="w").collect()
 
 
 def test_pps_sample_rejects_overflow_weight(spark):
