@@ -1159,6 +1159,7 @@ def assign_shards(
     len_col: str | None = None,
     shard_col: str = "shard",
     digits: int = 6,
+    seed: str | int | None = None,
 ) -> DataFrame:
     """Deterministic, weight-balanced shard assignment — the write-side
     counterpart of the packing/budget family: split a corpus into
@@ -1173,6 +1174,17 @@ def assign_shards(
     weights count as 0 (the row still gets a shard — it sits between its
     md5 neighbors).  NULL keys order first, like every md5-ordered
     sampler here.  An all-zero-mass frame puts everything in shard 0.
+    ``seed`` salts the order (``md5(seed || key)``) — each training
+    epoch gets a different but equally-balanced, equally-reproducible
+    document order/shard mix.
+
+    Contract nuance vs this module's hash splits: shard membership is
+    CORPUS-relative (a balanced layout needs the global mass), so
+    appending documents shifts boundaries — rerunning on the same corpus
+    is bit-stable, rerunning on a grown corpus is not.  When a row's
+    assignment must survive corpus growth, that is
+    :func:`split_by_hash` / :func:`hash_bucket` (membership a pure
+    function of the row), at the cost of only probabilistic balance.
 
     Scale — two-level prefix sums, NEVER a global sort: the first md5
     byte gives 256 uniform buckets that form a PREFIX of the row order,
@@ -1187,7 +1199,10 @@ def assign_shards(
     if n_shards < 1:
         raise PhaserError(f"assign_shards needs n_shards >= 1, got {n_shards}")
     key = F.col(key_col)
-    md5 = F.md5(key.cast("string"))
+    if seed is None:
+        md5 = F.md5(key.cast("string"))
+    else:
+        md5 = F.md5(F.concat(F.lit(f"{seed}|"), key.cast("string")))
     dec = f"decimal(38,{digits})"
     zero = F.lit(0).cast(dec)
     if len_col is None:

@@ -2705,6 +2705,18 @@ def test_assign_shards_edges(spark):
     neg = spark.createDataFrame([(1, -2.0)], "k long, w double")
     with pytest.raises(Exception, match="negative weight"):
         sampling.assign_shards(neg, "k", 2, len_col="w").collect()
+    # epoch seed: different mix, same balance, still deterministic
+    e0 = {r["k"]: r["shard"] for r in
+          sampling.assign_shards(rows, "k", 10, seed=1).collect()}
+    e0b = {r["k"]: r["shard"] for r in
+           sampling.assign_shards(rows, "k", 10, seed=1).collect()}
+    base = {r["k"]: r["shard"] for r in
+            sampling.assign_shards(rows, "k", 10).collect()}
+    assert e0 == e0b and e0 != base
+    per = {}
+    for s in e0.values():
+        per[s] = per.get(s, 0) + 1
+    assert per == {i: 10 for i in range(10)}
 
 
 def test_pps_sample_rejects_overflow_weight(spark):
