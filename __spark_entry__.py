@@ -1637,7 +1637,11 @@ def topk_docs_by_lang(spark, sf_dir):
     row_number formulation the oracle replays."""
     from phaser_spark.ops import sampling
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    # doc_id IS NOT NULL: a NULL id ties at the boundary differently in
+    # Spark (NULLS FIRST) vs DuckDB (NULLS LAST) md5 ordering
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("doc_id").isNotNull()
+    )
     scored = docs.withColumn(
         "score", F.col("n_chars").cast("double") - F.lit(400.0)
     )
@@ -4179,7 +4183,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang,
                        CAST(n_chars AS DOUBLE) - 400.0 AS score
                 FROM documents
-                WHERE n_chars IS NOT NULL
+                WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
             ), ranked AS (
                 SELECT doc_id, lang, score,
                        ROW_NUMBER() OVER (

@@ -633,25 +633,33 @@ def save_training_shards(
     )
     entries: list[dict] = []
     if manifest:
+        # stats come from the files just written (one cheap scan of the
+        # new parquet), not from re-executing the assignment lineage —
+        # the caller's upstream may be an expensive curation pipeline
+        written = df.sparkSession.read.parquet(path)
         wt = (
             F.col(len_col).cast("double") if len_col else F.lit(1.0)
         )
-        stats = (
-            assigned.groupBy("shard")
+        stats = {
+            int(r["shard"]): r
+            for r in written.groupBy("shard")
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.sum(F.coalesce(wt, F.lit(0.0))).alias("weight"),
             )
-            .orderBy("shard")
             .collect()
-        )
+        }
+        # every shard id appears, including EMPTY ones (a document
+        # heavier than total/n spans several shard widths, leaving gaps;
+        # the hive layout only materializes non-empty directories, so
+        # loaders should iterate this manifest, not range(n_shards) dirs)
         entries = [
             {
-                "shard": int(r["shard"]),
-                "n_rows": int(r["n_rows"]),
-                "weight": float(r["weight"]),
+                "shard": s,
+                "n_rows": int(stats[s]["n_rows"]) if s in stats else 0,
+                "weight": float(stats[s]["weight"]) if s in stats else 0.0,
             }
-            for r in stats
+            for s in range(n_shards)
         ]
         with open(os.path.join(path, "_shards_manifest.json"), "w") as f:
             json.dump(

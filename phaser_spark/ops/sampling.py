@@ -1047,7 +1047,10 @@ def topk_by_group(
     group are kept, exactly like the single-window ``row_number() <= k``
     rule the SQL oracle replays.  NULL/NaN scores exclude the row (a row
     that cannot be ordered cannot hold a rank); ±Inf participate
-    normally (they order to the extremes).
+    normally (they order to the extremes).  ``key_col`` must be unique
+    per row (the :func:`pps_sample` contract): rows sharing a key tie
+    completely in the order, so which of them takes a rank at the ``k``
+    boundary is partition-order-dependent.
 
     Scale — two-level selection, NEVER a full per-group sort (same shape
     as :func:`top_p_by_group`, counts instead of mass):
@@ -1170,10 +1173,17 @@ def assign_shards(
     reproduces the exact same shards on any engine or partitioning, and
     each shard's mass is within one document of ``total / n``.
 
-    Weights must be non-negative (raises on sight, job-side); NULL
-    weights count as 0 (the row still gets a shard — it sits between its
-    md5 neighbors).  NULL keys order first, like every md5-ordered
-    sampler here.  An all-zero-mass frame puts everything in shard 0.
+    Weights must be non-negative and finite, and must fit
+    ``decimal(38, digits)`` (negative / NaN / ±Inf / overflow raise on
+    sight, job-side — same discipline as :func:`pps_sample`: a silently
+    zeroed heavy document would skew every shard boundary); NULL weights
+    count as 0 (the row still gets a shard — it sits between its md5
+    neighbors).  NULL keys order first, like every md5-ordered sampler
+    here.  An all-zero-mass frame puts everything in shard 0.
+    ``key_col`` must be unique per row (also like :func:`pps_sample`):
+    rows sharing a key tie completely in the order, so the prefix split
+    between them — and hence a shard boundary falling between them — is
+    partition-order-dependent.
     ``seed`` salts the order (``md5(seed || key)``) — each training
     epoch gets a different but equally-balanced, equally-reproducible
     document order/shard mix.
@@ -1209,11 +1219,15 @@ def assign_shards(
         wt = F.lit(1).cast(dec)
     else:
         ld = F.col(len_col).cast("double")
+        # decimal(38,d) holds < 1e(38-d); reject before the cast would
+        # return NULL (non-ANSI) and the NULL-means-0 coalesce below
+        # silently zeroed the heaviest rows
+        bad = (ld < 0) | F.isnan(ld) | (ld >= F.lit(float(10 ** (38 - digits))))
         wt = F.when(
-            ld < 0,
+            bad,
             F.raise_error(
                 F.concat(
-                    F.lit("assign_shards: negative weight "),
+                    F.lit("assign_shards: negative/NaN/Inf/overflow weight "),
                     ld.cast("string"),
                     F.lit(f" in column '{len_col}'"),
                 )

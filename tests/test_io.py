@@ -449,6 +449,33 @@ def test_save_training_shards_layout_and_manifest(spark, tmp_path):
     assert ids == sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
 
 
+def test_save_training_shards_empty_shards_in_manifest(spark, tmp_path):
+    """A document heavier than total/n spans several shard widths,
+    leaving EMPTY shards: the hive layout only materializes non-empty
+    directories, so the manifest must still carry every shard id (with
+    zero rows/weight) for loaders that iterate it."""
+    from phaser_spark.io import save_training_shards
+
+    df = spark.createDataFrame(
+        [(1, 100.0), (2, 1.0), (3, 1.0), (4, 1.0)],
+        "doc_id long, n_tokens double",
+    )
+    path = os.path.join(str(tmp_path), "gappy")
+    entries = save_training_shards(
+        df, path, n_shards=4, key_col="doc_id", len_col="n_tokens"
+    )
+    assert [e["shard"] for e in entries] == [0, 1, 2, 3]
+    assert sum(e["n_rows"] for e in entries) == 4
+    empty = [e for e in entries if e["n_rows"] == 0]
+    assert empty, "expected at least one empty shard with a 100:1 heavy doc"
+    assert all(e["weight"] == 0.0 for e in empty)
+    # read-back agrees with the manifest
+    back = spark.read.parquet(path).groupBy("shard").count().collect()
+    got = {r["shard"]: r["count"] for r in back}
+    for e in entries:
+        assert got.get(e["shard"], 0) == e["n_rows"]
+
+
 def test_zordered_parquet_skips_on_both_dimensions(spark, tmp_path):
     """Z-order layout: a narrow predicate on EITHER dimension must prune
     most row groups; a single-column sort can only prune on its prefix

@@ -2703,8 +2703,15 @@ def test_assign_shards_edges(spark):
     with pytest.raises(PhaserError, match="n_shards >= 1"):
         sampling.assign_shards(rows, "k", 0)
     neg = spark.createDataFrame([(1, -2.0)], "k long, w double")
-    with pytest.raises(Exception, match="negative weight"):
+    with pytest.raises(Exception, match="negative/NaN/Inf/overflow weight"):
         sampling.assign_shards(neg, "k", 2, len_col="w").collect()
+    # NaN / Inf / decimal-overflow weights must fail LOUDLY — a silently
+    # zeroed heavy document would skew every shard boundary (the
+    # pps_sample discipline)
+    for w in (float("nan"), float("inf"), 1e33):
+        bad = spark.createDataFrame([(1, w), (2, 1.0)], "k long, w double")
+        with pytest.raises(Exception, match="negative/NaN/Inf/overflow weight"):
+            sampling.assign_shards(bad, "k", 2, len_col="w").collect()
     # epoch seed: different mix, same balance, still deterministic
     e0 = {r["k"]: r["shard"] for r in
           sampling.assign_shards(rows, "k", 10, seed=1).collect()}
