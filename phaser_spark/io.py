@@ -601,6 +601,7 @@ def save_training_shards(
     key_col: str,
     len_col: str | None = None,
     manifest: bool = True,
+    seed: str | int | None = None,
 ) -> list[dict]:
     """Training-shard parquet sink: write the frame as ``n_shards``
     near-equal token-mass shards (hive-partitioned ``shard=<i>``
@@ -618,12 +619,17 @@ def save_training_shards(
     ``repartitionByRange`` keeps shard i wholly in partition i, so
     exactly one file per shard without a post-pass.  Rows are sorted by
     the md5 order within each shard, so a shard is also a deterministic
-    SEQUENCE, not just a set.  The manifest aggregate is n_shards rows.
+    SEQUENCE, not just a set.  ``seed`` (per training epoch) reshuffles
+    both membership and in-shard order, equally balanced and equally
+    reproducible.  The manifest aggregate is n_shards rows.
     Returns the manifest entries."""
     from .ops.sampling import assign_shards
 
-    assigned = assign_shards(df, key_col, n_shards, len_col=len_col)
-    md5 = F.md5(F.col(key_col).cast("string"))
+    assigned = assign_shards(df, key_col, n_shards, len_col=len_col, seed=seed)
+    if seed is None:
+        md5 = F.md5(F.col(key_col).cast("string"))
+    else:
+        md5 = F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string")))
     (
         assigned.repartitionByRange(n_shards, F.col("shard"))
         .sortWithinPartitions(F.col("shard"), md5, F.col(key_col))

@@ -447,6 +447,14 @@ def test_save_training_shards_layout_and_manifest(spark, tmp_path):
     import hashlib
 
     assert ids == sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    # an epoch seed reshuffles membership but keeps the full corpus
+    p2 = os.path.join(str(tmp_path), "shards_epoch1")
+    e2 = save_training_shards(
+        df, p2, n_shards=4, key_col="doc_id", len_col="n_tokens", seed=1
+    )
+    assert sum(e["n_rows"] for e in e2) == 500
+    got2 = {r["doc_id"]: r["shard"] for r in spark.read.parquet(p2).collect()}
+    assert got2 != got
 
 
 def test_save_training_shards_empty_shards_in_manifest(spark, tmp_path):
