@@ -401,22 +401,30 @@ def _collect_parts(tmp: str, pattern: str, filename: str, header_lines: int = 0)
 def save_csv(df: DataFrame, filename: str, single_file: bool = True) -> None:
     """CSV sink (phaser/io.py:164-190): nulls → empty string, lists
     stringified; one output file for CLI parity (part-files streamed
-    together driver-side, no row materialization)."""
+    together driver-side, no row materialization).
+
+    Spark's CSV writer TRIMS leading/trailing whitespace by default
+    (write-side ``ignoreLeading/TrailingWhiteSpace`` default to true) —
+    silently turning ``"  "`` into ``""`` and ``" x "`` into ``"x"`` at
+    every checkpoint, where the reference round-trips them (caught by
+    the randomized differential harness' blank axis).  Both disabled."""
     out = _stringify_complex(df)
+    opts = dict(
+        header=True,
+        nullValue="",
+        emptyValue="",
+        ignoreLeadingWhiteSpace=False,
+        ignoreTrailingWhiteSpace=False,
+    )
     if single_file:
         tmp = tempfile.mkdtemp(prefix="phaser_csv_")
         try:
-            (
-                out.coalesce(1)
-                .write.mode("overwrite")
-                .options(header=True, nullValue="", emptyValue="")
-                .csv(tmp)
-            )
+            out.coalesce(1).write.mode("overwrite").options(**opts).csv(tmp)
             _collect_parts(tmp, "part-*.csv", filename, header_lines=1)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     else:
-        out.write.mode("overwrite").options(header=True, nullValue="", emptyValue="").csv(filename)
+        out.write.mode("overwrite").options(**opts).csv(filename)
 
 
 def save_json(df: DataFrame, filename: str, single_file: bool = True) -> None:

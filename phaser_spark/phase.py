@@ -328,7 +328,13 @@ class Phase:
         for c in self.columns:
             if c.name not in df.columns:
                 if c.required:
-                    raise DataException(
+                    # PhaserError, not DataException: the reference wraps
+                    # the check_required raise escaping phase.run() in
+                    # PhaserError (phaser/pipeline.py:186-189), so a
+                    # missing required header is a RUN failure there —
+                    # same observable type here (differential harness
+                    # asserts outcome parity)
+                    raise PhaserError(
                         f"Phase {self.name}: required column '{c.name}' not found "
                         f"in {[h for h in df.columns if h not in INTERNAL_COLS]}"
                     )

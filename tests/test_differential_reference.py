@@ -177,7 +177,9 @@ def _write_csv(path: str, seed: int, n: int = 18) -> None:
     # header variants exercise canonicalization + rename on both engines
     headers = ["Emp ID", "first", "LAST", "status", "amount", "code", "joined"]
     statuses = ["active", "inactive", "retired", "active", "active"]
-    firsts = ["ada", "grace", "alan", "edsger", "barbara", "donald"]
+    # "" and whitespace-only both count as blank in both engines
+    # (reference `not value.strip()`; this engine's blank contract)
+    firsts = ["ada", "grace", "alan", "edsger", "barbara", "donald", "", "  "]
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(headers)
@@ -390,11 +392,14 @@ SCENARIOS = {
 #
 # The curated scenarios above pin the interactions we THOUGHT to write
 # down; this generator samples the same declarative space at random —
-# column contracts (type × null/blank/default/allowed/min-max/fix ×
-# policy) and step stacks drawn from a seeded grammar — and runs every
-# sampled spec through BOTH engines.  Divergences either get fixed or
-# become PARITY.md entries; the generator is the cheapest remaining way
-# to find semantic drift the 30 curated cases miss.
+# column contracts (type × null/blank/default/allowed/fix × policy ×
+# required/ghost × save) and step stacks drawn from a seeded grammar —
+# and runs every sampled spec through BOTH engines.  Divergences either
+# get fixed or become PARITY.md entries; the generator is the cheapest
+# remaining way to find semantic drift the curated cases miss.
+# Round-10 second pass added the blank / required-ghost / save axes
+# (blank data in the firsts pool; a missing required header is a
+# PhaserError run failure in both engines — see phase.py's parity note).
 #
 # Deliberately OUTSIDE the sampled space:
 #   * ON_ERROR_STOP_NOW — "abort at the first error" exposes evaluation
@@ -424,15 +429,37 @@ def _gen_scenario(seed: int) -> dict:
     has_emp = rng.random() < 0.8
     if has_emp:
         columns.append(col("int", "emp_id", **emp_kwargs))
-    # first/last: string fixes
+    # first/last: string fixes + blank + save axes.  blank only exists on
+    # the base Column (typed reference columns hard-code blank=True), and
+    # the data deliberately carries blank firsts so blank=False fires;
+    # a blank that errors must not ALSO feed derive_full's row['first']
+    # read in the same scenario (the reference reverts the errored row
+    # wholesale — the retention divergence), so blank=False pins the
+    # policy to @COLLECT, whose failing rows are outcome/event-compared.
+    blankable_first = False
     if rng.random() < 0.6:
         kw = {}
         if rng.random() < 0.7:
             kw["fix_value_fn"] = rng.choice(_FIX_POOL)
+        if rng.random() < 0.4:
+            kw["blank"] = False
+            kw["on_error"] = "@COLLECT"
+            blankable_first = True
         columns.append(col("any", "first", **kw))
     has_last = rng.random() < 0.4
     if has_last:
-        columns.append(col("any", "last", rename=["LAST"]))
+        kw = {"rename": ["LAST"]}
+        if rng.random() < 0.3:
+            kw["save"] = False  # dropped at checkpoint by BOTH engines
+        columns.append(col("any", "last", **kw))
+    # ghost: a declared column absent from the data — required=True is a
+    # PhaserError run failure in both engines (the reference wraps the
+    # check_required raise escaping phase.run(), pipeline.py:186-189);
+    # required=False materializes an all-null column in both
+    if rng.random() < 0.3:
+        columns.append(
+            col("any", "bonus", required=rng.random() < 0.4)
+        )
     # status: allowed-values membership (sometimes missing one => errors)
     failable_status = False
     if rng.random() < 0.6:
@@ -506,6 +533,7 @@ def _gen_scenario(seed: int) -> dict:
     # null=False on blank-bearing emp_id.
     cast_clean = (
         emp_null
+        and not blankable_first  # a blank-collected row reverts wholesale
         and not any(c["name"] == "code" for c in columns)
         and not any(
             len(c["kwargs"].get("allowed_values", [3])) < 3 for c in columns

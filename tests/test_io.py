@@ -401,6 +401,24 @@ def test_sorted_parquet_row_groups_are_skippable(spark, tmp_path):
     )
 
 
+def test_save_csv_preserves_whitespace(spark, tmp_path):
+    """Spark's CSV writer trims leading/trailing whitespace by default —
+    the sink must disable that: '  ' (blank-but-not-empty) and ' x '
+    round-trip exactly, as the reference's writer does (caught by the
+    differential harness' blank axis)."""
+    from phaser_spark.io import read_csv, save_csv
+
+    df = spark.createDataFrame(
+        [("  ", " x ", "a"), ("b", "c", "d")], "p string, q string, r string"
+    )
+    out = os.path.join(str(tmp_path), "ws.csv")
+    save_csv(df, out)
+    body = open(out).read()
+    assert "  , x ,a" in body.replace('"', "")
+    back = {r["r"]: (r["p"], r["q"]) for r in read_csv(spark, out).collect()}
+    assert back["a"] == ("  ", " x ")
+
+
 def test_save_training_shards_layout_and_manifest(spark, tmp_path):
     """save_training_shards: hive shard dirs with ONE data file each,
     membership identical to assign_shards, manifest totals exact, and a

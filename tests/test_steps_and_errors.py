@@ -465,3 +465,26 @@ def test_row_step_survives_multiple_prior_warnings(spark):
     assert len(rows[1]["__phaser_warnings__"]) == 2
     assert rows[2]["doubled"] == 4 and len(rows[2]["__phaser_warnings__"]) == 1
     assert rows[15]["doubled"] == 30 and len(rows[15]["__phaser_warnings__"]) == 1
+
+
+def test_missing_required_column_is_a_phaser_error(spark):
+    """A declared required column absent from the data is a RUN failure
+    of type PhaserError — the reference wraps the check_required raise
+    escaping phase.run() in PhaserError (phaser/pipeline.py:186-189),
+    and the differential harness asserts outcome-type parity.  An
+    optional (required=False) missing column materializes as all-null
+    instead, and save=False ones are not materialized at all."""
+    from phaser_spark.exceptions import PhaserError
+
+    df = with_row_numbers(spark.createDataFrame([("a",)], "x string"))
+    with pytest.raises(PhaserError, match="required column 'ghost'"):
+        Phase(name="R", columns=[Column("ghost")]).run(df)
+    out = Phase(
+        name="O", columns=[Column("ghost", required=False)]
+    ).run(df)
+    rows = out.collect()
+    assert rows[0]["ghost"] is None
+    out2 = Phase(
+        name="S", columns=[Column("ghost", required=False, save=False)]
+    ).run(df)
+    assert "ghost" not in out2.columns
