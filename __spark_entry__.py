@@ -3007,6 +3007,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_cube_revenue": a9_cube_revenue,
         "heavy_hitters_users": heavy_hitters_users,
         # ---- past the driver's 50-query cap (redundant coverage) ----
+        # Round-11 rotation shortlist (never externally hash-checked;
+        # highest value first): topk_docs_by_lang, shard_assign_docs,
+        # ann_recall_ivf, a3_running_sum (r10 two-level rewrite),
+        # o3_duplicate_keys, text_tfidf_top_terms, funnel_within_day,
+        # quantile_bin_prices, sample_docs_per_lang (r10 two-level
+        # rewrite), j6_asof_forward.  Swap out in-window entries whose
+        # family keeps a second driver-green representative.
         # -- new in round 10 (local parity first; rotate in next round) --
         "topk_docs_by_lang": topk_docs_by_lang,
         "ann_recall_ivf": ann_recall_ivf,
