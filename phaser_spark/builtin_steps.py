@@ -97,22 +97,37 @@ def filter_rows(func: Callable | SparkCol, name: str = "filter_rows"):
 
     @batch_step(internal=True)
     def _filter_rows(df: DataFrame, context=None) -> DataFrame:
-        from .constants import DROP_COL, DROP_STEP_COL
+        from .constants import DROP_COL, DROP_STEP_COL, SWEPT_COL
 
         tag = _mint_drop_tag(context, name)
 
+        # SWEPT rows (errored, and a row step has since run) are
+        # INVISIBLE to the filter: the reference removes errored rows
+        # from its working set at the next ROW step (phase.py:90-91),
+        # so a filter running after one never drops or counts them —
+        # but a filter running BEFORE any row step intervenes still
+        # sees the errored row (raw values) and drops it like any
+        # other.  Both halves caught by randomized differential seeds
+        # 99/127 (swept must not count) and 21 (unswept must count).
+        swept = (
+            F.col(SWEPT_COL) if SWEPT_COL in df.columns else F.lit(False)
+        )
         if isinstance(func, SparkCol):
-            newly = (~F.col(DROP_COL)) & ~F.coalesce(func, F.lit(False))
+            newly = (~F.col(DROP_COL)) & ~swept & ~F.coalesce(func, F.lit(False))
         else:
             # the python predicate sees a plain dict of the data columns
             data_cols = _data_columns(df) + [PHASER_ROW_NUM]
+            has_swept = SWEPT_COL in df.columns
 
             def gen(batches):
                 for pdf in batches:
                     sub = pdf[data_cols].astype(object).where(pdf[data_cols].notna(), None)
+                    sw = pdf[SWEPT_COL] if has_swept else [False] * len(pdf)
                     keep = [
-                        bool(dropped) or bool(func(rec))
-                        for dropped, rec in zip(pdf[DROP_COL], sub.to_dict("records"))
+                        bool(dropped) or bool(s) or bool(func(rec))
+                        for dropped, s, rec in zip(
+                            pdf[DROP_COL], sw, sub.to_dict("records")
+                        )
                     ]
                     yield pdf.assign(__phaser_keep__=keep)
 

@@ -75,13 +75,27 @@ DROP_COL = "__phaser_drop__"
 # materialized phase checkpoint (a pruned metadata-cheap column scan)
 # instead of re-executing the pre-filter plan.
 DROP_STEP_COL = "__phaser_drop_step__"
+# True once a ROW step has run while this row carried an error: the
+# reference physically removes errored rows from its working set at the
+# NEXT row step (phaser/phase.py:90-91 `continue` skips appending to
+# new_data) — but batch steps that run BEFORE any row step intervenes
+# still see (and e.g. filter_rows still drops/counts) the errored row.
+# This flag reproduces that visibility rule without removing rows.
+SWEPT_COL = "__phaser_swept__"
 
 #: original row number stashed by a ``renumber=True`` phase so events keep
 #: their error-time attribution (the reference records events at raise
 #: time; renumbering must not rewrite the report's row references)
 EVENT_ROW_COL = "__phaser_event_row__"
 
-INTERNAL_COLS = (ERROR_COL, WARNING_COL, DROP_COL, DROP_STEP_COL, EVENT_ROW_COL)
+INTERNAL_COLS = (
+    ERROR_COL,
+    WARNING_COL,
+    DROP_COL,
+    DROP_STEP_COL,
+    EVENT_ROW_COL,
+    SWEPT_COL,
+)
 
 # Row steps receive extra sources as driver-materialized Python values
 # (reference semantics: phaser assumes small dims —

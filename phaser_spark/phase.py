@@ -44,6 +44,7 @@ from .constants import (
     ON_ERROR_WARN,
     PHASER_ROW_NUM,
     ROW_STEP_SOURCE_MAX_ROWS,
+    SWEPT_COL,
     WARNING_COL,
     normalize_policy,
 )
@@ -353,6 +354,8 @@ class Phase:
             df = df.withColumn(DROP_COL, F.lit(False))
         if DROP_STEP_COL not in df.columns:
             df = df.withColumn(DROP_STEP_COL, F.lit(None).cast("string"))
+        if SWEPT_COL not in df.columns:
+            df = df.withColumn(SWEPT_COL, F.lit(False))
         return df
 
     # -- column stage: one projection for every declared column ----------
@@ -496,6 +499,16 @@ class Phase:
 
             if st == ROW_STEP:
                 kwargs = self._step_kwargs(step, src_names, phase_sources, for_row=True)
+                # rows already carrying an error at row-step ENTRY are,
+                # in the reference, removed from the working set here
+                # (phase.py:90-91) — mark them swept so later batch
+                # steps (filter_rows) treat them as invisible; rows that
+                # error DURING this step stay visible until the next one
+                if SWEPT_COL in df.columns:
+                    df = df.withColumn(
+                        SWEPT_COL,
+                        F.col(SWEPT_COL) | F.col(ERROR_COL).isNotNull(),
+                    )
                 df = run_row_step(
                     df,
                     step,

@@ -50,6 +50,7 @@ from .constants import (
     EVENT_WARNING,
     INTERNAL_COLS,
     PHASER_ROW_NUM,
+    SWEPT_COL,
     WARNING_COL,
 )
 from .exceptions import (
@@ -430,6 +431,10 @@ def run_row_step(
                 # would otherwise reset it to None and the deferred
                 # 'step X dropped N rows' count would read 0
                 out[DROP_STEP_COL] = drop_step
+                # same for the swept flag (errored-row visibility to
+                # later batch steps — set at row-step entry in phase.py)
+                if SWEPT_COL in out_names:
+                    out[SWEPT_COL] = bool(rec.get(SWEPT_COL) or False)
                 if want_extras:
                     out[_EXTRA_DELTA_COL] = json.dumps(deltas) if deltas else None
                 rows_out.append(out)

@@ -93,6 +93,55 @@ def test_filter_rows_python_predicate(spark):
     assert [r["k"] for r in out.filter(~F.col(DROP_COL)).collect()] == ["y"]
 
 
+def test_filter_rows_errored_row_visibility(spark):
+    """Reference visibility rule for errored rows (randomized
+    differential seeds 21/99/127): the reference removes an errored row
+    from its working set at the NEXT ROW step (phaser/phase.py:90-91) —
+    so a filter_rows running BEFORE any row step intervenes still sees,
+    drops, and counts the errored row (raw values), while a filter
+    running AFTER one must treat it as invisible.  Both predicate
+    paths, both step orders."""
+    from phaser_spark import IntColumn, row_step
+    from phaser_spark.constants import DROP_COL
+
+    @row_step
+    def noop(row, **kwargs):
+        return row
+
+    data = [("active", 1), ("retired", None), ("retired", 3)]
+    for pred in (F.col("status") == "active", lambda row: row["status"] == "active"):
+        # (a) filter directly after the cast: the errored retired row is
+        # still visible — both retired rows drop, count = 2
+        ctx = Context(spark=spark)
+        ph = Phase(
+            name="T",
+            columns=[IntColumn("code", null=False)],
+            steps=[filter_rows(pred)],
+            context=ctx,
+        )
+        out = ph.run(spark.createDataFrame(data, "status string, code int"))
+        dropped = sorted(
+            (r["code"] or -1) for r in out.filter(F.col(DROP_COL)).collect()
+        )
+        assert dropped == [-1, 3], dropped
+        evs = [e for e in ctx.driver_events if e["type"] == "DROPPED_ROW"]
+        assert len(evs) == 1 and "2 rows dropped" in evs[0]["message"]
+        # (b) a row step between cast and filter SWEEPS the errored row:
+        # only the clean retired row drops, count = 1
+        ctx2 = Context(spark=spark)
+        ph2 = Phase(
+            name="T2",
+            columns=[IntColumn("code", null=False)],
+            steps=[noop, filter_rows(pred)],
+            context=ctx2,
+        )
+        out2 = ph2.run(spark.createDataFrame(data, "status string, code int"))
+        dropped2 = [r["code"] for r in out2.filter(F.col(DROP_COL)).collect()]
+        assert dropped2 == [3], dropped2
+        evs2 = [e for e in ctx2.driver_events if e["type"] == "DROPPED_ROW"]
+        assert len(evs2) == 1 and "1 rows dropped" in evs2[0]["message"]
+
+
 def test_drop_count_resolves_from_checkpoint_not_rescan(spark):
     # when the pipeline has materialized a checkpoint, the summarized drop
     # count must come from it — the fallback (a re-execution of the step's
