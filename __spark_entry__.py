@@ -2951,13 +2951,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # other dedup variants; ann_ivf <- ann_cosine+ann_lsh; o1 <- o2
         # ordering; events_sessionize <- streaming windows + a4 runs;
         # stratified+pack <- pps+top_p sampling; embedding_centroids <-
-        # kmeans).  Entries past the cap all still run green under
-        # tests/oracle_parity.py (mandatory in the oracle tier, see
-        # tests/test_driver_contract.py).
+        # kmeans).  Round 11 ROTATION (VERDICT r10 next-round #1): the two
+        # r10-rewritten queries whose last external check predates their
+        # current code (a3_running_sum two-level rewrite; sample_docs_per
+        # _lang two-level rewrite) plus eight never-externally-checked
+        # entries (topk_docs_by_lang, shard_assign_docs, ann_recall_ivf,
+        # o3_duplicate_keys, text_tfidf_top_terms, funnel_within_day,
+        # quantile_bin_prices, j6_asof_forward) admitted by rotating out
+        # ten r9/r10-green entries whose family keeps an in-window
+        # sibling (a4 <- a3 window/runs; dedup_minhash_lsh <- exact+
+        # simhash; ann_lsh <- cosine+recall_ivf; streaming_event_window
+        # <- stateful; leakage_incremental <- leakage_safe; drift <-
+        # winsorize+robust_z quality; ewma <- scd2+funnel timeseries;
+        # pps <- top_p+per-lang sampling; a9_cube <- a1/a2/a8 agg;
+        # bloom <- decontaminate+contamination).  Entries past the cap
+        # all still run green under tests/oracle_parity.py (mandatory in
+        # the oracle tier, see tests/test_driver_contract.py).
         "q1_pricing_summary": q1_pricing_summary,
         "a1_pivot_events": a1_pivot_events,
         "a2_user_event_counts": a2_user_event_counts,
-        "a4_consecutive_runs": a4_consecutive_runs,
         "a8_percentiles": a8_percentiles,
         "j1_brand_revenue": j1_brand_revenue,
         "j4_asof_join": j4_asof_join,
@@ -2974,10 +2986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_csv_roundtrip": s1_csv_roundtrip,
         "d1_table_diff": d1_table_diff,
         "streaming_stateful_user_stats": streaming_stateful_user_stats,
-        "streaming_event_window": streaming_event_window,
         "web_domains": web_domains,
         "dedup_exact_docs": dedup_exact_docs,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "ann_cosine_topk": ann_cosine_topk,
         "text_stats": text_stats,
@@ -2989,35 +2999,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "kmeans_embedding_cells": kmeans_embedding_cells,
         "scd2_customer_history": scd2_customer_history,
-        "pps_sample_docs": pps_sample_docs,
         "leakage_safe_split_docs": leakage_safe_split_docs,
-        "leakage_split_incremental_docs": leakage_split_incremental_docs,
         "contamination_report_docs": contamination_report_docs,
-        "drift_prices_by_flag": drift_prices_by_flag,
-        "ewma_customer_orders": ewma_customer_orders,
         # -- rotated INTO the window in round 10 (first external check) --
-        "ann_lsh_topk": ann_lsh_topk,
-        "bloom_decontaminate": bloom_decontaminate,
         "j5_interval_match": j5_interval_match,
         "winsorize_prices": winsorize_prices,
         "robust_z_prices": robust_z_prices,
         "top_p_docs_by_lang": top_p_docs_by_lang,
         "quality_classifier_docs": quality_classifier_docs,
         "media_header_triage": media_header_triage,
-        "a9_cube_revenue": a9_cube_revenue,
         "heavy_hitters_users": heavy_hitters_users,
-        # ---- past the driver's 50-query cap (redundant coverage) ----
-        # Round-11 rotation shortlist (never externally hash-checked;
-        # highest value first): topk_docs_by_lang, shard_assign_docs,
-        # ann_recall_ivf, a3_running_sum (r10 two-level rewrite),
-        # o3_duplicate_keys, text_tfidf_top_terms, funnel_within_day,
-        # quantile_bin_prices, sample_docs_per_lang (r10 two-level
-        # rewrite), j6_asof_forward.  Swap out in-window entries whose
-        # family keeps a second driver-green representative.
-        # -- new in round 10 (local parity first; rotate in next round) --
+        # -- rotated INTO the window in round 11: the two r10 rewrites
+        #    whose last external check predates their current code, plus
+        #    eight never-externally-checked entries --
+        "a3_running_sum": a3_running_sum,
+        "sample_docs_per_lang": sample_docs_per_lang,
         "topk_docs_by_lang": topk_docs_by_lang,
-        "ann_recall_ivf": ann_recall_ivf,
         "shard_assign_docs": shard_assign_docs,
+        "ann_recall_ivf": ann_recall_ivf,
+        "o3_duplicate_keys": o3_duplicate_keys,
+        "text_tfidf_top_terms": text_tfidf_top_terms,
+        "funnel_within_day": funnel_within_day,
+        "quantile_bin_prices": quantile_bin_prices,
+        "j6_asof_forward": j6_asof_forward,
+        # ---- past the driver's 50-query cap (redundant coverage) ----
+        # -- rotated OUT of the window in round 11 (sibling stays in) --
+        "a4_consecutive_runs": a4_consecutive_runs,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "ann_lsh_topk": ann_lsh_topk,
+        "streaming_event_window": streaming_event_window,
+        "leakage_split_incremental_docs": leakage_split_incremental_docs,
+        "drift_prices_by_flag": drift_prices_by_flag,
+        "ewma_customer_orders": ewma_customer_orders,
+        "pps_sample_docs": pps_sample_docs,
+        "a9_cube_revenue": a9_cube_revenue,
+        "bloom_decontaminate": bloom_decontaminate,
         # -- rotated OUT of the window in round 10 (sibling stays in) --
         "events_sessionize": events_sessionize,
         "o1_sort_rank": o1_sort_rank,
@@ -3033,9 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": q3_top_orders,
         "q5_nation_revenue": q5_nation_revenue,
         "topk_orders_per_customer": topk_orders_per_customer,
-        "a3_running_sum": a3_running_sum,
         "a7_time_rollup": a7_time_rollup,
-        "o3_duplicate_keys": o3_duplicate_keys,
         "u7_flatten_all": u7_flatten_all,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "streaming_dedup_keys": streaming_dedup_keys,
@@ -3053,7 +3067,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_checkpoint_agg": bucketed_checkpoint_agg,
         "salted_hotkey_join": salted_hotkey_join,
         "dedup_incremental_minhash": dedup_incremental_minhash,
-        "text_tfidf_top_terms": text_tfidf_top_terms,
         "sketch_distinct_accuracy": sketch_distinct_accuracy,
         "dedup_minhash_clusters": dedup_minhash_clusters,
         "sketch_set_overlap": sketch_set_overlap,
@@ -3078,14 +3091,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlations_orders": correlations_orders,
         "histogram_prices": histogram_prices,
         "resample_event_hours": resample_event_hours,
-        "j6_asof_forward": j6_asof_forward,
         "merge_user_activity": merge_user_activity,
         "neighbor_points": neighbor_points,
         "target_encode_priority": target_encode_priority,
-        "quantile_bin_prices": quantile_bin_prices,
         "chunk_docs_rag": chunk_docs_rag,
-        "funnel_within_day": funnel_within_day,
-        "sample_docs_per_lang": sample_docs_per_lang,
         "streaming_sliding_window": streaming_sliding_window,
         "collapse_rare_sources": collapse_rare_sources,
         "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,

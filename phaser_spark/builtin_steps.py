@@ -190,9 +190,15 @@ def drop_duplicate_rows(columns=None):
 
     @batch_step(internal=True)
     def _drop_duplicate_rows(df: DataFrame, context=None) -> DataFrame:
-        from .constants import DROP_COL, DROP_STEP_COL
+        from .constants import DROP_COL, DROP_STEP_COL, SWEPT_COL
 
         tag = _mint_drop_tag(context, "drop_duplicate_rows")
+        # swept rows are outside the reference's working set: they may
+        # neither WIN a dedup group (dropping a clean row the reference
+        # keeps) nor be tagged as dropped duplicates themselves
+        swept = (
+            F.col(SWEPT_COL) if SWEPT_COL in df.columns else F.lit(False)
+        )
 
         key = [f"`{c}`" for c in (cols or _data_columns(df))]
         # "last duplicate" follows the phase's CURRENT physical order: by
@@ -208,9 +214,11 @@ def drop_duplicate_rows(columns=None):
         # rows, so the keeper (live row latest in current order) is
         # rank 1 and markers are never re-tagged — single shuffle, no
         # filter/union split of the input
-        w = Window.partitionBy(*key).orderBy(F.col(DROP_COL).asc(), *last_order)
+        w = Window.partitionBy(*key).orderBy(
+            (F.col(DROP_COL) | swept).asc(), *last_order
+        )
         rn = F.row_number().over(w)
-        newly = (~F.col(DROP_COL)) & (rn > 1)
+        newly = (~F.col(DROP_COL)) & ~swept & (rn > 1)
         out = (
             df.withColumn("__phaser_dd_new__", newly)
             .withColumn(
@@ -240,7 +248,7 @@ def check_unique(column, strip: bool = True, ignore_case: bool = False):
 
     @batch_step(internal=True)
     def _check_unique(df: DataFrame, context=None) -> DataFrame:
-        from .constants import DROP_COL
+        from .constants import DROP_COL, SWEPT_COL
 
         if col not in df.columns:
             raise DataErrorException(
@@ -251,8 +259,13 @@ def check_unique(column, strip: bool = True, ignore_case: bool = False):
             expr = F.trim(expr)
         if ignore_case:
             expr = F.lower(F.coalesce(expr, F.lit("")))
+        # swept rows (errored + row step since) have left the reference's
+        # working set — a swept duplicate must not trip the check
+        swept = (
+            F.col(SWEPT_COL) if SWEPT_COL in df.columns else F.lit(False)
+        )
         dup = (
-            df.filter(~F.col(DROP_COL)).groupBy(expr.alias("k"))
+            df.filter(~F.col(DROP_COL) & ~swept).groupBy(expr.alias("k"))
             .count()
             .filter(F.col("count") > 1)
             .limit(1)

@@ -16,6 +16,12 @@ from ..exceptions import PhaserError
 
 _BUCKETS = 10_000
 
+# log-bin resolution cap for topk_by_group / top_p_by_group: the bin
+# layouts place zero/±Inf sentinels at ±2^31 / -2^33, and finite bins
+# span ±1074·octave_bins — 2^20 keeps every finite bin strictly inside
+# its sign range's sentinels (1074·2^20 ≈ 1.1e9 < 2^31)
+_OCTAVE_BINS_MAX = 1 << 20
+
 
 def hash_bucket(key: SparkCol, buckets: int = _BUCKETS) -> SparkCol:
     """Stable bucket in [0, buckets): first 8 hex chars of md5(key) mod n.
@@ -863,9 +869,13 @@ def top_p_by_group(
 
     if not (0.0 < p <= 1.0):
         raise PhaserError(f"top_p_by_group needs 0 < p <= 1, got {p}")
-    if octave_bins < 1:
+    if not (1 <= octave_bins <= _OCTAVE_BINS_MAX):
+        # above ~2e6 bins/octave the subnormal-positive bin range
+        # floor(log2(x)·B) (down to -1074·B) crosses below the zero
+        # sentinel -2^31 and bin order silently inverts
         raise PhaserError(
-            f"top_p_by_group needs octave_bins >= 1, got {octave_bins}"
+            f"top_p_by_group needs 1 <= octave_bins <= {_OCTAVE_BINS_MAX}, "
+            f"got {octave_bins}"
         )
     groups = [group_col] if isinstance(group_col, str) else list(group_col)
     key = F.col(key_col)
@@ -1080,9 +1090,13 @@ def topk_by_group(
 
     if k < 1:
         raise PhaserError(f"topk_by_group needs k >= 1, got {k}")
-    if octave_bins < 1:
+    if not (1 <= octave_bins <= _OCTAVE_BINS_MAX):
+        # the sign-aware bin layout needs 1074·B < 2^31 so subnormal
+        # bins stay inside their sign range's sentinels; above ~2e6
+        # bins/octave monotonicity silently breaks — reject loudly
         raise PhaserError(
-            f"topk_by_group needs octave_bins >= 1, got {octave_bins}"
+            f"topk_by_group needs 1 <= octave_bins <= {_OCTAVE_BINS_MAX}, "
+            f"got {octave_bins}"
         )
     groups = [group_col] if isinstance(group_col, str) else list(group_col)
     key = F.col(key_col)
@@ -1296,6 +1310,7 @@ def repeat_to_budget(
     max_epochs: int = 4,
     buckets: int = 1024,
     epoch_col: str = "epoch",
+    max_groups: int = 100_000,
 ) -> DataFrame:
     """Fill token budgets by REPEATING data (epoch-style upsampling):
     where :func:`token_budget_select` can only keep ≤1 copy of each
@@ -1315,8 +1330,10 @@ def repeat_to_budget(
     dropped when it is None.
 
     Scale: one tiny per-group length aggregate; the group totals (one
-    row per mix group — languages/domains/sources, bounded by contract)
-    visit the driver to compute epoch counts, exactly like an
+    row per mix group — languages/domains/sources, HARD-capped at
+    ``max_groups`` with a limit-before-collect so an id-like
+    ``group_col`` raises instead of shipping a corpus-distinct to the
+    driver) visit the driver to compute epoch counts, exactly like an
     ``ExtraMapping``; full copies are a broadcast join + a bounded
     ``explode(sequence(0, e−1))`` (never more than ``max_epochs``-way
     replication); the remainder reuses the two-level bucketed prefix
@@ -1324,11 +1341,25 @@ def repeat_to_budget(
     """
     if max_epochs < 1:
         raise ValueError(f"repeat_to_budget needs max_epochs >= 1, got {max_epochs}")
+    if max_groups < 1:
+        raise ValueError(f"repeat_to_budget needs max_groups >= 1, got {max_groups}")
+    # limit BEFORE collect (the drift_monitor_step pattern,
+    # quality.py::_counts): the cap must bound the driver transfer
+    # itself, not fire after an id-like group column already shipped a
+    # corpus-distinct to the driver
     totals = (
         df.groupBy(F.col(group_col).alias("__rb_g"))
         .agg(F.sum(F.col(len_col).cast("long")).alias("__rb_t"))
+        .limit(max_groups + 1)
         .collect()
     )
+    if len(totals) > max_groups:
+        raise PhaserError(
+            f"repeat_to_budget: column '{group_col}' has more than "
+            f"{max_groups} distinct groups — mix groups are "
+            "languages/domains/sources, not ids; pass a coarser "
+            "group_col or raise max_groups explicitly"
+        )
     plan: dict = {}
     for r in totals:
         g, t = r["__rb_g"], r["__rb_t"]

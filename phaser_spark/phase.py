@@ -258,41 +258,64 @@ class Phase:
             df = self._resolve_policies(df)
         df = self._run_steps(df)
         df = self._prepare_for_save(df)
-        if self.renumber:
-            # renumber LIVE rows only: the reference renumbers its
-            # records list, from which dropped rows are already gone —
-            # letting drop-marked marker rows consume numbers would
-            # leave gaps in the visible 1..N.  Dropped rows keep their
-            # ORIGINAL numbers (their DROPPED_ROW events were recorded
-            # against those).
-            # deterministic numbering order: the in-phase sort_by's keys
-            # (reference list order after a sort) with the prior row
-            # number as tiebreak/default — NEVER raw partition order,
-            # which for a reloaded checkpoint is file-listing order
-            # (size-binned, effectively random) rather than row order
-            order = [
-                F.col(f"`{c}`").asc_nulls_first()
-                for c in (self.context.sort_state or [])
-                if c in df.columns
-            ]
-            if PHASER_ROW_NUM in df.columns:
-                order.append(F.col(PHASER_ROW_NUM).asc())
-            # stash the error-time numbering: events were recorded against
-            # these rows BEFORE the renumber, and the report must keep
-            # naming them that way (reference records at raise time)
-            orig = (
-                F.col(PHASER_ROW_NUM)
-                if PHASER_ROW_NUM in df.columns
-                else F.lit(None).cast("long")
-            )
-            df = df.withColumn(EVENT_ROW_COL, orig)
-            live = _renumber(
-                df.filter(~F.col(DROP_COL)),
-                order_by=order or None,
-                pins=self.context.pinned_inputs,
-            )
-            df = live.unionByName(df.filter(F.col(DROP_COL)))
         return df
+
+    def _apply_renumber(self, df: DataFrame) -> DataFrame:
+        """Re-assign 1..N row numbers — the reference does this as BATCH-step
+        postprocessing (phaser/phase.py:120-121 ``preserve_numbers=False``),
+        so a ``renumber=True`` phase renumbers after EVERY batch/dataframe
+        step and NOT at all when no batch step runs (row/context steps never
+        renumber; pinned by the round-11 differential seeds 1/14/41, which
+        caught the previous end-of-phase renumber diverging on exactly
+        those shapes).
+
+        * LIVE rows (not dropped, not swept — both are gone from the
+          reference's records list) are numbered 1..N in deterministic
+          list order: the in-phase sort_by keys, then the prior row
+          number — NEVER raw partition order, which for a reloaded
+          checkpoint is file-listing order.
+        * PARKED rows (dropped/swept markers the reference no longer
+          holds) first stash their error-time number in EVENT_ROW_COL
+          for the report, then move to the NEGATIVE range: they must not
+          collide with freshly assigned live numbers (a later step's
+          realign joins on the row number) and must not inflate the
+          max+1 base for rows added later (the reference's max is over
+          live rows only).
+        * live rows already carrying an event stash their number too —
+          the reference recorded those events at raise time, before this
+          renumber; rows that error LATER keep a NULL stash and report
+          under their new number (extract_events coalesces).
+        """
+        parked = F.col(DROP_COL) | F.col(SWEPT_COL)
+        has_event = (
+            F.col(ERROR_COL).isNotNull()
+            | (F.col(WARNING_COL).isNotNull() & (F.size(WARNING_COL) > 0))
+            | parked
+        )
+        prev_stash = (
+            F.col(EVENT_ROW_COL)
+            if EVENT_ROW_COL in df.columns
+            else F.lit(None).cast("long")
+        )
+        df = df.withColumn(
+            EVENT_ROW_COL,
+            F.coalesce(prev_stash, F.when(has_event, F.col(PHASER_ROW_NUM))),
+        )
+        order = [
+            F.col(f"`{c}`").asc_nulls_first()
+            for c in (self.context.sort_state or [])
+            if c in df.columns
+        ]
+        order.append(F.col(PHASER_ROW_NUM).asc())
+        live = _renumber(
+            df.filter(~parked),
+            order_by=order,
+            pins=self.context.pinned_inputs,
+        )
+        rest = df.filter(parked).withColumn(
+            PHASER_ROW_NUM, -F.abs(F.col(PHASER_ROW_NUM))
+        )
+        return live.unionByName(rest)
 
     # -- P1: header canonicalization + renames ---------------------------
     def _rename_columns(self, df: DataFrame) -> DataFrame:
@@ -329,16 +352,31 @@ class Phase:
         for c in self.columns:
             if c.name not in df.columns:
                 if c.required:
-                    # PhaserError, not DataException: the reference wraps
-                    # the check_required raise escaping phase.run() in
-                    # PhaserError (phaser/pipeline.py:186-189), so a
-                    # missing required header is a RUN failure there —
-                    # same observable type here (differential harness
-                    # asserts outcome parity)
-                    raise PhaserError(
-                        f"Phase {self.name}: required column '{c.name}' not found "
-                        f"in {[h for h in df.columns if h not in INTERNAL_COLS]}"
+                    # The check_required raise escapes phase.run() and is
+                    # handled with the CONTEXT (pipeline) policy, not the
+                    # phase's (phaser/pipeline.py:184-189 +
+                    # context.py:process_exception):
+                    #   stop_now — process_exception re-raises the ORIGINAL
+                    #     DataErrorException before the PhaserError wrap is
+                    #     reached, so the run fails with the data exception;
+                    #   collect  — wrapped in PhaserError;
+                    #   warn/drop_row — the reference swallows the exception
+                    #     and crashes on unbound `results`
+                    #     (pipeline.py:191, UnboundLocalError) — a reference
+                    #     bug we fix by failing loud with PhaserError
+                    #     (PARITY.md "missing required header").
+                    msg = (
+                        f"Phase {self.name}: required column '{c.name}' not "
+                        f"found in "
+                        f"{[h for h in df.columns if h not in INTERNAL_COLS]}"
                     )
+                    ctx_policy = (
+                        getattr(self.context, "error_policy", None)
+                        or ON_ERROR_COLLECT
+                    )
+                    if ctx_policy == ON_ERROR_STOP_NOW:
+                        raise DataErrorException(msg)
+                    raise PhaserError(msg)
                 if c.save:
                     df = df.withColumn(c.name, F.lit(None).cast(c.spark_type))
         return df
@@ -529,18 +567,35 @@ class Phase:
                 df = self._resolve_policies(df)
                 continue
 
-            # batch / dataframe steps: operate on visible, non-dropped rows.
+            # batch / dataframe steps: operate on visible, non-dropped,
+            # non-swept rows.  SWEPT rows (errored, then a row step ran) have
+            # left the reference's working set ENTIRELY (phase.py:90-91) —
+            # every later step, not just filter_rows, is blind to them.
             # Engine builtins (internal=True) receive the full DataFrame and
-            # preserve lineage/quarantine columns themselves — no realign.
+            # preserve lineage/quarantine columns themselves — no realign —
+            # so each builtin applies the same swept exclusion internally.
             is_internal = getattr(step, "__phaser_internal__", False)
             state = df.select(
-                PHASER_ROW_NUM, ERROR_COL, WARNING_COL, DROP_COL, DROP_STEP_COL
+                PHASER_ROW_NUM, ERROR_COL, WARNING_COL, DROP_COL,
+                DROP_STEP_COL, SWEPT_COL,
             )
             visible = (
-                df if is_internal else df.filter(~F.col(DROP_COL)).drop(*INTERNAL_COLS)
+                df
+                if is_internal
+                else df.filter(~F.col(DROP_COL) & ~F.col(SWEPT_COL)).drop(
+                    *INTERNAL_COLS
+                )
             )
             check_size = getattr(step, "__phaser_check_size__", False)
-            n_before = visible.count() if check_size else None
+            # check_size counts LIVE rows only (not dropped, not swept):
+            # the reference diffs len(row_data), which excludes errored
+            # rows removed at the last row step
+            live = ~F.col(DROP_COL) & ~F.col(SWEPT_COL)
+            n_before = (
+                (df.filter(live).count() if is_internal else visible.count())
+                if check_size
+                else None
+            )
             kwargs = self._step_kwargs(step, src_names, phase_sources, for_row=False)
             try:
                 out = step(visible, **kwargs)
@@ -558,8 +613,13 @@ class Phase:
                     f"DataFrame, got {type(out)}"
                 )
             df = out if is_internal else self._realign(out, state)
+            if self.renumber:
+                # the reference renumbers as part of EVERY batch step's
+                # postprocessing (phaser/phase.py:120-121) — internal
+                # builtins are batch steps there too
+                df = self._apply_renumber(df)
             if check_size and n_before is not None:
-                n_after = df.filter(~F.col(DROP_COL)).count()
+                n_after = df.filter(~F.col(DROP_COL) & ~F.col(SWEPT_COL)).count()
                 if n_after != n_before:
                     what = "dropped" if n_after < n_before else "ADDED"
                     self.context.add_warning(
@@ -651,9 +711,13 @@ class Phase:
             joined = out.join(state, on=PHASER_ROW_NUM, how="left")
             joined = joined.withColumn(
                 DROP_COL, F.coalesce(F.col(DROP_COL), F.lit(False))
+            ).withColumn(
+                SWEPT_COL, F.coalesce(F.col(SWEPT_COL), F.lit(False))
             )
-        dropped_state = state.filter(F.col(DROP_COL))
-        return joined.unionByName(dropped_state, allowMissingColumns=True)
+        # dropped AND swept rows were hidden from the step — both rejoin as
+        # marker-only rows so their events / phase-failure state survive
+        parked_state = state.filter(F.col(DROP_COL) | F.col(SWEPT_COL))
+        return joined.unionByName(parked_state, allowMissingColumns=True)
 
     # -- prune + consistency (phaser/phase.py:302-328) ---------------------
     def _prepare_for_save(self, df: DataFrame) -> DataFrame:

@@ -25,8 +25,11 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DOC = os.path.join(ROOT, "COVERAGE.md")
 
+# `ops/...` anchors (the beyond-reference LLM-ops tables) resolve
+# relative to phaser_spark/ — round-11: those tables are now machine-
+# pinned too (VERDICT r10 wrong-item #3)
 ANCHOR = re.compile(
-    r"`(?P<path>phaser_spark/[\w/]+\.py):(?P<line>\d+)`\s+`(?P<name>[\w.]+)`"
+    r"`(?P<path>(?:phaser_spark|ops)/[\w/]+\.py):(?P<line>\d+)`\s+`(?P<name>[\w.]+)`"
 )
 
 
@@ -34,6 +37,8 @@ def locate(path: str, name: str) -> int | None:
     """Line number (1-based) of ``def name`` / ``class name`` in path."""
     target = name.split(".")[-1]
     pat = re.compile(rf"^\s*(async\s+)?(def|class)\s+{re.escape(target)}\b")
+    if path.startswith("ops/"):
+        path = "phaser_spark/" + path
     full = os.path.join(ROOT, path)
     try:
         with open(full) as f:
@@ -72,7 +77,9 @@ def main() -> int:
     # cell's `filter_rows`).  Rewrites only when exactly one identifier on
     # the row resolves to a def/class in the anchored file; ambiguous rows
     # (two identifiers at different lines) are left alone.
-    BARE = re.compile(r"`(?P<path>phaser_spark/[\w/]+\.py):(?P<line>\d+)`(?!\s*`)")
+    BARE = re.compile(
+        r"`(?P<path>(?:phaser_spark|ops)/[\w/]+\.py):(?P<line>\d+)`(?!\s*`)"
+    )
     IDENT = re.compile(r"`([A-Za-z_][\w.]*)`")
 
     def fix_line(line: str) -> str:

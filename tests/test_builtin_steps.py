@@ -258,3 +258,130 @@ def test_pins_scoped_per_pipeline(spark, tmp_path):
     pipe_a.run(spark.createDataFrame([(1,)], "v long"))
     assert ctx_b_pins[0].is_cached  # B's pin survived A's checkpoint
     ctx_b_pins[0].unpersist()
+
+
+# -- swept-row invisibility extends to ALL post-row-step steps ----------
+# (round-11 ADVICE: the reference removes errored rows from its working
+# set for every step after a row step — phaser/phase.py:90-91 — not
+# just for filter_rows)
+
+def _noop_row_step():
+    from phaser_spark import row_step
+
+    @row_step
+    def noop(row, **kwargs):
+        return row
+
+    return noop
+
+
+def test_check_unique_ignores_swept_rows(spark):
+    """A duplicate key carried only by a swept (errored) row must not
+    trip check_unique — the reference's working set no longer holds it."""
+    from phaser_spark import IntColumn
+
+    data = [("a", 1), ("a", None), ("b", 3)]
+    # (a) no row step: the errored duplicate is still visible -> error
+    ctx = Context(spark=spark)
+    ph = Phase(
+        name="T",
+        columns=[IntColumn("code", null=False)],
+        steps=[check_unique("status")],
+        context=ctx,
+    )
+    ph.run(spark.createDataFrame(data, "status string, code int"))
+    assert any(
+        "Duplicate value" in (e.get("message") or "")
+        for e in ctx.driver_events
+    )
+    # (b) a row step sweeps the errored row -> no duplicate remains
+    ctx2 = Context(spark=spark)
+    ph2 = Phase(
+        name="T2",
+        columns=[IntColumn("code", null=False)],
+        steps=[_noop_row_step(), check_unique("status")],
+        context=ctx2,
+    )
+    ph2.run(spark.createDataFrame(data, "status string, code int"))
+    assert not any(
+        "Duplicate value" in (e.get("message") or "")
+        for e in ctx2.driver_events
+    )
+
+
+def test_drop_duplicate_rows_ignores_swept_rows(spark):
+    """A swept row may neither WIN a dedup group (dropping a clean row
+    the reference keeps) nor be tagged as a dropped duplicate."""
+    from phaser_spark import IntColumn
+    from phaser_spark.constants import DROP_COL, SWEPT_COL
+
+    # the errored row is LAST, so under keep-last it would win the 'a'
+    # group if it were (wrongly) still visible
+    data = [("a", 1), ("a", None)]
+    ctx = Context(spark=spark)
+    ph = Phase(
+        name="T",
+        columns=[IntColumn("code", null=False)],
+        steps=[_noop_row_step(), drop_duplicate_rows(columns=["status"])],
+        context=ctx,
+    )
+    out = ph.run(spark.createDataFrame(data, "status string, code int"))
+    live = out.filter(~F.col(DROP_COL) & ~F.col(SWEPT_COL)).collect()
+    assert [(r["status"], r["code"]) for r in live] == [("a", 1)]
+    # the swept row is not re-tagged as a dropped duplicate
+    assert out.filter(F.col(DROP_COL)).count() == 0
+    assert not any(
+        e["type"] == "DROPPED_ROW" for e in ctx.driver_events
+    )
+
+
+def test_user_batch_step_does_not_see_swept_rows(spark):
+    """Non-internal batch steps receive the live working set only: no
+    dropped rows, no swept rows (reference: errored rows left row_data
+    at the previous row step)."""
+    from phaser_spark import IntColumn, batch_step
+
+    seen = {}
+
+    @batch_step
+    def peek(df, context=None):
+        seen["rows"] = [(r["status"], r["code"]) for r in df.collect()]
+        return df
+
+    data = [("a", 1), ("x", None), ("b", 3)]
+    ctx = Context(spark=spark)
+    ph = Phase(
+        name="T",
+        columns=[IntColumn("code", null=False)],
+        steps=[_noop_row_step(), peek],
+        context=ctx,
+    )
+    ph.run(spark.createDataFrame(data, "status string, code int"))
+    assert sorted(seen["rows"]) == [("a", 1), ("b", 3)]
+
+
+def test_check_size_counts_exclude_swept_rows(spark):
+    """check_size diffs the reference's len(row_data), which excludes
+    swept rows: a step dropping ONE live row must warn '1 rows were
+    dropped', not 2 (swept row miscounted as before)."""
+    from phaser_spark import IntColumn, batch_step
+
+    @batch_step(check_size=True)
+    def keep_a(df, context=None):
+        return df.filter(F.col("status") == "a")
+
+    data = [("a", 1), ("x", None), ("b", 3)]
+    ctx = Context(spark=spark)
+    ph = Phase(
+        name="T",
+        columns=[IntColumn("code", null=False)],
+        steps=[_noop_row_step(), keep_a],
+        context=ctx,
+    )
+    ph.run(spark.createDataFrame(data, "status string, code int"))
+    warns = [
+        e["message"]
+        for e in ctx.driver_events
+        if e["type"] == "WARNING" and "rows were" in (e.get("message") or "")
+    ]
+    assert warns == ["1 rows were dropped during step keep_a"], warns

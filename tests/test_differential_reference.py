@@ -118,6 +118,34 @@ def _make_step(mod, kind: str):
             return row
 
         return merge_status_counts
+    if kind == "touch_row":
+        # identity row step: its only effect is the reference's sweep of
+        # already-errored rows out of the working set (phase.py:90-91) —
+        # the axis the swept-visibility rule must reproduce
+        @mod.row_step
+        def touch_row(row, **kwargs):
+            return row
+
+        return touch_row
+    if kind == "stamp_cap":
+        # context_step mutating a pipeline variable mid-phase
+        @mod.context_step
+        def stamp_cap(context):
+            context.add_variable("amount_cap", 400)
+
+        return stamp_cap
+    if kind == "tag_over_cap":
+        # row step reading the variable a context_step set earlier
+        @mod.row_step
+        def tag_over_cap(row, context=None, **kwargs):
+            cap = context.get("amount_cap") if context is not None else None
+            amt = row["amount"]
+            row["over_cap"] = str(
+                cap is not None and amt is not None and float(amt) > cap
+            )
+            return row
+
+        return tag_over_cap
     if kind == "flatten_props":
         return mod.flatten_column("props")
     if kind == "filter_active":
@@ -213,7 +241,10 @@ def _write_json(path: str, seed: int, n: int = 14) -> None:
                 "status": rng.choice(["active", "inactive"]),
                 "props": {
                     "grade": rng.randint(1, 9),
-                    "org": {"team": rng.choice(["ops", "ml", "web"])},
+                    "org": {
+                        "team": rng.choice(["ops", "ml", "web"]),
+                        "loc": {"city": rng.choice(["nyc", "sfo", "ber"])},
+                    },
                 },
             }
         )
@@ -286,6 +317,61 @@ SCENARIOS = {
                     },
                 ],
                 "steps": ["dedup_by_id"],
+            },
+        ]
+    },
+    "swept_dedup_after_row_step": {
+        # round-11 ADVICE: a row that errored at cast and was then swept
+        # by a row step has left the reference's working set — it may not
+        # WIN a keep-last dedup group (dropping a clean row the reference
+        # keeps).  null=False makes blank emp_ids error under @COLLECT;
+        # touch_row sweeps them; dedup runs on the survivors only.
+        "phases": [
+            {
+                "name": "SweptDedup",
+                "columns": [
+                    {
+                        "kind": "int",
+                        "name": "emp_id",
+                        "kwargs": {"rename": ["Emp ID"], "null": False},
+                    },
+                ],
+                "steps": ["touch_row", "dedup_by_id"],
+            },
+        ]
+    },
+    "swept_unique_after_row_step": {
+        # same sweep, check_unique flavor: a duplicate key pair where one
+        # row errored and was swept must NOT raise a duplicate error the
+        # reference would not raise
+        "phases": [
+            {
+                "name": "SweptUnique",
+                "columns": [
+                    {
+                        "kind": "int",
+                        "name": "emp_id",
+                        "kwargs": {"rename": ["Emp ID"], "null": False},
+                    },
+                ],
+                "steps": ["touch_row", "check_unique_id"],
+            },
+        ]
+    },
+    "context_variable_mutation": {
+        # a context_step mutates a pipeline variable mid-phase; a later
+        # row step reads it — variable visibility timing parity
+        "phases": [
+            {
+                "name": "CtxVars",
+                "columns": [
+                    {
+                        "kind": "float",
+                        "name": "amount",
+                        "kwargs": {"null": True},
+                    },
+                ],
+                "steps": ["stamp_cap", "tag_over_cap"],
             },
         ]
     },
@@ -400,8 +486,15 @@ SCENARIOS = {
 # Round-10 second pass added the blank / required-ghost / save axes
 # (blank data in the firsts pool; a missing required header is a
 # PhaserError run failure in both engines — see phase.py's parity note).
-# Seeds 0-79 swept green on the widened space (60 committed here; the
-# 80-seed one-off sweep ran at the round-10 close, 0 divergences).
+# Seeds 0-79 swept green on that space (80-seed one-off sweep at the
+# round-10 close, 0 divergences).  Round-11 widened four more axes
+# (VERDICT r10 next-round #4): JSON-records sources with nested dicts,
+# context_step variable mutation read back by a later row step,
+# three-phase pipelines with the renumber in the MIDDLE, and — enabled
+# by the swept-visibility rule now covering ALL batch builtins —
+# dedup/check_unique after a row step in cast-DIRTY scenarios (the
+# sweep removes the ''-vs-NULL key representation divergence that
+# previously confined those steps to cast-clean samples).
 #
 # Deliberately OUTSIDE the sampled space:
 #   * ON_ERROR_STOP_NOW — "abort at the first error" exposes evaluation
@@ -420,6 +513,28 @@ def _gen_scenario(seed: int) -> dict:
 
     def col(kind, name, **kwargs):
         return {"kind": kind, "name": name, "kwargs": kwargs}
+
+    # round-11 axis: JSON-records source with nested dicts — flatten +
+    # rename + uniqueness over the nested payload (the curated
+    # json_flatten scenario pinned one shape; this samples around it)
+    if rng.random() < 0.12:
+        steps = ["flatten_props"]
+        if rng.random() < 0.5:
+            steps.append("drop_inactive")
+        if rng.random() < 0.4:
+            steps.append("touch_row")
+        if rng.random() < 0.4:
+            steps.append("check_unique_id")  # JSON ids are unique 1..n
+        columns = [col("int", "emp_id", rename=["Emp ID"])]
+        if rng.random() < 0.5:
+            columns.append(
+                col("any", "status",
+                    allowed_values=["active", "inactive"])
+            )
+        return {
+            "source": "json",
+            "phases": [{"name": "J1", "columns": columns, "steps": steps}],
+        }
 
     columns = []
     # emp_id: the rename + nullability + (maybe) uniqueness axis
@@ -543,8 +658,26 @@ def _gen_scenario(seed: int) -> dict:
     )
     if has_emp and cast_clean:
         step_pool += ["dedup_by_id", "check_unique_id"]
+    if rng.random() < 0.3:
+        step_pool.append("touch_row")
     rng.shuffle(step_pool)
     steps = step_pool[: rng.randint(0, 3)]
+    # round-11 axis: dedup/check_unique AFTER a row step are parity-safe
+    # even in cast-DIRTY scenarios — the reference sweeps cast-errored
+    # rows out of its working set at the row step, so the '' vs NULL key
+    # representation divergence (the cast_clean guard above) can never
+    # reach the dedup.  Rows that error DURING the sweeping row step keep
+    # their cast values in both engines.
+    if has_emp and not cast_clean and rng.random() < 0.35:
+        steps = steps + [
+            "touch_row", rng.choice(["dedup_by_id", "check_unique_id"])
+        ]
+    # round-11 axis: a context_step mutates a variable mid-phase and a
+    # later row step reads it (same amount guard as the other
+    # amount-reading steps: a warn-reverted row would re-expose the
+    # raw-string representation divergence)
+    if amount_declared and not failable_status and rng.random() < 0.3:
+        steps = ["stamp_cap"] + steps + ["tag_over_cap"]
 
     phases = [{"name": "P1", "columns": columns, "steps": steps}]
     if two_phase:
@@ -561,6 +694,19 @@ def _gen_scenario(seed: int) -> dict:
             phases[0]["extra_outputs"] = ["status_counts"]
             phases[1]["steps"] = ["merge_status_counts"] + p2_steps
             phases[1]["extra_sources"] = ["status_counts"]
+        # round-11 axis: THREE phases with the renumber in the MIDDLE —
+        # P3's events and row identity must agree after P2 rewrote the
+        # numbering (sort only in the final phase, same rule as above)
+        if rng.random() < 0.35:
+            phases[1]["renumber"] = True
+            phases[1]["steps"] = [
+                s for s in phases[1]["steps"] if s != "sort_by_first"
+            ]
+            p3_steps = [
+                s for s in ["filter_active", "sort_by_first", "touch_row"]
+                if rng.random() < 0.5
+            ]
+            phases.append({"name": "P3", "steps": p3_steps})
     return {"phases": phases}
 
 
@@ -695,8 +841,12 @@ def test_range_check_null_divergence_lock(spark, tmp_path):
 @pytest.mark.parametrize("seed", range(60))
 def test_randomized_pipeline_matches_reference(spark, tmp_path, seed):
     scenario = _gen_scenario(seed)
-    csv_path = str(tmp_path / "input.csv")
-    _write_csv(csv_path, seed=seed, n=24)
+    if scenario.get("source") == "json":
+        csv_path = str(tmp_path / "input.json")
+        _write_json(csv_path, seed=seed)
+    else:
+        csv_path = str(tmp_path / "input.csv")
+        _write_csv(csv_path, seed=seed, n=24)
     ref_outcome, ref_ckpts, ref_events = _run_one(
         _reference_module(), tmp_path, "ref", csv_path, scenario
     )

@@ -16,10 +16,11 @@ def test_first_50_cover_every_operator_family():
     # each family must keep at least one representative INSIDE the checked
     # window; entries past the cap are never hash-compared by the driver
     first = set(list(entrymod.queries())[:CAP])
-    # Round-10 curation (continuing the r9 cadence): ten more redundant
-    # siblings rotated past the cap to admit ten queries that had never
-    # been externally hash-checked.  Every §2 operator family still keeps
-    # at least one in-window representative.
+    # Round-11 curation (continuing the r9/r10 cadence): ten more
+    # redundant siblings rotated past the cap to admit the two
+    # r10-rewritten queries with stale external checks plus eight
+    # never-externally-checked entries.  Every §2 operator family still
+    # keeps at least one in-window representative.
     required = {
         "s1_csv_roundtrip", "s7_checkpoint_lifecycle",       # sources/checkpoint
         "p1_column_casts", "p4_filter_rows",                  # contracts/filters
@@ -27,35 +28,39 @@ def test_first_50_cover_every_operator_family():
         "u1_row_step_derive", "u2_batch_step",                # step surface
         "u5_lookup_enrichment", "j3_pipe_segment_peers",      # extra sources/piping
         "u8_fix_functions",                                   # fix/flatten family (u6 out r10)
-        "o2_dedup_keep_last",                                 # ordering/builtin dedup (o1 out r10)
+        "o2_dedup_keep_last",                                 # ordering/builtin dedup
+        "o3_duplicate_keys",                                  # uniqueness check (in r11)
         "d1_table_diff",                                      # diff
         "q1_pricing_summary", "j4_asof_join",                 # relational/asof
-        "streaming_event_window",                             # streaming (session out r10)
-        "streaming_stateful_user_stats",
-        "dedup_exact_docs",                                   # dedup suite (embedding out r10)
-        "dedup_minhash_lsh", "dedup_simhash",
-        "ann_cosine_topk",                                    # similarity (ivf out r10)
+        "streaming_stateful_user_stats",                      # streaming (event_window out r11)
+        "dedup_exact_docs", "dedup_simhash",                  # dedup suite (minhash_lsh out r11)
+        "ann_cosine_topk",                                    # similarity (lsh out r11)
+        "ann_recall_ivf",                                     # IVF + recall eval (in r11)
         "text_stats", "pii_redaction", "boilerplate_removal", # text/cleaning
         "decontaminate_docs", "multimodal_binary",            # multimodal
         "web_domains",                                        # web
-        # rotated in r9 — first external hash check for each:
-        "graph_pagerank",                                     # graph (weighted out r10)
-        "kmeans_embedding_cells",                             # clustering (centroids out r10)
+        # rotated in r9 — still in-window:
+        "graph_pagerank",                                     # graph
+        "kmeans_embedding_cells",                             # clustering
         "scd2_customer_history",                              # SCD2
-        "pps_sample_docs",                                    # sampling (stratified/pack out r10)
-        "leakage_safe_split_docs", "leakage_split_incremental_docs",
-        "contamination_report_docs",                          # decontamination
-        "drift_prices_by_flag", "ewma_customer_orders",       # drift/timeseries
-        # rotated in r10 — first external hash check for each:
-        "ann_lsh_topk",                                       # LSH similarity
-        "bloom_decontaminate",                                # bloom filter
+        "leakage_safe_split_docs",                            # splits (incremental out r11)
+        "contamination_report_docs",                          # decontamination (bloom out r11)
+        # rotated in r10 — still in-window:
         "j5_interval_match",                                  # interval join
-        "winsorize_prices", "robust_z_prices",                # outlier/quality
+        "winsorize_prices", "robust_z_prices",                # outlier/quality (drift out r11)
         "top_p_docs_by_lang",                                 # nucleus sampling
         "quality_classifier_docs",                            # classifier fit
         "media_header_triage",                                # media triage
-        "a9_cube_revenue",                                    # cube/rollup
         "heavy_hitters_users",                                # frequency sketch
+        # rotated in r11 — first-time or stale external check:
+        "a3_running_sum",                                     # window family (a4 out, sibling)
+        "sample_docs_per_lang",                               # quota sampling (pps out, sibling)
+        "topk_docs_by_lang",                                  # skew-safe top-k
+        "shard_assign_docs",                                  # token-balanced sharding
+        "text_tfidf_top_terms",                               # TF-IDF
+        "funnel_within_day",                                  # behavior/timeseries (ewma out)
+        "quantile_bin_prices",                                # binning
+        "j6_asof_forward",                                    # asof-forward join
     }
     missing = required - first
     assert not missing, f"operator families pushed past the {CAP}-entry cap: {sorted(missing)}"

