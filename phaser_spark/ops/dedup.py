@@ -866,6 +866,7 @@ def semantic_dedup(
     n_cells: int = 16,
     threshold: float = 0.95,
     cell_out: str | None = None,
+    target_cell_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster embeddings
@@ -885,22 +886,37 @@ def semantic_dedup(
     Returns the surviving rows of ``df``; with ``cell_out`` the assigned
     cell id is appended (cast long).
 
-    Scale: cell assignment is a pure Catalyst projection against
-    centroid literals (no Python, no shuffle); the in-cell self-join is
-    an equi-join on the cell id, so pair work is Σ|cell|² — choose
-    ``n_cells`` ∝ corpus size (the IVF rule) to bound it, or use the
-    hyperplane-LSH variant (:func:`embedding_dup_pairs`) whose bucket
-    count grows exponentially with planes.  Never all-pairs across
-    cells."""
-    from .similarity import assign_cells, medoid_centroids
+    Scale: the in-cell self-join is an equi-join on the cell id, so pair
+    work is Σ|cell|² — with a FIXED ``n_cells`` that is n²/k, i.e.
+    QUADRATIC in corpus size (the round-11 10× smoke measured exactly
+    this: 3.3 s → 188 s for 10× the vectors at n_cells=16).  Pass
+    ``target_cell_rows`` instead to apply the IVF rule automatically:
+    ``n_cells = n / target_cell_rows`` (clamped to [16, 65536]), making
+    pair work ≈ n·target — LINEAR in n.  Assignment stays a Catalyst
+    literal projection up to 64 cells and switches to
+    :func:`similarity.assign_cells_arrow` (one matmul+argmin per Arrow
+    batch, centroid matrix in the task closure) beyond that, where a
+    literal plan stops being viable.  Never all-pairs across cells; the
+    hyperplane-LSH variant (:func:`embedding_dup_pairs`) is the
+    alternative when even linear in-cell work must shrink."""
+    from .similarity import assign_cells, assign_cells_arrow, medoid_centroids
 
+    if target_cell_rows is not None:
+        if target_cell_rows < 1:
+            raise PhaserError(
+                f"semantic_dedup: target_cell_rows must be >= 1, got "
+                f"{target_cell_rows}"
+            )
+        n = df.count()
+        n_cells = max(16, min(65536, (n + target_cell_rows - 1) // target_cell_rows))
     if centroids is None:
         centroids = medoid_centroids(df, id_col, vec_col, n_cells)
     sel = df.select(
         F.col(id_col).alias("__sd_id"),
         F.col(vec_col).cast("array<double>").alias("__sd_v"),
     )
-    cells = assign_cells(sel, centroids, "__sd_v", out_col="__sd_cell")
+    assign = assign_cells if len(centroids) <= 64 else assign_cells_arrow
+    cells = assign(sel, centroids, "__sd_v", out_col="__sd_cell")
     # hoist the norm to one fold per VECTOR: computing it inside the pair
     # projection re-folds both 64-element arrays per PAIR — measured 2× the
     # whole scoring leg at sf0.1.  Same fold order per vector, so the

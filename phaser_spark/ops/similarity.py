@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column as SparkCol
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..exceptions import PhaserError
 from ..lineage import spread_for_compute
@@ -369,12 +370,60 @@ def assign_cells(
 ) -> DataFrame:
     """Nearest-centroid cell id as a pure expression (no Python on the row
     path): distances via zip_with/aggregate, argmin via array_position
-    (first index on ties — mirror `ORDER BY dist, cell LIMIT 1` in SQL)."""
+    (first index on ties — mirror `ORDER BY dist, cell LIMIT 1` in SQL).
+
+    Plan size is O(k·dim) literals — right for the oracle-replayable
+    small-k quantizers (k ≤ a few hundred).  For corpus-scaled cell
+    counts use :func:`assign_cells_arrow`, which ships the centroid
+    matrix once per task instead of inlining it into the plan."""
     sq = dist_fn or _sq_dist
     vec = F.col(vec_col).cast("array<double>")
     cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
     dists = F.transform(cent_arr, lambda c: sq(vec, c))
     return df.withColumn(out_col, F.array_position(dists, F.array_min(dists)).cast("int"))
+
+
+def assign_cells_arrow(
+    df: DataFrame, centroids: list[list[float]], vec_col: str, out_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid assignment for LARGE k — the 100 TB IVF/SemDeDup
+    path.  The literal-expression form (:func:`assign_cells`) inlines
+    k·dim constants into the plan, which stops being viable past a few
+    hundred centroids; here the k×dim centroid matrix rides the UDF
+    closure (one copy per task, like MLlib's broadcast centers) and each
+    Arrow batch is ONE ``(batch × dim) @ (dim × k)`` matmul + argmin —
+    vectorized, no row explosion, no shuffle.
+
+    Same deterministic rule as the literal path: squared-L2 distance,
+    FIRST minimum wins ties (numpy argmin), 1-based cell ids.  Exactness
+    caveat: the matmul expands ‖x−c‖² = ‖x‖²−2x·c+‖c‖² in doubles, whose
+    rounding can differ from the literal path's per-element fold in the
+    last ulp — tie-adjacent assignments may differ between the two paths
+    (both are valid nearest cells; pick one path per corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)  # k × dim
+    cent_t = cent.T.copy()
+    cent_sq = (cent * cent).sum(axis=1)  # ‖c‖² per centroid
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(vecs) == 0:
+                yield pdf.assign(**{out_col: pd.Series([], dtype="int32")})
+                continue
+            # argmin over ‖x‖²−2x·c+‖c‖²; ‖x‖² is constant per row → skip
+            d = cent_sq[None, :] - 2.0 * (vecs @ cent_t)
+            yield pdf.assign(**{out_col: (d.argmin(axis=1) + 1).astype("int32")})
+
+    return df.mapInPandas(gen, schema=schema)
 
 
 def ivf_topk(

@@ -3023,6 +3023,58 @@ def test_semantic_dedup_chain_keeps_only_min(spark):
     assert {r.vec_id for r in out.collect()} == {10}
 
 
+def test_assign_cells_arrow_matches_literal(spark):
+    """The Arrow matmul assignment (the large-k scale path) agrees with
+    the literal-expression path row for row on a non-degenerate corpus —
+    same squared-L2 argmin, same first-min tie rule, same 1-based ids."""
+    import random as _r
+
+    from phaser_spark.ops import similarity
+
+    rng = _r.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    cents = similarity.medoid_centroids(df, "id", "v", 40)
+    lit = similarity.assign_cells(df, cents, "v", out_col="cell")
+    arr = similarity.assign_cells_arrow(df, cents, "v", out_col="cell")
+    l = {r.id: r.cell for r in lit.collect()}
+    a = {r.id: r.cell for r in arr.collect()}
+    assert a == l
+    assert min(a.values()) >= 1 and max(a.values()) <= 40
+
+
+def test_semantic_dedup_target_cell_rows_scales_cells(spark):
+    """target_cell_rows applies the IVF rule (round-11 10x smoke found the
+    fixed-n_cells quadratic cliff): exact replicas collapse to the
+    min-id copy REGARDLESS of the quantizer (identical vectors share a
+    cell and cos=1), so the auto-scaled survivor set is checkable
+    without pinning the cell structure."""
+    import random as _r
+
+    from phaser_spark.ops import dedup as D
+
+    rng = _r.Random(3)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(200)]
+    rows = [
+        (d * 10 + r, base[d]) for d in range(200) for r in range(5)
+    ]  # 1000 vectors = 200 distinct x 5 exact copies
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = D.semantic_dedup(
+        df, threshold=0.9999, cell_out="cell", target_cell_rows=10
+    )
+    got = sorted(r.vec_id for r in out.collect())
+    # survivor = lowest id of each replica family (d*10)
+    assert got == [d * 10 for d in range(200)]
+    # the auto rule chose ~n/target cells (>= 64 forces the arrow path)
+    assert len({r.cell for r in out.collect()}) > 16
+    from phaser_spark.exceptions import PhaserError
+
+    with pytest.raises(PhaserError, match="target_cell_rows"):
+        D.semantic_dedup(df, target_cell_rows=0)
+
+
 def test_winsorize_approx_bounds(spark):
     # exact=False switches to percentile_approx: bounds are actual data
     # values (the sketch does not interpolate), so the outlier clamps to

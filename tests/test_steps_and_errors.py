@@ -399,6 +399,63 @@ def test_renumber_skips_dropped_rows(spark):
     assert live == [1, 2, 3]
 
 
+def test_renumber_applies_at_batch_steps_only(spark):
+    """Reference renumber timing (phaser/phase.py:120-121, pinned by the
+    round-11 differential seeds 1/14/41): renumbering is BATCH-step
+    postprocessing.  A renumber=True phase with only row/context steps
+    keeps the original numbering; one with a batch step renumbers at the
+    step; a row step AFTER the batch step numbers its new rows max+1 on
+    top of the renumbered range."""
+    from pyspark.sql import functions as F
+
+    from phaser_spark import Phase, batch_step, row_step
+    from phaser_spark.constants import DROP_COL, PHASER_ROW_NUM
+
+    @row_step
+    def touch(row, **kwargs):
+        return row
+
+    # (a) row steps only: numbers preserved (gaps included)
+    p1 = Phase(name="A", steps=[touch], renumber=True, context=Context(spark=spark))
+    src = spark.createDataFrame([(1, 10), (3, 30), (7, 70)], "v long, w long")
+    from phaser_spark.lineage import with_row_numbers
+
+    df = with_row_numbers(src).withColumn(
+        PHASER_ROW_NUM, F.col(PHASER_ROW_NUM) * 2  # 2, 4, 6 — gappy
+    )
+    out1 = p1.run(df)
+    assert sorted(r[PHASER_ROW_NUM] for r in out1.collect()) == [2, 4, 6]
+
+    # (b) a batch step triggers the renumber: contiguous 1..N after it
+    @batch_step
+    def drop_first(b, context=None):
+        return b.filter(F.col("v") != 1)
+
+    p2 = Phase(
+        name="B", steps=[drop_first], renumber=True, context=Context(spark=spark)
+    )
+    out2 = p2.run(with_row_numbers(src))
+    live2 = sorted(
+        r[PHASER_ROW_NUM] for r in out2.collect() if not r[DROP_COL]
+    )
+    assert live2 == [1, 2]
+
+    # (c) rows a LATER row step adds get max+1 over the renumbered range
+    @row_step
+    def noop2(row, **kwargs):
+        return row
+
+    p3 = Phase(
+        name="C", steps=[drop_first, noop2], renumber=True,
+        context=Context(spark=spark),
+    )
+    out3 = p3.run(with_row_numbers(src))
+    live3 = sorted(
+        r[PHASER_ROW_NUM] for r in out3.collect() if not r[DROP_COL]
+    )
+    assert live3 == [1, 2]
+
+
 def test_delta_mapping_key_normalization_and_bad_keys():
     """Counter keys: integral floats normalize to ints (pandas float64
     round-trip), non-finite floats and compound keys fail loud with a
