@@ -157,6 +157,13 @@ def cmd_diff(argv: list[str]) -> int:
 
     out_files = []
     for (n1, p1), (n2, p2), ph in zip(paths, paths[1:], pipe.phase_instances):
+        if not ph.diffable():
+            # reference diff.py:103-117: a renumber phase rewrites row
+            # identity, so an indexed diff would mark every row changed
+            print(
+                f"Skipping diff of {n1} and {n2} - phase may reorganize data"
+            )
+            continue
         renames = ph.rename_list
         d = IndexedTableDiffer(
             load_numbered(p1), load_numbered(p2), renamed_columns=renames

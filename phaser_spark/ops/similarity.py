@@ -451,18 +451,23 @@ def ivf_topk(
     for large query sets leave it None and let AQE pick the join strategy.
     Same output shape as ``cosine_topk``; recall tuned by ``n_probe``.
     ``exact`` uses decimal accumulation for distances and cosines so the
-    result is bit-reproducible against an external oracle."""
+    result is bit-reproducible against an external oracle.  Corpus cell
+    assignment switches to :func:`assign_cells_arrow` above 64 centroids
+    (the literal plan stops being viable there) unless ``exact`` pins the
+    oracle-replayable literal fold."""
     cents = centroids or train_centroids(corpus, vec_col, n_centroids)
     sq = _sq_dist_decimal if exact else _sq_dist
-    c = assign_cells(
-        spread_for_compute(corpus).select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("cv"),
-        ),
-        cents,
-        "cv",
-        dist_fn=sq,
-    ).withColumn("cn", _vec_norm(exact, F.col("cv")))
+    base = spread_for_compute(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    if exact or len(cents) <= 64:
+        c = assign_cells(base, cents, "cv", dist_fn=sq)
+    else:
+        # same squared-L2 argmin, matmul form (dist_fn is only ever
+        # non-default under exact, which pins the literal path above)
+        c = assign_cells_arrow(base, cents, "cv")
+    c = c.withColumn("cn", _vec_norm(exact, F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -574,8 +579,11 @@ def kmeans_fit(
 
     cents = init_centroids or medoid_centroids(corpus, id_col, vec_col, k)
     base = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    # oracle-replayable literal assignment at small k; corpus-scaled k
+    # flips to the Arrow matmul path (literal plans stop being viable)
+    assign = assign_cells if k <= 64 else assign_cells_arrow
     for _ in range(iters):
-        assigned = assign_cells(base, cents, "v", out_col="cell")
+        assigned = assign(base, cents, "v", out_col="cell")
         updated = {
             int(r["cell"]): [float(x) for x in r["centroid"]]
             for r in group_centroids(assigned, "cell", "v").collect()

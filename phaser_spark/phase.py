@@ -229,6 +229,13 @@ class Phase:
             else:
                 self.df = self.context.spark.createDataFrame(list(data))
 
+    def diffable(self) -> bool:
+        """Whether this phase's input/output can be row-diffed by number
+        (reference ``Phase.diffable``, phaser/phase.py:330-331): a
+        ``renumber=True`` phase rewrites row identity, so an indexed diff
+        against its input would report every row as changed."""
+        return not self.renumber
+
     # ------------------------------------------------------------------
     def run(self, df: DataFrame | None = None) -> DataFrame:
         """Build the phase's lazy output DataFrame (internal marker columns

@@ -133,6 +133,37 @@ def test_cli_diff_parquet_pipeline_with_imported_subclass(workdir, capsys, spark
     assert {r[PHASER_ROW_NUM] for r in copy.collect()} == {1, 2, 3}
 
 
+RENUMBER_PIPELINE_MOD = """
+from pyspark.sql import functions as F
+from phaser_spark import Column, FloatColumn, Phase, Pipeline, filter_rows
+
+
+class Clean(Phase):
+    name = "Clean"
+    columns = [Column("name", fix_value_fn="strip"), FloatColumn("score")]
+    steps = [filter_rows(F.col("score") >= 1.0)]
+    renumber = True
+
+
+class RenumPipeline(Pipeline):
+    phases = [Clean]
+"""
+
+
+def test_cli_diff_skips_renumber_phase(workdir, capsys):
+    """Reference diff.py:103-117 via Phase.diffable() (phase.py:330-331):
+    a renumber=True phase rewrites row identity, so the diff CLI must
+    SKIP it (an indexed diff would mark every row changed) and say so."""
+    (workdir / "pipelines" / "renum.py").write_text(RENUMBER_PIPELINE_MOD)
+    sys.modules.pop("pipelines.renum", None)
+    wd = str(workdir / "outrn")
+    assert main(["run", "renum", wd, str(workdir / "src.csv")]) == 0
+    assert main(["diff", "renum", wd]) == 0
+    out = capsys.readouterr().out
+    assert "Skipping diff" in out and "may reorganize data" in out
+    assert not any(f.startswith("diff_") for f in os.listdir(wd))
+
+
 def test_cli_discovers_reexported_pipeline_class(workdir):
     """A pipelines module that IMPORTS its single Pipeline subclass from
     another module (re-export layout) must still be discovered; the
