@@ -487,7 +487,10 @@ SCENARIOS = {
 # (blank data in the firsts pool; a missing required header is a
 # PhaserError run failure in both engines — see phase.py's parity note).
 # Seeds 0-79 swept green on that space (80-seed one-off sweep at the
-# round-10 close, 0 divergences).  Round-11 widened four more axes
+# round-10 close, 0 divergences).  Round-11: seeds 0-159 swept green on
+# the WIDENED space below (the committed 60 here, plus a 100-seed
+# one-off at 60-159 after the renumber-timing fix — 0 further
+# divergences).  Round-11 widened four more axes
 # (VERDICT r10 next-round #4): JSON-records sources with nested dicts,
 # context_step variable mutation read back by a later row step,
 # three-phase pipelines with the renumber in the MIDDLE, and — enabled
