@@ -404,14 +404,20 @@ def assign_cells_arrow(
     import pandas as pd
 
     cent = np.asarray(centroids, dtype=np.float64)  # k × dim
-    cent_t = cent.T.copy()
-    cent_sq = (cent * cent).sum(axis=1)  # ‖c‖² per centroid
+    # ship the matrix as a Spark broadcast, not a pickled closure: a
+    # closure rides every task launch, while a broadcast lands on each
+    # executor once (k=65536 × dim=1024 doubles is a 512 MB matrix — a
+    # per-task copy of that would dominate scheduling)
+    bc = df.sparkSession.sparkContext.broadcast(
+        (cent.T.copy(), (cent * cent).sum(axis=1))
+    )
 
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
     )
 
     def gen(batches):
+        cent_t, cent_sq = bc.value
         for pdf in batches:
             vecs = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]

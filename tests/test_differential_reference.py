@@ -146,6 +146,47 @@ def _make_step(mod, kind: str):
             return row
 
         return tag_over_cap
+    if kind == "batch_drop_retired":
+        # USER batch step removing rows (+ check_size): the reference's
+        # batch surface is a list of dict-like Records, this engine's a
+        # Spark DataFrame — the SPEC is identical semantics, the body is
+        # each engine's documented API (round-11 axis: realign, max+1
+        # preservation, and the check_size count had no differential
+        # coverage through user batch steps before)
+        if mod.__name__ == "phaser":
+
+            @mod.batch_step(check_size=True)
+            def batch_drop_retired(rows, context=None, **kwargs):
+                return [r for r in rows if r["status"] != "retired"]
+
+        else:
+            from pyspark.sql import functions as _F
+
+            @mod.batch_step(check_size=True)
+            def batch_drop_retired(df, context=None, **kwargs):
+                return df.filter(_F.col("status") != "retired")
+
+        return batch_drop_retired
+    if kind == "batch_upper_status":
+        # USER batch step transforming a value in place (row identity and
+        # numbering must survive the realign round-trip)
+        if mod.__name__ == "phaser":
+
+            @mod.batch_step
+            def batch_upper_status(rows, context=None, **kwargs):
+                for r in rows:
+                    if r["status"] is not None:
+                        r["status"] = r["status"].upper()
+                return rows
+
+        else:
+            from pyspark.sql import functions as _F
+
+            @mod.batch_step
+            def batch_upper_status(df, context=None, **kwargs):
+                return df.withColumn("status", _F.upper(_F.col("status")))
+
+        return batch_upper_status
     if kind == "flatten_props":
         return mod.flatten_column("props")
     if kind == "filter_active":
@@ -488,9 +529,10 @@ SCENARIOS = {
 # PhaserError run failure in both engines — see phase.py's parity note).
 # Seeds 0-79 swept green on that space (80-seed one-off sweep at the
 # round-10 close, 0 divergences).  Round-11: seeds 0-159 swept green on
-# the WIDENED space below (the committed 60 here, plus a 100-seed
-# one-off at 60-159 after the renumber-timing fix — 0 further
-# divergences).  Round-11 widened four more axes
+# the first widened grammar (the renumber-timing fix below came out of
+# seeds 1/14/41; a 100-seed one-off at 60-159 then found 0 further
+# divergences), and seeds 0-59 re-swept green after the final grammar
+# addition (user batch steps).  Round-11 widened five more axes
 # (VERDICT r10 next-round #4): JSON-records sources with nested dicts,
 # context_step variable mutation read back by a later row step,
 # three-phase pipelines with the renumber in the MIDDLE, and — enabled
@@ -625,6 +667,13 @@ def _gen_scenario(seed: int) -> dict:
 
     two_phase = rng.random() < 0.4
     step_pool = ["drop_inactive", "filter_active"]
+    # round-11 axis: USER batch steps (row removal w/ check_size; value
+    # transform) — the realign/max+1/check_size path had no differential
+    # coverage through user batch steps before
+    if rng.random() < 0.4:
+        step_pool.append("batch_drop_retired")
+    if rng.random() < 0.3:
+        step_pool.append("batch_upper_status")
     if not two_phase:
         # a P1 sort's order would have to survive the checkpoint to mean
         # anything in P2, and materializing it there (renumber=True)
@@ -706,7 +755,8 @@ def _gen_scenario(seed: int) -> dict:
                 s for s in phases[1]["steps"] if s != "sort_by_first"
             ]
             p3_steps = [
-                s for s in ["filter_active", "sort_by_first", "touch_row"]
+                s for s in ["filter_active", "sort_by_first", "touch_row",
+                            "batch_drop_retired"]
                 if rng.random() < 0.5
             ]
             phases.append({"name": "P3", "steps": p3_steps})
