@@ -697,9 +697,20 @@ class Phase:
 
         Rows the step emitted without a row number are "new" and get max+1
         numbers; previously-dropped rows rejoin as marker-only rows so their
-        DROPPED_ROW events survive to checkpoint extraction."""
+        DROPPED_ROW events survive to checkpoint extraction.  Rows the step
+        REMOVED that carry recorded events rejoin the same way: the
+        reference records events EAGERLY at raise time (context.add_event),
+        so a later batch step dropping the row does not unrecord its
+        errors/warnings — while this engine extracts events lazily from
+        the row state at checkpoint and would silently lose them (caught
+        by randomized differential seed 17 on the user-batch-step axis:
+        three cast ERROR events vanished when batch_drop_retired removed
+        the errored rows)."""
         from .lineage import number_new_rows
 
+        has_event = F.col(ERROR_COL).isNotNull() | (
+            F.col(WARNING_COL).isNotNull() & (F.size(WARNING_COL) > 0)
+        )
         if PHASER_ROW_NUM not in out.columns:
             # step destroyed row identity → every row is "new" and gets
             # max+1 numbers (starting at 1 would COLLIDE with the
@@ -711,6 +722,10 @@ class Phase:
                 out, start=mx + 1, pins=self.context.pinned_inputs
             )
             joined = self._ensure_internal(out)
+            # every old row is gone; the event-carrying ones park
+            removed_markers = state.filter(
+                ~F.col(DROP_COL) & ~F.col(SWEPT_COL) & has_event
+            ).withColumn(DROP_COL, F.lit(True))
         else:
             if not out.filter(F.col(PHASER_ROW_NUM).isNull()).isEmpty():
                 mx = state.agg(F.max(PHASER_ROW_NUM)).first()[0] or 0
@@ -721,10 +736,21 @@ class Phase:
             ).withColumn(
                 SWEPT_COL, F.coalesce(F.col(SWEPT_COL), F.lit(False))
             )
+            # event-carrying rows absent from the step's output: park as
+            # DROP markers (stripped from visible output like the
+            # reference's removed rows, but their events still extract)
+            removed_markers = (
+                state.filter(~F.col(DROP_COL) & ~F.col(SWEPT_COL) & has_event)
+                .join(out.select(PHASER_ROW_NUM), PHASER_ROW_NUM, "left_anti")
+                .withColumn(DROP_COL, F.lit(True))
+            )
         # dropped AND swept rows were hidden from the step — both rejoin as
         # marker-only rows so their events / phase-failure state survive
         parked_state = state.filter(F.col(DROP_COL) | F.col(SWEPT_COL))
-        return joined.unionByName(parked_state, allowMissingColumns=True)
+        return joined.unionByName(
+            parked_state.unionByName(removed_markers),
+            allowMissingColumns=True,
+        )
 
     # -- prune + consistency (phaser/phase.py:302-328) ---------------------
     def _prepare_for_save(self, df: DataFrame) -> DataFrame:

@@ -456,6 +456,42 @@ def test_renumber_applies_at_batch_steps_only(spark):
     assert live3 == [1, 2]
 
 
+def test_batch_step_removal_keeps_recorded_events(spark):
+    """A user batch step removing rows must not unrecord their events:
+    the reference records eagerly at raise time (context.add_event), so
+    a cast ERROR survives the row's later removal — this engine's lazy
+    checkpoint extraction parks removed event-carrying rows as markers
+    (randomized differential seed 17, round 11)."""
+    from pyspark.sql import functions as F
+
+    from phaser_spark import IntColumn, Phase, batch_step
+    from phaser_spark.pipeline import extract_events
+
+    @batch_step
+    def drop_retired(df, context=None):
+        return df.filter(F.col("status") != "retired")
+
+    data = [("active", 1), ("retired", None), ("retired", 3), ("active", None)]
+    ctx = Context(spark=spark)
+    ph = Phase(
+        name="T",
+        columns=[IntColumn("code", null=False)],
+        steps=[drop_retired],
+        context=ctx,
+    )
+    out = ph.run(spark.createDataFrame(data, "status string, code int"))
+    evs = extract_events(out, "T").collect()
+    err_rows = sorted(e["row_num"] for e in evs if e["type"] == "ERROR")
+    # row 2 (retired, errored, REMOVED by the step) and row 4 (active,
+    # errored, kept) both keep their cast errors
+    assert err_rows == [2, 4], err_rows
+    # the removed errored row is NOT in the visible output
+    from phaser_spark.constants import DROP_COL
+
+    visible = {r["code"] for r in out.filter(~F.col(DROP_COL)).collect()}
+    assert visible == {1, None}
+
+
 def test_delta_mapping_key_normalization_and_bad_keys():
     """Counter keys: integral floats normalize to ints (pandas float64
     round-trip), non-finite floats and compound keys fail loud with a
