@@ -938,6 +938,63 @@ def test_range_check_null_divergence_lock(spark, tmp_path):
     assert [r["code"] for r in got_rows] == [15, None, 20]
 
 
+def test_dedup_order_renumber_divergence_lock(spark, tmp_path):
+    """PINS the round-11 list-order divergence (PARITY.md "Checkpoint
+    row order"): the reference's drop_duplicate_rows returns
+    `list(index.values())` of a dict keyed on the dedup key — FIRST
+    occurrence order carrying the LAST occurrence's row (an insertion-
+    order accident, builtin_steps.py:44-52) — and a later renumber=True
+    phase turns that order into numbering.  This engine renumbers in
+    prior-row-number order (deterministic on any cluster).  Values and
+    events agree; only the renumbered ORDER differs, exactly as
+    documented.  Found by randomized seeds 40/136; the generator now
+    excludes the combination (renumber_ok guard)."""
+    csv_path = str(tmp_path / "input.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["Emp ID", "first", "status"])
+        # key 9 first occurs at row 1 and LAST at row 3; key 2 at row 2.
+        # reference post-dedup list order: [9 (row 3), 2 (row 2)] ->
+        # renumber: 9->1, 2->2.  prior-number order: 2->1, 9->2.
+        w.writerows([["9", "ada", "active"], ["2", "grace", "active"],
+                     ["9", "alan", "active"]])
+    scenario = {
+        "phases": [
+            {
+                "name": "Dedup",
+                "columns": [
+                    {"kind": "int", "name": "emp_id",
+                     "kwargs": {"rename": ["Emp ID"], "null": True}},
+                ],
+                "steps": ["dedup_by_id"],
+            },
+            # the batch step (filter) triggers the renumber in both engines
+            {"name": "Renum", "steps": ["filter_active"], "renumber": True},
+        ]
+    }
+    ref_outcome, ref_ckpts, ref_events = _run_one(
+        _reference_module(), tmp_path, "ref", csv_path, scenario
+    )
+    got_outcome, got_ckpts, got_events = _run_one(
+        _spark_module(), tmp_path, "spark", csv_path, scenario
+    )
+    assert ref_outcome == got_outcome == "ok"
+    assert got_events == ref_events
+    ref_renum = {r["emp_id"]: r["__phaser_row_num__"]
+                 for r in ref_ckpts["Renum_output.csv"]}
+    got_renum = {r["emp_id"]: r["__phaser_row_num__"]
+                 for r in got_ckpts["Renum_output.csv"]}
+    # the divergence, pinned on both sides: first-occurrence order vs
+    # prior-row-number order
+    assert ref_renum == {9: 1, 2: 2}, ref_renum
+    assert got_renum == {2: 1, 9: 2}, got_renum
+    # survivor SETS and first-name values agree (the keep-last rule
+    # itself is in full parity)
+    ref_first = {r["emp_id"]: r["first"] for r in ref_ckpts["Renum_output.csv"]}
+    got_first = {r["emp_id"]: r["first"] for r in got_ckpts["Renum_output.csv"]}
+    assert ref_first == got_first == {9: "alan", 2: "grace"}
+
+
 @pytest.mark.parametrize("seed", range(60))
 def test_randomized_pipeline_matches_reference(spark, tmp_path, seed):
     scenario = _gen_scenario(seed)
