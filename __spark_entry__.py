@@ -3023,6 +3023,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bin_prices": quantile_bin_prices,
         "j6_asof_forward": j6_asof_forward,
         # ---- past the driver's 50-query cap (redundant coverage) ----
+        # Round-12 rotation shortlist (never externally hash-checked;
+        # highest value first): semantic_dedup_embeddings (r11 touched
+        # the surrounding op — auto cells + arrow assignment — though
+        # the committed query's literal path is unchanged),
+        # profile_orders (slowest bench query, never checked),
+        # dedup_incremental_minhash, sketch_distinct_accuracy,
+        # salted_hotkey_join, bucketed_checkpoint_agg,
+        # funnel_view_click_purchase, cohort_retention_weekly,
+        # mask_customers, correlations_orders.  Swap out in-window
+        # entries whose family keeps a driver-green sibling (the r9-r11
+        # cadence; candidates: j5 <- j4/j6 asof pair, winsorize <-
+        # robust_z quality sibling, o3 <- o2 ordering, a3 <- a4
+        # restored, topk/shard <- top_p sampling siblings).
         # -- rotated OUT of the window in round 11 (sibling stays in) --
         "a4_consecutive_runs": a4_consecutive_runs,
         "dedup_minhash_lsh": dedup_minhash_lsh,
