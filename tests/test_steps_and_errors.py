@@ -456,6 +456,51 @@ def test_renumber_applies_at_batch_steps_only(spark):
     assert live3 == [1, 2]
 
 
+def test_renumber_parked_rows_never_collide_with_live(spark):
+    """Invariant behind the negative parking in _apply_renumber: after a
+    mid-phase renumber, a later user batch step's realign joins on the
+    row number — parked (dropped/swept) rows must not share a number
+    with the fresh 1..N live range, or the join duplicates rows."""
+    from pyspark.sql import functions as F
+
+    from phaser_spark import IntColumn, Phase, batch_step, filter_rows, row_step
+    from phaser_spark.constants import DROP_COL, PHASER_ROW_NUM, SWEPT_COL
+
+    @row_step
+    def touch(row, **kwargs):
+        return row
+
+    @batch_step
+    def identity(df, context=None):
+        return df
+
+    data = [("a", 1), ("x", None), ("b", 3), ("c", 4), ("x", None)]
+    ctx = Context(spark=spark)
+    ph = Phase(
+        name="T",
+        columns=[IntColumn("code", null=False)],
+        steps=[
+            touch,                          # sweeps the 2 errored rows
+            filter_rows(F.col("status") != "c"),  # drops one live row
+            identity,                       # renumber -> parked go negative
+            identity,                       # realign joins on renumbered nums
+        ],
+        renumber=True,
+        context=ctx,
+    )
+    out = ph.run(spark.createDataFrame(data, "status string, code int"))
+    rows = out.collect()
+    # no duplicated row numbers anywhere
+    nums = [r[PHASER_ROW_NUM] for r in rows]
+    assert len(nums) == len(set(nums)), sorted(nums)
+    live = sorted(
+        r[PHASER_ROW_NUM] for r in rows if not r[DROP_COL] and not r[SWEPT_COL]
+    )
+    assert live == [1, 2], live  # a, b renumbered contiguously
+    parked = [r[PHASER_ROW_NUM] for r in rows if r[DROP_COL] or r[SWEPT_COL]]
+    assert all(n < 0 for n in parked), parked
+
+
 def test_batch_step_removal_keeps_recorded_events(spark):
     """A user batch step removing rows must not unrecord their events:
     the reference records eagerly at raise time (context.add_event), so
