@@ -187,6 +187,30 @@ def _make_step(mod, kind: str):
                 return df.withColumn("status", _F.upper(_F.col("status")))
 
         return batch_upper_status
+    if kind == "batch_merge_status_counts":
+        # the families idiom through a BATCH step (S8/U5 batch surface):
+        # the reference hands the ExtraMapping object, this engine a
+        # (key, value) DataFrame — identical spec, documented APIs
+        if mod.__name__ == "phaser":
+
+            @mod.batch_step(extra_sources=["status_counts"])
+            def batch_merge_status_counts(rows, status_counts, context=None, **kwargs):
+                for r in rows:
+                    r["status_peers"] = status_counts[r["status"]] - 1
+                return rows
+
+        else:
+            from pyspark.sql import functions as _F
+
+            @mod.batch_step(extra_sources=["status_counts"])
+            def batch_merge_status_counts(df, status_counts, context=None, **kwargs):
+                side = status_counts.select(
+                    _F.col("key").alias("status"),
+                    (_F.col("value") - 1).alias("status_peers"),
+                )
+                return df.join(_F.broadcast(side), "status", "left")
+
+        return batch_merge_status_counts
     if kind == "df_status_len":
         # dataframe_step (U3): the reference hands a pandas DataFrame
         # (with PHASER_ROW_NUM when pass_row_nums), this engine a Spark
@@ -651,6 +675,7 @@ def _gen_scenario(seed: int) -> dict:
         )
     # status: allowed-values membership (sometimes missing one => errors)
     failable_status = False
+    status_warn_revert = False
     if rng.random() < 0.6:
         kw = {}
         if rng.random() < 0.6:
@@ -659,6 +684,11 @@ def _gen_scenario(seed: int) -> dict:
                 allowed.remove(rng.choice(allowed))
                 kw["on_error"] = rng.choice(_POLICIES)
                 failable_status = True
+                # a @WARN check failure REVERTS the reference row to its
+                # raw pre-cast copy without erroring it — the row is
+                # never swept, so its '' keys survive into any later
+                # dedup (randomized seed 232)
+                status_warn_revert = kw["on_error"] == "@WARN"
             kw["allowed_values"] = allowed
         columns.append(col("any", "status", **kw))
     # amount: float with null + default + policy axes (data has "",
@@ -748,8 +778,15 @@ def _gen_scenario(seed: int) -> dict:
     # rows out of its working set at the row step, so the '' vs NULL key
     # representation divergence (the cast_clean guard above) can never
     # reach the dedup.  Rows that error DURING the sweeping row step keep
-    # their cast values in both engines.
-    if has_emp and not cast_clean and rng.random() < 0.35:
+    # their cast values in both engines.  EXCEPT @WARN check reverts:
+    # those rows never error, are never swept, and carry raw '' keys
+    # into the dedup (seed 232) — excluded below.
+    if (
+        has_emp and not cast_clean and rng.random() < 0.35
+        # the extra guard sits AFTER the draw so every other seed's rng
+        # stream (and thus scenario) is unchanged
+        and not status_warn_revert
+    ):
         steps = steps + [
             "touch_row", rng.choice(["dedup_by_id", "check_unique_id"])
         ]
@@ -807,6 +844,19 @@ def _gen_scenario(seed: int) -> dict:
                 if rng.random() < 0.5
             ]
             phases.append({"name": "P3", "steps": p3_steps})
+        # round-11 axis (drawn LAST to leave earlier seeds' streams
+        # untouched): the families merge through a BATCH step instead of
+        # a row step — extra sources reach batch steps as a (key, value)
+        # side table here vs the reference's ExtraMapping object
+        if (
+            len(phases) > 1
+            and "merge_status_counts" in phases[1]["steps"]
+            and rng.random() < 0.5
+        ):
+            phases[1]["steps"] = [
+                "batch_merge_status_counts" if s == "merge_status_counts" else s
+                for s in phases[1]["steps"]
+            ]
     return {"phases": phases}
 
 
