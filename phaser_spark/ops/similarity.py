@@ -395,7 +395,11 @@ def assign_cells_arrow(
     vectorized, no row explosion, no shuffle.
 
     Same deterministic rule as the literal path: squared-L2 distance,
-    FIRST minimum wins ties (numpy argmin), 1-based cell ids.  Exactness
+    FIRST minimum wins ties (numpy argmin), 1-based cell ids.  Dirty
+    rows match the literal path's null behavior: a null vector, a
+    wrong-length vector, or one with a null/NaN element gets a NULL cell
+    id (the literal fold's zip_with padding poisons every distance to
+    null there) instead of crashing the task mid-matmul.  Exactness
     caveat: the matmul expands ‖x−c‖² = ‖x‖²−2x·c+‖c‖² in doubles, whose
     rounding can differ from the literal path's per-element fold in the
     last ulp — tie-adjacent assignments may differ between the two paths
@@ -419,15 +423,97 @@ def assign_cells_arrow(
     def gen(batches):
         cent_t, cent_sq = bc.value
         for pdf in batches:
-            vecs = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            if len(vecs) == 0:
-                yield pdf.assign(**{out_col: pd.Series([], dtype="int32")})
+            mat, valid = _dense_batch(pdf[vec_col], cent_t.shape[0])
+            if mat is None:
+                yield pdf.assign(**{out_col: pd.array([], dtype="Int32")})
                 continue
             # argmin over ‖x‖²−2x·c+‖c‖²; ‖x‖² is constant per row → skip
-            d = cent_sq[None, :] - 2.0 * (vecs @ cent_t)
-            yield pdf.assign(**{out_col: (d.argmin(axis=1) + 1).astype("int32")})
+            d = cent_sq[None, :] - 2.0 * (mat @ cent_t)
+            out = pd.array((d.argmin(axis=1) + 1).astype("int32"), dtype="Int32")
+            out[~valid] = pd.NA
+            yield pdf.assign(**{out_col: out})
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def _dense_batch(vals, dim):
+    """(n × dim) float64 matrix + per-row validity mask from an Arrow
+    batch's vector column.  Invalid rows (null vector, wrong length,
+    null/NaN element, non-numeric) become zero rows with ``valid=False``
+    — the caller masks their output to NULL, mirroring the literal
+    expression path where zip_with padding poisons the fold to null.
+    Returns ``(None, None)`` for an empty batch."""
+    import numpy as np
+
+    n = len(vals)
+    if n == 0:
+        return None, None
+    mat = np.zeros((n, dim), dtype=np.float64)
+    valid = np.zeros(n, dtype=bool)
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        try:
+            a = np.asarray(v, dtype=np.float64)
+        except (TypeError, ValueError):
+            continue
+        if a.shape == (dim,) and np.isfinite(a).all():
+            mat[i] = a
+            valid[i] = True
+    return mat, valid
+
+
+def probe_cells_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    n_probe: int,
+    out_col: str = "cells",
+) -> DataFrame:
+    """Top-``n_probe`` nearest-centroid ids per row as an ``array<int>``
+    — the query-side twin of :func:`assign_cells_arrow` for large k.
+    The literal ranking in :func:`ivf_topk` inlines every centroid as
+    plan constants (O(k·dim) literals), which stops being viable past a
+    few hundred cells exactly like the corpus side; here one
+    ``(batch × dim) @ (dim × k)`` matmul + stable argsort per Arrow
+    batch ranks the same squared-L2 expansion, and the centroid matrix
+    rides a Spark broadcast.
+
+    Determinism matches the literal path's ``array_sort(struct(d,
+    cell))``: distances ascending, ties broken by lower cell id (numpy
+    stable argsort = index order).  Dirty rows (null / ragged / NaN
+    vector) get an EMPTY probe list — they join no cell and vanish from
+    the top-k output, whereas the literal path's null-poisoned sort
+    order is undefined; dirty QUERY vectors have no meaningful
+    neighbors either way.  Same last-ulp caveat as
+    :func:`assign_cells_arrow` on tie-adjacent cells."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    n_probe = min(n_probe, len(cent))
+    bc = df.sparkSession.sparkContext.broadcast(
+        (cent.T.copy(), (cent * cent).sum(axis=1))
+    )
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+    )
+
+    def gen(batches):
+        cent_t, cent_sq = bc.value
+        for pdf in batches:
+            mat, valid = _dense_batch(pdf[vec_col], cent_t.shape[0])
+            if mat is None:
+                yield pdf.assign(**{out_col: pd.Series([], dtype="object")})
+                continue
+            d = cent_sq[None, :] - 2.0 * (mat @ cent_t)
+            top = np.argsort(d, axis=1, kind="stable")[:, :n_probe] + 1
+            cells = [
+                top[i].astype("int32").tolist() if valid[i] else []
+                for i in range(len(top))
+            ]
+            yield pdf.assign(**{out_col: pd.Series(cells, dtype="object")})
 
     return df.mapInPandas(gen, schema=schema)
 
@@ -457,10 +543,12 @@ def ivf_topk(
     for large query sets leave it None and let AQE pick the join strategy.
     Same output shape as ``cosine_topk``; recall tuned by ``n_probe``.
     ``exact`` uses decimal accumulation for distances and cosines so the
-    result is bit-reproducible against an external oracle.  Corpus cell
-    assignment switches to :func:`assign_cells_arrow` above 64 centroids
-    (the literal plan stops being viable there) unless ``exact`` pins the
-    oracle-replayable literal fold."""
+    result is bit-reproducible against an external oracle.  BOTH centroid
+    consumers switch from plan literals to the Arrow matmul form above 64
+    centroids (where an O(k·dim)-literal plan stops being viable):
+    corpus cell assignment via :func:`assign_cells_arrow`, query-side
+    probe ranking via :func:`probe_cells_arrow` — unless ``exact`` pins
+    the oracle-replayable literal fold for both."""
     cents = centroids or train_centroids(corpus, vec_col, n_centroids)
     sq = _sq_dist_decimal if exact else _sq_dist
     base = spread_for_compute(corpus).select(
@@ -479,23 +567,33 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("qn", _vec_norm(exact, F.col("qv")))
     # n_probe nearest cells per query, exploded to (query, cell) probe rows
-    qvec = F.col("qv")
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c_]) for c_ in cents])
-    dists = F.transform(cent_arr, lambda ce: sq(qvec, ce))
-    ranked = F.slice(
-        F.array_sort(
-            F.zip_with(
-                dists,
-                F.sequence(F.lit(1), F.lit(len(cents))),
-                lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
-            )
-        ),
-        1,
-        n_probe,
-    )
-    probes = q.withColumn(
-        "cell", F.explode(F.transform(ranked, lambda s: s["cell"]))
-    ).select("query_id", "qv", "qn", F.col("cell").cast("int"))
+    if exact or len(cents) <= 64:
+        qvec = F.col("qv")
+        cent_arr = F.array(*[F.array(*[F.lit(x) for x in c_]) for c_ in cents])
+        dists = F.transform(cent_arr, lambda ce: sq(qvec, ce))
+        ranked = F.slice(
+            F.array_sort(
+                F.zip_with(
+                    dists,
+                    F.sequence(F.lit(1), F.lit(len(cents))),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+                )
+            ),
+            1,
+            n_probe,
+        )
+        probes = q.withColumn(
+            "cell", F.explode(F.transform(ranked, lambda s: s["cell"]))
+        ).select("query_id", "qv", "qn", F.col("cell").cast("int"))
+    else:
+        # query-side twin of the corpus switch above: past 64 cells the
+        # literal ranking is itself an O(k·dim)-literal plan — rank the
+        # probe cells with the same matmul form instead
+        probes = (
+            probe_cells_arrow(q, cents, "qv", n_probe, out_col="__pc")
+            .withColumn("cell", F.explode("__pc"))
+            .select("query_id", "qv", "qn", F.col("cell").cast("int"))
+        )
     if broadcast_queries:
         probes = F.broadcast(probes)
     joined = c.join(probes, "cell").filter(

@@ -3045,6 +3045,76 @@ def test_assign_cells_arrow_matches_literal(spark):
     assert min(a.values()) >= 1 and max(a.values()) <= 40
 
 
+def test_assign_cells_arrow_null_and_ragged_rows(spark):
+    """Dirty vectors (null, wrong length, null element) get a NULL cell
+    from the Arrow path — matching the literal fold, where zip_with
+    padding poisons every distance to null — instead of blowing up the
+    task inside the matmul (ADVICE r11)."""
+    from phaser_spark.ops import similarity
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, None),                  # null vector
+        (3, [1.0, 0.0]),            # ragged (dim 2, centroids dim 3)
+        (4, [1.0, None, 0.0]),      # null element
+        (5, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    lit = {r.id: r.cell for r in
+           similarity.assign_cells(df, cents, "v", out_col="cell").collect()}
+    arr = {r.id: r.cell for r in
+           similarity.assign_cells_arrow(df, cents, "v", out_col="cell").collect()}
+    assert lit == arr == {1: 1, 2: None, 3: None, 4: None, 5: 2}
+
+
+def test_probe_cells_arrow_ranking_and_dirty_rows(spark):
+    """Query-side Arrow probe ranking: distances ascending, ties broken
+    by lower cell id (the literal array_sort(struct(d, cell)) rule);
+    dirty query vectors probe nothing (empty list)."""
+    from phaser_spark.ops import similarity
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [1.0, 0.0]]  # 4 == 1 (tie)
+    rows = [
+        (1, [0.9, 0.1]),   # nearest 1 (tie with 4 -> lower id first), then 2
+        (2, [0.0, -1.0]),  # equidistant from 1/3/4 -> 1,3 after nothing nearer
+        (3, None),
+        (4, [0.5]),        # ragged
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = {r.id: r.cells for r in
+           similarity.probe_cells_arrow(df, cents, "v", 2, out_col="cells").collect()}
+    assert out[1] == [1, 4]
+    assert out[3] == [] and out[4] == []
+    # query 2: dist to cell 2 is worst; cells 1/3/4 all tie -> [1, 3]
+    assert out[2] == [1, 3]
+
+
+def test_ivf_topk_large_k_arrow_path_matches_literal(spark):
+    """Above 64 centroids ivf_topk ranks probe cells through the Arrow
+    matmul; with margin-separated data the resulting top-k equals the
+    exact=True run (which pins the literal fold for the SAME centroid
+    list) — proving the query-side switch loses nothing (ADVICE r11)."""
+    import random as _r
+
+    from phaser_spark.ops import similarity
+
+    rng = _r.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(400)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 10)
+    cents = similarity.medoid_centroids(corpus, n_centroids=80)
+    arrow = similarity.ivf_topk(
+        corpus, queries, k=3, n_probe=80, centroids=cents
+    )
+    literal = similarity.ivf_topk(
+        corpus, queries, k=3, n_probe=80, centroids=cents, exact=True
+    )
+    a = {(r.query_id, r.rank): r.neighbor_id for r in arrow.collect()}
+    l = {(r.query_id, r.rank): r.neighbor_id for r in literal.collect()}
+    assert a == l and len(a) == 30
+
+
 def test_semantic_dedup_target_cell_rows_scales_cells(spark):
     """target_cell_rows applies the IVF rule (round-11 10x smoke found the
     fixed-n_cells quadratic cliff): exact replicas collapse to the
