@@ -867,6 +867,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     cell_out: str | None = None,
     target_cell_rows: int | None = None,
+    approx_n: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster embeddings
@@ -890,15 +891,22 @@ def semantic_dedup(
     work is Σ|cell|² — with a FIXED ``n_cells`` that is n²/k, i.e.
     QUADRATIC in corpus size (the round-11 10× smoke measured exactly
     this: 3.3 s → 188 s for 10× the vectors at n_cells=16).  Pass
-    ``target_cell_rows`` instead to apply the IVF rule automatically:
+    ``target_cell_rows`` instead — THE RECOMMENDED MODE for any corpus
+    whose size you don't control — to apply the IVF rule automatically:
     ``n_cells = n / target_cell_rows`` (clamped to [16, 65536]), making
-    pair work ≈ n·target — LINEAR in n.  Assignment stays a Catalyst
-    literal projection up to 64 cells and switches to
-    :func:`similarity.assign_cells_arrow` (one matmul+argmin per Arrow
-    batch, centroid matrix in the task closure) beyond that, where a
-    literal plan stops being viable.  Never all-pairs across cells; the
-    hyperplane-LSH variant (:func:`embedding_dup_pairs`) is the
-    alternative when even linear in-cell work must shrink."""
+    pair work ≈ n·target — LINEAR in n.  Sizing needs n, so this mode
+    runs ONE EXTRA COUNTING PASS over ``df`` at plan-build time (eager
+    ``df.count()``); on a 100 TB uncached upstream either cache/
+    checkpoint the input first or pass ``approx_n`` (any estimate of the
+    row count — shard-manifest totals, a prior pass's count; cell
+    sizing only needs the right order of magnitude) to skip the count
+    entirely.  Assignment stays a Catalyst literal projection up to 64
+    cells and switches to :func:`similarity.assign_cells_arrow` (one
+    matmul+argmin per Arrow batch, centroid matrix broadcast) beyond
+    that, where a literal plan stops being viable.  Never all-pairs
+    across cells; the hyperplane-LSH variant
+    (:func:`embedding_dup_pairs`) is the alternative when even linear
+    in-cell work must shrink."""
     from .similarity import assign_cells, assign_cells_arrow, medoid_centroids
 
     if target_cell_rows is not None:
@@ -907,7 +915,7 @@ def semantic_dedup(
                 f"semantic_dedup: target_cell_rows must be >= 1, got "
                 f"{target_cell_rows}"
             )
-        n = df.count()
+        n = approx_n if approx_n is not None else df.count()
         n_cells = max(16, min(65536, (n + target_cell_rows - 1) // target_cell_rows))
     if centroids is None:
         centroids = medoid_centroids(df, id_col, vec_col, n_cells)

@@ -16,51 +16,54 @@ def test_first_50_cover_every_operator_family():
     # each family must keep at least one representative INSIDE the checked
     # window; entries past the cap are never hash-compared by the driver
     first = set(list(entrymod.queries())[:CAP])
-    # Round-11 curation (continuing the r9/r10 cadence): ten more
-    # redundant siblings rotated past the cap to admit the two
-    # r10-rewritten queries with stale external checks plus eight
-    # never-externally-checked entries.  Every §2 operator family still
-    # keeps at least one in-window representative.
+    # Round-12 curation (continuing the r9-r11 cadence): eleven more
+    # redundant siblings rotated past the cap to admit the r11 verdict's
+    # full never-externally-checked shortlist (led by the re-pointed
+    # scale-path semantic_dedup_embeddings) plus the restored windowed
+    # streaming query.  Every §2 operator family still keeps at least
+    # one in-window representative.
     required = {
-        "s1_csv_roundtrip", "s7_checkpoint_lifecycle",       # sources/checkpoint
+        "s1_csv_roundtrip", "s7_checkpoint_lifecycle",        # sources/checkpoint
         "p1_column_casts", "p4_filter_rows",                  # contracts/filters
         "e1_quarantine_events",                               # error policies
         "u1_row_step_derive", "u2_batch_step",                # step surface
         "u5_lookup_enrichment", "j3_pipe_segment_peers",      # extra sources/piping
         "u8_fix_functions",                                   # fix/flatten family (u6 out r10)
-        "o2_dedup_keep_last",                                 # ordering/builtin dedup
-        "o3_duplicate_keys",                                  # uniqueness check (in r11)
+        "o2_dedup_keep_last",                                 # ordering/dedup/uniqueness (o3 out r12)
         "d1_table_diff",                                      # diff
-        "q1_pricing_summary", "j4_asof_join",                 # relational/asof
-        "streaming_stateful_user_stats",                      # streaming (event_window out r11)
+        "q1_pricing_summary", "j4_asof_join",                 # relational/asof (j5/j6 out r12)
+        "streaming_stateful_user_stats",                      # stateful streaming
+        "streaming_event_window",                             # windowed/watermark streaming (back r12)
         "dedup_exact_docs", "dedup_simhash",                  # dedup suite (minhash_lsh out r11)
+        "dedup_incremental_minhash",                          # incremental dedup (in r12)
+        "semantic_dedup_embeddings",                          # SemDeDup scale path (in r12)
         "ann_cosine_topk",                                    # similarity (lsh out r11)
         "ann_recall_ivf",                                     # IVF + recall eval (in r11)
-        "text_stats", "pii_redaction", "boilerplate_removal", # text/cleaning
-        "decontaminate_docs", "multimodal_binary",            # multimodal
+        "text_stats", "pii_redaction", "boilerplate_removal", # text/cleaning (tfidf out r12)
+        "mask_customers",                                     # PII masking (in r12)
+        "decontaminate_docs", "multimodal_binary",            # decontam/multimodal (triage+report out r12)
         "web_domains",                                        # web
-        # rotated in r9 — still in-window:
+        # rotated in r9 - still in-window:
         "graph_pagerank",                                     # graph
         "kmeans_embedding_cells",                             # clustering
         "scd2_customer_history",                              # SCD2
         "leakage_safe_split_docs",                            # splits (incremental out r11)
-        "contamination_report_docs",                          # decontamination (bloom out r11)
-        # rotated in r10 — still in-window:
-        "j5_interval_match",                                  # interval join
-        "winsorize_prices", "robust_z_prices",                # outlier/quality (drift out r11)
-        "top_p_docs_by_lang",                                 # nucleus sampling
+        # rotated in r10 - still in-window:
+        "robust_z_prices",                                    # outlier/quality (winsorize out r12)
+        "top_p_docs_by_lang",                                 # sampling (topk/shard out r12)
         "quality_classifier_docs",                            # classifier fit
-        "media_header_triage",                                # media triage
         "heavy_hitters_users",                                # frequency sketch
-        # rotated in r11 — first-time or stale external check:
+        # rotated in r11 - still in-window:
         "a3_running_sum",                                     # window family (a4 out, sibling)
         "sample_docs_per_lang",                               # quota sampling (pps out, sibling)
-        "topk_docs_by_lang",                                  # skew-safe top-k
-        "shard_assign_docs",                                  # token-balanced sharding
-        "text_tfidf_top_terms",                               # TF-IDF
-        "funnel_within_day",                                  # behavior/timeseries (ewma out)
-        "quantile_bin_prices",                                # binning
-        "j6_asof_forward",                                    # asof-forward join
+        # rotated in r12 - first external check:
+        "profile_orders",                                     # column profiler
+        "sketch_distinct_accuracy",                           # sketch accuracy eval
+        "salted_hotkey_join",                                 # skew-salted join
+        "bucketed_checkpoint_agg",                            # bucketed checkpoint scale path
+        "funnel_view_click_purchase",                         # funnel (funnel_within_day out)
+        "cohort_retention_weekly",                            # cohort retention
+        "correlations_orders",                                # correlation stats
     }
     missing = required - first
     assert not missing, f"operator families pushed past the {CAP}-entry cap: {sorted(missing)}"

@@ -3145,6 +3145,60 @@ def test_semantic_dedup_target_cell_rows_scales_cells(spark):
         D.semantic_dedup(df, target_cell_rows=0)
 
 
+def test_semantic_dedup_headline_margin_is_tie_robust():
+    """The headline semantic_dedup_embeddings query runs the Arrow
+    matmul assignment against an SQL oracle that folds distances
+    element-wise; the two can differ in the last ulp, so the hash check
+    is only sound if NO vector sits within rounding noise of two cells.
+    Pin that: at the headline configuration (target_cell_rows=6, medoid
+    centroids) the min relative margin between nearest and
+    second-nearest centroid is >= 1e-9 on the test corpora — ~5 orders
+    of magnitude above double rounding on these 64-dim folds."""
+    import duckdb
+    import numpy as np
+
+    for sf in ("0.001", "0.01"):
+        pq = f"/root/testdata/sf{sf}/embeddings.parquet"
+        rows = duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{pq}'"
+        ).fetchall()
+        ids = [r[0] for r in rows]
+        V = np.array([r[1] for r in rows], dtype=np.float64)
+        n = len(V)
+        nc = max(16, min(65536, -(-n // 6)))
+        assert nc > 64  # the auto rule must land in arrow territory
+        cent_ids = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT vec_id FROM '{pq}' "
+                "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
+                f"LIMIT {nc}"
+            ).fetchall()
+        ]
+        idx = {int(i): j for j, i in enumerate(ids)}
+        C = V[[idx[int(i)] for i in cent_ids]]
+        d = (C * C).sum(1)[None, :] - 2.0 * (V @ C.T)
+        two = np.sort(d, axis=1)[:, :2]
+        rel = (two[:, 1] - two[:, 0]) / (np.abs(two[:, 0]) + 1.0)
+        assert rel.min() >= 1e-9, f"sf{sf}: tie-adjacent assignment"
+
+
+def test_semantic_dedup_approx_n_skips_count(spark):
+    """approx_n sizes the auto cells without the extra counting pass —
+    same survivors as the counted run when the estimate matches."""
+    from phaser_spark.ops import dedup as D
+
+    rows = [(i, [float(i % 7) + 1.0, float(i % 11) + 1.0]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    counted = D.semantic_dedup(df, threshold=0.9999, target_cell_rows=4)
+    approx = D.semantic_dedup(
+        df, threshold=0.9999, target_cell_rows=4, approx_n=100
+    )
+    assert sorted(r.vec_id for r in counted.collect()) == sorted(
+        r.vec_id for r in approx.collect()
+    )
+
+
 def test_winsorize_approx_bounds(spark):
     # exact=False switches to percentile_approx: bounds are actual data
     # values (the sketch does not interpolate), so the outlier clamps to
