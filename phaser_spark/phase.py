@@ -65,6 +65,13 @@ from .steps import (
 
 _ERR_TYPE = "struct<type:string,column:string,step:string,message:string,policy:string>"
 
+# Width of one renumber round's negative parking band (see
+# Phase._apply_renumber): parked row r in round e gets -(r + e * band).
+# 2^40 ~ 1.1e12 live rows per phase before the distributed overflow
+# assert fires; at 2^63 / 2^40 = 8.4M renumber rounds the epoch itself
+# cannot overflow a long in any real pipeline.
+_PARK_BAND = 1 << 40
+
 
 class TolerantDict(dict):
     """Driver dict for extra sources with string-key fallback.
@@ -246,6 +253,7 @@ class Phase:
             raise PhaserError(f"Phase {self.name}: no data loaded")
         self.context.current_phase = self.name
         self.context.reset_drop_tags(self.name)
+        self._park_epoch = 0  # per-run reset keeps parked bands deterministic
         # each phase starts in checkpoint (row-number) order; an in-phase
         # sort_by re-establishes this for order-consuming steps
         self.context.sort_state = None
@@ -287,7 +295,15 @@ class Phase:
           collide with freshly assigned live numbers (a later step's
           realign joins on the row number) and must not inflate the
           max+1 base for rows added later (the reference's max is over
-          live rows only).
+          live rows only).  Each renumber round parks into its OWN
+          negative band, ``-(n + round × 2^40)``, and rows parked in an
+          earlier round keep their number — so two rows parked in
+          different rounds can never collide even when their live
+          numbers matched (row 2 parked in round 1, a later live row
+          renumbered to 2 and parked in round 2).  A phase exceeding
+          2^40 live rows would overflow its band — a distributed
+          assert_true fails the job loudly rather than silently
+          aliasing.
         * live rows already carrying an event stash their number too —
           the reference recorded those events at raise time, before this
           renumber; rows that error LATER keep a NULL stash and report
@@ -319,9 +335,24 @@ class Phase:
             order_by=order,
             pins=self.context.pinned_inputs,
         )
-        rest = df.filter(parked).withColumn(
-            PHASER_ROW_NUM, -F.abs(F.col(PHASER_ROW_NUM))
+        self._park_epoch = getattr(self, "_park_epoch", 0) + 1
+        band = self._park_epoch * _PARK_BAND
+        num = F.col(PHASER_ROW_NUM)
+        parked_num = F.when(num < 0, num).otherwise(
+            F.when(
+                num < F.lit(_PARK_BAND),
+                -(num + F.lit(band)),
+            ).otherwise(
+                # loud distributed failure, never a silent alias
+                F.raise_error(
+                    F.lit(
+                        f"Phase {self.name}: renumber parking band overflow "
+                        f"(>= {_PARK_BAND} rows in one phase)"
+                    )
+                ).cast("long")
+            )
         )
+        rest = df.filter(parked).withColumn(PHASER_ROW_NUM, parked_num)
         return live.unionByName(rest)
 
     # -- P1: header canonicalization + renames ---------------------------

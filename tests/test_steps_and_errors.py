@@ -501,6 +501,59 @@ def test_renumber_parked_rows_never_collide_with_live(spark):
     assert all(n < 0 for n in parked), parked
 
 
+def test_renumber_parking_bands_never_collide_across_rounds(spark):
+    """ADVICE r11: plain -abs(n) parking can alias ACROSS renumber
+    rounds — row 2 parked in round 1 -> -2; a later live row renumbered
+    to 2 and parked in round 2 -> -2 again.  Each round now parks into
+    its own negative band (-(n + round * 2^40)) and already-parked rows
+    keep their number, so every row number in the phase output stays
+    globally unique even through repeated park-after-renumber cycles."""
+    from pyspark.sql import functions as F
+
+    from phaser_spark import IntColumn, Phase, batch_step, filter_rows, row_step
+    from phaser_spark.constants import DROP_COL, PHASER_ROW_NUM, SWEPT_COL
+
+    @row_step
+    def touch(row, **kwargs):
+        return row
+
+    @batch_step
+    def identity(df, context=None):
+        return df
+
+    # x errs (swept, original num 2); after renumber #1 live are
+    # a=1, b=2, c=3; filter then drops b (live num 2 — the exact abs
+    # value the swept row parked with); renumber #2 parks it
+    data = [("a", 1), ("x", None), ("b", 3), ("c", 4)]
+    ctx = Context(spark=spark)
+    ph = Phase(
+        name="bands",
+        columns=[IntColumn("code", null=False)],
+        steps=[
+            touch,
+            identity,                              # renumber #1
+            filter_rows(F.col("status") != "b"),
+            identity,                              # renumber #2
+        ],
+        renumber=True,
+        context=ctx,
+    )
+    out = ph.run(spark.createDataFrame(data, "status string, code int"))
+    rows = out.collect()
+    nums = [r[PHASER_ROW_NUM] for r in rows]
+    assert len(nums) == len(set(nums)), sorted(nums)
+    parked = sorted(
+        r[PHASER_ROW_NUM] for r in rows if r[DROP_COL] or r[SWEPT_COL]
+    )
+    assert len(parked) == 2 and all(n < 0 for n in parked), parked
+    # the two parked rows shared abs live number 2 — distinct bands now
+    assert abs(parked[0]) != abs(parked[1]), parked
+    live = sorted(
+        r[PHASER_ROW_NUM] for r in rows if not r[DROP_COL] and not r[SWEPT_COL]
+    )
+    assert live == [1, 2], live
+
+
 def test_batch_step_removal_keeps_recorded_events(spark):
     """A user batch step removing rows must not unrecord their events:
     the reference records eagerly at raise time (context.add_event), so
