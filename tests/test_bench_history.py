@@ -66,6 +66,25 @@ def test_pending_fills_unparsed_snapshot(tmp_path):
     assert h["total"]["r1"] == 9.0
 
 
+def test_probe_tag_flows_into_pending(tmp_path):
+    """VERDICT r11 #3: bench.py runs the md5 host probe itself and tags
+    the staged pass healthy/degraded, so promotion into SCALE.md's
+    cross-round tables is mechanical."""
+    root = str(tmp_path)
+    bench._update_history(
+        {"q": 9.0}, 9.0, root=root, probe_sec=0.47, host_window="healthy"
+    )
+    h = _read_history(root)
+    assert h["local_pending"]["probe_sec"] == 0.47
+    assert h["local_pending"]["host_window"] == "healthy"
+    # a probe-less call (old signature) omits the fields entirely
+    bench._update_history({"q": 9.0}, 9.0, root=root)
+    h = _read_history(root)
+    assert "probe_sec" not in h["local_pending"]
+    # the classification boundary: nominal healthy 0.48 + 15%
+    assert bench.HEALTHY_PROBE_MAX == 0.552
+
+
 def test_spread_ratchets_and_caps(tmp_path):
     root = str(tmp_path)
     bench._update_history({"q": 9.0}, 9.0, spread={"q": 0.3, "w": 0.9}, root=root)
