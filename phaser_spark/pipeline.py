@@ -111,6 +111,7 @@ class Pipeline:
         name: str = "pipeline",
         spark: SparkSession | None = None,
         strict_schemas: bool = False,
+        codegen_probe: bool = True,
     ):
         self.name = name if name != "pipeline" else (type(self).__name__ or name)
         self.working_dir = working_dir
@@ -135,6 +136,11 @@ class Pipeline:
                 raise PhaserError(f"{p!r} is not a Phase or Phase subclass")
         self._init_paths: dict[str, str] = {}
         self.checkpoints: dict[str, str] = {}
+        # test-compile each phase's fused stages before materializing and
+        # warn on janino fallback (r11 differential sweep: an all-axes
+        # phase can exceed the JVM's 64 KB method limit and silently run
+        # interpreted) — False skips the probe's per-phase compile cost
+        self.codegen_probe = codegen_probe
         self.check_output_collision()
 
     # -- extra sources (phaser/pipeline.py:44-56,129-155) -------------------
@@ -233,6 +239,17 @@ class Pipeline:
 
     def run_phase(self, ph: Phase, df: DataFrame) -> DataFrame:
         out = ph.run(df)
+        if getattr(self, "codegen_probe", True):
+            from .plan import (
+                CODEGEN_PROBE_MIN_WEIGHT,
+                codegen_weight,
+                warn_if_codegen_fallback,
+            )
+
+            # exact janino test-compile, gated on a cheap static weight
+            # so ordinary narrow phases never pay the probe's compile
+            if codegen_weight(getattr(ph, "columns", None)) >= CODEGEN_PROBE_MIN_WEIGHT:
+                warn_if_codegen_fallback(out, f"phase {ph.name}")
         # Materialize exactly once: the internal parquet checkpoint.
         materialized = True
         internal_path = None

@@ -59,6 +59,115 @@ def plan_summary(df: DataFrame) -> dict:
     }
 
 
+# Contract-weight gate for the per-phase codegen probe: the exact test
+# compile (codegen_compile_report) costs a janino pass (~1-4 s on wide
+# phases), so the pipeline only pays it for phases whose column stage is
+# big enough to plausibly approach the 64 KB method cliff.  Calibration
+# (round 12, plain IntColumn contracts, weight 2/column): 30 columns
+# (weight 60) still compile — 60 KB method, right under the limit — and
+# 40 columns (weight 80) fail; axis-heavy phases (allowed_values,
+# fix fns, defaults, date formats) score far higher per column.  The
+# threshold sits AT the compiling-30-column shape so near-boundary
+# phases get the exact check and ordinary narrow phases skip it
+# entirely.
+CODEGEN_PROBE_MIN_WEIGHT = 60
+
+
+def codegen_weight(columns) -> int:
+    """Cheap static proxy for how much fused-projection code a phase's
+    column stage generates: 2 per column, plus the per-column axes that
+    each expand into more expression tree (allowed_values membership,
+    fix-fn chain, default injection, multi-pattern date parsing).  Used
+    only to decide whether the exact compile probe is worth its cost —
+    the probe itself, not this weight, decides whether to warn."""
+    w = 0
+    for c in columns or []:
+        w += 2
+        w += len(getattr(c, "allowed_values", None) or [])
+        fixes = getattr(c, "fix_value_fn", None) or []
+        if not isinstance(fixes, (list, tuple)):
+            fixes = [fixes]
+        w += 2 * len(fixes)
+        if getattr(c, "default", None) is not None:
+            w += 2
+        # date/datetime casts coalesce several try_to_timestamp branches
+        if type(c).__name__ in ("DateColumn", "DateTimeColumn"):
+            w += 6
+    return w
+
+
+def codegen_compile_report(df: DataFrame) -> list[dict]:
+    """Per-WholeStageCodegen-subtree compile facts for the frame's plan:
+    ``{"lines": <generated source lines>, "max_method_bytes": <largest
+    compiled method>, "compiled": <bool>}``.  Spark's codegen explain
+    mode test-compiles each subtree with the SAME janino pipeline the
+    executors use, so ``compiled=False`` here IS the runtime fallback —
+    a stage janino rejects (64 KB method limit, constant-pool overflow)
+    executes interpreted: correct, much slower, and stock Spark's only
+    signal is an executor-side ERROR log (observed in the r11
+    differential sweep as a ~17k-line ``processNext``).
+
+    Under AQE the subtrees only materialize per-stage at execution, so
+    the probe replans an aliased copy of the frame with AQE off
+    (plan-build + one test compile; nothing executes).  Driver cost is
+    the compile itself — milliseconds for ordinary contract widths."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # a fresh Dataset replans under the now-current conf; the
+        # original df's memoized AQE plan is untouched
+        qe = df.alias("__codegen_probe__")._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "codegen"
+        )
+        text = qe.explainString(mode)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    report = []
+    parts = re.split(r"== Subtree \d+ / \d+ ", text)[1:]
+    for part in parts:
+        m = re.match(r"\(maxMethodCodeSize:(-?\d+)", part)
+        size = int(m.group(1)) if m else -1
+        report.append(
+            {
+                "lines": len(part.splitlines()),
+                "max_method_bytes": size,
+                "compiled": size >= 0,
+            }
+        )
+    return report
+
+
+def warn_if_codegen_fallback(df: DataFrame, where: str) -> list[dict]:
+    """Emit a named engine warning when any fused stage of ``df``'s plan
+    FAILS the janino test compile (see :func:`codegen_compile_report`)
+    — the pipeline author learns about the interpreted fallback from a
+    Python warning at plan time instead of a buried executor ERROR log.
+    Returns the failing subtree reports.  Introspection failures (exotic
+    plans, JVM API drift) return ``[]``: a diagnostic must never fail
+    the run."""
+    try:
+        report = codegen_compile_report(df)
+    except Exception:
+        return []
+    failed = [r for r in report if not r["compiled"]]
+    if failed:
+        import warnings
+
+        worst = max(r["lines"] for r in failed)
+        warnings.warn(
+            f"CODEGEN_FALLBACK in {where}: {len(failed)} fused stage(s) "
+            f"failed JIT compilation (largest generates {worst} lines of "
+            "Java) and will execute interpreted — correct but much "
+            "slower. Split the phase at a checkpoint boundary, or move "
+            "some column checks/fixes/steps into a separate phase so "
+            "each fused stage stays under the JVM's 64 KB method limit.",
+            stacklevel=3,
+        )
+    return failed
+
+
 def assert_scalable(
     df: DataFrame,
     max_exchanges: int | None = None,

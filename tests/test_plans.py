@@ -591,3 +591,73 @@ def test_decimal_exact_ops_invariant_under_partitioning(spark):
     one = snapshot(spark.createDataFrame(rows, schema).coalesce(1))
     many = snapshot(spark.createDataFrame(rows, schema).repartition(17, "id"))
     assert one == many  # bit-identical, not approximately equal
+
+
+def test_codegen_fallback_probe_and_warning(spark):
+    """VERDICT r11 #4: a fused stage that janino rejects (64 KB method
+    limit) silently runs interpreted — the engine now test-compiles
+    risky phases and surfaces a named warning.  The exact probe says a
+    30-IntColumn contract still compiles while 40+ fall back (the r11
+    SCALE.md note that 60 columns compile clean predates the r11
+    swept-row/policy-struct growth of the fused stage); the pathological
+    all-axes fusion from the differential sweep warns too."""
+    import warnings as W
+
+    from phaser_spark import Column, DateColumn, IntColumn, Phase, Pipeline
+    from phaser_spark.context import Context
+    from phaser_spark.lineage import with_row_numbers
+    from phaser_spark.plan import (
+        CODEGEN_PROBE_MIN_WEIGHT,
+        codegen_weight,
+        warn_if_codegen_fallback,
+    )
+
+    def phase_out(cols, names):
+        df = spark.createDataFrame(
+            [tuple(str(i) for _ in names) for i in range(5)],
+            ", ".join(f"{c} string" for c in names),
+        )
+        ph = Phase(name="probe", columns=cols, context=Context(spark=spark))
+        return ph.run(with_row_numbers(df))
+
+    # narrow phases never pay the probe: static weight below the gate
+    assert codegen_weight([IntColumn(f"c{i}") for i in range(10)]) < \
+        CODEGEN_PROBE_MIN_WEIGHT
+
+    # 30 plain IntColumns: probed (weight == gate) and SILENT — compiles
+    out30 = phase_out([IntColumn(f"c{i}") for i in range(30)],
+                      [f"c{i}" for i in range(30)])
+    assert warn_if_codegen_fallback(out30, "phase t30") == []
+
+    # 60 plain IntColumns: the fused cast+policy stage exceeds 64 KB
+    out60 = phase_out([IntColumn(f"c{i}") for i in range(60)],
+                      [f"c{i}" for i in range(60)])
+    with W.catch_warnings(record=True) as got:
+        W.simplefilter("always")
+        failed = warn_if_codegen_fallback(out60, "phase t60")
+    assert failed and not failed[0]["compiled"]
+    assert any("CODEGEN_FALLBACK in phase t60" in str(w.message) for w in got)
+
+    # the r11 differential sweep's all-axes fusion warns end-to-end
+    # through Pipeline.run (the weight gate admits it, the probe fails)
+    cols, names = [], []
+    for i in range(24):  # 16-pair shape compiles at 51 KB; 24 clears 64 KB
+        names += [f"d{i}", f"s{i}"]
+        cols.append(DateColumn(f"d{i}", default="2020-01-01"))
+        cols.append(Column(f"s{i}", allowed_values=list("abc1234"),
+                           default="a", fix_value_fn=["strip", "lower"]))
+    assert codegen_weight(cols) >= CODEGEN_PROBE_MIN_WEIGHT
+    src = spark.createDataFrame(
+        [
+            tuple("2020-01-01" if c.startswith("d") else "a" for c in names)
+            for _ in range(3)
+        ],
+        ", ".join(f"{c} string" for c in names),
+    )
+    pipe = Pipeline(
+        phases=[Phase(name="axes", columns=cols)], name="cg", spark=spark
+    )
+    with W.catch_warnings(record=True) as got:
+        W.simplefilter("always")
+        pipe.run(src)
+    assert any("CODEGEN_FALLBACK in phase axes" in str(w.message) for w in got)
