@@ -279,7 +279,12 @@ def _build_pipeline(mod, workdir: Path, csv_path: str, scenario: dict):
         )
         for p in scenario["phases"]
     ]
-    return mod.Pipeline(working_dir=workdir, source=csv_path, phases=phases)
+    return mod.Pipeline(
+        working_dir=workdir,
+        source=csv_path,
+        phases=phases,
+        error_policy=scenario.get("error_policy"),
+    )
 
 
 # --- seeded data ------------------------------------------------------------
@@ -421,6 +426,39 @@ SCENARIOS = {
                     },
                 ],
                 "steps": ["touch_row", "dedup_by_id"],
+            },
+        ]
+    },
+    "mid_renumber_then_dedup": {
+        # round-12 axis (b), pinned deterministically (the randomized
+        # space samples it rarely): a MIDDLE phase renumbers, then the
+        # final phase's keep-last dedup must key off the REnumbered
+        # order identically in both engines, and the merge of a P1
+        # extra output must still resolve in P3 across the intermediate
+        # checkpoint (axis (a), the full families idiom)
+        "phases": [
+            {
+                "name": "Collect",
+                "columns": [
+                    {
+                        "kind": "int",
+                        "name": "emp_id",
+                        "kwargs": {"rename": ["Emp ID"], "null": True},
+                    },
+                    {"kind": "any", "name": "status"},
+                ],
+                "steps": ["count_status"],
+                "extra_outputs": ["status_counts"],
+            },
+            {
+                "name": "Renum",
+                "steps": ["filter_active"],
+                "renumber": True,
+            },
+            {
+                "name": "Merge",
+                "steps": ["merge_status_counts", "dedup_by_id"],
+                "extra_sources": ["status_counts"],
             },
         ]
     },
@@ -764,7 +802,12 @@ def _gen_scenario(seed: int) -> dict:
         and not blankable_first  # a blank-collected row reverts wholesale
         and not any(c["name"] == "code" for c in columns)
         and not any(
-            len(c["kwargs"].get("allowed_values", [3])) < 3 for c in columns
+            # a column WITHOUT allowed_values has no membership check and
+            # cannot fail it — the old `[3]` sentinel (len 1 < 3) wrongly
+            # flagged every such column as failable, making cast_clean
+            # near-unreachable and starving the in-phase dedup axis
+            # (round-12 generator fix; conservative-only before)
+            len(c["kwargs"].get("allowed_values", "abc")) < 3 for c in columns
         )
     )
     if has_emp and cast_clean:
@@ -857,7 +900,82 @@ def _gen_scenario(seed: int) -> dict:
                 "batch_merge_status_counts" if s == "merge_status_counts" else s
                 for s in phases[1]["steps"]
             ]
-    return {"phases": phases}
+    # ---- round-12 axes (each drawn AFTER every r11 draw, so earlier
+    # rounds' seed streams — and thus their scenarios — are unchanged) --
+    if len(phases) >= 3:
+        # (a) the FULL families idiom: P1 accumulates an extra output,
+        # P3 — not the adjacent P2 — merges it back, exercising
+        # extra-output persistence ACROSS an intermediate phase's
+        # checkpoint (the single-hop P1->P2 pipe was the only sampled
+        # shape before)
+        if phases[0].get("extra_outputs") and rng.random() < 0.5:
+            mergers = ("merge_status_counts", "batch_merge_status_counts")
+            carried = [s for s in phases[1]["steps"] if s in mergers]
+            if carried:
+                phases[1]["steps"] = [
+                    s for s in phases[1]["steps"] if s not in mergers
+                ]
+                phases[1].pop("extra_sources", None)
+                phases[2]["steps"] = [carried[0]] + phases[2]["steps"]
+                phases[2]["extra_sources"] = ["status_counts"]
+        # (b) a dedup/uniqueness CONSUMER after the mid-pipeline
+        # renumber: P2 rewrites row identity, P3's keep-last keeper (or
+        # uniqueness events) must key off the REnumbered order in both
+        # engines.  Guards: cast-clean (the '' vs NULL key
+        # representation rule), and no dedup/uniqueness BEFORE the
+        # renumber (post-dedup list order is dict-insertion order in
+        # the reference — the seeds-40/136 deliberate divergence).
+        # Forces renumber=True on P2 (cast_clean implies no COLUMN
+        # events; the step guard below excludes the STEP-raised ones —
+        # error/warn steps put rows in the comparator's event-number
+        # exemption set, which stops matching after a renumber, the
+        # seed-81 rule), because the organic joint draw never sampled
+        # this shape in 80 seeds.
+        if (
+            has_emp
+            and cast_clean
+            and not any(
+                s in ("dedup_by_id", "check_unique_id",
+                      "error_negative_amount", "warn_big_amount")
+                for s in phases[0]["steps"] + phases[1]["steps"]
+            )
+            and rng.random() < 0.75
+        ):
+            phases[1]["renumber"] = True
+            phases[1]["steps"] = [
+                s for s in phases[1]["steps"] if s != "sort_by_first"
+            ]
+            phases[2]["steps"] = phases[2]["steps"] + [
+                rng.choice(["dedup_by_id", "check_unique_id"])
+            ]
+    out = {"phases": phases}
+    # (c) non-default PHASE error policy.  Guards: cast-clean only, and
+    # no step that raises a plain error — under phase-level DROP_ROW the
+    # reference records a DROPPED_ROW event for those but NEVER removes
+    # the row (only a literal DropRowException removes; the keep-on-
+    # continue bug pinned by test_phase_drop_row_retention_divergence_
+    # lock), while this engine drops it as documented.  What the axis
+    # still exercises: the policy plumbing through both engines, its
+    # interaction with DropRowException steps (identical in both), and
+    # that an inert non-default policy changes NOTHING else.
+    if (
+        cast_clean
+        and not any(
+            s in ("error_negative_amount", "check_unique_id")
+            for p in phases
+            for s in p["steps"]
+        )
+        # a REQUIRED ghost column under warn/drop_row crashes the
+        # reference with UnboundLocalError (the documented PARITY.md
+        # missing-required-header divergence; we raise PhaserError)
+        and not any(
+            c["name"] == "bonus" and c["kwargs"].get("required", True)
+            for c in columns
+        )
+        and rng.random() < 0.3
+    ):
+        out["error_policy"] = "ON_ERROR_DROP_ROW"
+    return out
 
 
 def test_cast_error_policy_divergence_lock(spark, tmp_path):
@@ -901,6 +1019,54 @@ def test_cast_error_policy_divergence_lock(spark, tmp_path):
     assert got_outcome == "ok"
     assert got_events == [("DROPPED_ROW", "cast", "2")]
     (got_rows,) = got_ckpts.values()
+    assert [r["code"] for r in got_rows] == [7, 9]
+
+
+def test_phase_drop_row_retention_divergence_lock(spark, tmp_path):
+    """PINS the reference bug the round-12 phase-policy axis found: under
+    a PHASE-level ON_ERROR_DROP_ROW, a cast-class failure records a
+    DROPPED_ROW event but the row is NEVER REMOVED — the reference's
+    row-step loop only removes rows for a literal DropRowException
+    (phaser/phase.py:103-104 `if not isinstance(exc, DropRowException):
+    new_data.append(row)`), so the policy's documented behavior ("a row
+    causing an error will be dropped", phaser/phase.py:175) never
+    happens for column cast/check failures.  This engine follows the
+    documentation: the row is dropped from the checkpoint.  Both engines
+    agree on the outcome (no failure) and the DROPPED_ROW event set."""
+    csv_path = str(tmp_path / "input.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["code"])
+        w.writerows([["7"], ["x8"], ["9"]])
+    scenario = {
+        "error_policy": "ON_ERROR_DROP_ROW",
+        "phases": [
+            {
+                "name": "Drops",
+                "columns": [
+                    # no column on_error: BOTH engines route the cast
+                    # failure to the phase policy here (the column-policy
+                    # cast divergence needs an explicit on_error)
+                    {"kind": "int", "name": "code", "kwargs": {"null": True}},
+                ],
+            }
+        ],
+    }
+    ref_outcome, ref_ckpts, ref_events = _run_one(
+        _reference_module(), tmp_path, "ref", csv_path, scenario
+    )
+    got_outcome, got_ckpts, got_events = _run_one(
+        _spark_module(), tmp_path, "spark", csv_path, scenario
+    )
+    # identical outcome and event attribution in both engines
+    assert ref_outcome == got_outcome == "ok"
+    assert ("DROPPED_ROW", "cast", "2") in ref_events
+    assert ("DROPPED_ROW", "cast", "2") in got_events
+    # the reference KEEPS the "dropped" row (the keep-on-continue bug:
+    # its raw value survives to the checkpoint); this engine drops it
+    (ref_rows,) = ref_ckpts.values()
+    (got_rows,) = got_ckpts.values()
+    assert len(ref_rows) == 3
     assert [r["code"] for r in got_rows] == [7, 9]
 
 
@@ -1045,7 +1211,7 @@ def test_dedup_order_renumber_divergence_lock(spark, tmp_path):
     assert ref_first == got_first == {9: "alan", 2: "grace"}
 
 
-@pytest.mark.parametrize("seed", range(60))
+@pytest.mark.parametrize("seed", range(100))
 def test_randomized_pipeline_matches_reference(spark, tmp_path, seed):
     scenario = _gen_scenario(seed)
     if scenario.get("source") == "json":
