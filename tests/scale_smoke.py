@@ -64,7 +64,22 @@ DEFAULT_QUERIES = [
 ]
 
 
-def build_replica(spark, src: str = SRC, dst: str = REPLICA, force: bool = False):
+def build_replica(
+    spark,
+    src: str = SRC,
+    dst: str = REPLICA,
+    force: bool = False,
+    distinct_vectors: bool = False,
+):
+    """``distinct_vectors=False`` (default) copies vectors VERBATIM — the
+    corpus then genuinely contains FACTOR exact copies of every
+    embedding, the dedup worst case: true near-dup pair count rises
+    ~FACTOR²/2-fold per family, so dedup ratios read super-linear for a
+    DATA reason.  ``distinct_vectors=True`` instead applies a
+    deterministic per-replica sign-flip pattern to the embedding
+    (norms preserved; cosines between different replicas of the same
+    vector collapse toward 0), isolating CODE linearity: the pair
+    structure then scales exactly with the corpus."""
     from pyspark.sql import functions as F
 
     marker = os.path.join(dst, "_COMPLETE")
@@ -78,6 +93,19 @@ def build_replica(spark, src: str = SRC, dst: str = REPLICA, force: bool = False
         )
         for k in keys:
             rep = rep.withColumn(k, F.col(k) * FACTOR + F.col("__r"))
+        if distinct_vectors and table == "embeddings":
+            r = F.col("__r")
+            rep = rep.withColumn(
+                "embedding",
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.sequence(F.lit(0), F.size("embedding") - 1),
+                    # replica 0 keeps the original sign pattern
+                    lambda x, i: F.when(
+                        ((r * 31 + i * 7 + r * i) % 2 == 0) | (r == 0), x
+                    ).otherwise(-x),
+                ),
+            )
         rep.drop("__r").write.mode("overwrite").parquet(
             os.path.join(dst, f"{table}.parquet")
         )
@@ -90,11 +118,12 @@ def build_replica(spark, src: str = SRC, dst: str = REPLICA, force: bool = False
     return dst
 
 
-def run(names: list[str], runs: int = 2) -> list[dict]:
+def run(names: list[str], runs: int = 2, replica: str | None = None) -> list[dict]:
+    replica = replica or REPLICA
     probe = bench.host_probe()
     window = "healthy" if probe <= bench.HEALTHY_PROBE_MAX else "degraded"
     spark = get_spark(app_name="phaser_spark_scale_smoke")
-    build_replica(spark)
+    build_replica(spark, dst=replica)
     queries = entrymod.queries()
     rows = []
 
@@ -119,7 +148,7 @@ def run(names: list[str], runs: int = 2) -> list[dict]:
             continue
         try:
             t1 = best_of(fn, SRC)
-            t10 = best_of(fn, REPLICA)
+            t10 = best_of(fn, replica)
         except Exception as e:
             print(f"| {name} | — | — | — | ERROR {type(e).__name__}: {e} |")
             continue
@@ -141,11 +170,15 @@ def run(names: list[str], runs: int = 2) -> list[dict]:
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     force = "--rebuild" in sys.argv
+    distinct = "--distinct-vectors" in sys.argv
     runs = 2
     for a in sys.argv[1:]:
         if a.startswith("--runs="):
             runs = int(a.split("=", 1)[1])
-    if force:
+    # the code-linearity variant lives in its own dir so both replicas
+    # stay cached across invocations
+    target = REPLICA + "-distinct" if distinct else REPLICA
+    if force or (distinct and not os.path.exists(os.path.join(target, "_COMPLETE"))):
         build_replica(get_spark(app_name="phaser_spark_scale_smoke"),
-                      force=True)
-    run(args or DEFAULT_QUERIES, runs=runs)
+                      dst=target, force=force, distinct_vectors=distinct)
+    run(args or DEFAULT_QUERIES, runs=runs, replica=target)
