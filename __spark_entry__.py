@@ -755,6 +755,22 @@ def embedding_centroids(spark, sf_dir):
     )
 
 
+def pca_covariance_embeddings(spark, sf_dir):
+    """Distributed PCA fit stage (ops/embeddings.py
+    ``covariance_matrix``, exact path): the full d×d population
+    covariance of the embedding corpus as (i, j, cov) upper-triangle
+    rows — one row-local Catalyst expansion into d(d+1)/2 products (no
+    Python, map-side combine), decimal-exact sums so the result is
+    independent of partitioning, 6-digit truncation.  The 100 TB fit
+    uses the Arrow partial-outer-product path (one d×d partial per
+    batch, corpus never expanded) — equivalence between the two paths
+    is pinned in pytest; eigendecomposition stays on the driver (d×d).
+    The SQL oracle replays the expansion, the decimal sums, and the
+    double division order bit-identically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embeddings.covariance_matrix(emb, "embedding", exact=True)
+
+
 def o5_distinct_counts(spark, sf_dir):
     """Distinct aggregation surface (absent in the reference, Catalyst
     supplies it): distinct customers and orders per priority."""
@@ -3129,6 +3145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_surprisal": text_surprisal,
         "dedup_cluster_size_stats": dedup_cluster_size_stats,
         "leakage_split_shares_docs": leakage_split_shares_docs,
+        # ---- past-cap, round 12: PCA fit stage (new operator) ----
+        "pca_covariance_embeddings": pca_covariance_embeddings,
     }
 
 
@@ -3737,6 +3755,29 @@ def oracle_sql() -> dict[str, str]:
                    floor(CAST(s AS DOUBLE) / n * 1000000) / 1000000 AS c_mean,
                    n
             FROM sums
+        """,
+        "pca_covariance_embeddings": """
+            WITH v AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+            ), pairs AS (
+                SELECT i, j,
+                       SUM(CAST(vv[i] * vv[j] AS DECIMAL(28,12))) AS sxy,
+                       SUM(CAST(vv[i] AS DECIMAL(28,12))) AS sxi,
+                       SUM(CAST(vv[j] AS DECIMAL(28,12))) AS sxj,
+                       COUNT(*) AS n
+                FROM v,
+                     LATERAL unnest(generate_series(1, len(vv))) AS t(i),
+                     LATERAL unnest(generate_series(1, len(vv))) AS u(j)
+                WHERE j >= i
+                GROUP BY i, j
+            )
+            SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+                   floor((CAST(sxy AS DOUBLE) / n
+                          - (CAST(sxi AS DOUBLE) / n)
+                            * (CAST(sxj AS DOUBLE) / n)) * 1000000)
+                       / 1000000 AS cov,
+                   n
+            FROM pairs
         """,
         "streaming_session_window": """
             WITH g AS (

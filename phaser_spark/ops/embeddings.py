@@ -167,3 +167,262 @@ def embedding_summary(
         ).alias("q_sum"),
         trunc_digits(quantization_error(v), digits + 3).alias("max_err"),
     )
+
+
+def covariance_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    exact: bool = True,
+    upper_only: bool = True,
+) -> DataFrame:
+    """Population covariance of an embedding column as a LONG matrix
+    ``(i, j, cov)`` (1-based dims, upper triangle by default) — the fit
+    half of PCA/whitening, distributed as one aggregate.
+
+    ``exact=True`` (the oracle-replayable path) expands each row into
+    its d(d+1)/2 upper-triangle products with a row-local Catalyst
+    ``transform``/``flatten`` — no Python, map-side combined, decimal
+    accumulation so the sums are independent of partitioning and an
+    external SQL engine replays them bit-identically.  Per-row expansion
+    is O(d²): right for oracle-scale dims (d ≤ a few hundred).
+
+    ``exact=False`` is the 100 TB path: one ``(batch × d)ᵀ @ (batch ×
+    d)`` outer-product accumulation per Arrow batch (mapInPandas), ONE
+    partial row emitted per batch, then a tiny final aggregate over
+    #batches rows — the corpus is read once and never expanded.  Double
+    accumulation: at web scale the d² sums differ from the exact path
+    only in the last ulps (equivalence pinned in tests).
+
+    Output covariances are 6-digit-truncated (`trunc_digits`) on BOTH
+    paths so either can be hash-compared downstream."""
+    import numpy as np
+
+    v = _as_double(F.col(vec_col))
+    if exact:
+        idx = F.sequence(F.lit(1), F.size(v))
+        tri = F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    F.slice(idx, i, F.size(v) - i + 1),
+                    lambda j: F.struct(
+                        i.alias("i"),
+                        j.alias("j"),
+                        (F.element_at(v, i) * F.element_at(v, j)).alias("xy"),
+                        F.element_at(v, i).alias("xi"),
+                        F.element_at(v, j).alias("xj"),
+                    ),
+                ),
+            )
+        )
+        pairs = df.select(F.explode(tri).alias("p")).select(
+            F.col("p.i").alias("i"),
+            F.col("p.j").alias("j"),
+            F.col("p.xy").alias("xy"),
+            F.col("p.xi").alias("xi"),
+            F.col("p.xj").alias("xj"),
+        )
+        agg = pairs.groupBy("i", "j").agg(
+            F.sum(F.col("xy").cast("decimal(28,12)")).alias("sxy"),
+            F.sum(F.col("xi").cast("decimal(28,12)")).alias("sxi"),
+            F.sum(F.col("xj").cast("decimal(28,12)")).alias("sxj"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        cov = (
+            F.col("sxy").cast("double") / F.col("n")
+            - (F.col("sxi").cast("double") / F.col("n"))
+            * (F.col("sxj").cast("double") / F.col("n"))
+        )
+        out = agg.select(
+            "i", "j", trunc_digits(cov, 6).alias("cov"), F.col("n")
+        )
+    else:
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        first = df.select(v.alias("v")).first()
+        if first is None:
+            raise ValueError("covariance_matrix: empty input")
+        d = len(first["v"])
+
+        schema = T.StructType(
+            [
+                T.StructField("n", T.LongType()),
+                T.StructField("sx", T.ArrayType(T.DoubleType())),
+                T.StructField("sxx", T.ArrayType(T.DoubleType())),
+            ]
+        )
+
+        def partials(batches):
+            from .similarity import _dense_batch
+
+            for pdf in batches:
+                mat, valid = _dense_batch(pdf["v"], d)
+                if mat is None:
+                    continue
+                m = mat[valid]
+                if not len(m):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "n": [len(m)],
+                        "sx": [m.sum(axis=0).tolist()],
+                        "sxx": [(m.T @ m).ravel().tolist()],
+                    }
+                )
+
+        parts = (
+            df.select(v.alias("v")).mapInPandas(partials, schema=schema).collect()
+        )
+        n = sum(p["n"] for p in parts)
+        if n == 0:
+            raise ValueError("covariance_matrix: no valid vectors")
+        sx = np.sum([np.asarray(p["sx"]) for p in parts], axis=0)
+        sxx = np.sum(
+            [np.asarray(p["sxx"]).reshape(d, d) for p in parts], axis=0
+        )
+        mean = sx / n
+        c = sxx / n - np.outer(mean, mean)
+        spark = df.sparkSession
+        rows = [
+            (i + 1, j + 1, float(np.floor(c[i, j] * 1e6) / 1e6), int(n))
+            for i in range(d)
+            for j in range(i if upper_only else 0, d)
+            if (j >= i or not upper_only)
+        ]
+        out = spark.createDataFrame(rows, "i int, j int, cov double, n bigint")
+    return out
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    exact: bool = False,
+    max_dim: int = 2048,
+) -> dict:
+    """Fit a PCA model distributedly: the d×d covariance is reduced on
+    the cluster (see :func:`covariance_matrix`; ``exact=False`` — the
+    Arrow partial-outer-product path — is the right default for fitting,
+    where the last decimal digit of the covariance is immaterial), the
+    d×d eigendecomposition happens on the driver (``numpy.linalg.eigh``
+    of a symmetric matrix — milliseconds up to ``max_dim``), and only
+    O(d²) numbers ever leave the executors.
+
+    Returns ``{"mean": [d floats], "components": k×d (rows are unit
+    eigenvectors, descending eigenvalue), "explained_variance": [k]}``.
+    Eigenvector SIGN is normalized (largest-|coefficient| entry made
+    positive) so the model is deterministic across BLAS builds."""
+    import numpy as np
+
+    first = df.select(_as_double(F.col(vec_col)).alias("v")).first()
+    if first is None:
+        raise ValueError("pca_fit: empty input")
+    d = len(first["v"])
+    if d > max_dim:
+        raise ValueError(
+            f"pca_fit: dim {d} exceeds max_dim {max_dim} — a {d}x{d} "
+            "driver eigendecomposition is no longer cheap; raise max_dim "
+            "deliberately or reduce with a random projection first"
+        )
+    cov_rows = covariance_matrix(df, vec_col, exact=exact).collect()
+    n = cov_rows[0]["n"] if cov_rows else 0
+    c = np.zeros((d, d))
+    sums = np.zeros(d)
+    for r in cov_rows:
+        c[r["i"] - 1, r["j"] - 1] = r["cov"]
+        c[r["j"] - 1, r["i"] - 1] = r["cov"]
+    # the mean comes from one more tiny aggregate (d rows)
+    dims = df.select(F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"))
+    mrows = (
+        dims.groupBy("dim")
+        .agg(F.sum(F.col("x").cast("decimal(28,12)")).alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in mrows:
+        sums[r["dim"]] = float(r["s"])
+        n = r["n"]
+    mean = sums / max(n, 1)
+    w, vecs = np.linalg.eigh(c)
+    order = np.argsort(w)[::-1][:k]
+    comps = vecs[:, order].T  # k x d
+    for row in comps:
+        if row[np.abs(row).argmax()] < 0:
+            row *= -1.0
+    return {
+        "mean": [float(x) for x in mean],
+        "components": [[float(x) for x in row] for row in comps],
+        "explained_variance": [float(w[o]) for o in order],
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Project (and optionally whiten) an embedding column through a
+    :func:`pca_fit` model: ``out = (x - mean) @ componentsᵀ`` (each
+    output dim divided by sqrt(eigenvalue) when ``whiten`` — the
+    SemDeDup-style preconditioning).  Small models (k·d ≤ 4096) run as a
+    pure Catalyst expression (zip_with dot per component — plan
+    literals, whole-stage codegen); larger ones go through one Arrow
+    matmul per batch exactly like :func:`similarity.assign_cells_arrow`
+    (dirty rows get a NULL projection there, matching the literal
+    path's null-poison)."""
+    import numpy as np
+
+    mean = model["mean"]
+    comps = model["components"]
+    scales = (
+        [1.0 / float(np.sqrt(max(ev, eps))) for ev in model["explained_variance"]]
+        if whiten
+        else [1.0] * len(comps)
+    )
+    k, d = len(comps), len(mean)
+    v = _as_double(F.col(vec_col))
+    if k * d <= 4096:
+        mean_arr = F.array(*[F.lit(float(m)) for m in mean])
+        centered = F.zip_with(v, mean_arr, lambda x, m: x - m)
+        outs = []
+        for row, s in zip(comps, scales):
+            comp_arr = F.array(*[F.lit(float(c)) for c in row])
+            dot = F.aggregate(
+                F.zip_with(centered, comp_arr, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            outs.append(dot * F.lit(float(s)))
+        return df.withColumn(out_col, F.array(*outs))
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .similarity import _dense_batch
+
+    mat = (np.asarray(comps, dtype=np.float64) * np.asarray(scales)[:, None]).T
+    mu = np.asarray(mean, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast((mu, mat))
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+
+    def gen(batches):
+        mu_, mat_ = bc.value
+        for pdf in batches:
+            dense, valid = _dense_batch(pdf[vec_col], len(mu_))
+            if dense is None:
+                yield pdf.assign(**{out_col: pd.Series([], dtype="object")})
+                continue
+            proj = (dense - mu_[None, :]) @ mat_
+            vals = [
+                proj[idx].tolist() if valid[idx] else None
+                for idx in range(len(proj))
+            ]
+            yield pdf.assign(**{out_col: pd.Series(vals, dtype="object")})
+
+    return df.mapInPandas(gen, schema=schema)
