@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "topk_docs_by_lang",
     "shard_assign_docs",
     "quality_classifier_docs",
+    "pca_covariance_embeddings",
 ]
 
 
