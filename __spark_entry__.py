@@ -771,6 +771,32 @@ def pca_covariance_embeddings(spark, sf_dir):
     return embeddings.covariance_matrix(emb, "embedding", exact=True)
 
 
+def pq_encode_embeddings(spark, sf_dir):
+    """Product-quantization encode (ops/pq.py, Jégou et al. 2011): the
+    64-dim corpus compressed to m=8 one-byte-sized codes via a
+    deterministic medoid codebook (the md5-order draw — SQL-replayable)
+    — 4·d bytes → m bytes is what makes a 100 TB ANN index fit executor
+    memory.  Small codebooks encode as ONE Catalyst projection (literal
+    sub-centroids, whole-stage codegen); the large-codebook path is m
+    Arrow matmuls per batch (equivalence test-pinned).  Integer output:
+    the oracle hash-check catches any disagreement as a whole-number
+    diff.  The ADC search half (``pq_topk``) is pytest-verified against
+    exact L2 structure (tight clusters make within-cluster order
+    undecidable by construction, so no hashable total order exists)."""
+    from phaser_spark.ops import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    book = pq.pq_train(emb, m=8, k_sub=16)  # medoid: oracle-replayable
+    enc = pq.pq_encode(emb.select("vec_id", "embedding"), book, out_col="codes")
+    return enc.select(
+        "vec_id", F.posexplode("codes").alias("sub0", "code")
+    ).select(
+        "vec_id",
+        (F.col("sub0") + 1).cast("int").alias("sub"),
+        F.col("code"),
+    )
+
+
 def o5_distinct_counts(spark, sf_dir):
     """Distinct aggregation surface (absent in the reference, Catalyst
     supplies it): distinct customers and orders per priority."""
@@ -3145,8 +3171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_surprisal": text_surprisal,
         "dedup_cluster_size_stats": dedup_cluster_size_stats,
         "leakage_split_shares_docs": leakage_split_shares_docs,
-        # ---- past-cap, round 12: PCA fit stage (new operator) ----
+        # ---- past-cap, round 12: PCA fit stage + PQ encode (new ops) ----
         "pca_covariance_embeddings": pca_covariance_embeddings,
+        "pq_encode_embeddings": pq_encode_embeddings,
     }
 
 
@@ -3778,6 +3805,37 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000 AS cov,
                    n
             FROM pairs
+        """,
+        "pq_encode_embeddings": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+            ), med AS (
+                SELECT c, cv FROM (
+                    SELECT CAST(embedding AS DOUBLE[]) AS cv,
+                           row_number() OVER (
+                               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                           ) AS c
+                    FROM embeddings
+                ) WHERE c <= 16
+            ), dists AS (
+                SELECT v.vec_id, s.s, m.c,
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(generate_series(1, 8),
+                               i -> (v.vv[(s.s - 1) * 8 + i] - m.cv[(s.s - 1) * 8 + i])
+                                    * (v.vv[(s.s - 1) * 8 + i] - m.cv[(s.s - 1) * 8 + i]))),
+                           (x, y) -> x + y) AS dist
+                FROM v,
+                     (SELECT UNNEST(generate_series(1, 8)) AS s) s,
+                     med m
+            )
+            SELECT vec_id, CAST(s AS INT) AS sub, CAST(c AS INT) AS code
+            FROM (
+                SELECT vec_id, s, c,
+                       row_number() OVER (
+                           PARTITION BY vec_id, s ORDER BY dist, c
+                       ) AS rn
+                FROM dists
+            ) WHERE rn = 1
         """,
         "streaming_session_window": """
             WITH g AS (

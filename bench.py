@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "shard_assign_docs",
     "quality_classifier_docs",
     "pca_covariance_embeddings",
+    "pq_encode_embeddings",
 ]
 
 

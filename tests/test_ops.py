@@ -4774,3 +4774,102 @@ def test_decode_and_featurize_stub_parity_unchanged(spark):
         out.extend(b / 255.0 for b in h)
         h = _hl.sha256(h).digest()
     assert row["features"] == out[: multimodal.FEATURE_DIM]
+
+
+# --- product quantization (PQ) --------------------------------------------
+
+
+def test_pq_encode_known_codes_ties_and_dirty_rows(spark):
+    """Deterministic encode: known nearest sub-centroids, FIRST-min tie
+    rule, NULL codes for dirty vectors — on the literal path."""
+    from phaser_spark.ops import pq
+
+    # m=2 subspaces of dim 2; sub-centroids on the axes
+    book = [
+        [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]],   # code 3 duplicates code 1
+        [[0.0, 0.0], [5.0, 5.0]],
+    ]
+    rows = [
+        (1, [0.9, 0.1, 4.0, 4.0]),   # sub1 -> code 1 (tie w/ 3: first wins)
+        (2, [0.0, 2.0, 0.1, 0.1]),   # sub1 -> code 2, sub2 -> code 1
+        (3, None),
+        (4, [1.0, 0.0]),             # ragged
+        (5, [1.0, None, 0.0, 0.0]),  # null element
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.codes for r in
+           pq.pq_encode(df, book, out_col="codes").collect()}
+    assert got[1] == [1, 2]
+    assert got[2] == [2, 1]
+    assert got[3] is None and got[4] is None and got[5] is None
+
+
+def test_pq_encode_literal_and_arrow_paths_agree(spark):
+    """Above the literal-plan budget pq_encode switches to the Arrow
+    matmul; both paths produce identical integer codes."""
+    import random as _r
+
+    from phaser_spark.ops import pq
+
+    rng = _r.Random(6)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    book = pq.pq_train(df, m=4, k_sub=32, method="kmeans", seed=1)
+    assert 4 * 32 * 4 <= 8192  # literal path fits
+    lit = {r.vec_id: r.c for r in
+           pq.pq_encode(df, book, out_col="c").collect()}
+    # force the arrow path by replicating the codebook past the budget:
+    # identical leading sub-centroids -> identical codes (first-min)
+    big = [sub + sub + sub + sub + sub for sub in book]  # k_sub 160 -> 4*160*4 > 8192
+    arrow = {r.vec_id: r.c for r in
+             pq.pq_encode(df, big, out_col="c").collect()}
+    assert all(arrow[i] == lit[i] for i in lit)
+
+
+def test_pq_topk_recovers_clustered_neighbors(spark):
+    """On subspace-aligned clustered data (every vector sits near a
+    sub-centroid combination) ADC ranking recovers the exact L2 top-k —
+    and the output carries the deterministic rank/tiebreak contract."""
+    import random as _r
+
+    import numpy as np
+
+    from phaser_spark.ops import pq
+
+    rng = _r.Random(13)
+    centers = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]]
+    rows, combo = [], {}
+    for i in range(120):
+        c1, c2 = rng.randrange(3), rng.randrange(3)
+        combo[i] = (c1, c2)
+        vec = [
+            centers[c1][0] + rng.gauss(0, 0.05),
+            centers[c1][1] + rng.gauss(0, 0.05),
+            centers[c2][0] + rng.gauss(0, 0.05),
+            centers[c2][1] + rng.gauss(0, 0.05),
+        ]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    book = pq.pq_train(df, m=2, k_sub=16, method="kmeans", seed=3)
+    queries = df.filter(F.col("vec_id") < 8)
+    got = pq.pq_topk(df, queries, book, k=3).collect()
+    # within a tight cluster every member quantizes to the same codes, so
+    # ADC cannot order INSIDE it (ties break by id) — the correctness
+    # contract is cluster-level: every returned neighbor shares the
+    # query's (sub1, sub2) cluster combination
+    for r in got:
+        assert combo[r.neighbor_id] == combo[r.query_id], r
+    ranks = sorted(r.rank for r in got if r.query_id == 0)
+    assert ranks == [1, 2, 3]
+    import numpy as np  # noqa: F401 (parity with other similarity tests)
+
+
+def test_pq_train_validates_dims(spark):
+    from phaser_spark.exceptions import PhaserError
+    from phaser_spark.ops import pq
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(PhaserError, match="not divisible"):
+        pq.pq_train(df, m=2)
