@@ -797,6 +797,33 @@ def pq_encode_embeddings(spark, sf_dir):
     )
 
 
+def ivfpq_topk_embeddings(spark, sf_dir):
+    """IVFADC (ops/pq.py ``ivfpq_topk``, Jégou et al. 2011) — the
+    canonical billion-scale ANN pipeline as ONE Catalyst plan: coarse
+    cells route candidates (each query scans n_probe/n_centroids of the
+    index via an equi-join on the cell id), PQ codes replace vectors on
+    the corpus side (m ints per row), and the approximate distance is a
+    ``zip_with(codes, tables, (c, t) -> t[c])`` fold — m array lookups
+    per candidate, ZERO Python nodes anywhere in the plan.  With the
+    deterministic medoid quantizers every stage (cell routing, codes,
+    ADC tables, ordered lookup fold, ranking) replays exactly in the
+    SQL oracle."""
+    from phaser_spark.ops import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    out = pq.ivfpq_topk(
+        emb.select("vec_id", "embedding"), q, k=5, n_probe=4,
+        n_centroids=16, m=8, k_sub=16,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        trunc_digits(F.col("adc_dist"), 6).alias("adc_dist"),
+        "rank",
+    )
+
+
 def o5_distinct_counts(spark, sf_dir):
     """Distinct aggregation surface (absent in the reference, Catalyst
     supplies it): distinct customers and orders per priority."""
@@ -3174,6 +3201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past-cap, round 12: PCA fit stage + PQ encode (new ops) ----
         "pca_covariance_embeddings": pca_covariance_embeddings,
         "pq_encode_embeddings": pq_encode_embeddings,
+        "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
     }
 
 
@@ -3805,6 +3833,69 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000 AS cov,
                    n
             FROM pairs
+        """,
+        "ivfpq_topk_embeddings": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+            ), med AS (
+                SELECT c, cv FROM (
+                    SELECT CAST(embedding AS DOUBLE[]) AS cv,
+                           row_number() OVER (
+                               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                           ) AS c
+                    FROM embeddings
+                ) WHERE c <= 16
+            ), cells AS (
+                SELECT vec_id, cell FROM (
+                    SELECT v.vec_id, m.c AS cell,
+                           row_number() OVER (PARTITION BY v.vec_id
+                               ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len(v.vv)), i -> (v.vv[i] - m.cv[i]) * (v.vv[i] - m.cv[i]))), (x, y) -> x + y), m.c) AS rn
+                    FROM v, med m
+                ) WHERE rn = 1
+            ), subs AS (SELECT UNNEST(generate_series(1, 8)) AS s)
+            , codes AS (
+                SELECT vec_id, s, code FROM (
+                    SELECT v.vec_id, s.s, m.c AS code,
+                           row_number() OVER (PARTITION BY v.vec_id, s.s
+                               ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, 8), i -> (v.vv[(s.s - 1) * 8 + i] - m.cv[(s.s - 1) * 8 + i]) * (v.vv[(s.s - 1) * 8 + i] - m.cv[(s.s - 1) * 8 + i]))), (x, y) -> x + y), m.c) AS rn
+                    FROM v, subs s, med m
+                ) WHERE rn = 1
+            ), q AS (
+                SELECT vec_id AS query_id, vv AS qv FROM v WHERE vec_id < 5
+            ), probes AS (
+                SELECT query_id, cell FROM (
+                    SELECT q.query_id, m.c AS cell,
+                           row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len(q.qv)), i -> (q.qv[i] - m.cv[i]) * (q.qv[i] - m.cv[i]))), (x, y) -> x + y), m.c) AS rn
+                    FROM q, med m
+                ) WHERE rn <= 4
+            ), tabs AS (
+                SELECT q.query_id, s.s, m.c AS code,
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, 8), i -> (q.qv[(s.s - 1) * 8 + i] - m.cv[(s.s - 1) * 8 + i]) * (q.qv[(s.s - 1) * 8 + i] - m.cv[(s.s - 1) * 8 + i]))), (x, y) -> x + y) AS tv
+                FROM q, subs s, med m
+            ), cand AS (
+                SELECT DISTINCT p.query_id, ce.vec_id AS neighbor_id
+                FROM probes p JOIN cells ce ON ce.cell = p.cell
+                WHERE ce.vec_id <> p.query_id
+            ), adc AS (
+                SELECT c.query_id, c.neighbor_id,
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                           list(t.tv ORDER BY t.s)), (x, y) -> x + y) AS dist
+                FROM cand c
+                JOIN codes k ON k.vec_id = c.neighbor_id
+                JOIN tabs t ON t.query_id = c.query_id
+                           AND t.s = k.s AND t.code = k.code
+                GROUP BY c.query_id, c.neighbor_id
+            )
+            SELECT query_id, neighbor_id,
+                   floor(dist * 1000000) / 1000000 AS adc_dist,
+                   CAST(rn AS INT) AS rank
+            FROM (
+                SELECT query_id, neighbor_id, dist,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY dist, neighbor_id) AS rn
+                FROM adc
+            ) WHERE rn <= 5
         """,
         "pq_encode_embeddings": """
             WITH v AS (

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "quality_classifier_docs",
     "pca_covariance_embeddings",
     "pq_encode_embeddings",
+    "ivfpq_topk_embeddings",
 ]
 
 

@@ -303,3 +303,186 @@ def pq_topk(
         (-F.col("cosine")).alias("adc_dist"),
         "rank",
     )
+
+
+def _adc_tables_expr(qv, codebook, sq=None):
+    """Per-row ADC table as a Catalyst literal expression: ``m`` arrays of
+    ``k_sub`` squared-L2 distances between the row's query subvector and
+    each sub-centroid.  O(m·k_sub·dsub) plan literals — the small-book
+    regime; large books attach tables via the Arrow path instead."""
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+
+    def sub_dist(s, c):
+        sub = F.slice(qv, s * dsub + 1, dsub)
+        cent = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    return F.array(
+        *[
+            F.array(*[sub_dist(s, c) for c in codebook[s]])
+            for s in range(m)
+        ]
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+    codebook: list[list[list[float]]] | None = None,
+    m: int = 8,
+    k_sub: int = 16,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011) — the canonical billion-scale ANN
+    pipeline, composed entirely from Catalyst primitives:
+
+    1. corpus rows route to their nearest coarse cell
+       (:func:`similarity.assign_cells`, Arrow form above 64 cells) and
+       carry their m PQ codes (:func:`pq_encode`);
+    2. each query ranks its ``n_probe`` nearest cells and carries its
+       (m × k_sub) ADC table;
+    3. candidates meet in ONE equi-join on the cell id (each query scans
+       n_probe/n_centroids of the index), and the approximate distance
+       is a pure expression — ``zip_with(codes, tables, (c, t) →
+       t[c])`` summed: m array lookups per candidate, no Python, no
+       vector data on the probe side;
+    4. the shared ranking window keeps k per query (distance asc,
+       neighbor id asc).
+
+    With the deterministic medoid quantizers (the defaults) every stage
+    — cell routing, codes, tables, lookups, ranking — replays exactly in
+    an external SQL oracle.  Returns ``(query_id, neighbor_id, adc_dist,
+    rank)``."""
+    import numpy as np
+
+    from .similarity import (
+        _rank_topk,
+        _sq_dist,
+        assign_cells,
+        assign_cells_arrow,
+        medoid_centroids,
+        probe_cells_arrow,
+    )
+
+    cents = centroids or medoid_centroids(corpus, id_col, vec_col, n_centroids)
+    book = codebook or pq_train(
+        corpus, vec_col, m=m, k_sub=k_sub, id_col=id_col
+    )
+    mm, kk_sub, dsub = len(book), len(book[0]), len(book[0][0])
+    base = spread_for_compute(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    assign = assign_cells if len(cents) <= 64 else assign_cells_arrow
+    coded = pq_encode(
+        assign(base, cents, "cv", out_col="cell"), book, "cv", out_col="codes"
+    ).select("neighbor_id", "cell", "codes")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    if len(cents) <= 64:
+        cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+        dists = F.transform(cent_arr, lambda ce: _sq_dist(F.col("qv"), ce))
+        ranked = F.slice(
+            F.array_sort(
+                F.zip_with(
+                    dists,
+                    F.sequence(F.lit(1), F.lit(len(cents))),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+                )
+            ),
+            1,
+            n_probe,
+        )
+        probed = q.withColumn(
+            "cell", F.explode(F.transform(ranked, lambda s: s["cell"]))
+        )
+    else:
+        probed = probe_cells_arrow(q, cents, "qv", n_probe, out_col="__pc")
+        probed = probed.withColumn("cell", F.explode("__pc")).drop("__pc")
+    if mm * kk_sub * dsub <= 8192:
+        probed = probed.withColumn(
+            "tables", _adc_tables_expr(F.col("qv"), book)
+        )
+    else:
+        import pandas as pd
+
+        bk = np.asarray(book, dtype=np.float64)
+        bc = probed.sparkSession.sparkContext.broadcast(bk)
+        schema = T.StructType(
+            list(probed.schema.fields)
+            + [
+                T.StructField(
+                    "tables", T.ArrayType(T.ArrayType(T.DoubleType()))
+                )
+            ]
+        )
+
+        def gen(batches):
+            from .similarity import _dense_batch
+
+            b = bc.value
+            m_, _, dsub_ = b.shape
+            d = m_ * dsub_
+            for pdf in batches:
+                mat, valid = _dense_batch(pdf["qv"], d)
+                if mat is None:
+                    yield pdf.assign(tables=pd.Series([], dtype="object"))
+                    continue
+                vals = []
+                for i in range(len(mat)):
+                    if not valid[i]:
+                        vals.append(None)
+                        continue
+                    vals.append(
+                        [
+                            (
+                                (
+                                    mat[i, s * dsub_ : (s + 1) * dsub_][None, :]
+                                    - b[s]
+                                )
+                                ** 2
+                            )
+                            .sum(-1)
+                            .tolist()
+                            for s in range(m_)
+                        ]
+                    )
+                yield pdf.assign(tables=pd.Series(vals, dtype="object"))
+
+        probed = probed.mapInPandas(gen, schema=schema)
+    probed = probed.select("query_id", F.col("cell").cast("int"), "tables")
+    joined = coded.join(probed, "cell").filter(
+        ~F.col("query_id").eqNullSafe(F.col("neighbor_id"))
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("tables"),
+            lambda c, t: F.element_at(t, c),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = joined.select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    ranked = _rank_topk(
+        scored.withColumn("cosine", -F.col("adc_dist")), k
+    )
+    return ranked.select(
+        "query_id",
+        "neighbor_id",
+        (-F.col("cosine")).alias("adc_dist"),
+        "rank",
+    )

@@ -4873,3 +4873,29 @@ def test_pq_train_validates_dims(spark):
     )
     with pytest.raises(PhaserError, match="not divisible"):
         pq.pq_train(df, m=2)
+
+
+def test_ivfpq_topk_plan_is_pure_catalyst_and_matches_pq(spark):
+    """IVFADC with small quantizers: zero Python nodes in the whole plan
+    (the ADC fold is zip_with table lookups), candidates restricted to
+    probed cells, and with n_probe = n_centroids (no pruning) the result
+    equals brute-force pq_topk on the same codebook."""
+    import random as _r
+
+    from phaser_spark.ops import pq
+
+    rng = _r.Random(21)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 6)
+    book = pq.pq_train(df, m=4, k_sub=16)
+    out = pq.ivfpq_topk(
+        df, q, k=4, n_centroids=8, n_probe=8, codebook=book
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+    assert "NestedLoop" not in plan
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+    brute = pq.pq_topk(df, q, book, k=4)
+    want = {(r.query_id, r.rank): r.neighbor_id for r in brute.collect()}
+    assert got == want and len(got) == 24
