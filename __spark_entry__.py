@@ -766,9 +766,15 @@ def pca_covariance_embeddings(spark, sf_dir):
     batch, corpus never expanded) — equivalence between the two paths
     is pinned in pytest; eigendecomposition stays on the driver (d×d).
     The SQL oracle replays the expansion, the decimal sums, and the
-    double division order bit-identically."""
+    double division order bit-identically.  The query covers the first
+    32 dims (528 hash-compared covariances): the decimal-exact sums the
+    oracle requires cost ~4× more per pair than the arrow path's double
+    matmul, and 32 dims exercises the identical cross-engine arithmetic
+    at a quarter of the exploded rows (full width is pinned by the
+    path-equivalence pytest)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return embeddings.covariance_matrix(emb, "embedding", exact=True)
+    sliced = emb.select(F.slice(F.col("embedding"), 1, 32).alias("embedding"))
+    return embeddings.covariance_matrix(sliced, "embedding", exact=True)
 
 
 def pq_encode_embeddings(spark, sf_dir):
@@ -3813,7 +3819,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pca_covariance_embeddings": """
             WITH v AS (
-                SELECT CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+                SELECT CAST(embedding[1:32] AS DOUBLE[]) AS vv FROM embeddings
             ), pairs AS (
                 SELECT i, j,
                        SUM(CAST(vv[i] * vv[j] AS DECIMAL(28,12))) AS sxy,

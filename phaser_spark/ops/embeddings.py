@@ -197,23 +197,38 @@ def covariance_matrix(
     paths so either can be hash-compared downstream."""
     import numpy as np
 
-    v = _as_double(F.col(vec_col))
+    from ..lineage import spread_for_compute
+
+    # the d²/2-fold expansion (exact) / per-batch matmul (arrow) is pure
+    # compute: fan a narrow or single-file scan across cores first
+    df = spread_for_compute(df.select(_as_double(F.col(vec_col)).alias(vec_col)))
+    v = F.col(vec_col)
     if exact:
-        idx = F.sequence(F.lit(1), F.size(v))
-        tri = F.flatten(
-            F.transform(
-                idx,
-                lambda i: F.transform(
-                    F.slice(idx, i, F.size(v) - i + 1),
-                    lambda j: F.struct(
-                        i.alias("i"),
-                        j.alias("j"),
-                        (F.element_at(v, i) * F.element_at(v, j)).alias("xy"),
-                        F.element_at(v, i).alias("xi"),
-                        F.element_at(v, j).alias("xj"),
-                    ),
-                ),
-            )
+        first_row = df.select(v.alias("v")).first()
+        if first_row is None:
+            raise ValueError("covariance_matrix: empty input")
+        d = len(first_row["v"])
+        # the upper-triangle index list is a PLAN LITERAL (2·d(d+1)/2
+        # small ints), so the per-row expansion is ONE flat transform of
+        # element_at lookups — the earlier nested transform-over-slice
+        # form re-sliced the index array per i (O(d²) array copies per
+        # row; measured 3-4× slower at d=64)
+        lit_pairs = F.array(
+            *[
+                F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+                for i in range(1, d + 1)
+                for j in range(i, d + 1)
+            ]
+        )
+        tri = F.transform(
+            lit_pairs,
+            lambda p: F.struct(
+                p["i"].alias("i"),
+                p["j"].alias("j"),
+                (F.element_at(v, p["i"]) * F.element_at(v, p["j"])).alias("xy"),
+                F.element_at(v, p["i"]).alias("xi"),
+                F.element_at(v, p["j"]).alias("xj"),
+            ),
         )
         pairs = df.select(F.explode(tri).alias("p")).select(
             F.col("p.i").alias("i"),
