@@ -40,7 +40,7 @@ from phaser_spark import (  # noqa: E402
 from phaser_spark.constants import PHASER_ROW_NUM  # noqa: E402
 from phaser_spark.context import Context  # noqa: E402
 from phaser_spark.lineage import renumber, spread_for_compute, with_row_numbers  # noqa: E402
-from phaser_spark.ops import cleaning, dedup, embeddings, multimodal, pii, similarity, text  # noqa: E402
+from phaser_spark.ops import cdc, cleaning, dedup, embeddings, multimodal, pii, similarity, text  # noqa: E402
 from phaser_spark.ops.dedup import trunc_digits  # noqa: E402
 from phaser_spark.pipeline import extract_events  # noqa: E402
 
@@ -1136,6 +1136,44 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def substring_dup_docs(spark, sf_dir):
+    """Cross-document verbatim-substring dup report (``ops/cdc.py``):
+    chunk every document, GROUP BY chunk hash, first occurrence in
+    (doc_id, offset) order wins, every other occurrence is duplicated —
+    the distributed stand-in for suffix-array substring dedup (Lee et
+    al. 2022), linear in corpus size because chunks aggregate instead of
+    pair.  This query runs ``mode="aligned"`` (fixed 32-char blocks —
+    the SQL-replayable spine; the content-defined gear-hash mode shares
+    the whole relational plan and is pinned against a pure-Python
+    reference plus offset-shift invariance in tests/test_cdc.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    rep = cdc.substring_dup_report(docs, "doc_id", "text", mode="aligned", target_len=32)
+    return rep.select(
+        F.col("doc").alias("doc_id"),
+        "total_chunks",
+        "dup_chunks",
+        "dup_chars",
+        "total_chars",
+        trunc_digits(F.col("dup_frac"), 9).alias("dup_frac"),
+    )
+
+
+def substring_scrub_docs(spark, sf_dir):
+    """Corpus rebuild with cross-doc duplicated substrings removed
+    (``ops/cdc.py::substring_scrub``): losers' duplicated chunks drop,
+    survivors re-concatenate in offset order via a Catalyst
+    ``aggregate`` fold — no Python in the reassembly.  Output keeps an
+    md5 of the scrubbed text (not the text itself) so the oracle hash
+    pins every reassembled byte."""
+    docs = _t(spark, sf_dir, "documents")
+    out = cdc.substring_scrub(docs, "doc_id", "text", mode="aligned", target_len=32)
+    return out.select(
+        "doc_id",
+        F.col("scrubbed_chars").cast("bigint").alias("scrubbed_chars"),
+        F.md5(F.col("text").cast("binary")).alias("scrub_md5"),
+    )
 
 
 def temperature_rebalance(spark, sf_dir):
@@ -3208,6 +3246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_covariance_embeddings": pca_covariance_embeddings,
         "pq_encode_embeddings": pq_encode_embeddings,
         "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
+        # ---- past-cap, round 12: cross-doc substring dedup (ops/cdc.py) ----
+        "substring_dup_docs": substring_dup_docs,
+        "substring_scrub_docs": substring_scrub_docs,
     }
 
 
@@ -5790,6 +5831,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM c
             WHERE floor(CAST(lo + wt AS DOUBLE) * CAST(60 AS DOUBLE) / CAST(tot AS DOUBLE))
                 > floor(CAST(lo AS DOUBLE) * CAST(60 AS DOUBLE) / CAST(tot AS DOUBLE))
+        """,
+        # Independent formulation of the cdc.py winner rule: the Spark op
+        # aggregates min(struct(doc,start)) per hash; the oracle ranks
+        # occurrences with ROW_NUMBER over the same (doc, offset) order —
+        # rn=1 is the winner, any rn>1 occurrence of a >=2-doc chunk is
+        # duplicated (including a second copy inside the winner doc).
+        "substring_dup_docs": """
+            WITH b AS (
+                SELECT doc_id, 1 + g.i * 32 AS cstart,
+                       substr(text, 1 + g.i * 32, 32) AS chunk
+                FROM documents,
+                     LATERAL (SELECT unnest(range(0,
+                         CAST(ceil(length(text) / 32.0) AS BIGINT))) AS i) g
+                WHERE text IS NOT NULL
+            ),
+            t AS (
+                SELECT doc_id, cstart, length(chunk) AS clen, md5(chunk) AS h,
+                       COUNT(DISTINCT doc_id)
+                           OVER (PARTITION BY md5(chunk), length(chunk)) AS n_docs,
+                       ROW_NUMBER()
+                           OVER (PARTITION BY md5(chunk), length(chunk)
+                                 ORDER BY doc_id, cstart) AS rn
+                FROM b
+                WHERE length(chunk) >= 1
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS total_chunks,
+                   CAST(SUM(CASE WHEN n_docs >= 2 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+                   CAST(SUM(CASE WHEN n_docs >= 2 AND rn > 1 THEN clen ELSE 0 END) AS BIGINT) AS dup_chars,
+                   CAST(SUM(clen) AS BIGINT) AS total_chars,
+                   floor(CAST(SUM(CASE WHEN n_docs >= 2 AND rn > 1 THEN clen ELSE 0 END) AS DOUBLE)
+                         / CAST(greatest(SUM(clen), 1) AS DOUBLE) * 1000000000) / 1000000000 AS dup_frac
+            FROM t
+            GROUP BY doc_id
+        """,
+        "substring_scrub_docs": """
+            WITH b AS (
+                SELECT doc_id, 1 + g.i * 32 AS cstart,
+                       substr(text, 1 + g.i * 32, 32) AS chunk
+                FROM documents,
+                     LATERAL (SELECT unnest(range(0,
+                         CAST(ceil(length(text) / 32.0) AS BIGINT))) AS i) g
+                WHERE text IS NOT NULL
+            ),
+            t AS (
+                SELECT doc_id, cstart, chunk,
+                       COUNT(DISTINCT doc_id)
+                           OVER (PARTITION BY md5(chunk), length(chunk)) AS n_docs,
+                       ROW_NUMBER()
+                           OVER (PARTITION BY md5(chunk), length(chunk)
+                                 ORDER BY doc_id, cstart) AS rn
+                FROM b
+                WHERE length(chunk) >= 1
+            ),
+            kept AS (
+                SELECT doc_id, string_agg(chunk, '' ORDER BY cstart) AS scrub
+                FROM t
+                WHERE n_docs < 2 OR rn = 1
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN 0
+                        ELSE CAST(length(d.text) - length(coalesce(k.scrub, '')) AS BIGINT)
+                   END AS scrubbed_chars,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE md5(coalesce(k.scrub, ''))
+                   END AS scrub_md5
+            FROM documents d
+            LEFT JOIN kept k ON d.doc_id = k.doc_id
         """,
     }
     # recall@k composes the two already-verified top-k oracles (exact
