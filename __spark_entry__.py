@@ -1176,6 +1176,22 @@ def substring_scrub_docs(spark, sf_dir):
     )
 
 
+def dsir_importance_docs(spark, sf_dir):
+    """DSIR importance scores (``ops/dsir.py``; Xie et al. 2023): every
+    document scored by the hashed-bigram log-likelihood ratio of the
+    English subset (the "target") vs the whole corpus — the model-free
+    domain-selection filter.  Both distribution sketches are <= 4096
+    rows regardless of corpus size (md5 bucket rule — bit-replayable in
+    the DuckDB oracle), the log-ratio table broadcasts, and per-doc
+    scores accumulate as decimal so the result is shuffle-layout
+    independent."""
+    from phaser_spark.ops import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return dsir.dsir_importance(docs, target, "doc_id", "text", n=2, buckets=4096)
+
+
 def temperature_rebalance(spark, sf_dir):
     """Temperature resampling toward uniform language shares
     (``ops.sampling.temperature_resample``, alpha=0.6): the smallest
@@ -3249,6 +3265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past-cap, round 12: cross-doc substring dedup (ops/cdc.py) ----
         "substring_dup_docs": substring_dup_docs,
         "substring_scrub_docs": substring_scrub_docs,
+        # ---- past-cap, round 12: DSIR importance resampling (ops/dsir.py) ----
+        "dsir_importance_docs": dsir_importance_docs,
     }
 
 
@@ -5900,6 +5918,56 @@ def oracle_sql() -> dict[str, str]:
                    END AS scrub_md5
             FROM documents d
             LEFT JOIN kept k ON d.doc_id = k.doc_id
+        """,
+        # DSIR: hashed-bigram log-likelihood ratio, target = lang='en'.
+        # Bucket rule is the engine's md5 prefix mod (hash_bucket);
+        # decimal per-doc sums make the score shuffle-order-free, so the
+        # double log2 terms compare bit-for-bit (the unigram_surprisal
+        # determinism pattern).
+        "dsir_importance_docs": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                           '\\s+', ' ', 'g')) AS nt
+                FROM documents
+            ), wl AS (
+                SELECT doc_id, list_filter(string_split(nt, ' '), w -> w <> '') AS ws
+                FROM norm
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(ws) - 1),
+                                             i -> ws[i] || ' ' || ws[i + 1])) AS g
+                FROM wl
+            ), cb AS (
+                SELECT doc_id,
+                       CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 4096 AS bucket
+                FROM grams
+            ), raw AS (
+                SELECT bucket, COUNT(*) AS rc FROM cb GROUP BY bucket
+            ), tgtb AS (
+                SELECT cb.bucket, COUNT(*) AS tc
+                FROM cb JOIN documents d USING (doc_id)
+                WHERE d.lang = 'en'
+                GROUP BY cb.bucket
+            ), rt AS (SELECT SUM(rc) AS rn FROM raw),
+               tt AS (SELECT SUM(tc) AS tn FROM tgtb),
+            w AS (
+                SELECT raw.bucket,
+                       log2((coalesce(tgtb.tc, 0) + 1.0) / (tt.tn + 4096.0))
+                       - log2((raw.rc + 1.0) / (rt.rn + 4096.0)) AS lw
+                FROM raw LEFT JOIN tgtb ON raw.bucket = tgtb.bucket
+                CROSS JOIN rt CROSS JOIN tt
+            ), sc AS (
+                SELECT cb.doc_id, COUNT(*) AS ng,
+                       SUM(CAST(lw AS DECIMAL(28,12))) AS s
+                FROM cb JOIN w ON cb.bucket = w.bucket
+                GROUP BY cb.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(sc.ng, 0) AS BIGINT) AS n_grams,
+                   floor(CAST(sc.s AS DOUBLE) / sc.ng * 1000000) / 1000000 AS dsir_score
+            FROM documents d
+            LEFT JOIN sc ON d.doc_id = sc.doc_id
         """,
     }
     # recall@k composes the two already-verified top-k oracles (exact

@@ -1,0 +1,221 @@
+"""Data Selection with Importance Resampling (DSIR; Xie et al. 2023).
+
+Given a large raw CORPUS and a (usually much smaller) TARGET sample of
+the distribution you actually want to train on, DSIR scores every
+corpus document by how target-like it is — the log-likelihood ratio of
+the document's hashed n-gram features under the target vs corpus
+bucket distributions — and keeps the highest-scoring documents.  It is
+the standard model-free alternative to perplexity filtering when a
+trusted in-domain sample exists (pretraining on "looks like Wikipedia
++ books", domain adaptation, instruction-data mining).
+
+Scale design:
+
+* **Hashed features, fixed dimensionality.**  Word n-grams hash into
+  ``buckets`` cells via the engine's md5 bucket rule
+  (:func:`.sampling.hash_bucket` — replayable bit-for-bit in DuckDB /
+  any engine), so both distribution sketches are ≤ ``buckets`` rows no
+  matter how large either corpus is — the bucket-count aggregates are
+  the only shuffles that touch full data, and both are map-side
+  combinable GROUP BYs.
+* **Scoring is a broadcast join.**  The per-bucket log-ratio table
+  (≤ ``buckets`` rows) broadcasts to the corpus gram stream; per-doc
+  scores accumulate as ``decimal`` so the result is order-insensitive
+  under any shuffle layout (the :func:`.text.unigram_surprisal`
+  determinism pattern).
+* **No Python anywhere** — the whole operator is Catalyst expressions,
+  and the oracle replays it in ANSI SQL (log2 + md5 + decimal sums).
+
+Reference semantics: hashed n-gram DSIR with Laplace-smoothed bucket
+distributions, ``score(d) = (1/|d|)·Σ_g [log2 p_tgt(b(g)) − log2
+p_raw(b(g))]`` — the length-normalized form, so long documents aren't
+favored merely for having more grams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column as SparkCol
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..exceptions import PhaserError
+from .dedup import staged_words, trunc_digits
+from .sampling import hash_bucket
+
+
+def _gram_stream(
+    df: DataFrame, id_col: str, text_col: str, n: int, buckets: int
+) -> DataFrame:
+    """``(id, bucket)`` — one row per n-gram occurrence (multiplicity
+    kept: DSIR counts features, unlike the dedup shingle sets)."""
+    if n < 1:
+        raise PhaserError(f"dsir: n-gram order must be >= 1, got {n}")
+    if buckets < 2:
+        raise PhaserError(f"dsir: need >= 2 hash buckets, got {buckets}")
+    words = staged_words(df, id_col, text_col)  # (id, words) normalized
+    idx = F.when(
+        F.size("words") >= n, F.sequence(F.lit(0), F.size("words") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice("words", i + 1, n), " "))
+    return (
+        words.select(F.col("id"), F.explode(grams).alias("__gram"))
+        .where(F.col("__gram") != "")
+        .select("id", hash_bucket(F.col("__gram"), buckets).alias("bucket"))
+    )
+
+
+def bucket_distribution(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 2, buckets: int = 4096
+) -> DataFrame:
+    """``(bucket, cnt)`` hashed n-gram counts — the ≤ ``buckets``-row
+    sketch of a corpus' feature distribution (un-smoothed; smoothing is
+    applied at ratio time so sketches stay reusable/additive)."""
+    return (
+        _gram_stream(df, id_col, text_col, n, buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_importance(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    buckets: int = 4096,
+    alpha: float = 1.0,
+    out_col: str = "dsir_score",
+    cache_counts: bool = False,
+) -> DataFrame:
+    """Per-corpus-document DSIR importance score.
+
+    ``score(d) = (1/|d|) Σ_{g∈d} [log2 p̂_tgt(b(g)) − log2 p̂_raw(b(g))]``
+    with Laplace-smoothed bucket probabilities ``p̂(b) = (cnt_b + α) /
+    (N + α·buckets)`` — positive means "more target-like than the raw
+    corpus average".  Returns the corpus ``id_col`` plus ``n_grams`` and
+    ``out_col`` (truncated to 6 digits, surprisal-style); documents with
+    no grams (null/empty/too-short text) score NULL.
+
+    Both distribution sketches and the log-ratio table are ≤ ``buckets``
+    rows; the only full-data work is one gram explode per side and the
+    per-doc sum.  ``alpha`` > 0 keeps buckets unseen in either corpus
+    finite (and is required: α=0 with a target-only bucket would be
+    −∞/undefined).
+    """
+    if not alpha > 0:
+        raise PhaserError(f"dsir: Laplace alpha must be > 0, got {alpha}")
+    # One logical pass over full data: (doc, bucket) -> count.
+    # Everything downstream — raw bucket totals AND per-doc scoring —
+    # derives from this table (see cache_counts below for the physical
+    # single-materialization story).  Decimal-weight × count below is
+    # exactly repeated decimal addition, so the score is bit-identical
+    # to a per-gram fold — the oracle replays the per-gram form.
+    doc_counts = (
+        _gram_stream(corpus, id_col, text_col, n, buckets)
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("__dc"))
+    )
+    if cache_counts:
+        # The count table feeds BOTH the raw-distribution aggregate and
+        # the scoring join, and (measured at sf0.01) Spark's exchange
+        # reuse does NOT unify the two consumers — without a pin the
+        # corpus text is re-tokenized per consumer.  Small corpora
+        # recompute faster than they persist (the dedup-family
+        # measurement); at 100 TB pass cache_counts=True (or
+        # localCheckpoint upstream) so the explode happens once.  Cache
+        # ownership follows the dedup family: the caller clears it.
+        from pyspark import StorageLevel
+
+        doc_counts = doc_counts.persist(StorageLevel.MEMORY_AND_DISK)
+    raw_counts = doc_counts.groupBy("bucket").agg(F.sum("__dc").alias("__raw_c"))
+    tgt_counts = bucket_distribution(
+        target, id_col, text_col, n=n, buckets=buckets
+    ).withColumnRenamed("cnt", "__tgt_c")
+    raw_tot = raw_counts.agg(F.sum("__raw_c").alias("__raw_n"))
+    tgt_tot = tgt_counts.agg(F.sum("__tgt_c").alias("__tgt_n"))
+    # Every bucket a corpus doc can hit appears in raw_counts by
+    # construction, so a LEFT join from raw covers the scoring domain;
+    # target-absent buckets smooth to α/(T+αB).  The totals ride along
+    # as broadcast one-row scalars (no driver action).
+    ab = float(alpha) * buckets
+    weights = (
+        raw_counts.join(tgt_counts, "bucket", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "bucket",
+            (
+                F.log2(
+                    (F.coalesce(F.col("__tgt_c"), F.lit(0)) + F.lit(float(alpha)))
+                    / (F.coalesce(F.col("__tgt_n"), F.lit(0)) + F.lit(ab))
+                )
+                - F.log2(
+                    (F.col("__raw_c") + F.lit(float(alpha)))
+                    / (F.col("__raw_n") + F.lit(ab))
+                )
+            ).alias("__w"),
+        )
+    )
+    scored = (
+        doc_counts.join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("__dc").alias("n_grams"),
+            # decimal(20,12): |w| ≤ log2 ratio bounds ≪ 1e8, and the
+            # ×count product stays ≤ precision 31 — EXACT.  decimal(28,12)
+            # here would push the product past 38 digits, where Spark
+            # silently reduces scale (rounds) and the score drifts off
+            # the per-gram fold by 1 ulp of the truncation digit.
+            F.sum(
+                F.col("__w").cast("decimal(20,12)") * F.col("__dc")
+            ).alias("__s"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(scored, F.col(id_col) == F.col("id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            trunc_digits(
+                F.col("__s").cast("double") / F.col("n_grams"), 6
+            ).alias(out_col),
+        )
+    )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    *,
+    n: int = 2,
+    buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Top-``k`` most target-like corpus documents by DSIR score
+    (deterministic: ties break on ``id_col`` ascending; NULL scores —
+    gramless docs — never selected).
+
+    ``k`` is a driver-bounded result: the plan is an ``ORDER BY …
+    LIMIT k`` over the scored corpus, which Spark executes as
+    TakeOrderedAndProject (per-partition partial top-k, k-row merge) —
+    no global sort materializes.  For "keep 30% of 100 TB"-style
+    budgets, compose :func:`dsir_importance` with the sampling
+    family's threshold/budget selectors instead of asking for a
+    quadrillion-row limit."""
+    if k < 1:
+        raise PhaserError(f"dsir_select: k must be >= 1, got {k}")
+    scored = dsir_importance(
+        corpus, target, id_col, text_col,
+        n=n, buckets=buckets, alpha=alpha,
+    )
+    return (
+        scored.where(F.col("dsir_score").isNotNull())
+        .orderBy(F.col("dsir_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
