@@ -61,6 +61,10 @@ DEFAULT_QUERIES = [
     "ann_ivf_topk",
     "ann_recall_ivf",
     "kmeans_embedding_cells",
+    # round-12 second-half additions
+    "substring_dup_docs",
+    "substring_scrub_docs",
+    "dsir_importance_docs",
 ]
 
 
