@@ -1192,6 +1192,21 @@ def dsir_importance_docs(spark, sf_dir):
     return dsir.dsir_importance(docs, target, "doc_id", "text", n=2, buckets=4096)
 
 
+def bpe_merges_docs(spark, sf_dir):
+    """Distributed BPE tokenizer training (``ops/bpe.py``): 8 merge
+    rounds over the corpus word-frequency table — each round one
+    vocabulary-scale pair-count aggregate + a single-row argmax collect,
+    deterministic tie-break (count desc, then left/right ascending).
+    The oracle replays all 8 rounds as unrolled CTEs (the pagerank
+    pattern), using the identical wrapped-separator ``replace`` that
+    makes a literal string substitution the exact greedy left-to-right
+    BPE merge."""
+    from phaser_spark.ops import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.bpe_merges_df(docs, "doc_id", "text", num_merges=8, min_pair_count=2)
+
+
 def temperature_rebalance(spark, sf_dir):
     """Temperature resampling toward uniform language shares
     (``ops.sampling.temperature_resample``, alpha=0.6): the smallest
@@ -3267,6 +3282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_scrub_docs": substring_scrub_docs,
         # ---- past-cap, round 12: DSIR importance resampling (ops/dsir.py) ----
         "dsir_importance_docs": dsir_importance_docs,
+        # ---- past-cap, round 12: distributed BPE training (ops/bpe.py) ----
+        "bpe_merges_docs": bpe_merges_docs,
     }
 
 
@@ -5970,6 +5987,55 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN sc ON d.doc_id = sc.doc_id
         """,
     }
+    # BPE training oracle: 8 merge rounds unrolled as mechanically
+    # generated CTEs (the pagerank-oracle pattern).  Round i counts
+    # adjacent wrapped-symbol pairs weighted by word freq (overlapping
+    # occurrences counted), argmaxes with the (cnt desc, a, b)
+    # tie-break, and applies the merge with the same literal
+    # wrapped-separator replace() the engine uses — string replace IS
+    # the greedy left-to-right BPE merge under that encoding.
+    _S = "chr(31)"
+    _bpe = [
+        f"""
+        WITH norm AS (
+            SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                       '\\s+', ' ', 'g')) AS nt
+            FROM documents
+        ), toks AS (
+            SELECT unnest(string_split(nt, ' ')) AS word FROM norm
+        ), words AS (
+            SELECT word, COUNT(*) AS freq FROM toks WHERE word <> '' GROUP BY word
+        ), r0 AS (
+            SELECT freq,
+                   array_to_string(list_transform(generate_series(1, length(word)),
+                                                  i -> {_S} || word[i] || {_S}), '') AS s
+            FROM words
+        )"""
+    ]
+    for i in range(1, 9):
+        _bpe.append(f""", x{i} AS (
+            SELECT freq,
+                   string_split(substr(s, 2, length(s) - 2), {_S} || {_S}) AS arr
+            FROM r{i - 1}
+        ), p{i} AS (
+            SELECT arr[g.i] AS a, arr[g.i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM x{i}, LATERAL (SELECT unnest(range(1, len(arr))) AS i) g
+            GROUP BY 1, 2
+        ), b{i} AS (
+            SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+        ), r{i} AS (
+            SELECT freq,
+                   replace(s, {_S} || m.a || {_S} || {_S} || m.b || {_S},
+                              {_S} || m.a || m.b || {_S}) AS s
+            FROM r{i - 1} CROSS JOIN b{i} m
+        )""")
+    _bpe.append(
+        "\n" + "\nUNION ALL\n".join(
+            f'SELECT {i} AS rank, a AS "left", b AS "right", cnt AS pair_count FROM b{i}'
+            for i in range(1, 9)
+        )
+    )
+    sqls["bpe_merges_docs"] = "".join(_bpe)
     # recall@k composes the two already-verified top-k oracles (exact
     # brute force vs IVF) — the metric itself is a join + per-query
     # count, so the oracle reuses both result sets verbatim.

@@ -51,6 +51,7 @@ SKIP = {
     "dedup_cluster_size_stats",   # iterative: connected components inside
     "leakage_split_incremental_docs",  # iterative: components inside
     "quality_classifier_docs",  # iterative: per-round gradient collect
+    "bpe_merges_docs",          # iterative: per-round argmax collect
 }
 
 
