@@ -65,6 +65,7 @@ DEFAULT_QUERIES = [
     "substring_dup_docs",
     "substring_scrub_docs",
     "dsir_importance_docs",
+    "bpe_merges_docs",
 ]
 
 
