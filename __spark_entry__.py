@@ -1207,6 +1207,23 @@ def bpe_merges_docs(spark, sf_dir):
     return bpe.bpe_merges_df(docs, "doc_id", "text", num_merges=8, min_pair_count=2)
 
 
+def media_phash_docs(spark, sf_dir):
+    """Perceptual dHash per media payload (``ops/phash.py``): a 63-bit
+    difference hash over a 7×10 grayscale grid.  Payload = the doc's
+    UTF-8 bytes (the ``multimodal_binary`` convention for a codec-free
+    sandbox); the grid comes from the deterministic md5-chain decode
+    stand-in — pure Catalyst, integer-only, so the ENTIRE
+    grid→bits→packing pipeline replays exactly in the DuckDB oracle.
+    The real-decode path (PIL) swaps only the grid source; the Hamming
+    pigeonhole pair join is pinned by tests/test_phash.py."""
+    from phaser_spark.ops import phash
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    return phash.media_phash(docs, "doc_id", "content")
+
+
 def temperature_rebalance(spark, sf_dir):
     """Temperature resampling toward uniform language shares
     (``ops.sampling.temperature_resample``, alpha=0.6): the smallest
@@ -3284,6 +3301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_docs": dsir_importance_docs,
         # ---- past-cap, round 12: distributed BPE training (ops/bpe.py) ----
         "bpe_merges_docs": bpe_merges_docs,
+        # ---- past-cap, round 12: perceptual-hash media dedup (ops/phash.py) ----
+        "media_phash_docs": media_phash_docs,
     }
 
 
@@ -5935,6 +5954,32 @@ def oracle_sql() -> dict[str, str]:
                    END AS scrub_md5
             FROM documents d
             LEFT JOIN kept k ON d.doc_id = k.doc_id
+        """,
+        # dHash replay: md5-chain grid cells (integer-only), neighbor
+        # comparisons, literal power-of-two packing via BIGINT shifts.
+        "media_phash_docs": """
+            WITH g AS (
+                SELECT doc_id, md5(text) AS base
+                FROM documents
+                WHERE text IS NOT NULL
+            ), cells AS (
+                SELECT doc_id, gi.i AS i,
+                       CAST(('0x' || substring(md5(base || '-' || CAST(gi.i AS VARCHAR)), 1, 2)) AS INT) AS cell
+                FROM g, LATERAL (SELECT unnest(range(0, 70)) AS i) gi
+            ), bits AS (
+                SELECT a.doc_id,
+                       CASE WHEN a.cell < b.cell
+                            THEN CAST(1 AS BIGINT) << k.k
+                            ELSE CAST(0 AS BIGINT) END AS term
+                FROM (SELECT unnest(range(0, 63)) AS k) k
+                JOIN cells a ON a.i = (k.k // 9) * 10 + (k.k % 9)
+                JOIN cells b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            ), hashes AS (
+                SELECT doc_id, CAST(SUM(term) AS BIGINT) AS phash
+                FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id, h.phash
+            FROM documents d LEFT JOIN hashes h ON d.doc_id = h.doc_id
         """,
         # DSIR: hashed-bigram log-likelihood ratio, target = lang='en'.
         # Bucket rule is the engine's md5 prefix mod (hash_bucket);
