@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "ivfpq_topk_embeddings",
     "substring_dup_docs",
     "substring_scrub_docs",
+    "dsir_importance_docs",
+    "bpe_merges_docs",
+    "media_phash_docs",
 ]
 
 
