@@ -1224,6 +1224,23 @@ def media_phash_docs(spark, sf_dir):
     return phash.media_phash(docs, "doc_id", "content")
 
 
+def bpe_token_counts_docs(spark, sf_dir):
+    """End-to-end BPE: train 8 merges on the corpus, tokenize every
+    document with the trained table (lowest-rank-first inference), and
+    report per-doc token counts.  The oracle replays TRAINING with the
+    same unrolled CTE chain as ``bpe_merges_docs`` and tokenizes by
+    reading each word's final segmentation straight out of round 8's
+    vocabulary state — valid because greedy rank-order inference and
+    in-order merge replay produce identical segmentations (pinned by
+    ``tests/test_bpe.py::test_tokenize_consistent_with_training``)."""
+    from phaser_spark.ops import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, "doc_id", "text", num_merges=8, min_pair_count=2)
+    out = bpe.bpe_tokenize(docs, "doc_id", "text", merges)
+    return out.select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
+
+
 def temperature_rebalance(spark, sf_dir):
     """Temperature resampling toward uniform language shares
     (``ops.sampling.temperature_resample``, alpha=0.6): the smallest
@@ -3303,6 +3320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_docs": bpe_merges_docs,
         # ---- past-cap, round 12: perceptual-hash media dedup (ops/phash.py) ----
         "media_phash_docs": media_phash_docs,
+        "bpe_token_counts_docs": bpe_token_counts_docs,
     }
 
 
@@ -6043,15 +6061,18 @@ def oracle_sql() -> dict[str, str]:
     _bpe = [
         f"""
         WITH norm AS (
-            SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
                                        '\\s+', ' ', 'g')) AS nt
             FROM documents
+        ), doctoks AS (
+            SELECT doc_id, unnest(string_split(nt, ' ')) AS word FROM norm
         ), toks AS (
-            SELECT unnest(string_split(nt, ' ')) AS word FROM norm
+            SELECT word FROM doctoks WHERE word <> ''
         ), words AS (
-            SELECT word, COUNT(*) AS freq FROM toks WHERE word <> '' GROUP BY word
+            SELECT word, COUNT(*) AS freq FROM toks GROUP BY word
         ), r0 AS (
-            SELECT freq,
+            SELECT word, freq,
                    array_to_string(list_transform(generate_series(1, length(word)),
                                                   i -> {_S} || word[i] || {_S}), '') AS s
             FROM words
@@ -6069,18 +6090,35 @@ def oracle_sql() -> dict[str, str]:
         ), b{i} AS (
             SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
         ), r{i} AS (
-            SELECT freq,
+            SELECT word, freq,
                    replace(s, {_S} || m.a || {_S} || {_S} || m.b || {_S},
                               {_S} || m.a || m.b || {_S}) AS s
             FROM r{i - 1} CROSS JOIN b{i} m
         )""")
-    _bpe.append(
+    _bpe_chain = "".join(_bpe)
+    sqls["bpe_merges_docs"] = _bpe_chain + (
         "\n" + "\nUNION ALL\n".join(
             f'SELECT {i} AS rank, a AS "left", b AS "right", cnt AS pair_count FROM b{i}'
             for i in range(1, 9)
         )
     )
-    sqls["bpe_merges_docs"] = "".join(_bpe)
+    # End-to-end tokenization: each word's final segmentation length is
+    # round 8's vocabulary state; per-doc token count = sum over the
+    # doc's word OCCURRENCES.  Greedy rank-order inference == in-order
+    # merge replay (tests/test_bpe.py pins the equivalence).
+    sqls["bpe_token_counts_docs"] = _bpe_chain + f""", seg AS (
+            SELECT word,
+                   len(string_split(substr(s, 2, length(s) - 2), {_S} || {_S})) AS ntoks
+            FROM r8
+        ), perdoc AS (
+            SELECT dt.doc_id, CAST(SUM(seg.ntoks) AS INT) AS n_tokens
+            FROM doctoks dt JOIN seg USING (word)
+            WHERE dt.word <> ''
+            GROUP BY dt.doc_id
+        )
+        SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS INT) AS n_tokens
+        FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+    """
     # recall@k composes the two already-verified top-k oracles (exact
     # brute force vs IVF) — the metric itself is a join + per-query
     # count, so the oracle reuses both result sets verbatim.
