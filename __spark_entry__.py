@@ -3217,13 +3217,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_event_window": streaming_event_window,
         # ---- past the driver's 50-query cap (redundant coverage) ----
         # Round-13 rotation shortlist (never externally hash-checked;
-        # highest value first): repeated_span_scrub, rolling_user_value,
-        # fuzzy_part_names, text_surprisal, epoch_mix_langs,
-        # dedup_best_of_cluster, web_canonical_urls, standardize_prices,
-        # ri_orphan_lineitems, histogram_prices.  Swap out in-window
-        # entries whose family keeps a driver-green sibling (the
-        # r9-r12 cadence; candidates: a3 <- a4 restored, ann_recall_ivf
-        # <- ann_cosine, sample_docs_per_lang <- top_p,
+        # highest value first): the six new r12 second-half families —
+        # substring_dup_docs, substring_scrub_docs, dsir_importance_docs,
+        # bpe_merges_docs, bpe_token_counts_docs, media_phash_docs — then
+        # repeated_span_scrub, rolling_user_value, fuzzy_part_names,
+        # text_surprisal (epoch_mix_langs, dedup_best_of_cluster,
+        # web_canonical_urls, standardize_prices, ri_orphan_lineitems,
+        # histogram_prices queue behind; ALL of the above were
+        # pre-flighted green via oracle_parity at sf0.01 in r12).  Swap
+        # out in-window entries whose family keeps a driver-green
+        # sibling (the r9-r12 cadence; candidates: a3 <- a4 restored,
+        # ann_recall_ivf <- ann_cosine, sample_docs_per_lang <- top_p,
         # sketch_distinct_accuracy <- heavy_hitters,
         # dedup_incremental_minhash <- dedup_exact/simhash).
         # -- rotated OUT of the window in round 12 (sibling stays in) --
