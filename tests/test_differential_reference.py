@@ -619,7 +619,12 @@ SCENARIOS = {
 # comparator's event-number exemption breaking across renumber — both
 # now excluded by the renumber_ok guard below and documented in
 # PARITY.md ("Checkpoint row order").  Final grammar: seeds 0-159 all
-# green (60 committed here + a 100-seed one-off).  Round-11 widened six
+# green (60 committed here + a 100-seed one-off).  Round-12 close:
+# after the round's axis additions (cross-phase families, post-renumber
+# dedup consumers, phase-level error-policy draw), a fresh one-off
+# sweep of seeds 100-159 on the WIDENED grammar ran 60/60 green, zero
+# divergences — on top of the 100 in-tier seeds, so 160 distinct
+# scenarios of the current grammar have executed through both engines.  Round-11 widened six
 # axes in total (VERDICT r10 next-round #4): JSON-records sources with
 # nested dicts, context_step variable mutation read back by a later row
 # step, three-phase pipelines with the renumber in the MIDDLE, user
