@@ -66,6 +66,7 @@ DEFAULT_QUERIES = [
     "substring_scrub_docs",
     "dsir_importance_docs",
     "bpe_merges_docs",
+    "media_phash_docs",
 ]
 
 
