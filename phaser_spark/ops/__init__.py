@@ -10,14 +10,19 @@ pandas UDFs only where semantics demand Python.
 from . import (  # noqa: F401
     behavior,
     bloom,
+    bpe,
+    cdc,
     cleaning,
     dedup,
+    dsir,
     embeddings,
     features,
     frequency,
     graph,
     multimodal,
+    phash,
     pii,
+    pq,
     profile,
     quality,
     relational,
