@@ -113,6 +113,54 @@ def test_tokenize_consistent_with_training(spark, corpus):
     assert got_low == syms
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+
+    _word = st.text(alphabet="abc", min_size=1, max_size=12)
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        train_words=st.lists(_word, min_size=1, max_size=8),
+        query_word=_word,
+        num_merges=st.integers(min_value=1, max_value=10),
+    )
+    def test_rank_first_inference_equals_merge_replay_fuzz(
+        train_words, query_word, num_merges
+    ):
+        """Property pinning the oracle-equivalence claim: lowest-rank-first
+        inference == replaying training merges in order, for ARBITRARY
+        words (seen or unseen) under ANY trained merge table.  (This is
+        the standard BPE theorem — a later merge can never create an
+        opportunity for an earlier one, because the merged symbol did
+        not exist when the earlier merge was ranked.)"""
+        freqs = {}
+        for w in train_words:
+            freqs[w] = freqs.get(w, 0) + 1
+        merges = _ref_train(freqs, num_merges, min_count=1)
+        ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+        # replay in training order (greedy left-to-right per merge)
+        syms = list(query_word)
+        for a, b, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        assert bpe._merge_word(query_word, ranks) == syms
+
+
 def test_merges_df_shape(spark, corpus):
     mdf = bpe.bpe_merges_df(corpus, "doc_id", "text", num_merges=5, min_pair_count=2)
     rows = mdf.collect()

@@ -65,6 +65,35 @@ def test_gear_boundaries_degenerate_input():
     assert cdc._gear_boundaries_one(b"", mask=63, min_len=16, max_len=256) == []
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        data=st.binary(min_size=0, max_size=4000),
+        target_pow=st.integers(min_value=3, max_value=9),
+        min_len=st.integers(min_value=1, max_value=64),
+    )
+    def test_gear_boundaries_fuzz_vs_reference(data, target_pow, min_len):
+        """Property fuzz: vectorized fold == byte-at-a-time reference on
+        arbitrary bytes and parameter shapes, and spans always tile."""
+        mask = (1 << target_pow) - 1
+        max_len = min_len * 4 + 7
+        got = cdc._gear_boundaries_one(data, mask, min_len, max_len)
+        ref = _ref_boundaries(data, mask, min_len, max_len)
+        assert got == ref
+        assert sum(l for _, l in got) == len(data)
+        assert all(1 <= l <= max(max_len, min_len) for _, l in got) or not data
+
+
 # --------------------------------------------------------------------------
 # offset-shift invariance: the content-defined property itself
 # --------------------------------------------------------------------------
