@@ -256,6 +256,20 @@ def cdc_chunks(
     )
 
 
+def _maybe_pin(chunks: DataFrame, cache_chunks: bool) -> DataFrame:
+    """The chunk table feeds BOTH the verdict aggregate and the join-back
+    side, and (the DSIR r12 measurement) Spark's exchange reuse does not
+    unify such consumers — without a pin the corpus re-chunks per
+    consumer.  Small corpora recompute faster than they persist; at
+    100 TB pass ``cache_chunks=True`` so chunking happens once.  Cache
+    ownership follows the dedup family: the caller clears it."""
+    if cache_chunks:
+        from pyspark import StorageLevel
+
+        return chunks.persist(StorageLevel.MEMORY_AND_DISK)
+    return chunks
+
+
 def _chunk_verdicts(chunks: DataFrame) -> DataFrame:
     """Per distinct (hash, len): occurrence spread + corpus-order winner."""
     return chunks.groupBy("chunk_hash", "chunk_len").agg(
@@ -273,6 +287,7 @@ def substring_dup_report(
     target_len: int = 1024,
     min_len: int | None = None,
     max_len: int | None = None,
+    cache_chunks: bool = False,
 ) -> DataFrame:
     """Per-document verbatim-duplication report.
 
@@ -287,9 +302,12 @@ def substring_dup_report(
     verdict table is one row per *distinct* chunk, joined back on the
     hash — never paired.
     """
-    chunks = cdc_chunks(
-        df, id_col, text_col, mode=mode, target_len=target_len,
-        min_len=min_len, max_len=max_len,
+    chunks = _maybe_pin(
+        cdc_chunks(
+            df, id_col, text_col, mode=mode, target_len=target_len,
+            min_len=min_len, max_len=max_len,
+        ),
+        cache_chunks,
     )
     tagged = chunks.join(_chunk_verdicts(chunks), ["chunk_hash", "chunk_len"]).withColumn(
         "is_dup",
@@ -318,6 +336,7 @@ def substring_scrub(
     target_len: int = 1024,
     min_len: int | None = None,
     max_len: int | None = None,
+    cache_chunks: bool = False,
 ) -> DataFrame:
     """Rebuild each document with duplicated chunks removed.
 
@@ -331,9 +350,12 @@ def substring_scrub(
     entries) — bounded — and the fold itself is a Catalyst ``aggregate``
     over the sorted span array: no Python in the reassembly.
     """
-    chunks = cdc_chunks(
-        df, id_col, text_col, mode=mode, target_len=target_len,
-        min_len=min_len, max_len=max_len,
+    chunks = _maybe_pin(
+        cdc_chunks(
+            df, id_col, text_col, mode=mode, target_len=target_len,
+            min_len=min_len, max_len=max_len,
+        ),
+        cache_chunks,
     )
     kept = (
         chunks.join(_chunk_verdicts(chunks), ["chunk_hash", "chunk_len"])
