@@ -218,6 +218,24 @@ def test_aligned_dup_report_first_doc_wins(spark):
     assert rep[3]["dup_frac"] == 1.0
 
 
+def test_cache_chunks_same_result_and_pins_table(spark, shifted_docs):
+    base = sorted(
+        tuple(r) for r in cdc.substring_dup_report(
+            shifted_docs, "doc_id", "text", target_len=256
+        ).collect()
+    )
+    try:
+        pinned = sorted(
+            tuple(r) for r in cdc.substring_dup_report(
+                shifted_docs, "doc_id", "text", target_len=256, cache_chunks=True
+            ).collect()
+        )
+        assert pinned == base
+        assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() > 0
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_cdc_rejects_bad_params(spark, shifted_docs):
     with pytest.raises(PhaserError):
         cdc.cdc_chunks(shifted_docs, "doc_id", "text", target_len=100)  # not 2^k
