@@ -623,8 +623,10 @@ SCENARIOS = {
 # after the round's axis additions (cross-phase families, post-renumber
 # dedup consumers, phase-level error-policy draw), a fresh one-off
 # sweep of seeds 100-159 on the WIDENED grammar ran 60/60 green, zero
-# divergences — on top of the 100 in-tier seeds, so 160 distinct
-# scenarios of the current grammar have executed through both engines.  Round-11 widened six
+# divergences — on top of the 100 in-tier seeds; a second one-off
+# (seeds 160-219) also ran 60/60 green, so 220 distinct scenarios of
+# the current grammar have executed through both engines with zero
+# unexplained divergences.  Round-11 widened six
 # axes in total (VERDICT r10 next-round #4): JSON-records sources with
 # nested dicts, context_step variable mutation read back by a later row
 # step, three-phase pipelines with the renumber in the MIDDLE, user
