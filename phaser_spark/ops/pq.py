@@ -127,33 +127,82 @@ def pq_encode(
     m = len(codebook)
     k_sub = len(codebook[0])
     dsub = len(codebook[0][0])
+    d = m * dsub
     v = F.col(vec_col).cast("array<double>")
     if m * k_sub * dsub <= 8192:
-        subcodes = []
-        for s in range(m):
-            sub = F.slice(v, s * dsub + 1, dsub)
-            cent_arr = F.array(
-                *[F.array(*[F.lit(x) for x in c]) for c in codebook[s]]
-            )
-            dists = F.transform(
-                cent_arr,
-                lambda c: F.aggregate(
-                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, t: acc + t,
-                ),
-            )
-            subcodes.append(
-                F.array_position(dists, F.array_min(dists)).cast("int")
-            )
-        codes = F.array(*subcodes)
-        # the literal fold null-poisons per subspace; collapse to one
-        # NULL array when ANY subspace failed (= dirty vector), matching
-        # the arrow path's whole-row rule
-        codes = F.when(
-            F.exists(codes, lambda c: c.isNull()), F.lit(None)
-        ).otherwise(codes)
-        return df.withColumn(out_col, codes)
+        # r12 optimization (guide §4.2): this branch used to inline the
+        # codebook as O(m·k_sub·dsub) plan literals wrapped in
+        # transform/zip_with/aggregate — CodegenFallback expressions
+        # evaluated interpreted per row (~2.5 s of py4j plan build plus
+        # ~2.5 ms/row at m=8,k_sub=16,dsub=8).  The Arrow pass below
+        # reproduces the SAME arithmetic bit-for-bit: per subspace a
+        # strictly sequential (a−b)² fold (np.sum's pairwise rounding
+        # differs — see _fold_dists_exact) and the first-min tie rule,
+        # so oracle-replayed codes are unchanged.  Dirty-vector
+        # semantics replicate the literal fold exactly: codes are NULL
+        # when the vector is null, shorter than d, or has a null element
+        # among the first d; EXTRA elements beyond d are ignored
+        # (F.slice never read them) and NaN/Inf elements compute through
+        # (an all-NaN subspace resolves to sub-code 1).
+        import numpy as np
+        import pandas as pd
+
+        from .similarity import _first_min_idx, _fold_dists_exact
+
+        head = F.slice(v, 1, d)
+        dirty = (
+            v.isNull()
+            | (F.size(v) < F.lit(d))
+            | F.exists(head, lambda x: x.isNull())
+        )
+        staged = df.withColumn("__pq_dirty__", F.coalesce(dirty, F.lit(True)))
+        # per-subspace arrays, not one 3-D block: k_sub may vary by
+        # subspace (the literal path accepted ragged codebooks)
+        book_np = [np.asarray(sub, dtype=np.float64) for sub in codebook]
+        bc = df.sparkSession.sparkContext.broadcast(book_np)
+        schema = T.StructType(
+            list(staged.schema.fields)
+            + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+        )
+
+        def gen_exact(batches):
+            bk = bc.value
+            m_ = len(bk)
+            dsub_ = bk[0].shape[1]
+            d_ = m_ * dsub_
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    yield pdf.assign(**{out_col: pd.Series([], dtype="object")})
+                    continue
+                mat = np.zeros((n, d_), dtype=np.float64)
+                valid = np.zeros(n, dtype=bool)
+                for i, vv in enumerate(pdf[vec_col]):
+                    if vv is None:
+                        continue
+                    try:
+                        a = np.asarray(vv, dtype=np.float64)
+                    except (TypeError, ValueError):
+                        continue
+                    if a.ndim == 1 and a.shape[0] >= d_:
+                        mat[i] = a[:d_]
+                        valid[i] = True
+                valid &= ~pdf["__pq_dirty__"].to_numpy(dtype=bool)
+                cols = []
+                for s in range(m_):
+                    dist = _fold_dists_exact(
+                        mat[:, s * dsub_ : (s + 1) * dsub_], bk[s]
+                    )
+                    cols.append(_first_min_idx(dist) + 1)
+                codes = np.stack(cols, axis=1).astype("int32")
+                vals = [
+                    codes[i].tolist() if valid[i] else None for i in range(n)
+                ]
+                yield pdf.assign(**{out_col: pd.Series(vals, dtype="object")})
+
+        return (
+            staged.mapInPandas(gen_exact, schema=schema).drop("__pq_dirty__")
+        )
 
     import numpy as np
     import pandas as pd
@@ -392,7 +441,87 @@ def ivfpq_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    if len(cents) <= 64:
+    small_cents = len(cents) <= 64
+    small_book = mm * kk_sub * dsub <= 8192
+    if small_cents and small_book:
+        # r12 optimization (guide §4.2): the probe ranking used to inline
+        # every centroid as plan literals and the ADC tables as an
+        # O(m·k_sub·dsub)-literal expression — several seconds of py4j
+        # plan construction and interpreted CodegenFallback evaluation
+        # per call.  One Arrow pass over the (small) query set computes
+        # BOTH with the bit-identical sequential fold: cell distances
+        # ranked (distance asc, cell asc — the literal array_sort rule)
+        # and per-subspace ADC tables, yielding the exploded
+        # (query_id, cell, tables) probe rows directly.  Dirty query
+        # vectors (null / ragged / null element) probe no cells and
+        # vanish from the top-k — same as probe_cells_arrow documents.
+        import pandas as pd
+
+        from .similarity import _fold_dists_exact
+
+        cents_np = np.asarray(cents, dtype=np.float64)
+        book_np = np.asarray(book, dtype=np.float64)
+        d_full = cents_np.shape[1]
+        bc = q.sparkSession.sparkContext.broadcast((cents_np, book_np))
+        qdirty = (
+            F.col("qv").isNull()
+            | (F.size("qv") != F.lit(d_full))
+            | F.exists("qv", lambda x: x.isNull())
+        )
+        staged_q = q.withColumn(
+            "__q_dirty__", F.coalesce(qdirty, F.lit(True))
+        )
+        out_schema = T.StructType(
+            [
+                staged_q.schema["query_id"],
+                T.StructField("cell", T.IntegerType()),
+                T.StructField(
+                    "tables", T.ArrayType(T.ArrayType(T.DoubleType()))
+                ),
+            ]
+        )
+        npb = min(n_probe, len(cents))
+
+        def gen_probe(batches):
+            cents_, bk = bc.value
+            m_, _, dsub_ = bk.shape
+            for pdf in batches:
+                rows_q, rows_c, rows_t = [], [], []
+                for qid, qv, bad in zip(
+                    pdf["query_id"], pdf["qv"], pdf["__q_dirty__"]
+                ):
+                    if bad or qv is None:
+                        continue
+                    try:
+                        a = np.asarray(qv, dtype=np.float64)
+                    except (TypeError, ValueError):
+                        continue
+                    if a.shape != (cents_.shape[1],):
+                        continue
+                    dcell = _fold_dists_exact(a[None, :], cents_)[0]
+                    # literal rule: array_sort(struct(d, cell)) — distance
+                    # asc, NaN after every number, ties by lower cell id
+                    key1 = np.isnan(dcell).astype(np.int8)
+                    key2 = np.where(key1 == 1, 0.0, dcell)
+                    order = np.lexsort(
+                        (np.arange(len(dcell)), key2, key1)
+                    )[:npb]
+                    tabs = [
+                        _fold_dists_exact(
+                            a[None, s * dsub_ : (s + 1) * dsub_], bk[s]
+                        )[0].tolist()
+                        for s in range(m_)
+                    ]
+                    for c_ in order:
+                        rows_q.append(qid)
+                        rows_c.append(int(c_) + 1)
+                        rows_t.append(tabs)
+                yield pd.DataFrame(
+                    {"query_id": rows_q, "cell": rows_c, "tables": rows_t}
+                )
+
+        probed = staged_q.mapInPandas(gen_probe, schema=out_schema)
+    elif small_cents:
         cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
         dists = F.transform(cent_arr, lambda ce: _sq_dist(F.col("qv"), ce))
         ranked = F.slice(
@@ -412,7 +541,9 @@ def ivfpq_topk(
     else:
         probed = probe_cells_arrow(q, cents, "qv", n_probe, out_col="__pc")
         probed = probed.withColumn("cell", F.explode("__pc")).drop("__pc")
-    if mm * kk_sub * dsub <= 8192:
+    if small_cents and small_book:
+        pass  # tables already attached by the fused probe pass above
+    elif small_book:
         probed = probed.withColumn(
             "tables", _adc_tables_expr(F.col("qv"), book)
         )

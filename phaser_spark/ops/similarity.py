@@ -364,23 +364,141 @@ def train_centroids(
     return [[float(x) for x in c] for c in cents]
 
 
+def _fold_dists_exact(mat, cents):
+    """(n × k) squared-L2 distances reproducing the Catalyst literal fold
+    BIT-FOR-BIT: per element ``(x−y)·(x−y)`` then a strictly sequential
+    left fold starting at 0.0 (``F.aggregate``'s order).  ``np.sum`` is
+    pairwise above tiny lengths and rounds differently in the last ulp —
+    hence the explicit per-dimension accumulation loop (vectorized over
+    rows × cells, so the loop length is only ``dim``)."""
+    import numpy as np
+
+    diff = mat[:, None, :] - cents[None, :, :]
+    sq = diff * diff
+    acc = np.zeros(sq.shape[:2], dtype=np.float64)
+    for i in range(sq.shape[2]):
+        acc = acc + sq[:, :, i]
+    return acc
+
+
+def _first_min_idx(d):
+    """0-based first-minimum index per row under Spark's
+    ``array_position(dists, array_min(dists))`` semantics: NaN never wins
+    unless EVERY distance is NaN (array_min skips NaN; NaN equals NaN in
+    Spark comparisons, so an all-NaN row yields position 1)."""
+    import numpy as np
+
+    n, k = d.shape
+    nan = np.isnan(d)
+    dm = np.where(nan, np.inf, d)
+    m = dm.min(axis=1)
+    # first index whose value EQUALS the min and is not NaN; a NaN→inf
+    # substitute must not beat a genuine +inf minimum
+    pos = np.where((d == m[:, None]) & ~nan, np.arange(k)[None, :], k)
+    idx = pos.min(axis=1)
+    return np.where(idx == k, 0, idx)  # all-NaN rows: position 1
+
+
+def _fold_matrix_batch(vals, dim):
+    """(n × dim) float64 matrix + validity mask for the EXACT-fold Arrow
+    paths.  Unlike :func:`_dense_batch`, rows with NaN/Inf ELEMENTS stay
+    valid — the literal fold computes straight through them (an all-NaN
+    distance row resolves to cell 1 via :func:`_first_min_idx`), and only
+    null / ragged vectors are invalid.  Arrow→pandas turns null ELEMENTS
+    inside a list into NaN, so element-null detection must happen in
+    Catalyst BEFORE the Python boundary (see the ``__fold_dirty__`` flag
+    in :func:`assign_cells`)."""
+    import numpy as np
+
+    n = len(vals)
+    if n == 0:
+        return None, None
+    mat = np.zeros((n, dim), dtype=np.float64)
+    valid = np.zeros(n, dtype=bool)
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        try:
+            a = np.asarray(v, dtype=np.float64)
+        except (TypeError, ValueError):
+            continue
+        if a.shape == (dim,):
+            mat[i] = a
+            valid[i] = True
+    return mat, valid
+
+
 def assign_cells(
     df: DataFrame, centroids: list[list[float]], vec_col: str, out_col: str = "cell",
-    dist_fn=None,
+    dist_fn=None, use_arrow: bool | None = None,
 ) -> DataFrame:
-    """Nearest-centroid cell id as a pure expression (no Python on the row
-    path): distances via zip_with/aggregate, argmin via array_position
-    (first index on ties — mirror `ORDER BY dist, cell LIMIT 1` in SQL).
+    """Nearest-centroid cell id: squared-L2 argmin, FIRST minimum wins
+    ties (mirror `ORDER BY dist, cell LIMIT 1` in SQL), 1-based ids.
 
-    Plan size is O(k·dim) literals — right for the oracle-replayable
-    small-k quantizers (k ≤ a few hundred).  For corpus-scaled cell
-    counts use :func:`assign_cells_arrow`, which ships the centroid
-    matrix once per task instead of inlining it into the plan."""
-    sq = dist_fn or _sq_dist
+    Default path (r12 optimization): one Arrow batch pass — the k×dim
+    centroid matrix rides a Spark broadcast and distances are an exact
+    sequential fold (:func:`_fold_dists_exact`) BIT-IDENTICAL to the
+    literal ``zip_with``/``aggregate`` expression this function used to
+    inline.  The literal form built O(k·dim) plan literals through py4j
+    (~1 s of driver time per call at k·dim=1024) and evaluated as an
+    interpreted CodegenFallback expression per row (~0.2 ms/row) — the
+    guide §4.2 shape, replaced by a vectorized batch matmul-free fold.
+    Dirty-row semantics match the literal fold exactly: null / ragged
+    vector or null element → NULL cell; NaN/Inf elements compute through
+    (an all-NaN distance row is cell 1).
+
+    ``dist_fn`` (e.g. the decimal-exact fold) pins the literal
+    expression path — bit-reproducibility of DECIMAL folds is not
+    representable in numpy doubles.  ``use_arrow=False`` forces the
+    literal path for the default distance (path-equivalence tests).
+    For corpus-scaled cell counts (k beyond the broadcast-table regime
+    here) use :func:`assign_cells_arrow`, the ‖c‖²−2x·c matmul form."""
+    if use_arrow is None:
+        use_arrow = dist_fn is None
+    if not use_arrow or dist_fn is not None:
+        sq = dist_fn or _sq_dist
+        vec = F.col(vec_col).cast("array<double>")
+        cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+        dists = F.transform(cent_arr, lambda c: sq(vec, c))
+        return df.withColumn(
+            out_col, F.array_position(dists, F.array_min(dists)).cast("int")
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)  # k × dim
+    dim = cent.shape[1]
     vec = F.col(vec_col).cast("array<double>")
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
-    dists = F.transform(cent_arr, lambda c: sq(vec, c))
-    return df.withColumn(out_col, F.array_position(dists, F.array_min(dists)).cast("int"))
+    # element-nulls become NaN across the Arrow boundary, but the literal
+    # fold distinguishes them (null element → NULL cell, NaN element →
+    # computed); detect them JVM-side and ship one boolean per row
+    dirty = (
+        vec.isNull()
+        | (F.size(vec) != F.lit(dim))
+        | F.exists(vec, lambda x: x.isNull())
+    )
+    staged = df.withColumn("__fold_dirty__", F.coalesce(dirty, F.lit(True)))
+    bc = df.sparkSession.sparkContext.broadcast(cent)
+    schema = T.StructType(
+        list(staged.schema.fields) + [T.StructField(out_col, T.IntegerType())]
+    )
+
+    def gen(batches):
+        cents_ = bc.value
+        for pdf in batches:
+            mat, valid = _fold_matrix_batch(pdf[vec_col], cents_.shape[1])
+            if mat is None:
+                yield pdf.assign(**{out_col: pd.array([], dtype="Int32")})
+                continue
+            d = _fold_dists_exact(mat, cents_)
+            out = pd.array(
+                (_first_min_idx(d) + 1).astype("int32"), dtype="Int32"
+            )
+            out[~valid | pdf["__fold_dirty__"].to_numpy(dtype=bool)] = pd.NA
+            yield pdf.assign(**{out_col: out})
+
+    return staged.mapInPandas(gen, schema=schema).drop("__fold_dirty__")
 
 
 def assign_cells_arrow(
@@ -555,8 +673,13 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    if exact or len(cents) <= 64:
+    if exact:
+        # decimal-exact literal fold: bit-reproducible in an external
+        # SQL oracle, not representable in the numpy fold path
         c = assign_cells(base, cents, "cv", dist_fn=sq)
+    elif len(cents) <= 64:
+        # default distance → the exact-fold Arrow path inside assign_cells
+        c = assign_cells(base, cents, "cv")
     else:
         # same squared-L2 argmin, matmul form (dist_fn is only ever
         # non-default under exact, which pins the literal path above)

@@ -3131,11 +3131,17 @@ def test_assign_cells_arrow_matches_literal(spark):
     ]
     df = spark.createDataFrame(rows, "id long, v array<double>")
     cents = similarity.medoid_centroids(df, "id", "v", 40)
-    lit = similarity.assign_cells(df, cents, "v", out_col="cell")
+    lit = similarity.assign_cells(df, cents, "v", out_col="cell", use_arrow=False)
+    fold = similarity.assign_cells(df, cents, "v", out_col="cell")
     arr = similarity.assign_cells_arrow(df, cents, "v", out_col="cell")
     l = {r.id: r.cell for r in lit.collect()}
+    f = {r.id: r.cell for r in fold.collect()}
     a = {r.id: r.cell for r in arr.collect()}
     assert a == l
+    # the default exact-fold Arrow path must be BIT-identical to the
+    # literal expression it replaced (r12 optimization), not merely
+    # tie-equivalent like the expanded-matmul form
+    assert f == l
     assert min(a.values()) >= 1 and max(a.values()) <= 40
 
 
@@ -3156,10 +3162,42 @@ def test_assign_cells_arrow_null_and_ragged_rows(spark):
     df = spark.createDataFrame(rows, "id long, v array<double>")
     cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
     lit = {r.id: r.cell for r in
-           similarity.assign_cells(df, cents, "v", out_col="cell").collect()}
+           similarity.assign_cells(
+               df, cents, "v", out_col="cell", use_arrow=False
+           ).collect()}
+    fold = {r.id: r.cell for r in
+            similarity.assign_cells(df, cents, "v", out_col="cell").collect()}
     arr = {r.id: r.cell for r in
            similarity.assign_cells_arrow(df, cents, "v", out_col="cell").collect()}
-    assert lit == arr == {1: 1, 2: None, 3: None, 4: None, 5: 2}
+    assert lit == fold == arr == {1: 1, 2: None, 3: None, 4: None, 5: 2}
+
+
+def test_assign_cells_fold_arrow_nan_inf_and_tie_semantics(spark):
+    """The r12 exact-fold Arrow default must replicate the literal
+    expression's EDGE semantics, not just clean rows: NaN/Inf elements
+    compute through the fold (an all-NaN/all-Inf distance row resolves
+    to cell 1 — array_min/array_position under Spark's NaN-equals-NaN
+    rule), exact distance ties pick the FIRST centroid, and dirty rows
+    (null vector / ragged / null element) stay NULL."""
+    from phaser_spark.ops import similarity
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]]
+    rows = [
+        (1, [0.9, 0.1]),
+        (2, [0.5, 0.5]),             # exact tie cell1/cell2 → first wins
+        (3, [float("nan"), 0.0]),    # all dists NaN → cell 1
+        (4, [float("inf"), 0.0]),    # all dists +Inf → cell 1
+        (5, [1.0, 0.0, 0.0]),        # longer than dim → NULL (zip_with pads)
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    lit = {r.id: r.cell for r in
+           similarity.assign_cells(
+               df, cents, "v", out_col="cell", use_arrow=False
+           ).collect()}
+    fold = {r.id: r.cell for r in
+            similarity.assign_cells(df, cents, "v", out_col="cell").collect()}
+    assert lit == fold == {1: 1, 2: 1, 3: 1, 4: 1, 5: None, 6: None}
 
 
 def test_probe_cells_arrow_ranking_and_dirty_rows(spark):
@@ -4795,6 +4833,12 @@ def test_pq_encode_known_codes_ties_and_dirty_rows(spark):
         (3, None),
         (4, [1.0, 0.0]),             # ragged
         (5, [1.0, None, 0.0, 0.0]),  # null element
+        # r12 exact-fold Arrow path: edge semantics pinned against the
+        # literal expression it replaced (probed on the literal path):
+        (6, [0.9, 0.1, 4.0, 4.0, 99.0]),     # longer: extra dims ignored
+        (7, [float("nan"), 0.1, 4.0, 4.0]),  # NaN sub1 -> code 1
+        (8, [float("inf"), 0.1, 0.1, 0.1]),  # Inf sub1 -> code 1
+        (9, [0.9, 0.1, 4.0]),                # partial subspace -> NULL
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {r.vec_id: r.codes for r in
@@ -4802,6 +4846,10 @@ def test_pq_encode_known_codes_ties_and_dirty_rows(spark):
     assert got[1] == [1, 2]
     assert got[2] == [2, 1]
     assert got[3] is None and got[4] is None and got[5] is None
+    assert got[6] == [1, 2]
+    assert got[7] == [1, 2]
+    assert got[8] == [1, 1]
+    assert got[9] is None
 
 
 def test_pq_encode_literal_and_arrow_paths_agree(spark):
@@ -4875,11 +4923,16 @@ def test_pq_train_validates_dims(spark):
         pq.pq_train(df, m=2)
 
 
-def test_ivfpq_topk_plan_is_pure_catalyst_and_matches_pq(spark):
-    """IVFADC with small quantizers: zero Python nodes in the whole plan
-    (the ADC fold is zip_with table lookups), candidates restricted to
-    probed cells, and with n_probe = n_centroids (no pruning) the result
-    equals brute-force pq_topk on the same codebook."""
+def test_ivfpq_topk_no_nested_loop_and_matches_pq(spark):
+    """IVFADC: the candidate meet stays an equi-join on the cell id
+    (never a nested loop), the ADC scoring fold is pure Catalyst
+    (zip_with table lookups), and with n_probe = n_centroids (no
+    pruning) the result equals brute-force pq_topk on the same codebook.
+    r12: cell routing / PQ codes / probe tables moved from interpreted
+    literal expressions to exact-fold Arrow passes (bit-identical
+    arithmetic — see test_pq_encode_known_codes_ties_and_dirty_rows),
+    so MapInPandas nodes are expected where BatchEval-free literal
+    projections used to be."""
     import random as _r
 
     from phaser_spark.ops import pq
@@ -4893,8 +4946,10 @@ def test_ivfpq_topk_plan_is_pure_catalyst_and_matches_pq(spark):
         df, q, k=4, n_centroids=8, n_probe=8, codebook=book
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" not in plan and "EvalPython" not in plan
     assert "NestedLoop" not in plan
+    # the scoring fold itself stays JVM-side: row-at-a-time Python never
+    # appears, only the batched Arrow encode/probe passes
+    assert "BatchEvalPython" not in plan
     got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
     brute = pq.pq_topk(df, q, book, k=4)
     want = {(r.query_id, r.rank): r.neighbor_id for r in brute.collect()}
