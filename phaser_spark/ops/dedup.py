@@ -121,13 +121,22 @@ def shingles(col: SparkCol, n: int = 3) -> SparkCol:
 def staged_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """``(id, words)`` with normalization+tokenization materialized once.
 
-    The fan-out exchange doubles as a CollapseProject barrier, so
-    downstream per-element lambdas see ``words`` as a cheap attribute."""
-    return spread_for_compute(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.split(normalize_text(F.col(text_col)), " ").alias("words"),
-        )
+    r12 (guide §2.5, input skew): the spread exchange must sit BELOW the
+    tokenizing projection, not above it — a projection written under the
+    repartition executes in the SCAN stage, and a single-row-group
+    parquet file yields a single scan task, so the regex normalization
+    of the whole corpus ran on ONE core (measured 1.6 s of the 2.5 s
+    signature build at sf0.1).  Spreading the raw ``(id, text)`` rows
+    first fans the regex across cores.  ``words`` stays its own
+    projection above the exchange so downstream per-element lambdas see
+    it as a column attribute; CollapseProject does not inline non-cheap
+    expressions referenced more than once, which keeps the tokenization
+    single-evaluation (plan-checked in tests)."""
+    base = spread_for_compute(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__sw_text"))
+    )
+    return base.select(
+        "id", F.split(normalize_text(F.col("__sw_text")), " ").alias("words")
     )
 
 
@@ -755,26 +764,42 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    # r12 (guide §2.4): the old shape joined on chunk equality alone,
+    # then paid a full Exchange+HashAggregate to `.distinct()` every
+    # candidate pair (a pair within Hamming ≤ 3 shares up to 4 chunks)
+    # and only filtered the Hamming radius afterwards.  Both signatures
+    # ride the join row, so the radius test AND a first-matching-chunk
+    # rule belong in the join condition itself: a qualifying pair is
+    # emitted exactly once (by the lowest chunk whose 16 bits agree),
+    # which deletes the dedup shuffle outright, and far pairs never
+    # leave the join.  The pair set is provably identical.
+    xor = F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    first_match = F.when(
+        xor.bitwiseAND(F.lit(0xFFFF)) == 0, F.lit(0)
+    )
+    for i in range(1, 4):
+        first_match = first_match.when(
+            F.shiftright(xor, 16 * i).bitwiseAND(F.lit(0xFFFF)) == 0,
+            F.lit(i),
+        )
+    hamming = F.bit_count(xor)
     cand = (
         chunks.alias("x")
         .join(
             chunks.alias("y"),
             (F.col("x.chunk") == F.col("y.chunk"))
             & (F.col("x.val") == F.col("y.val"))
-            & (F.col("x.id") < F.col("y.id")),
+            & (F.col("x.id") < F.col("y.id"))
+            & (hamming <= F.lit(max_hamming))
+            & (F.col("x.chunk") == first_match),
         )
         .select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
-            F.col("x.simhash").alias("ha"),
-            F.col("y.simhash").alias("hb"),
+            hamming.alias("hamming"),
         )
-        .distinct()
     )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
-    )
+    return cand
 
 
 # --------------------------------------------------------------------------

@@ -212,36 +212,61 @@ def covariance_matrix(
         # small ints), so the per-row expansion is ONE flat transform of
         # element_at lookups — the earlier nested transform-over-slice
         # form re-sliced the index array per i (O(d²) array copies per
-        # row; measured 3-4× slower at d=64)
-        lit_pairs = F.array(
-            *[
-                F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+        # row; measured 3-4× slower at d=64).  r12: the literal is built
+        # as ONE parsed SQL expression — constructing d(d+1)/2 struct
+        # literals through py4j cost ~4 s of driver time per call at
+        # d=32 (the parsed AST is identical), and the expansion carries
+        # only (i, j, x_i·x_j): the marginal sums Σx_i / Σx_j are decimal
+        # (order-insensitive), so the per-DIM sums computed once from a
+        # posexplode are the same exact values the per-PAIR slots held —
+        # 40% fewer bytes through the d²-row shuffle, two fewer decimal
+        # aggregation buffers per pair (guide §2.3: shuffle fewer bytes).
+        pairs_sql = "array({})".format(
+            ",".join(
+                f"struct({i} as i,{j} as j)"
                 for i in range(1, d + 1)
                 for j in range(i, d + 1)
-            ]
+            )
         )
         tri = F.transform(
-            lit_pairs,
+            F.expr(pairs_sql),
             lambda p: F.struct(
                 p["i"].alias("i"),
                 p["j"].alias("j"),
                 (F.element_at(v, p["i"]) * F.element_at(v, p["j"])).alias("xy"),
-                F.element_at(v, p["i"]).alias("xi"),
-                F.element_at(v, p["j"]).alias("xj"),
             ),
         )
         pairs = df.select(F.explode(tri).alias("p")).select(
             F.col("p.i").alias("i"),
             F.col("p.j").alias("j"),
             F.col("p.xy").alias("xy"),
-            F.col("p.xi").alias("xi"),
-            F.col("p.xj").alias("xj"),
         )
         agg = pairs.groupBy("i", "j").agg(
             F.sum(F.col("xy").cast("decimal(28,12)")).alias("sxy"),
-            F.sum(F.col("xi").cast("decimal(28,12)")).alias("sxi"),
-            F.sum(F.col("xj").cast("decimal(28,12)")).alias("sxj"),
             F.count(F.lit(1)).alias("n"),
+        )
+        dims = df.select(F.posexplode(v).alias("dim0", "x")).select(
+            (F.col("dim0") + 1).alias("dim"), F.col("x")
+        )
+        dsums = dims.groupBy("dim").agg(
+            F.sum(F.col("x").cast("decimal(28,12)")).alias("s")
+        )
+        # materialize the d-row sum table once (lazy local checkpoint —
+        # d ≤ a few hundred rows) so the i-side and j-side broadcast
+        # joins below don't each rescan and re-aggregate the corpus;
+        # exchange reuse does not dedupe them (the self-join attribute
+        # dedup re-aliases the second instance)
+        dsums = dsums.localCheckpoint(eager=False)
+        b = F.broadcast(dsums)
+        agg = (
+            agg.join(b, agg["i"] == b["dim"])
+            .drop("dim")
+            .withColumnRenamed("s", "sxi")
+        )
+        agg = (
+            agg.join(b, agg["j"] == b["dim"])
+            .drop("dim")
+            .withColumnRenamed("s", "sxj")
         )
         cov = (
             F.col("sxy").cast("double") / F.col("n")
