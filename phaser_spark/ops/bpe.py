@@ -84,7 +84,7 @@ def bpe_train(
     *,
     num_merges: int = 100,
     min_pair_count: int = 2,
-    checkpoint_every: int = 20,
+    checkpoint_every: int | None = None,
 ) -> list[tuple[str, str, int]]:
     """Train ``num_merges`` BPE merges on the corpus; returns the merge
     table ``[(left, right, pair_count), ...]`` in rank order.
@@ -99,6 +99,21 @@ def bpe_train(
     if min_pair_count < 1:
         raise PhaserError(
             f"bpe_train: min_pair_count must be >= 1, got {min_pair_count}"
+        )
+    if checkpoint_every is None:
+        # r12 (guide §1/§7): every UN-checkpointed round stacks one more
+        # replace() onto the vocab plan, so each round's whole-stage
+        # codegen source is NEW — janino compiles num_merges distinct
+        # stages and a cold 8-merge train spent 12.6 s vs 5.5 s at sf0.1.
+        # Checkpointing every round pins the per-round plan shape (scan →
+        # replace → pair-count), compiled once.  Past ~16 merges the
+        # per-round vocabulary materialization dominates that constant
+        # (at corpus scale the vocab table is billions of rows), so long
+        # trains keep the stack-20-then-checkpoint cadence.
+        checkpoint_every = 1 if num_merges <= 16 else 20
+    if checkpoint_every < 1:
+        raise PhaserError(
+            f"bpe_train: checkpoint_every must be >= 1, got {checkpoint_every}"
         )
     vocab = _word_freqs(df, id_col, text_col).select(
         "freq", _wrap_chars(F.col("word")).alias("s")

@@ -92,7 +92,7 @@ def connected_components(
     labels = verts.withColumn("root", F.col("id"))
     e = e.localCheckpoint(eager=False)
     converged = False
-    for _ in range(max_iters):
+    for _it in range(max_iters):
         nbr_min = (
             e.select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
             .union(e.select(F.col("dst").alias("id"), F.col("src").alias("nbr")))
@@ -135,11 +135,16 @@ def connected_components(
         # drops ours, and a driver-side gc.collect() makes the py4j
         # detach (and hence the executor-block cleanup) prompt instead of
         # waiting for an incidental GC — tens of rounds of O(|V|) blocks
-        # would otherwise accumulate on a large graph
-        gc.collect()
+        # would otherwise accumulate on a large graph.  r12: the collect
+        # costs 50-70 ms of driver time (measured), so it runs every 8th
+        # round (bounding accumulation at 8 vertex-sized block sets) and
+        # once after the loop, instead of every round.
+        if (_it + 1) % 8 == 0:
+            gc.collect()
         if changed == 0:
             converged = True
             break
+    gc.collect()
     if not converged:
         warnings.warn(
             f"connected_components: no fixpoint after {max_iters} rounds — "
@@ -334,7 +339,22 @@ def pagerank(
         verts = (
             vertices.select(F.col(id_col).alias("id")).union(verts).distinct()
         )
-    verts = verts.localCheckpoint(eager=True)
+    outdeg_keys = e.select("src").distinct()
+    # r12 (guide §2.4): the dangling-mass aggregate used to anti-join the
+    # vertex-sized rank frame against the out-degree table EVERY round —
+    # but the dangling SET is a round-invariant.  Stamp one boolean on
+    # the vertex frame up front and each round's dangling mass becomes a
+    # plain aggregate over the already-checkpointed rank frame: one join
+    # (plus its exchanges) removed per iteration.
+    verts = (
+        verts.join(
+            outdeg_keys.select(F.col("src").alias("id"), F.lit(True).alias("__has_out__")),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce(F.col("__has_out__"), F.lit(False)).alias("__has_out__"))
+        .localCheckpoint(eager=True)
+    )
     n = verts.count()  # one driver long; every other aggregate stays lazy
     if n == 0:
         # schema must be invariant with the non-empty path: include the
@@ -361,33 +381,38 @@ def pagerank(
     e_deg = e.join(outdeg, "src").localCheckpoint(eager=True)
     n_lit = F.lit(float(n))
     teleport = (F.lit(1.0) - F.lit(damping)) / n_lit
-    pr = verts.select("id", (F.lit(1.0) / n_lit).alias("pr"))
+    pr = verts.select("id", "__has_out__", (F.lit(1.0) / n_lit).alias("pr"))
     prev = pr
     contrib_term = (
         F.col("pr") / F.col("deg")
         if weight_col is None
         else F.col("pr") * F.col("w") / F.col("deg")
     )
-    for _ in range(n_iters):
+    for it in range(n_iters):
         contribs = (
             e_deg.join(pr.select(F.col("id").alias("src"), "pr"), "src")
             .groupBy("dst")
             .agg(F.sum(contrib_term.cast("decimal(38,18)")).alias("s"))
         )
-        dangling = (
-            pr.join(outdeg.select(F.col("src").alias("id")), "id", "left_anti")
-            .agg(
-                F.coalesce(
-                    F.sum(F.col("pr").cast("decimal(38,18)")),
-                    F.lit(0).cast("decimal(38,18)"),
-                ).alias("dm")
-            )
+        # same addend set as the old per-round anti-join (vertices with no
+        # out-edge), read off the round-invariant flag instead
+        dangling = pr.agg(
+            F.coalesce(
+                F.sum(
+                    F.when(~F.col("__has_out__"), F.col("pr")).cast(
+                        "decimal(38,18)"
+                    )
+                ),
+                F.lit(0).cast("decimal(38,18)"),
+            ).alias("dm")
         )
         stepped = (
-            verts.join(contribs.select(F.col("dst").alias("id"), "s"), "id", "left")
+            pr.select("id", "__has_out__")
+            .join(contribs.select(F.col("dst").alias("id"), "s"), "id", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
+                "__has_out__",
                 (
                     teleport
                     + F.lit(damping)
@@ -400,7 +425,12 @@ def pagerank(
         )
         prev = pr
         pr = stepped.localCheckpoint(eager=True)
-        gc.collect()  # free the previous round's checkpoint blocks promptly
+        if (it + 1) % 8 == 0:
+            # a driver gc.collect() costs 50-70 ms (measured) — amortize
+            # the py4j-detach pass over batches of rounds; the final
+            # collect below still frees everything promptly at loop exit
+            gc.collect()
+    gc.collect()
     if delta_col is None:
         return pr.select(
             F.col("id").alias(id_col),

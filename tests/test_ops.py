@@ -4172,6 +4172,20 @@ def test_profile_per_group(spark):
     assert got[("d2", "null_ratio")] == 0.0 and got[("d2", "mean")] == 3.0
     # group columns are excluded from the default profile set
     assert {r.column for r in P.profile(df, group_by=["day"]).collect()} == {"v"}
+    # exact distincts per group take the r12 SPLIT plan (distinct slots
+    # aggregated separately from the regular ones, joined back on the
+    # group row null-safely) — values must be indistinguishable from the
+    # single-aggregation form, including for a NULL group key
+    dfn = spark.createDataFrame(
+        [("d1", 1.0), ("d1", 1.0), ("d1", 2.0), (None, 7.0), (None, None)],
+        "day string, v double",
+    )
+    ex = {(r.day, r.metric): r.value_num
+          for r in P.profile(dfn, ["v"], group_by=["day"],
+                             approx_distinct=False).collect()}
+    assert ex[("d1", "n_distinct")] == 2.0 and ex[("d1", "n_rows")] == 3.0
+    assert ex[(None, "n_distinct")] == 1.0 and ex[(None, "n_nulls")] == 1.0
+    assert ex[(None, "mean")] == 7.0
 
 
 # --- feature engineering: target encoding + quantile binning -------------
