@@ -1431,11 +1431,23 @@ def a9_cube_revenue(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Two-phase cube (pre_aggs): the Expand replicates 6 finest-group
+    # partial rows instead of every lineitem ×4.  Exact-decimal partial
+    # sums commute with the re-grouping, so revenue/n are bit-identical
+    # to the one-phase form (oracle-checked); rounding stays in the
+    # final agg.
     return multilevel_agg(
         li,
         ["l_returnflag", "l_linestatus"],
-        [_money(revenue).alias("revenue"), F.count(F.lit(1)).alias("n")],
+        [
+            F.round(F.sum("__ps"), 2).cast("double").alias("revenue"),
+            F.sum("__pn").alias("n"),
+        ],
         kind="cube",
+        pre_aggs=[
+            F.sum(revenue.cast(T.DecimalType(28, 8))).alias("__ps"),
+            F.count(F.lit(1)).alias("__pn"),
+        ],
     )
 
 

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column as SparkCol
 from pyspark.sql import DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..exceptions import PhaserError
@@ -108,8 +109,7 @@ def dsir_importance(
         raise PhaserError(f"dsir: Laplace alpha must be > 0, got {alpha}")
     # One logical pass over full data: (doc, bucket) -> count.
     # Everything downstream — raw bucket totals AND per-doc scoring —
-    # derives from this table (see cache_counts below for the physical
-    # single-materialization story).  Decimal-weight × count below is
+    # derives from this table.  Decimal-weight × count below is
     # exactly repeated decimal addition, so the score is bit-identical
     # to a per-gram fold — the oracle replays the per-gram form.
     doc_counts = (
@@ -118,32 +118,55 @@ def dsir_importance(
         .agg(F.count(F.lit(1)).alias("__dc"))
     )
     if cache_counts:
-        # The count table feeds BOTH the raw-distribution aggregate and
-        # the scoring join, and (measured at sf0.01) Spark's exchange
-        # reuse does NOT unify the two consumers — without a pin the
-        # corpus text is re-tokenized per consumer.  Small corpora
-        # recompute faster than they persist (the dedup-family
-        # measurement); at 100 TB pass cache_counts=True (or
-        # localCheckpoint upstream) so the explode happens once.  Cache
-        # ownership follows the dedup family: the caller clears it.
+        # Executor-memory pin for callers that also consume the count
+        # table themselves; the default path below already materializes
+        # it once via a lazy local checkpoint.  Cache ownership follows
+        # the dedup family: the caller clears it.
         from pyspark import StorageLevel
 
         doc_counts = doc_counts.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        # The count table feeds BOTH the raw-distribution aggregate and
+        # the scoring join, and (measured) Spark's exchange reuse does
+        # NOT unify the two consumers — without a pin the corpus text is
+        # tokenized and exploded once per consumer.  A lazy local
+        # checkpoint stores the compacted (id, bucket, count) rows
+        # (disk-spillable, released with the plan) so the corpus explode
+        # happens exactly once at any scale.
+        doc_counts = doc_counts.localCheckpoint(eager=False)
     raw_counts = doc_counts.groupBy("bucket").agg(F.sum("__dc").alias("__raw_c"))
     tgt_counts = bucket_distribution(
         target, id_col, text_col, n=n, buckets=buckets
     ).withColumnRenamed("cnt", "__tgt_c")
-    raw_tot = raw_counts.agg(F.sum("__raw_c").alias("__raw_n"))
-    tgt_tot = tgt_counts.agg(F.sum("__tgt_c").alias("__tgt_n"))
     # Every bucket a corpus doc can hit appears in raw_counts by
-    # construction, so a LEFT join from raw covers the scoring domain;
-    # target-absent buckets smooth to α/(T+αB).  The totals ride along
-    # as broadcast one-row scalars (no driver action).
+    # construction, so the raw side of the ≤2·buckets-row union below
+    # covers the scoring domain; target-absent buckets smooth to
+    # α/(T+αB).  Both grand totals ride along as single-partition
+    # window sums over the union (≤2·buckets rows — no extra pass over
+    # either corpus, no per-total crossJoin job).  SUM ignores NULL
+    # slots, so each window total equals the original per-side
+    # aggregate, including target-only buckets the raw left join would
+    # have produced the same smoothing for.
     ab = float(alpha) * buckets
+    both = raw_counts.select(
+        "bucket", F.col("__raw_c").alias("__rc"), F.lit(None).cast("bigint").alias("__tc")
+    ).unionByName(
+        tgt_counts.select(
+            "bucket", F.lit(None).cast("bigint").alias("__rc"), F.col("__tgt_c").alias("__tc")
+        )
+    )
+    w_all = Window.partitionBy()
     weights = (
-        raw_counts.join(tgt_counts, "bucket", "left")
-        .crossJoin(F.broadcast(raw_tot))
-        .crossJoin(F.broadcast(tgt_tot))
+        both.groupBy("bucket")
+        .agg(F.sum("__rc").alias("__raw_c"), F.sum("__tc").alias("__tgt_c"))
+        .select(
+            "bucket",
+            "__raw_c",
+            "__tgt_c",
+            F.sum("__raw_c").over(w_all).alias("__raw_n"),
+            F.sum("__tgt_c").over(w_all).alias("__tgt_n"),
+        )
+        .where(F.col("__raw_c").isNotNull())
         .select(
             "bucket",
             (

@@ -267,28 +267,35 @@ def winsorize(
         raise PhaserError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
     keys = list(group_by or [])
 
-    def pct(c: str, p: float) -> SparkCol:
+    # Both bounds from ONE percentile aggregate per column (array
+    # percentage): Spark's exact Percentile builds a value→count map per
+    # aggregate expression, so two scalar calls pay the map twice; the
+    # array form reads both positions off the same sorted RLE — element
+    # values are identical to the scalar calls' by construction.
+    def pct_pair(c: str) -> SparkCol:
         v = F.col(c).cast("double")
         agg = (
-            F.percentile(v, F.lit(p))
+            F.percentile(v, F.array(F.lit(lower), F.lit(upper)))
             if exact
-            else F.percentile_approx(v, F.lit(p), F.lit(int(accuracy)))
+            else F.percentile_approx(
+                v, F.array(F.lit(lower), F.lit(upper)), F.lit(int(accuracy))
+            )
         )
-        # 6-digit truncation: engine-reproducible bounds (shared helper
-        # carries the Long.MaxValue floor-clamp guard for huge values)
         from .dedup import trunc_digits
 
-        return trunc_digits(agg, 6)
+        return F.transform(agg, lambda b: trunc_digits(b, 6))
 
-    bounds = [pct(c, lower).alias(f"__lo_{c}__") for c in cols] + [
-        pct(c, upper).alias(f"__hi_{c}__") for c in cols
+    bounds = [pct_pair(c).alias(f"__b_{c}__") for c in cols]
+    unpack = [
+        F.col(f"__b_{c}__")[i].alias(f"__{tag}_{c}__")
+        for c in cols
+        for i, tag in ((0, "lo"), (1, "hi"))
     ]
     if keys:
         btab = df.groupBy(*keys).agg(*bounds)
         btab = btab.select(
             *[F.col(k).alias(f"__wz_{k}__") for k in keys],
-            *[f"__lo_{c}__" for c in cols],
-            *[f"__hi_{c}__" for c in cols],
+            *unpack,
         )
         on = None
         for k in keys:
@@ -296,7 +303,7 @@ def winsorize(
             on = c if on is None else on & c
         out = df.join(F.broadcast(btab) if broadcast_bounds else btab, on)
     else:
-        out = df.crossJoin(F.broadcast(df.agg(*bounds)))
+        out = df.crossJoin(F.broadcast(df.agg(*bounds).select(*unpack)))
     for c in cols:
         clamped = F.least(
             F.greatest(F.col(c).cast("double"), F.col(f"__lo_{c}__")),
@@ -477,16 +484,22 @@ def robust_standardize(
     med_aggs = [
         med_of(F.col(c).cast("double")).alias(f"__rs_med_{c}__") for c in cols
     ]
+    # The median table feeds THREE consumers (the deviation aggregate,
+    # its join-back, and the final score join) and Spark replans the
+    # full-corpus percentile pass behind each broadcast build — measured
+    # at sf0.1 the 3-group exact-percentile stage ran 5x per query.  A
+    # lazy local checkpoint pins each bounds table (<= n_groups rows) so
+    # every percentile aggregate runs exactly once; values unchanged.
     if keys:
         mtab = df.groupBy(*keys).agg(*med_aggs)
         mtab = mtab.select(
             *[F.col(kcol).alias(f"__rm_{kcol}__") for kcol in keys],
             *[f"__rs_med_{c}__" for c in cols],
-        )
+        ).localCheckpoint(eager=False)
         out = join_back(df, mtab, "rm")
     else:
         out = df.crossJoin(
-            F.broadcast(df.agg(*med_aggs))
+            F.broadcast(df.agg(*med_aggs).localCheckpoint(eager=False))
         )
     mad_aggs = [
         med_of(F.abs(F.col(c).cast("double") - F.col(f"__rs_med_{c}__"))).alias(
@@ -499,10 +512,12 @@ def robust_standardize(
         dtab = dtab.select(
             *[F.col(kcol).alias(f"__rd_{kcol}__") for kcol in keys],
             *[f"__rs_mad_{c}__" for c in cols],
-        )
+        ).localCheckpoint(eager=False)
         out = join_back(out, dtab, "rd")
     else:
-        out = out.crossJoin(F.broadcast(out.agg(*mad_aggs)))
+        out = out.crossJoin(
+            F.broadcast(out.agg(*mad_aggs).localCheckpoint(eager=False))
+        )
     drop = []
     for c in cols:
         v = F.col(c).cast("double")

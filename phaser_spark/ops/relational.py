@@ -309,6 +309,7 @@ def multilevel_agg(
     kind: str = "rollup",
     sets: list[list[str]] | None = None,
     grouping_id_col: str | None = "grouping_id",
+    pre_aggs: list[SparkCol] | None = None,
 ) -> DataFrame:
     """Multi-level aggregation in ONE pass: ``ROLLUP`` / ``CUBE`` /
     ``GROUPING SETS`` (the hypertable/OLAP rollup family; absent in the
@@ -329,7 +330,27 @@ def multilevel_agg(
     column i is aggregated away, first column = most significant bit —
     the same encoding DuckDB/Postgres ``GROUPING(...)`` uses), so subtotal
     rows are distinguishable from natural NULL group values.
+
+    ``pre_aggs`` opts into the two-phase form for DECOMPOSABLE
+    aggregates: the frame is first reduced with ``groupBy(*group_cols)
+    .agg(*pre_aggs)`` (map-side-combinable, Expand never sees raw
+    rows), then the rollup/cube/sets expansion runs over one row per
+    finest-level group and ``aggs`` re-aggregates the partial slots.
+    The caller owns the algebra: every entry of ``aggs`` must compute,
+    from the ``pre_aggs`` columns, exactly what it would have computed
+    from the raw rows (sum→sum of sums, count→sum of counts, min/max→
+    min/max of min/maxes; sums kept exact — e.g. decimal — commute
+    with regrouping, and any final rounding belongs in ``aggs``).
+    Identical results to the one-phase form for such specs — pinned by
+    ``test_multilevel_agg_pre_aggs_matches_single_phase``; the Expand
+    input shrinks from every raw row to the finest-group row set,
+    which is the difference between replicating a fact table 2^k times
+    and replicating an aggregate.
     """
+    if pre_aggs is not None:
+        df = df.groupBy(
+            *[F.col(c) if isinstance(c, str) else c for c in group_cols]
+        ).agg(*pre_aggs)
     if kind == "rollup":
         grouped = df.rollup(*group_cols)
     elif kind == "cube":

@@ -164,6 +164,53 @@ def test_multilevel_agg_cube_and_sets(spark):
     }
 
 
+def test_multilevel_agg_pre_aggs_matches_single_phase(spark):
+    # Two-phase (pre-aggregated) rollup/cube must be row-identical to the
+    # one-phase form for decomposable aggregates — the contract
+    # relational.multilevel_agg's ``pre_aggs`` docstring promises.
+    from pyspark.sql import types as T
+
+    from phaser_spark.ops.relational import multilevel_agg
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.5), ("a", "y", 2.25), ("b", "x", 3.125), ("b", None, 4.0),
+         ("a", "x", 0.625), ("b", "x", 7.75)],
+        "c1 string, c2 string, v double",
+    )
+    for kind in ("rollup", "cube"):
+        one = {
+            tuple(r)
+            for r in multilevel_agg(
+                df,
+                ["c1", "c2"],
+                [
+                    F.round(F.sum(F.col("v").cast(T.DecimalType(28, 8))), 2)
+                    .cast("double")
+                    .alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                ],
+                kind=kind,
+            ).collect()
+        }
+        two = {
+            tuple(r)
+            for r in multilevel_agg(
+                df,
+                ["c1", "c2"],
+                [
+                    F.round(F.sum("__ps"), 2).cast("double").alias("s"),
+                    F.sum("__pn").alias("n"),
+                ],
+                kind=kind,
+                pre_aggs=[
+                    F.sum(F.col("v").cast(T.DecimalType(28, 8))).alias("__ps"),
+                    F.count(F.lit(1)).alias("__pn"),
+                ],
+            ).collect()
+        }
+        assert one == two, kind
+
+
 def _naive_range_join(points, intervals, keys=()):
     cond = (F.col("p") >= F.col("s")) & (F.col("p") < F.col("e"))
     j = points.crossJoin(intervals) if not keys else points.join(intervals, list(keys))
