@@ -195,6 +195,13 @@ def media_phash(
 ) -> DataFrame:
     """``(id, phash)`` for a binary media column — fake (Catalyst md5
     grid) or real (PIL) decode, shared dHash afterwards."""
+    # The grid projection is the expensive part (70 md5 chains per row,
+    # interpreted — the transform HOF breaks whole-stage codegen) and a
+    # single-row-group scan would run it all on ONE core; fan out first
+    # (no-op on well-split cluster inputs — see spread_for_compute).
+    from ..lineage import spread_for_compute
+
+    df = spread_for_compute(df)
     if real_decode:
         staged = real_gray_grid(df, content_col, out_col="__grid")
     else:
