@@ -118,7 +118,7 @@ def bpe_train(
     vocab = _word_freqs(df, id_col, text_col).select(
         "freq", _wrap_chars(F.col("word")).alias("s")
     )
-    vocab = vocab.localCheckpoint()
+    vocab = vocab.localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
     for rank in range(num_merges):
         arr = _split_wrapped(F.col("s"))
@@ -151,7 +151,11 @@ def bpe_train(
         repl = F.lit(SEP + a + b + SEP)
         vocab = vocab.select("freq", F.replace(F.col("s"), pattern, repl).alias("s"))
         if (rank + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint()
+            # LAZY checkpoint: the replace materializes inside the next
+            # round's pair-count job instead of paying a separate eager
+            # job per round (2 jobs/round -> 1; the stored rows and the
+            # pinned per-round plan shape are identical either way).
+            vocab = vocab.localCheckpoint(eager=False)
     return merges
 
 

@@ -274,7 +274,10 @@ def linear_classifier_fit(
     cond = _finite(F.col("y")) & (F.col("y").isin(0.0, 1.0))
     for j in range(d):
         cond = cond & _finite(F.col(f"x{j}"))
-    feats = feats.filter(cond).localCheckpoint(eager=True)
+    # lazy checkpoint + count: the count() action materializes the
+    # checkpointed rows, so the filter scan runs once, not twice
+    # (eager=True paid a materialization job AND a count job)
+    feats = feats.filter(cond).localCheckpoint(eager=False)
     n = feats.count()
     if n == 0:
         raise PhaserError(
