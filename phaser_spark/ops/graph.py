@@ -127,7 +127,10 @@ def connected_components(
                     F.col("root"), F.coalesce(F.col("root2"), F.col("root"))
                 ).alias("root"),
             )
-        new_labels = stepped.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence count() right below materializes
+        # the round's label frame, so each round pays one job, not an
+        # eager-materialization job plus a count job (rows identical)
+        new_labels = stepped.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("old_root") != F.col("root")).count()
         labels = new_labels.select("id", "root")
         # prior rounds' checkpoint blocks are freed by the ContextCleaner
@@ -353,7 +356,9 @@ def pagerank(
             "left",
         )
         .select("id", F.coalesce(F.col("__has_out__"), F.lit(False)).alias("__has_out__"))
-        .localCheckpoint(eager=True)
+        # lazy: the count() right below materializes the checkpoint in the
+        # same job instead of paying a separate eager-materialization job
+        .localCheckpoint(eager=False)
     )
     n = verts.count()  # one driver long; every other aggregate stays lazy
     if n == 0:
@@ -377,8 +382,16 @@ def pagerank(
             F.sum("w").cast("double").alias("deg")
         )
         e = e.select("src", "dst", F.col("w").cast("double").alias("w"))
-    # join the degree in once: each iteration then only joins pr by src
-    e_deg = e.join(outdeg, "src").localCheckpoint(eager=True)
+    # join the degree in once: each iteration then only joins pr by src.
+    # Lazy checkpoint: round 1's contribs aggregate materializes it inside
+    # the first checkpoint job (saving the separate eager job); rounds 2..N
+    # read the pinned blocks either way.  The IN-LOOP pr checkpoint below
+    # stays EAGER deliberately — it is the only action each round, and a
+    # lazy version would defer every round's work into the next round's
+    # broadcast(dangling) build, nesting N rounds of computation inside
+    # chained broadcast futures (a guaranteed spark.sql.broadcastTimeout
+    # at scale and an unbounded job fusion locally).
+    e_deg = e.join(outdeg, "src").localCheckpoint(eager=False)
     n_lit = F.lit(float(n))
     teleport = (F.lit(1.0) - F.lit(damping)) / n_lit
     pr = verts.select("id", "__has_out__", (F.lit(1.0) / n_lit).alias("pr"))
