@@ -212,7 +212,9 @@ def read_csv(
     # count stays exact; at the cap the error reports a lower bound.
     corrupt_rows = df.filter(F.col(_CORRUPT).isNotNull())
     if corrupt_rows.first() is not None:
-        sliver = corrupt_rows.limit(_SLIVER_CAP).localCheckpoint(eager=True)
+        # lazy: the count() materializes the capped sliver in one job
+        # (eager paid a materialization job AND the count job)
+        sliver = corrupt_rows.limit(_SLIVER_CAP).localCheckpoint(eager=False)
         capped = sliver.count() >= _SLIVER_CAP
         n_fields = len(headers)
         delim = delimiter
@@ -484,7 +486,8 @@ def read_jsonl(
         # alone is selected for examples
         corrupt_rows = df.filter(F.col(_CORRUPT).isNotNull())
         if corrupt_rows.first() is not None:
-            sliver = corrupt_rows.limit(_SLIVER_CAP).localCheckpoint(eager=True)
+            # lazy: the count() materializes the capped sliver in one job
+            sliver = corrupt_rows.limit(_SLIVER_CAP).localCheckpoint(eager=False)
             n_bad = sliver.count()
             at_least = "at least " if n_bad >= _SLIVER_CAP else ""
             examples = [r[0] for r in sliver.select(_CORRUPT).limit(3).collect()]

@@ -708,12 +708,16 @@ class Phase:
                 .agg(F.sum("value").alias("value"))
             )
         # Materialize the (small, by contract) delta table ONCE: left
-        # lazy, it stays rooted in the row step's mapInPandas plan and
-        # every later consumer (the frac probe below, save, the next
-        # phase's merge, to_dict) re-executes the arbitrary user row
+        # un-checkpointed, it stays rooted in the row step's mapInPandas
+        # plan and every later consumer (the frac probe below, save, the
+        # next phase's merge, to_dict) re-executes the arbitrary user row
         # function over the whole input — and under a nondeterministic
         # fn those executions disagree with the checkpointed rows.
-        delta_df = delta_df.localCheckpoint(eager=True)
+        # Lazy + the frac probe right below: the complete aggregate scans
+        # every partition, so the probe job materializes the checkpoint
+        # (one job instead of an eager-materialization job plus the probe;
+        # per-partition caching keeps nondeterministic fns single-run).
+        delta_df = delta_df.localCheckpoint(eager=False)
         frac = delta_df.agg(
             F.max(F.abs(F.col("value") - F.round(F.col("value")))).alias("m")
         ).first()["m"]
