@@ -154,6 +154,10 @@ def filter_rows(func: Callable | SparkCol, name: str = "filter_rows"):
         return out
 
     _filter_rows.__name__ = name
+    # Column predicates are one cheap codegen'd comparison per row — not
+    # worth a fan-out exchange; the Python-callable path is an Arrow
+    # mapInPandas pass and keeps the phase's compute spread.
+    _filter_rows.__phaser_needs_spread__ = not isinstance(func, SparkCol)
     return _filter_rows
 
 
@@ -178,6 +182,9 @@ def sort_by(column):
         )
 
     _sort_by.__name__ = f"sort_by_{col}"
+    # orderBy introduces its own range exchange; a fan-out repartition in
+    # front of it would just shuffle the same rows twice
+    _sort_by.__phaser_needs_spread__ = False
     return _sort_by
 
 
@@ -237,6 +244,10 @@ def drop_duplicate_rows(columns=None):
             )
         return out
 
+    # the dedup window hash-shuffles by key — its heavy work runs on the
+    # post-exchange side regardless of input partitioning, so a fan-out
+    # repartition in front is a wasted full pass of the data
+    _drop_duplicate_rows.__phaser_needs_spread__ = False
     return _drop_duplicate_rows
 
 
@@ -278,6 +289,9 @@ def check_unique(column, strip: bool = True, ignore_case: bool = False):
         return df
 
     _check_unique.__name__ = f"check_unique_{col}"
+    # one aggregate job: partial aggregation runs on the scan tasks and the
+    # shuffle carries only (value, count) pairs — no fan-out needed
+    _check_unique.__phaser_needs_spread__ = False
     return _check_unique
 
 

@@ -243,6 +243,23 @@ class Phase:
         against its input would report every row as changed."""
         return not self.renumber
 
+    def _needs_spread(self) -> bool:
+        """Whether the phase contains CPU-heavy per-row work that benefits
+        from a fan-out repartition of a narrow scan (see
+        ``lineage.spread_for_compute``).  Column contracts (cast/fix-fn
+        projections) and any user step default to True; builtin steps whose
+        heavy work runs behind their own exchange opt out via the
+        ``__phaser_needs_spread__`` marker; driver-side context steps are
+        ignored."""
+        if self.columns:
+            return True
+        for step in self.steps:
+            if step_type_of(step) == CONTEXT_STEP:
+                continue
+            if getattr(step, "__phaser_needs_spread__", True):
+                return True
+        return False
+
     # ------------------------------------------------------------------
     def run(self, df: DataFrame | None = None) -> DataFrame:
         """Build the phase's lazy output DataFrame (internal marker columns
@@ -262,8 +279,15 @@ class Phase:
         )
         # numbering is pinned to ingest order above; from here on the plan is
         # order-free (everything keys off __phaser_row_num__), so fan a
-        # narrow scan out across cores before the column/step projections
-        df = spread_for_compute(df)
+        # narrow scan out across cores before the column/step projections —
+        # but ONLY when the phase actually has CPU-heavy per-row work.  A
+        # phase whose steps all introduce their own exchange (dedup window,
+        # sort, check_unique aggregate) or are cheap codegen'd predicates
+        # gets no benefit: the step's shuffle spreads the work anyway, and
+        # the fan-out would move every byte across the wire one extra time
+        # (at 100 TB, a full wasted pass of the corpus).
+        if self._needs_spread():
+            df = spread_for_compute(df)
         self._original_headers = [c for c in df.columns if c not in INTERNAL_COLS]
 
         df = self._rename_columns(df)
