@@ -313,6 +313,22 @@ def main():
     # timings print at 2 decimals, and if the line still exceeds the budget
     # it keeps only the slowest queries that fit (the full per-query data is
     # durable in bench_history.json under a round key either way).
+    # r13 line-budget fix (VERDICT r12 item 2): with 74 queries the r12
+    # line blew the driver's ~2000-char capture window and the slowest-
+    # first truncation dropped the 10 FASTEST queries from PERF tracking.
+    # Three measurement-neutral compressions restore the full contract
+    # (timing methodology untouched; the per-query values are identical
+    # numbers, just printed tighter):
+    #   * compact JSON separators (no space after ':'/',': ~160 chars),
+    #   * runs/probe_sec/probe_bulk_sec/host_window move to
+    #     bench_history.json's local_pending block only (~95 chars) —
+    #     they were diagnostics, never part of the driver contract,
+    #   * the existing 2-decimal -> 1-decimal fallback now actually fits
+    #     (1,939 chars at r12 values vs the 1,980 budget).
+    # If a future query list still overflows, truncation keeps
+    # PREVIOUSLY-REPORTED queries first (names parsed from the newest
+    # BENCH_r*.json) so round-over-round tracking never loses a query.
+    dumps = lambda obj: json.dumps(obj, separators=(",", ":"))
     compact = {n: round(v, 2) for n, v in timings.items()}
     line = {
         "metric": "headline_queries_total_runtime",
@@ -320,38 +336,64 @@ def main():
         "unit": "sec",
         "queries": compact,
         "sf": sf,
-        "runs": runs,
-        "probe_sec": probe_sec,
-        "probe_bulk_sec": probe_bulk_sec,
-        "host_window": host_window,
     }
     # 1980: the driver's capture window is ~2000 chars and the JSON line is
     # the final line of stdout — r10's 1900 budget truncated 2 queries a
     # wider budget would have carried (VERDICT r10 nit #4)
     budget = 1980
-    if len(json.dumps(line)) > budget:
+    if len(dumps(line)) > budget:
         # first fallback: 1-decimal timings (the full 3-decimal data is
         # durable in bench_history.json either way) — only then truncate
         coarse = {n: round(v, 1) for n, v in timings.items()}
-        if len(json.dumps({**line, "queries": coarse})) <= budget:
+        if len(dumps({**line, "queries": coarse})) <= budget:
             line["queries"] = compact = coarse
-    if len(json.dumps(line)) > budget:
-        by_slow = sorted(compact, key=lambda n: compact[n], reverse=True)
+    if len(dumps(line)) > budget:
+        prev_reported = _prev_reported_queries()
+        by_keep = sorted(
+            compact,
+            key=lambda n: (n not in prev_reported, -compact[n]),
+        )
         kept: dict[str, float] = {}
-        for n in by_slow:
+        for n in by_keep:
             kept[n] = compact[n]
-            if len(json.dumps({**line, "queries": kept})) > budget:
+            if len(dumps({**line, "queries": kept})) > budget:
                 del kept[n]
                 break
         line["queries"] = kept
         line["queries_truncated"] = len(compact) - len(kept)
-    print(json.dumps(line))
+    print(dumps(line))
     if sf == 0.1:
         _update_history(
             timings, total, exponents, spread,
             probe_sec=probe_sec, probe_bulk_sec=probe_bulk_sec,
             host_window=host_window,
         )
+
+
+def _prev_reported_queries(root: str | None = None) -> set[str]:
+    """Query names the driver's newest parsed BENCH_r*.json actually
+    carried: the truncation fallback keeps these ahead of never-reported
+    names so a query that has a cross-round timing history never drops
+    off the printed line (VERDICT r12 item 2)."""
+    import glob
+    import re
+
+    if root is None:
+        root = os.path.dirname(os.path.abspath(__file__))
+    best_round, names = -1, set()
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) <= best_round:
+            continue
+        try:
+            with open(path) as f:
+                snap = json.load(f).get("parsed")
+        except (OSError, ValueError):
+            continue
+        if isinstance(snap, dict) and snap.get("queries"):
+            best_round = int(m.group(1))
+            names = set(snap["queries"])
+    return names
 
 
 def _update_history(

@@ -147,9 +147,10 @@ def with_row_numbers(
     return out
 
 
-def spread_for_compute(df: DataFrame, target: int | None = None) -> DataFrame:
-    """Round-robin repartition a *narrow* input before CPU-heavy per-row
-    work.
+def spread_for_compute(
+    df: DataFrame, target: int | None = None, by: str | None = None
+) -> DataFrame:
+    """Repartition a *narrow* input before CPU-heavy per-row work.
 
     A parquet file with a single row group yields a single input split no
     matter how small ``maxPartitionBytes`` is, so an expensive projection
@@ -158,6 +159,20 @@ def spread_for_compute(df: DataFrame, target: int | None = None) -> DataFrame:
     — the guard makes the repartition cost strictly local to the
     small-input case.  Row-order-sensitive work (lineage numbering) must
     happen *before* this call.
+
+    ``by`` (r13, guide §2.4): hash-partition on that column instead of
+    round-robin.  When downstream aggregations group by ``by`` (or by
+    ``by`` plus more columns — HashPartitioning on a PREFIX of the
+    grouping keys satisfies ClusteredDistribution), the fan-out exchange
+    doubles as THEIR exchange and EnsureRequirements inserts no further
+    shuffle; round-robin satisfies nothing, so every downstream
+    aggregation pays its own full exchange on top.  A keyed repartition
+    also skips the defensive local sort round-robin pays for
+    deterministic retries (``spark.sql.execution.sortBeforeRepartition``)
+    — hash assignment is already deterministic per row.  Skew note: both
+    forms place each ROW atomically, so one huge row skews either way;
+    ``by`` only adds the usual hash-collision variance, negligible when
+    distinct keys ≫ partitions (guide §2.5).
 
     The default target is ``defaultParallelism / 2``, not the full core
     count: measured on local[32], allocation-heavy projections (decimal
@@ -171,6 +186,8 @@ def spread_for_compute(df: DataFrame, target: int | None = None) -> DataFrame:
     target = target or max(2, sc.defaultParallelism // 2)
     if _estimated_partitions(df) >= target:
         return df
+    if by is not None:
+        return df.repartition(target, F.col(by))
     return df.repartition(target)
 
 

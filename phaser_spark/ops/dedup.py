@@ -131,9 +131,21 @@ def staged_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     projection above the exchange so downstream per-element lambdas see
     it as a column attribute; CollapseProject does not inline non-cheap
     expressions referenced more than once, which keeps the tokenization
-    single-evaluation (plan-checked in tests)."""
+    single-evaluation (plan-checked in tests).
+
+    r13 (guide §2.4): the fan-out hashes on ``id`` instead of
+    round-robin.  Every consumer that aggregates per document —
+    simhash's ``groupBy(id, w)`` + ``groupBy(id)``, minhash's
+    per-doc signature, the span/surprisal ``groupBy(id)`` passes —
+    then inherits HashPartitioning(id), which satisfies their
+    ClusteredDistribution, so the fan-out exchange doubles as the
+    aggregation exchange and the per-doc aggregates run shuffle-free
+    (simhash: 3 exchanges → 1 in the signature build).  Hash placement
+    is per row exactly like round-robin (one doc = one row), and the
+    keyed form skips round-robin's defensive pre-shuffle sort."""
     base = spread_for_compute(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__sw_text"))
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__sw_text")),
+        by="id",
     )
     return base.select(
         "id", F.split(normalize_text(F.col("__sw_text")), " ").alias("words")
@@ -661,15 +673,26 @@ def simhash(
         raise PhaserError(
             f"simhash: word_hash must be 'md5'/'xxhash64', got {word_hash!r}"
         )
+    # r13 (guide §1.2 step 2 / the pca_covariance r12 medicine): every
+    # expression below is built as ONE parsed SQL string per column
+    # instead of nested pyspark.sql.functions calls.  The functions form
+    # cost 3.7-5.9 s of pure py4j round trips PER QUERY CONSTRUCTION at
+    # steady state (profiled: stages totalled ~1.3 s of a ~5 s run; the
+    # rest was driver-side, and construct/analyze/plan decomposition put
+    # it squarely in construction) — driver-bound work that no executor
+    # core count can touch, which is exactly why the r12 driver measured
+    # a 0.96 8→32-core ratio on this query.  The SQL strings parse in a
+    # handful of py4j calls and produce the SAME resolved expressions
+    # (oracle-parity + pair-set tests pin the results bit-for-bit).
     if word_hash == "md5":
-        h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+        h_sql = "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"
     else:
-        h = F.xxhash64("w")
+        h_sql = "xxhash64(w)"
     words = staged_words(df, id_col, text_col).select(
         "id", F.explode(F.col("words")).alias("w")
     )
     wc = words.groupBy("id", "w").agg(F.count(F.lit(1)).alias("cnt"))
-    hashed = wc.select("id", "cnt", h.alias("h"))
+    hashed = wc.select("id", "cnt", F.expr(h_sql).alias("h"))
     # Lane packing: bit i's ONES count (non-negative, unlike the ±1 sum)
     # rides the low 32 bits and bit i+32's the high 32 bits of one long, so
     # 64 bit positions need 32 aggregation buffers plus one total instead
@@ -679,39 +702,41 @@ def simhash(
     # per-document word count; the 2³¹ guard below keeps lane carries
     # impossible (a >2-billion-word single document would be ~10 GB of
     # text in one row — reject loudly rather than corrupt the high lane).
-    bit = lambda col, i: F.shiftright(col, i).bitwiseAND(F.lit(1))
     packed = [
-        F.sum(
-            bit(F.col("h"), i) * F.col("cnt")
-            + F.shiftleft(bit(F.col("h"), i + 32) * F.col("cnt"), 32)
+        F.expr(
+            f"sum((shiftright(h, {i}) & 1) * cnt"
+            f" + shiftleft((shiftright(h, {i + 32}) & 1) * cnt, 32))"
         ).alias(f"p{i}")
         for i in range(32)
     ]
     sums = hashed.groupBy("id").agg(*packed, F.sum("cnt").alias("tot"))
-    tot = F.when(
-        F.col("tot") >= F.lit(2**31).cast("long"),
-        F.raise_error(
-            F.concat(
-                F.lit("simhash: document "),
-                F.col("id").cast("string"),
-                F.lit(
-                    " has >= 2^31 words — 32-bit lane packing would "
-                    "overflow; split the document or hash a sample"
-                ),
-            )
-        ).cast("long"),
-    ).otherwise(F.col("tot"))
-    sig = F.lit(0).cast("long")
+    # The guarded total is projected ONCE (__tot2__): the old form
+    # inlined the whole raise_error CASE into all 64 bit comparisons,
+    # which multiplied the expression tree 64-fold for zero semantic
+    # difference (the guard still raises on the first evaluated row of
+    # an overflowing document, and sane totals pass through unchanged).
+    guard_sql = (
+        "CASE WHEN tot >= CAST(2147483648 AS BIGINT) THEN "
+        "CAST(raise_error(concat('simhash: document ', CAST(id AS STRING), "
+        "' has >= 2^31 words -- 32-bit lane packing would overflow; "
+        "split the document or hash a sample')) AS BIGINT) "
+        "ELSE tot END"
+    )
+    guarded = sums.select(
+        "id", *[f"p{i}" for i in range(32)], F.expr(guard_sql).alias("__tot2__")
+    )
+    sig_terms = []
     for i in range(32):
-        ones_lo = F.col(f"p{i}").bitwiseAND(F.lit(0xFFFFFFFF))
-        ones_hi = F.shiftright(F.col(f"p{i}"), 32)
-        sig = sig + F.when(
-            ones_lo * 2 > tot, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(0)
-        sig = sig + F.when(
-            ones_hi * 2 > tot, F.shiftleft(F.lit(1).cast("long"), i + 32)
-        ).otherwise(0)
-    return sums.select("id", sig.alias("simhash"))
+        sig_terms.append(
+            f"(CASE WHEN (p{i} & 4294967295) * 2 > __tot2__ "
+            f"THEN shiftleft(CAST(1 AS BIGINT), {i}) ELSE 0 END)"
+        )
+        sig_terms.append(
+            f"(CASE WHEN shiftright(p{i}, 32) * 2 > __tot2__ "
+            f"THEN shiftleft(CAST(1 AS BIGINT), {i + 32}) ELSE 0 END)"
+        )
+    sig_sql = "CAST(0 AS BIGINT) + " + " + ".join(sig_terms)
+    return guarded.select("id", F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_pairs(
@@ -729,13 +754,19 @@ def simhash_pairs(
     approximate — an all-pairs scan (the oracle formulation) returns the
     identical pair set.
 
-    The signature table feeds BOTH sides of the self-join: pin it AND
-    materialize it eagerly so the explode/hash/64-agg pipeline runs once
-    — lazily-cached common subplans race when both join-branch stages
-    launch concurrently (measured 2× on the bench corpus).  The
-    materialized table is (id, simhash) — 16 bytes per doc, safe at any
-    corpus size; the count is the signature build step, analogous to IVF
-    centroid training."""
+    The signature table feeds BOTH sides of the self-join: materialize
+    it eagerly so the explode/hash/64-agg pipeline runs once —
+    lazily-cached common subplans race when both join-branch stages
+    launch concurrently (measured 2× on the bench corpus).  r13: the pin
+    is an EAGER ``localCheckpoint`` rather than ``cache()+count()`` —
+    same stored rows, but the checkpoint also TRUNCATES the plan, so the
+    self-join (and every AQE replan of it) analyzes a two-column
+    LogicalRDD instead of two full copies of the 32-packed-aggregate
+    signature tree; profiled at sf0.1, stage wall time was ~1.9 s of a
+    5.2 s run and the rest was exactly this repeated driver-side
+    analysis.  The materialized table is (id, simhash) — 16 bytes per
+    doc, safe at any corpus size; the checkpoint job is the signature
+    build step, analogous to IVF centroid training."""
     if not 0 <= max_hamming <= 3:
         # pigeonhole over 4 chunks is EXACT only for distance <= 3; a
         # larger radius would silently return an incomplete pair set
@@ -745,8 +776,7 @@ def simhash_pairs(
             f"blocking, got {max_hamming} — raise the chunk count or use "
             "an all-pairs verify for larger radii"
         )
-    sh = simhash(df, id_col, text_col, word_hash=word_hash).cache()
-    sh.count()
+    sh = simhash(df, id_col, text_col, word_hash=word_hash).localCheckpoint()
     chunks = sh.select(
         "id",
         "simhash",

@@ -36,7 +36,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column as SparkCol
 from pyspark.sql import DataFrame
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..exceptions import PhaserError
@@ -155,17 +154,27 @@ def dsir_importance(
             "bucket", F.lit(None).cast("bigint").alias("__rc"), F.col("__tgt_c").alias("__tc")
         )
     )
-    w_all = Window.partitionBy()
-    weights = (
+    # r13 (ADVICE r12): the r12 shape computed both grand totals as
+    # empty-partitionBy window sums, which forces every grouped bucket
+    # row through ONE task — bounded, but a single-partition bottleneck
+    # at large bucket counts (2^20+).  The grouped table is pinned with
+    # a lazy local checkpoint (≤ buckets rows, materialized once by the
+    # totals broadcast build) and the two totals ride a broadcast
+    # single-row aggregate over it instead: distributed sum, no
+    # single-partition stage, long-exact so the values are identical.
+    # The corpus subtree already materializes inside the weights
+    # broadcast build in the r12 design, so the nested broadcast adds
+    # no new broadcast-timeout exposure.
+    grouped = (
         both.groupBy("bucket")
         .agg(F.sum("__rc").alias("__raw_c"), F.sum("__tc").alias("__tgt_c"))
-        .select(
-            "bucket",
-            "__raw_c",
-            "__tgt_c",
-            F.sum("__raw_c").over(w_all).alias("__raw_n"),
-            F.sum("__tgt_c").over(w_all).alias("__tgt_n"),
-        )
+        .localCheckpoint(eager=False)
+    )
+    totals = grouped.agg(
+        F.sum("__raw_c").alias("__raw_n"), F.sum("__tgt_c").alias("__tgt_n")
+    )
+    weights = (
+        grouped.crossJoin(F.broadcast(totals))
         .where(F.col("__raw_c").isNotNull())
         .select(
             "bucket",

@@ -118,12 +118,21 @@ def pq_encode(
     ids, squared-L2 argmin per subspace, FIRST minimum wins ties — the
     deterministic rule every quantizer here shares).
 
-    Small codebooks (m·k_sub·dsub ≤ 8192 literals) run as one Catalyst
-    projection — integer output whole-stage-codegen'd and exactly
-    hash-checkable by a SQL oracle.  Beyond that, one Arrow pass does m
-    ``(batch × dsub) @ (dsub × k_sub)`` matmuls per batch with the
-    codebook on a Spark broadcast; dirty vectors (null / ragged / NaN
-    element) get a NULL code array on both paths."""
+    Small codebooks (m·k_sub·dsub ≤ 8192 literals) run as one Arrow
+    ``mapInPandas`` pass whose arithmetic replicates the historical
+    literal-fold Catalyst projection bit-for-bit (strictly sequential
+    (a−b)² accumulation per subspace, first-minimum tie rule), so
+    oracle-replayed codes are unchanged even though the plan now carries
+    a MapInPandas node instead of a codegen'd projection.  Beyond the
+    budget, one Arrow pass does m ``(batch × dsub) @ (dsub × k_sub)``
+    matmuls per batch with the codebook on a Spark broadcast.  Dirty-row
+    rule on both paths: a null vector, a vector shorter than m·dsub, or
+    a null element among the first m·dsub → NULL code array; NaN/Inf
+    elements COMPUTE THROUGH (an all-NaN subspace resolves to sub-code
+    1), exactly as the literal fold behaved."""
+    from .similarity import _shadow_out_col
+
+    df, restore_order = _shadow_out_col(df, out_col)
     m = len(codebook)
     k_sub = len(codebook[0])
     dsub = len(codebook[0][0])
@@ -200,9 +209,8 @@ def pq_encode(
                 ]
                 yield pdf.assign(**{out_col: pd.Series(vals, dtype="object")})
 
-        return (
-            staged.mapInPandas(gen_exact, schema=schema).drop("__pq_dirty__")
-        )
+        out = staged.mapInPandas(gen_exact, schema=schema).drop("__pq_dirty__")
+        return out.select(*restore_order) if restore_order else out
 
     import numpy as np
     import pandas as pd
@@ -238,7 +246,8 @@ def pq_encode(
             ]
             yield pdf.assign(**{out_col: pd.Series(vals, dtype="object")})
 
-    return df.mapInPandas(gen, schema=schema)
+    out = df.mapInPandas(gen, schema=schema)
+    return out.select(*restore_order) if restore_order else out
 
 
 def pq_topk(

@@ -348,9 +348,20 @@ def multilevel_agg(
     and replicating an aggregate.
     """
     if pre_aggs is not None:
-        df = df.groupBy(
-            *[F.col(c) if isinstance(c, str) else c for c in group_cols]
-        ).agg(*pre_aggs)
+        bad = [c for c in group_cols if not isinstance(c, str)]
+        if bad:
+            # the rollup/cube below re-evaluates group_cols against the
+            # PRE-AGGREGATED frame, where an expression's source columns
+            # no longer exist — strings resolve (the pre-agg output
+            # carries them), Columns fail with an opaque
+            # AnalysisException; fail loudly instead
+            raise PhaserError(
+                "multilevel_agg: pre_aggs requires string group_cols "
+                f"(got {len(bad)} Column expression(s)) — alias the "
+                "expression to a column in a prior select, then group "
+                "by its name"
+            )
+        df = df.groupBy(*group_cols).agg(*pre_aggs)
     if kind == "rollup":
         grouped = df.rollup(*group_cols)
     elif kind == "cube":

@@ -467,6 +467,7 @@ def assign_cells(
     import numpy as np
     import pandas as pd
 
+    df, restore_order = _shadow_out_col(df, out_col)
     cent = np.asarray(centroids, dtype=np.float64)  # k × dim
     dim = cent.shape[1]
     vec = F.col(vec_col).cast("array<double>")
@@ -498,7 +499,8 @@ def assign_cells(
             out[~valid | pdf["__fold_dirty__"].to_numpy(dtype=bool)] = pd.NA
             yield pdf.assign(**{out_col: out})
 
-    return staged.mapInPandas(gen, schema=schema).drop("__fold_dirty__")
+    out = staged.mapInPandas(gen, schema=schema).drop("__fold_dirty__")
+    return out.select(*restore_order) if restore_order else out
 
 
 def assign_cells_arrow(
@@ -525,6 +527,7 @@ def assign_cells_arrow(
     import numpy as np
     import pandas as pd
 
+    df, restore_order = _shadow_out_col(df, out_col)
     cent = np.asarray(centroids, dtype=np.float64)  # k × dim
     # ship the matrix as a Spark broadcast, not a pickled closure: a
     # closure rides every task launch, while a broadcast lands on each
@@ -551,7 +554,24 @@ def assign_cells_arrow(
             out[~valid] = pd.NA
             yield pdf.assign(**{out_col: out})
 
-    return df.mapInPandas(gen, schema=schema)
+    out = df.mapInPandas(gen, schema=schema)
+    return out.select(*restore_order) if restore_order else out
+
+
+def _shadow_out_col(df: DataFrame, out_col: str):
+    """Preserve ``withColumn`` replace semantics for mapInPandas appends.
+
+    The Arrow output schema lists every input field plus ``out_col``; a
+    pre-existing column of that name would appear TWICE in the schema
+    while the pandas ``assign`` inside produces it once — an Arrow
+    serializer crash at runtime (the literal-expression paths replace it
+    silently, as ``withColumn`` always did).  Drop the stale column up
+    front and hand back the original column order so the caller can
+    restore ``out_col`` to its old position after the Arrow pass."""
+    if out_col not in df.columns:
+        return df, None
+    order = list(df.columns)
+    return df.drop(out_col), order
 
 
 def _dense_batch(vals, dim):
@@ -608,6 +628,7 @@ def probe_cells_arrow(
     import numpy as np
     import pandas as pd
 
+    df, restore_order = _shadow_out_col(df, out_col)
     cent = np.asarray(centroids, dtype=np.float64)
     n_probe = min(n_probe, len(cent))
     bc = df.sparkSession.sparkContext.broadcast(
@@ -633,7 +654,8 @@ def probe_cells_arrow(
             ]
             yield pdf.assign(**{out_col: pd.Series(cells, dtype="object")})
 
-    return df.mapInPandas(gen, schema=schema)
+    out = df.mapInPandas(gen, schema=schema)
+    return out.select(*restore_order) if restore_order else out
 
 
 def ivf_topk(
@@ -788,8 +810,11 @@ def kmeans_fit(
     round, e.g. for reproducible IVF cells or SemDeDup clusters shared
     across runs).
 
-    Per round: assignment is a pure Catalyst projection against the
-    k×dim centroid literals (no Python, no shuffle), and the update is
+    Per round: assignment defaults to the bit-identical exact-fold
+    Arrow pass of :func:`assign_cells` (same numeric results as the
+    historical k×dim literal projection; ``use_arrow=False`` there pins
+    the literal Catalyst form when a Python-free plan is required), and
+    the update is
     :func:`phaser_spark.ops.embeddings.group_centroids` — posexplode +
     per-(cell, dim) decimal means with map-side combine.  Only the k
     centroid vectors visit the driver each round; the corpus never
@@ -806,8 +831,10 @@ def kmeans_fit(
 
     cents = init_centroids or medoid_centroids(corpus, id_col, vec_col, k)
     base = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
-    # oracle-replayable literal assignment at small k; corpus-scaled k
-    # flips to the Arrow matmul path (literal plans stop being viable)
+    # small k: assign_cells' exact-fold Arrow pass (bit-identical to the
+    # literal form, which use_arrow=False still pins); corpus-scaled k
+    # flips to the expanded-matmul Arrow path (exact folds at that k
+    # cost more than the ulp they protect)
     assign = assign_cells if k <= 64 else assign_cells_arrow
     for _ in range(iters):
         assigned = assign(base, cents, "v", out_col="cell")
