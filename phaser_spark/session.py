@@ -38,6 +38,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r13 (guide §3.1/§9, VERDICT r12 item 3): let the planner pick a
+        # shuffled-hash join when its size conditions hold — same
+        # exchanges as sort-merge but no per-partition sorts; AQE skew
+        # splitting applies to SHJ too.  Swept at sf0.1: exactly one
+        # bench join flips (dsir_importance_docs' final LeftOuter,
+        # corpus x per-doc scores — both corpus-sized, so the skipped
+        # sorts grow with the corpus); every other join either
+        # broadcasts or keeps SMJ under the planner's build-side rule.
+        # Differential suite + full oracle parity green under the flip.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -76,6 +76,7 @@ def build_replica(
     dst: str = REPLICA,
     force: bool = False,
     distinct_vectors: bool = False,
+    distinct_values: bool = False,
 ):
     """``distinct_vectors=False`` (default) copies vectors VERBATIM — the
     corpus then genuinely contains FACTOR exact copies of every
@@ -85,7 +86,17 @@ def build_replica(
     deterministic per-replica sign-flip pattern to the embedding
     (norms preserved; cosines between different replicas of the same
     vector collapse toward 0), isolating CODE linearity: the pair
-    structure then scales exactly with the corpus."""
+    structure then scales exactly with the corpus.
+
+    ``distinct_values=True`` (r13, the exact-percentile memory probe):
+    verbatim replication does NOT grow the DISTINCT value set of a
+    numeric column, and Spark's exact ``Percentile`` buffers a
+    value→count map — so the default replica understates the very
+    buffer the percentile family's 100 TB hazard lives in (FACTOR
+    copies of one value merge into one slot).  This variant offsets
+    ``l_extendedprice`` by ``__r`` cents per replica (replica 0 keeps
+    the original values), so the distinct-value count genuinely grows
+    ~FACTOR-fold and the buffer growth becomes measurable."""
     from pyspark.sql import functions as F
 
     marker = os.path.join(dst, "_COMPLETE")
@@ -99,6 +110,12 @@ def build_replica(
         )
         for k in keys:
             rep = rep.withColumn(k, F.col(k) * FACTOR + F.col("__r"))
+        if distinct_values and table == "lineitem":
+            dt = df.schema["l_extendedprice"].dataType.simpleString()
+            rep = rep.withColumn(
+                "l_extendedprice",
+                (F.col("l_extendedprice") + F.col("__r") * 0.01).cast(dt),
+            )
         if distinct_vectors and table == "embeddings":
             r = F.col("__r")
             rep = rep.withColumn(
@@ -177,14 +194,23 @@ if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     force = "--rebuild" in sys.argv
     distinct = "--distinct-vectors" in sys.argv
+    distinct_vals = "--distinct-values" in sys.argv
     runs = 2
     for a in sys.argv[1:]:
         if a.startswith("--runs="):
             runs = int(a.split("=", 1)[1])
-    # the code-linearity variant lives in its own dir so both replicas
-    # stay cached across invocations
-    target = REPLICA + "-distinct" if distinct else REPLICA
-    if force or (distinct and not os.path.exists(os.path.join(target, "_COMPLETE"))):
+    # each variant lives in its own dir so all replicas stay cached
+    # across invocations
+    target = REPLICA
+    if distinct:
+        target = REPLICA + "-distinct"
+    elif distinct_vals:
+        target = REPLICA + "-distinctvals"
+    if force or (
+        (distinct or distinct_vals)
+        and not os.path.exists(os.path.join(target, "_COMPLETE"))
+    ):
         build_replica(get_spark(app_name="phaser_spark_scale_smoke"),
-                      dst=target, force=force, distinct_vectors=distinct)
+                      dst=target, force=force, distinct_vectors=distinct,
+                      distinct_values=distinct_vals)
     run(args or DEFAULT_QUERIES, runs=runs, replica=target)
