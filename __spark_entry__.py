@@ -3191,7 +3191,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # <- stateful; leakage_incremental <- leakage_safe; drift <-
         # winsorize+robust_z quality; ewma <- scd2+funnel timeseries;
         # pps <- top_p+per-lang sampling; a9_cube <- a1/a2/a8 agg;
-        # bloom <- decontaminate+contamination).  Entries past the cap
+        # bloom <- decontaminate+contamination).  Round 13 ROTATION
+        # (VERDICT r12 next-round #6): the six r12 second-half families
+        # never externally checked (substring_dup/scrub, dsir, bpe
+        # merges+token-counts, media_phash) plus repeated_span_scrub,
+        # rolling_user_value, fuzzy_part_names, text_surprisal admitted
+        # by rotating out ten r11/r12-green entries whose family keeps
+        # an in-window sibling (list + siblings at the round-13 block
+        # below).  Entries past the cap
         # all still run green under tests/oracle_parity.py (mandatory in
         # the oracle tier, see tests/test_driver_contract.py).
         "q1_pricing_summary": q1_pricing_summary,
@@ -3232,10 +3239,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_p_docs_by_lang": top_p_docs_by_lang,
         "quality_classifier_docs": quality_classifier_docs,
         "heavy_hitters_users": heavy_hitters_users,
-        # -- rotated INTO the window in round 11 (first external check) --
-        "a3_running_sum": a3_running_sum,
-        "sample_docs_per_lang": sample_docs_per_lang,
-        "ann_recall_ivf": ann_recall_ivf,
+        # -- rotated INTO the window in round 13: the r12 verdict's full
+        #    shortlist — the six r12 second-half families that had NEVER
+        #    been externally hash-checked (CDC substring dedup ×2, DSIR,
+        #    BPE ×2, perceptual-hash media dedup) plus four long-queued
+        #    never-checked entries.  All ten pre-flighted green via
+        #    oracle_parity at sf0.001 AND sf0.01 before the rotation. --
+        "substring_dup_docs": substring_dup_docs,
+        "substring_scrub_docs": substring_scrub_docs,
+        "dsir_importance_docs": dsir_importance_docs,
+        "bpe_merges_docs": bpe_merges_docs,
+        "bpe_token_counts_docs": bpe_token_counts_docs,
+        "media_phash_docs": media_phash_docs,
+        "repeated_span_scrub": repeated_span_scrub,
+        "rolling_user_value": rolling_user_value,
+        "fuzzy_part_names": fuzzy_part_names,
+        "text_surprisal": text_surprisal,
         # -- rotated INTO the window in round 12: the r11 verdict's full
         #    shortlist — ten never-externally-checked entries, led by
         #    semantic_dedup_embeddings (now re-pointed at the
@@ -3245,30 +3264,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    representative alongside the stateful query --
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "profile_orders": profile_orders,
-        "dedup_incremental_minhash": dedup_incremental_minhash,
-        "sketch_distinct_accuracy": sketch_distinct_accuracy,
-        "salted_hotkey_join": salted_hotkey_join,
-        "bucketed_checkpoint_agg": bucketed_checkpoint_agg,
         "funnel_view_click_purchase": funnel_view_click_purchase,
-        "cohort_retention_weekly": cohort_retention_weekly,
-        "mask_customers": mask_customers,
-        "correlations_orders": correlations_orders,
         "streaming_event_window": streaming_event_window,
         # ---- past the driver's 50-query cap (redundant coverage) ----
-        # Round-13 rotation shortlist (never externally hash-checked;
-        # highest value first): the six new r12 second-half families —
-        # substring_dup_docs, substring_scrub_docs, dsir_importance_docs,
-        # bpe_merges_docs, bpe_token_counts_docs, media_phash_docs — then
-        # repeated_span_scrub, rolling_user_value, fuzzy_part_names,
-        # text_surprisal (epoch_mix_langs, dedup_best_of_cluster,
+        # Round-14 rotation shortlist (never externally hash-checked;
+        # highest value first): epoch_mix_langs, dedup_best_of_cluster,
         # web_canonical_urls, standardize_prices, ri_orphan_lineitems,
-        # histogram_prices queue behind; ALL of the above were
-        # pre-flighted green via oracle_parity at sf0.01 in r12).  Swap
-        # out in-window entries whose family keeps a driver-green
-        # sibling (the r9-r12 cadence; candidates: a3 <- a4 restored,
-        # ann_recall_ivf <- ann_cosine, sample_docs_per_lang <- top_p,
-        # sketch_distinct_accuracy <- heavy_hitters,
-        # dedup_incremental_minhash <- dedup_exact/simhash).
+        # histogram_prices, token_budget_mix, a10_unpivot_metrics,
+        # temperature_rebalance, events_sessionize (all green in the
+        # mandatory past-cap parity tier every round).  Swap out
+        # in-window entries whose family keeps a driver-green sibling
+        # (the r9-r13 cadence; candidates: substring_scrub_docs <-
+        # substring_dup_docs, bpe_token_counts_docs <- bpe_merges_docs,
+        # repeated_span_scrub <- text_surprisal, boilerplate_removal <-
+        # pii_redaction/text_stats, a2_user_event_counts <- a1/a8).
+        # -- rotated OUT of the window in round 13 (sibling stays in;
+        #    every one of these was externally hash-checked green in
+        #    its rotation round, r11 or r12) --
+        "a3_running_sum": a3_running_sum,              # a4 window-family kin (r11-green)
+        "sample_docs_per_lang": sample_docs_per_lang,  # top_p sampling stays
+        "ann_recall_ivf": ann_recall_ivf,              # ann_cosine stays
+        "dedup_incremental_minhash": dedup_incremental_minhash,  # dedup_exact/simhash stay
+        "sketch_distinct_accuracy": sketch_distinct_accuracy,    # heavy_hitters stays
+        "salted_hotkey_join": salted_hotkey_join,      # q1/j1/j4 relational stay
+        "bucketed_checkpoint_agg": bucketed_checkpoint_agg,      # s7 checkpoint stays
+        "cohort_retention_weekly": cohort_retention_weekly,      # scd2+funnel stay
+        "mask_customers": mask_customers,              # pii_redaction stays
+        "correlations_orders": correlations_orders,    # profile_orders stays
         # -- rotated OUT of the window in round 12 (sibling stays in) --
         "j5_interval_match": j5_interval_match,        # j4/j6 asof-interval kin
         "j6_asof_forward": j6_asof_forward,            # j4_asof_join stays
@@ -3329,10 +3351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_checks_orders": quality_checks_orders,
         "token_budget_mix": token_budget_mix,
         "dedup_best_of_cluster": dedup_best_of_cluster,
-        "repeated_span_scrub": repeated_span_scrub,
         "web_canonical_urls": web_canonical_urls,
-        "rolling_user_value": rolling_user_value,
-        "fuzzy_part_names": fuzzy_part_names,
         "standardize_prices": standardize_prices,
         "ri_orphan_lineitems": ri_orphan_lineitems,
         "quality_budget_mix": quality_budget_mix,
@@ -3347,23 +3366,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
         "text_char_entropy": text_char_entropy,
         "epoch_mix_langs": epoch_mix_langs,
-        "text_surprisal": text_surprisal,
         "dedup_cluster_size_stats": dedup_cluster_size_stats,
         "leakage_split_shares_docs": leakage_split_shares_docs,
         # ---- past-cap, round 12: PCA fit stage + PQ encode (new ops) ----
         "pca_covariance_embeddings": pca_covariance_embeddings,
         "pq_encode_embeddings": pq_encode_embeddings,
         "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
-        # ---- past-cap, round 12: cross-doc substring dedup (ops/cdc.py) ----
-        "substring_dup_docs": substring_dup_docs,
-        "substring_scrub_docs": substring_scrub_docs,
-        # ---- past-cap, round 12: DSIR importance resampling (ops/dsir.py) ----
-        "dsir_importance_docs": dsir_importance_docs,
-        # ---- past-cap, round 12: distributed BPE training (ops/bpe.py) ----
-        "bpe_merges_docs": bpe_merges_docs,
-        # ---- past-cap, round 12: perceptual-hash media dedup (ops/phash.py) ----
-        "media_phash_docs": media_phash_docs,
-        "bpe_token_counts_docs": bpe_token_counts_docs,
     }
 
 

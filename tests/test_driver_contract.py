@@ -16,14 +16,15 @@ def test_first_50_cover_every_operator_family():
     # each family must keep at least one representative INSIDE the checked
     # window; entries past the cap are never hash-compared by the driver
     first = set(list(entrymod.queries())[:CAP])
-    # Round-12 curation (continuing the r9-r11 cadence): eleven more
-    # redundant siblings rotated past the cap to admit the r11 verdict's
-    # full never-externally-checked shortlist (led by the re-pointed
-    # scale-path semantic_dedup_embeddings) plus the restored windowed
-    # streaming query.  Every §2 operator family still keeps at least
-    # one in-window representative.
+    # Round-13 curation (continuing the r9-r12 cadence): ten r11/r12
+    # externally-green entries rotated past the cap (each with an
+    # in-window family sibling) to admit the r12 verdict's full
+    # never-externally-checked shortlist — the six r12 second-half
+    # families (CDC substring dedup, DSIR, BPE, pHash) plus four
+    # long-queued entries.  Every §2 operator family still keeps at
+    # least one in-window representative.
     required = {
-        "s1_csv_roundtrip", "s7_checkpoint_lifecycle",        # sources/checkpoint
+        "s1_csv_roundtrip", "s7_checkpoint_lifecycle",        # sources/checkpoint (bucketed agg out r13)
         "p1_column_casts", "p4_filter_rows",                  # contracts/filters
         "e1_quarantine_events",                               # error policies
         "u1_row_step_derive", "u2_batch_step",                # step surface
@@ -31,39 +32,39 @@ def test_first_50_cover_every_operator_family():
         "u8_fix_functions",                                   # fix/flatten family (u6 out r10)
         "o2_dedup_keep_last",                                 # ordering/dedup/uniqueness (o3 out r12)
         "d1_table_diff",                                      # diff
-        "q1_pricing_summary", "j4_asof_join",                 # relational/asof (j5/j6 out r12)
+        "q1_pricing_summary", "j4_asof_join",                 # relational/asof (j5/j6 out r12; salted join out r13)
         "streaming_stateful_user_stats",                      # stateful streaming
         "streaming_event_window",                             # windowed/watermark streaming (back r12)
-        "dedup_exact_docs", "dedup_simhash",                  # dedup suite (minhash_lsh out r11)
-        "dedup_incremental_minhash",                          # incremental dedup (in r12)
+        "dedup_exact_docs", "dedup_simhash",                  # dedup suite (minhash_lsh out r11, incremental out r13)
         "semantic_dedup_embeddings",                          # SemDeDup scale path (in r12)
-        "ann_cosine_topk",                                    # similarity (lsh out r11)
-        "ann_recall_ivf",                                     # IVF + recall eval (in r11)
-        "text_stats", "pii_redaction", "boilerplate_removal", # text/cleaning (tfidf out r12)
-        "mask_customers",                                     # PII masking (in r12)
+        "ann_cosine_topk",                                    # similarity (lsh out r11, recall_ivf out r13)
+        "text_stats", "pii_redaction", "boilerplate_removal", # text/cleaning (tfidf out r12, mask out r13)
         "decontaminate_docs", "multimodal_binary",            # decontam/multimodal (triage+report out r12)
         "web_domains",                                        # web
         # rotated in r9 - still in-window:
         "graph_pagerank",                                     # graph
         "kmeans_embedding_cells",                             # clustering
-        "scd2_customer_history",                              # SCD2
+        "scd2_customer_history",                              # SCD2 (cohort retention out r13)
         "leakage_safe_split_docs",                            # splits (incremental out r11)
         # rotated in r10 - still in-window:
         "robust_z_prices",                                    # outlier/quality (winsorize out r12)
-        "top_p_docs_by_lang",                                 # sampling (topk/shard out r12)
+        "top_p_docs_by_lang",                                 # sampling (topk/shard out r12, per-lang quota out r13)
         "quality_classifier_docs",                            # classifier fit
-        "heavy_hitters_users",                                # frequency sketch
-        # rotated in r11 - still in-window:
-        "a3_running_sum",                                     # window family (a4 out, sibling)
-        "sample_docs_per_lang",                               # quota sampling (pps out, sibling)
-        # rotated in r12 - first external check:
-        "profile_orders",                                     # column profiler
-        "sketch_distinct_accuracy",                           # sketch accuracy eval
-        "salted_hotkey_join",                                 # skew-salted join
-        "bucketed_checkpoint_agg",                            # bucketed checkpoint scale path
+        "heavy_hitters_users",                                # frequency sketch (sketch accuracy out r13)
+        # rotated in r12 - still in-window:
+        "profile_orders",                                     # column profiler (correlations out r13)
         "funnel_view_click_purchase",                         # funnel (funnel_within_day out)
-        "cohort_retention_weekly",                            # cohort retention
-        "correlations_orders",                                # correlation stats
+        # rotated in r13 - first external check:
+        "substring_dup_docs",                                 # CDC substring dup report
+        "substring_scrub_docs",                               # CDC substring scrub/rebuild
+        "dsir_importance_docs",                               # DSIR importance scores
+        "bpe_merges_docs",                                    # distributed BPE training
+        "bpe_token_counts_docs",                              # BPE inference/token counts
+        "media_phash_docs",                                   # perceptual-hash media dedup
+        "repeated_span_scrub",                                # within-doc span scrub
+        "rolling_user_value",                                 # range-frame window chain (a3 out r13)
+        "fuzzy_part_names",                                   # fuzzy/edit-distance join
+        "text_surprisal",                                     # text scoring
     }
     missing = required - first
     assert not missing, f"operator families pushed past the {CAP}-entry cap: {sorted(missing)}"
