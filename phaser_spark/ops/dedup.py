@@ -286,14 +286,16 @@ def minhash_signatures(
     # re-hashes the fixed-width 64-bit base (xxhash64 over 8 bytes), which
     # is an order of magnitude cheaper than 128 string hashes per shingle
     sh = sh.select("id", F.xxhash64("sh").alias("base"))
-    aggs = [
-        F.min(F.xxhash64("base", F.lit(seed))).alias(f"h{seed}")
-        for seed in range(1, num_perm + 1)
-    ]
-    sums = sh.groupBy("id").agg(*aggs)
-    return sums.select(
-        "id", F.array(*[F.col(f"h{s}") for s in range(1, num_perm + 1)]).alias("sig")
-    )
+    # r13 (the simhash/pca construction medicine): ONE parsed SQL
+    # expression assembles the signature array around all num_perm MIN
+    # aggregates — the functions form built 128 separate agg Columns
+    # plus a 128-column array through py4j (~500 round trips of pure
+    # driver time per query construction).  Same resolved aggregates,
+    # same values.
+    sig_sql = "array(" + ", ".join(
+        f"min(xxhash64(base, {seed}))" for seed in range(1, num_perm + 1)
+    ) + ")"
+    return sh.groupBy("id").agg(F.expr(sig_sql).alias("sig"))
 
 
 def minhash_bands(
@@ -350,8 +352,13 @@ def minhash_lsh_pairs(
     ``verify=False``)."""
     sig = minhash_signatures(df, id_col, text_col, num_perm, n)
     # the banding table is consumed by both sides of a self-join: pin it so
-    # signatures are computed once, not once per join branch
-    sig = sig.cache()
+    # signatures are computed once, not once per join branch.  r13: the pin
+    # is an eager localCheckpoint (was cache()) — same stored rows (128
+    # longs per doc), but it also TRUNCATES the plan, so the self-join and
+    # every AQE replan analyze a LogicalRDD instead of two copies of the
+    # 128-aggregate signature tree (the simhash medicine; that repeated
+    # driver-side analysis was the non-parallelizing half of this query).
+    sig = sig.localCheckpoint()
     bands = minhash_bands(sig, num_bands, num_perm)
     cand = (
         bands.alias("x")
@@ -571,8 +578,11 @@ def minhash_lsh_incremental(
     new_sigs = minhash_signatures(new_docs, id_col, text_col, num_perm, n)
     if corpus_sigs is None:
         corpus_sigs = minhash_signatures(corpus, id_col, text_col, num_perm, n)
-    # pin only the delta-sized side; corpus bands stream through the join
-    new_sigs = new_sigs.cache()
+    # pin only the delta-sized side; corpus bands stream through the join.
+    # r13: eager localCheckpoint (was cache()) — same stored rows, and the
+    # banding/verify consumers analyze a LogicalRDD instead of re-analyzing
+    # the 128-aggregate signature tree per consumer (the lsh medicine)
+    new_sigs = new_sigs.localCheckpoint()
     new_bands = minhash_bands(new_sigs, num_bands, num_perm)
     all_bands = minhash_bands(corpus_sigs, num_bands, num_perm).unionByName(new_bands)
     cand = (
@@ -590,8 +600,10 @@ def minhash_lsh_incremental(
         .distinct()
         # candidate pairs are delta-sized; pinned because three consumers
         # (the id restriction below and both verify join branches) would
-        # otherwise each re-run the band join
-        .cache()
+        # otherwise each re-run the band join.  r13: eager localCheckpoint
+        # so each consumer plans over the pinned rows, not the full
+        # corpus-band-join subtree
+        .localCheckpoint()
     )
     if not verify:
         sig_all = corpus_sigs.unionByName(new_sigs)
